@@ -1,0 +1,82 @@
+"""Aggregation operators.
+
+Reference semantics (SURVEY §2.4):
+  - A1 distinct label set, sorted, Background excluded
+    (jigsaw/model_utils/transforms.py:12-41)
+  - A2 dense label numbering 1..N (jigsaw/model_utils/base/mask.py:320-338;
+    deterministic sorted order chosen over the reference's mutable
+    insertion order — documented deviation, SURVEY §2.4 A2)
+  - A3 Welford streaming mean/stddev_pop
+    (jigsaw/models/feature_points/model.py:75-113) — numerically identical
+    to Spark's built-in avg/stddev_pop (both are population moments)
+  - A4 cardinality counts (filters.py:156,203-207)
+  - A5 bounding-box extent merge: min/max over merged labels
+    (jigsaw/models/bbox/model.py:231-246)
+
+All are stock hash aggregations: map-side partial aggregation (combine)
+happens automatically, so at 100 TB the shuffle carries one row per
+(partition × group), not per input row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def distinct_labels(
+    df: DataFrame,
+    label_col: str = "label",
+    exclude: tuple[str, ...] = ("background",),
+) -> DataFrame:
+    """A1: distinct labels, case-insensitive exclusion (the reference is
+    inconsistent about 'Background' casing — quirk F7 normalized), sorted."""
+    out = df.select(F.col(label_col).alias("label")).distinct()
+    if exclude:
+        out = out.filter(~F.lower(F.col("label")).isin([e.lower() for e in exclude]))
+    return out.orderBy("label")
+
+
+def dense_label_map(
+    df: DataFrame,
+    label_col: str = "label",
+    exclude: tuple[str, ...] = ("background",),
+) -> DataFrame:
+    """A2: label → dense int 1..N over sorted distinct labels. The label
+    universe is tiny (a dimension); single-partition window is fine and the
+    result broadcasts at join time (J4)."""
+    labels = distinct_labels(df, label_col, exclude)
+    w = Window.orderBy("label")
+    return labels.withColumn("label_int", F.row_number().over(w))
+
+
+def moments(
+    df: DataFrame, group_cols: list[str], value_col: str
+) -> DataFrame:
+    """A3: per-group count / mean / population stddev — Welford's online
+    algorithm produces exactly these statistics; Spark computes them as a
+    single-pass partial aggregation (the distributed generalization of
+    Welford)."""
+    return df.groupBy(*group_cols).agg(
+        F.count(value_col).alias("n"),
+        F.avg(value_col).alias("mean"),
+        F.stddev_pop(value_col).alias("stdev"),
+    )
+
+
+def extent_merge(
+    df: DataFrame,
+    group_cols: list[str],
+    x_min: str = "xmin",
+    x_max: str = "xmax",
+    y_min: str = "ymin",
+    y_max: str = "ymax",
+) -> DataFrame:
+    """A5: merge boxes sharing a (recoded) label into the enclosing extent."""
+    return df.groupBy(*group_cols).agg(
+        F.min(x_min).alias(x_min),
+        F.max(x_max).alias(x_max),
+        F.min(y_min).alias(y_min),
+        F.max(y_max).alias(y_max),
+    )

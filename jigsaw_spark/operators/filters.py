@@ -1,0 +1,153 @@
+"""Tag-predicate filtering — the reference's core "query engine".
+
+Reference semantics (SURVEY §2.2):
+  - and_filter: keep rows having ALL of the requested tags
+    (jigsaw/model_utils/filters.py:60-83)
+  - or_filter: keep rows having ANY of the requested tags
+    (jigsaw/model_utils/filters.py:86-112); the reference's concat+dedup
+    dance is unnecessary under relational filtering
+  - chained filter groups: a pipeline of AND/OR steps per named set, each
+    narrowing the previous subset, with per-stage cardinalities recorded
+    (jigsaw/model_utils/filters.py:158-229)
+  - untagged default: rows with no tags get the synthetic tag 'untagged'
+    (jigsaw/model_utils/filters.py:50-52)
+
+Design: tags live as ``array<string>`` (the pivoted boolean wide table of
+the reference does not survive a data-dependent schema at scale); predicates
+are ``array_contains`` / ``arrays_overlap``, which Catalyst evaluates inside
+whole-stage codegen and — for parquet sources — benefits from row-group
+statistics. Unknown-tag references raise (reference quirk kept, as an
+explicit validation step instead of a KeyError mid-query).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import reduce
+from operator import and_
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+UNTAGGED = "untagged"
+
+
+def with_default_tag(df: DataFrame, tags_col: str = "tags", default: str = UNTAGGED) -> DataFrame:
+    """NULL/empty tag arrays become ``[default]`` (filters.py:50-52)."""
+    c = F.col(tags_col)
+    return df.withColumn(
+        tags_col,
+        F.when(c.isNull() | (F.size(c) == 0), F.array(F.lit(default))).otherwise(c),
+    )
+
+
+def _validate(df: DataFrame, tags: list[str], tags_col: str, validate: bool) -> None:
+    """Reference raises KeyError on a tag absent from the corpus
+    (filters.py:71-74 via pandas column indexing). Opt-in here because the
+    check costs a scan; callers validating a user-facing spec should pass
+    ``validate=True`` once up front."""
+    if not validate:
+        return
+    known = {
+        r[0]
+        for r in df.select(F.explode(tags_col).alias("t")).distinct().collect()
+    }
+    missing = [t for t in tags if t not in known]
+    if missing:
+        raise KeyError(f"unknown tag(s): {missing}")
+
+
+def and_filter(
+    df: DataFrame, tags: list[str], tags_col: str = "tags", validate: bool = False
+) -> DataFrame:
+    """Keep rows whose tag array contains ALL of ``tags`` (F1)."""
+    if not tags:
+        return df
+    _validate(df, tags, tags_col, validate)
+    pred: Column = reduce(and_, (F.array_contains(tags_col, t) for t in tags))
+    return df.filter(pred)
+
+
+def or_filter(
+    df: DataFrame, tags: list[str], tags_col: str = "tags", validate: bool = False
+) -> DataFrame:
+    """Keep rows whose tag array contains ANY of ``tags`` (F2). One
+    ``arrays_overlap`` instead of the reference's per-tag select + concat +
+    keep-first dedup — relational filters never duplicate rows."""
+    if not tags:
+        return df.limit(0)
+    _validate(df, tags, tags_col, validate)
+    return df.filter(F.arrays_overlap(tags_col, F.array(*[F.lit(t) for t in tags])))
+
+
+@dataclass
+class FilterStep:
+    """One AND/OR step in a chain (filters.py:191-202)."""
+
+    type: str  # 'and' | 'or'
+    tags: list[str]
+
+
+@dataclass
+class FilterGroup:
+    """A named set built by sequential narrowing (filters.py:158-229)."""
+
+    name: str
+    steps: list[FilterStep] = field(default_factory=list)
+    sample_n: int | None = None  # exact-N sample applied after the chain (P1)
+
+
+def apply_filter_chain(
+    df: DataFrame, steps: list[FilterStep], tags_col: str = "tags"
+) -> DataFrame:
+    """Sequential narrowing; Catalyst folds the chain into one conjunctive
+    scan predicate, so 'chained' costs nothing extra at execution time."""
+    out = df
+    for step in steps:
+        if step.type == "and":
+            out = and_filter(out, step.tags, tags_col)
+        elif step.type == "or":
+            out = or_filter(out, step.tags, tags_col)
+        else:
+            raise ValueError(f"unknown filter type {step.type!r}")
+    return out
+
+
+def apply_filter_groups(
+    df: DataFrame,
+    groups: list[FilterGroup],
+    key_cols: list[str],
+    tags_col: str = "tags",
+    collect_counts: bool = False,
+) -> tuple[DataFrame, list[dict]]:
+    """Run every group's chain (and optional exact-N sample), union the named
+    sets deduplicated on the key (J3), and return (result, lineage).
+
+    Lineage mirrors the reference's filter_metadata shape
+    (filters.py:193-222): per group name, its steps, and — when
+    ``collect_counts`` — the per-stage cardinalities (each count is an
+    action; off by default so planning stays lazy).
+    """
+    from jigsaw_spark.operators.joins import union_distinct
+    from jigsaw_spark.operators.samples import exact_sample
+
+    sets: list[DataFrame] = []
+    lineage: list[dict] = []
+    for g in groups:
+        sub = df
+        steps_meta = []
+        for step in g.steps:
+            sub = apply_filter_chain(sub, [step], tags_col)
+            meta = {"type": step.type, "tags": list(step.tags)}
+            if collect_counts:
+                meta["count"] = sub.count()
+            steps_meta.append(meta)
+        if g.sample_n is not None:
+            sub = exact_sample(sub, g.sample_n, key_cols)
+        entry = {"name": g.name, "filters": steps_meta}
+        if collect_counts:
+            entry["number_included"] = sub.count()
+        lineage.append(entry)
+        sets.append(sub)
+    merged = union_distinct(sets, key_cols)
+    return merged, lineage

@@ -1,0 +1,124 @@
+"""Deterministic sampling, splitting, fold and shard assignment.
+
+Reference semantics (SURVEY §2.5):
+  - P1 exact-N sample, seed 42 (jigsaw/model_utils/filters.py:233-241)
+  - P2 split_data: shuffle then cut at max(1, int(n*test_percent))
+    (jigsaw/write_dataset.py:66-89)
+  - P3 divide_into_folds: KFold(k, shuffle, seed 0)
+    (jigsaw/write_dataset.py:92-130)
+  - P7 round-robin shards, num_shards = n//1000 + 1
+    (jigsaw/write_dataset.py:185,194-198)
+  - P8 global determinism (jigsaw/cli.py:10-11)
+
+All pseudo-randomness derives from ``md5(key)`` (see functions/hashing.py):
+partition-independent, engine-portable (exact DuckDB oracle), and stable
+under AQE/speculative re-execution — which Spark's ``rand(seed)`` is not.
+
+Scale notes (100 TB):
+  - ``exact_sample`` compiles to TakeOrderedAndProject — a parallel partial
+    top-N per partition then a driver-side merge of N·num_partitions rows.
+    Cheap for N up to ~10⁶.
+  - ``split_data``/``kfold_assign``/``shard_assign`` need a *global* rank,
+    which is inherently a serial boundary. They use a single-partition
+    window — exact, matching the reference, fine to ~10⁷ rows. For larger
+    data use the hash-threshold variants (``approx_split``, ``kfold_hash``)
+    which are embarrassingly parallel and deviate from exact counts only by
+    binomial noise (<0.1% at 10⁸ rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from jigsaw_spark.functions.hashing import det_order, md5_key
+
+
+def exact_sample(
+    df: DataFrame,
+    n: int,
+    key_cols: list[str],
+    seed: str = "sample-42",
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Exactly-N pseudo-random rows, deterministic in the key (P1).
+
+    If the key is not unique, pass ``tiebreak_cols`` covering the remaining
+    output columns so the order is total — otherwise the membership of the
+    boundary row is engine-dependent."""
+    order = det_order(*key_cols, seed=seed)
+    if tiebreak_cols:
+        order += [F.col(c).asc() for c in tiebreak_cols]
+    return df.orderBy(*order).limit(n)
+
+
+def _ranked(df: DataFrame, key_cols: list[str], seed: str) -> DataFrame:
+    w = Window.orderBy(md5_key(*key_cols, seed=seed), *key_cols)
+    return df.withColumn("_rn", F.row_number().over(w)).withColumn(
+        "_n", F.count(F.lit(1)).over(Window.partitionBy())
+    )
+
+
+def split_data(
+    df: DataFrame,
+    key_cols: list[str],
+    test_fraction: float = 0.2,
+    seed: str = "split-42",
+) -> tuple[DataFrame, DataFrame]:
+    """Exact (test, dev) split: test gets max(1, floor(n·fraction)) rows —
+    the reference's min-1 semantics (write_dataset.py:76-84), which error on
+    n<2; we mirror that only in that a 1-row input yields an empty dev."""
+    ranked = _ranked(df, key_cols, seed)
+    cutoff = F.greatest(F.lit(1), F.floor(F.col("_n") * F.lit(test_fraction)))
+    test = ranked.filter(F.col("_rn") <= cutoff).drop("_rn", "_n")
+    dev = ranked.filter(F.col("_rn") > cutoff).drop("_rn", "_n")
+    return test, dev
+
+
+def approx_split(
+    df: DataFrame,
+    key_cols: list[str],
+    test_fraction: float = 0.2,
+    seed: str = "split-42",
+) -> tuple[DataFrame, DataFrame]:
+    """Scale-path split: hash-threshold on md5(key) — no global rank, no
+    shuffle, fully parallel; counts are binomial around n·fraction."""
+    # first 8 hex chars → uniform 32-bit int
+    bucket = F.conv(F.substring(md5_key(*key_cols, seed=seed), 1, 8), 16, 10).cast("bigint")
+    pred = bucket < F.lit(int(test_fraction * 0xFFFFFFFF))
+    return df.filter(pred), df.filter(~pred)
+
+
+def kfold_assign(
+    df: DataFrame, k: int, key_cols: list[str], seed: str = "kfold-0"
+) -> DataFrame:
+    """Adds ``fold`` ∈ [0,k): round-robin over the deterministic shuffle
+    order — equal-sized folds exactly like sklearn KFold(shuffle=True) (P3).
+    """
+    ranked = _ranked(df, key_cols, seed)
+    return ranked.withColumn("fold", ((F.col("_rn") - 1) % k).cast("int")).drop("_rn", "_n")
+
+
+def kfold_hash(df: DataFrame, k: int, key_cols: list[str], seed: str = "kfold-0") -> DataFrame:
+    """Scale-path fold assignment: pmod(md5-int, k); parallel, near-equal folds."""
+    bucket = F.conv(F.substring(md5_key(*key_cols, seed=seed), 1, 15), 16, 10).cast("bigint")
+    return df.withColumn("fold", F.pmod(bucket, F.lit(k)).cast("int"))
+
+
+def shard_assign(
+    df: DataFrame,
+    key_cols: list[str],
+    rows_per_shard: int = 1000,
+    seed: str = "shard",
+) -> DataFrame:
+    """Adds ``shard``: num_shards = n // rows_per_shard + 1, round-robin by
+    deterministic rank — the reference's `index % num_shards` with its
+    `n//1000+1` shard count (write_dataset.py:185,194-198). At scale prefer
+    ``df.repartition(num_shards)`` + ``maxRecordsPerFile`` and let the sink
+    balance; this operator exists for exact parity + the oracle."""
+    ranked = _ranked(df, key_cols, seed)
+    num_shards = F.floor(F.col("_n") / rows_per_shard) + 1
+    return ranked.withColumn(
+        "shard", ((F.col("_rn") - 1) % num_shards).cast("int")
+    ).drop("_rn", "_n")

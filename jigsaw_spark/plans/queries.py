@@ -1,0 +1,705 @@
+"""Operator → (Spark query, DuckDB oracle) registry.
+
+Every implemented operator from SURVEY.md §2 gets one entry exercising it on
+the driver's synthetic tables (FIXTURES.md §8 mapping). The Spark side goes
+through the engine's operator modules; the oracle is ANSI SQL DuckDB runs on
+the same parquet. Column names/types are aligned on both sides because the
+driver hash-compares values under sorted column names.
+
+Determinism contract: all pseudo-random operators derive order from
+md5(seed|key) (functions/hashing.py) so Spark and DuckDB agree bit-for-bit.
+Float aggregates are rounded on both sides before comparison.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from jigsaw_spark.functions.hashing import md5_key, md5_key_sql
+from jigsaw_spark.operators.aggregates import (
+    dense_label_map,
+    distinct_labels,
+    extent_merge,
+    moments,
+)
+from jigsaw_spark.operators.filters import FilterGroup, FilterStep, and_filter, or_filter
+from jigsaw_spark.operators.joins import construct, semi_join, union_distinct
+from jigsaw_spark.operators.samples import (
+    exact_sample,
+    kfold_assign,
+    shard_assign,
+    split_data,
+)
+from jigsaw_spark.operators.transforms import Transform, recode_column, recode_sql
+from jigsaw_spark.session import load_table
+
+
+@dataclass
+class QuerySpec:
+    spark: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None → driver records rows-only check
+    doc: str = ""
+
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None, doc: str = ""):
+    def deco(fn):
+        QUERIES[name] = QuerySpec(spark=fn, oracle=oracle, doc=doc)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Flagship: the jigsaw pipeline composition (F1+F2+F3+P1+J3+A4) on `orders`
+# ---------------------------------------------------------------------------
+
+_FLAGSHIP_SQL = f"""
+WITH tagged AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority FROM orders
+), set_a AS (
+  SELECT * FROM tagged
+  WHERE o_orderstatus = 'O' AND o_orderpriority = '1-URGENT'
+  ORDER BY {md5_key_sql(['o_orderkey'], seed='sample-42')}, o_orderkey
+  LIMIT 500
+), set_b AS (
+  SELECT * FROM tagged
+  WHERE o_orderpriority IN ('2-HIGH', '3-MEDIUM')
+  ORDER BY {md5_key_sql(['o_orderkey'], seed='sample-42')}, o_orderkey
+  LIMIT 500
+), merged AS (
+  SELECT DISTINCT * FROM (SELECT * FROM set_a UNION ALL SELECT * FROM set_b)
+)
+SELECT o_orderstatus,
+       count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM merged
+GROUP BY o_orderstatus
+"""
+
+
+@register(
+    "flagship_pipeline",
+    _FLAGSHIP_SQL,
+    "F1 AND-filter + F2 OR-filter + P1 exact-N sample + J3 union-distinct + A4 counts",
+)
+def flagship_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    )
+    # tags-as-array: the jigsaw tag matrix maps onto row attributes here
+    tagged = orders.withColumn("tags", F.array("o_orderstatus", "o_orderpriority"))
+    set_a = exact_sample(
+        and_filter(tagged, ["O", "1-URGENT"]), 500, ["o_orderkey"]
+    )
+    set_b = exact_sample(
+        or_filter(tagged, ["2-HIGH", "3-MEDIUM"]), 500, ["o_orderkey"]
+    )
+    merged = union_distinct([set_a, set_b], ["o_orderkey"])
+    return merged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q1-style pricing summary (the groupBy/agg surface: A3/A4 generalized)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                   AS sum_qty,
+           round(sum(l_extendedprice), 2)                              AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 4)                                   AS avg_qty,
+           round(avg(l_extendedprice), 4)                              AS avg_price,
+           round(avg(l_discount), 4)                                   AS avg_disc,
+           count(*)                                                    AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    "TPC-H Q1 shape: scan + pushdown filter + 8-agg hash aggregate",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# F1 / F2 / F3 — tag-predicate filters
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "f1_and_filter",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_orderstatus = 'O' AND o_orderpriority = '1-URGENT'
+    """,
+    "F1: conjunctive tag filter (array_contains AND-chain)",
+)
+def f1_and_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    tagged = orders.withColumn("tags", F.array("o_orderstatus", "o_orderpriority"))
+    return and_filter(tagged, ["O", "1-URGENT"]).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+@register(
+    "f2_or_filter",
+    """
+    SELECT event_id, user_id, event_type, round(value, 4) AS value
+    FROM events
+    WHERE event_type IN ('click', 'error')
+    """,
+    "F2: disjunctive tag filter (arrays_overlap)",
+)
+def f2_or_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    tagged = events.withColumn("tags", F.array("event_type"))
+    return or_filter(tagged, ["click", "error"]).select(
+        "event_id", "user_id", "event_type", F.round("value", 4).alias("value")
+    )
+
+
+@register(
+    "f3_filter_chain",
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_orderstatus = 'F'
+      AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+      AND o_totalprice > 50000
+    """,
+    "F3: sequential narrowing chain — Catalyst folds it into one scan predicate",
+)
+def f3_filter_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    tagged = orders.withColumn("tags", F.array("o_orderstatus", "o_orderpriority"))
+    step1 = and_filter(tagged, ["F"])
+    step2 = or_filter(step1, ["1-URGENT", "2-HIGH"])
+    step3 = step2.filter(F.col("o_totalprice") > 50000)
+    return step3.select("o_orderkey", "o_totalprice")
+
+
+@register(
+    "f9_untagged_default",
+    """
+    SELECT CASE WHEN lang IS NULL OR lang = '' THEN 'untagged' ELSE lang END AS tag,
+           count(*) AS n
+    FROM documents
+    GROUP BY 1
+    """,
+    "S9: untagged-default semantics (null/empty tag → 'untagged')",
+)
+def f9_untagged_default(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    tag = F.when(
+        F.col("lang").isNull() | (F.col("lang") == ""), F.lit("untagged")
+    ).otherwise(F.col("lang"))
+    return docs.select(tag.alias("tag")).groupBy("tag").agg(F.count(F.lit(1)).alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# P1 / P2 / P3 / P7 — deterministic sample / split / fold / shard
+# ---------------------------------------------------------------------------
+
+_LI_KEY_MD5 = md5_key_sql(["l_orderkey", "l_linenumber"], seed="sample-42")
+
+
+@register(
+    "p1_exact_sample",
+    f"""
+    SELECT l_orderkey, l_linenumber, round(l_quantity, 2) AS l_quantity
+    FROM lineitem
+    ORDER BY {_LI_KEY_MD5}, l_orderkey, l_linenumber, l_quantity
+    LIMIT 1000
+    """,
+    "P1: exact-N deterministic sample (md5 order + limit → TakeOrderedAndProject)",
+)
+def p1_exact_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return exact_sample(
+        li, 1000, ["l_orderkey", "l_linenumber"], tiebreak_cols=["l_quantity"]
+    ).select(
+        "l_orderkey", "l_linenumber", F.round("l_quantity", 2).alias("l_quantity")
+    )
+
+
+_ORD_SPLIT_MD5 = md5_key_sql(["o_orderkey"], seed="split-42")
+
+
+@register(
+    "p2_split_test",
+    f"""
+    SELECT o_orderkey FROM (
+      SELECT o_orderkey,
+             row_number() OVER (ORDER BY {_ORD_SPLIT_MD5}, o_orderkey) AS rn,
+             count(*) OVER () AS n
+      FROM orders
+    ) t
+    WHERE rn <= greatest(1, CAST(floor(n * 0.2) AS BIGINT))
+    """,
+    "P2: exact test/dev split, max(1, floor(n*0.2)) test rows",
+)
+def p2_split_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    test, _dev = split_data(orders, ["o_orderkey"], test_fraction=0.2)
+    return test.select("o_orderkey")
+
+
+_ORD_FOLD_MD5 = md5_key_sql(["o_orderkey"], seed="kfold-0")
+
+
+@register(
+    "p3_kfold_assign",
+    f"""
+    SELECT o_orderkey,
+           CAST((row_number() OVER (ORDER BY {_ORD_FOLD_MD5}, o_orderkey) - 1) % 5 AS INT) AS fold
+    FROM orders
+    """,
+    "P3: k-fold assignment — round-robin over the deterministic shuffle order",
+)
+def p3_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return kfold_assign(orders, 5, ["o_orderkey"]).select("o_orderkey", "fold")
+
+
+_LI_SHARD_MD5 = md5_key_sql(["l_orderkey", "l_linenumber"], seed="shard")
+
+
+@register(
+    "p7_shard_assign",
+    f"""
+    SELECT l_orderkey, l_linenumber,
+           CAST((rn - 1) % (CAST(floor(n / 1000.0) AS BIGINT) + 1) AS INT) AS shard
+    FROM (
+      SELECT l_orderkey, l_linenumber,
+             row_number() OVER (ORDER BY {_LI_SHARD_MD5}, l_orderkey, l_linenumber) AS rn,
+             count(*) OVER () AS n
+      FROM lineitem
+    ) t
+    """,
+    "P7: round-robin shard assignment, num_shards = n//1000 + 1",
+)
+def p7_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return shard_assign(li, ["l_orderkey", "l_linenumber"], rows_per_shard=1000).select(
+        "l_orderkey", "l_linenumber", "shard"
+    )
+
+
+# ---------------------------------------------------------------------------
+# J1 / J2 / J3 — joins
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "j1_construct_join",
+    """
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+    "J1: multi-source equi-join (fact shuffle + broadcast dims) + aggregate",
+)
+def j1_construct_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .filter(F.col("r_name") == "ASIA")
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return joined.groupBy("n_name").agg(
+        F.round(F.sum(revenue), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@register(
+    "j2_semi_join",
+    """
+    SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+    GROUP BY l_returnflag
+    """,
+    "J2: left-semi join against a selected-ids set",
+)
+def j2_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    urgent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    )
+    return (
+        semi_join(li, urgent, "l_orderkey")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
+
+
+@register(
+    "j2_anti_join",
+    """
+    SELECT c_mktsegment, count(*) AS n_customers
+    FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+    GROUP BY c_mktsegment
+    """,
+    "F8/J2: anti-join — the skip-existing incremental pattern",
+)
+def j2_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jigsaw_spark.operators.joins import anti_join
+
+    customer = _t(spark, sf_dir, "customer")
+    open_buyers = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "O")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return (
+        anti_join(customer, open_buyers, "c_custkey")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@register(
+    "j3_union_distinct",
+    """
+    SELECT DISTINCT c_custkey FROM (
+      SELECT c_custkey FROM customer WHERE c_acctbal > 7500
+      UNION ALL
+      SELECT c_custkey FROM customer WHERE c_nationkey < 5
+    )
+    """,
+    "J3: union-of-sets deduplicated on the key",
+)
+def j3_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    a = customer.filter(F.col("c_acctbal") > 7500).select("c_custkey")
+    b = customer.filter(F.col("c_nationkey") < 5).select("c_custkey")
+    return union_distinct([a, b], ["c_custkey"])
+
+
+# ---------------------------------------------------------------------------
+# Set operations (SURVEY §2.6)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "set_intersect",
+    """
+    SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000
+    INTERSECT
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+    "intersect on keys",
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    a = customer.filter(F.col("c_acctbal") > 5000).select(
+        F.col("c_custkey").alias("custkey")
+    )
+    b = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return a.intersect(b)
+
+
+@register(
+    "set_except",
+    """
+    SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000
+    EXCEPT
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+    "except on keys",
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    a = customer.filter(F.col("c_acctbal") > 5000).select(
+        F.col("c_custkey").alias("custkey")
+    )
+    b = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return a.subtract(b)
+
+
+# ---------------------------------------------------------------------------
+# A1 / A2 / A3 / A5 — aggregations
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "a1_distinct_labels",
+    """
+    SELECT DISTINCT p_type AS label FROM part
+    WHERE lower(p_type) <> 'background'
+    ORDER BY label
+    """,
+    "A1: distinct label universe, exclusion, sorted",
+)
+def a1_distinct_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    return distinct_labels(part, "p_type")
+
+
+@register(
+    "a2_dense_label_map",
+    """
+    SELECT label, CAST(row_number() OVER (ORDER BY label) AS INT) AS label_int
+    FROM (SELECT DISTINCT p_brand AS label FROM part WHERE lower(p_brand) <> 'background')
+    """,
+    "A2: label → dense int 1..N over sorted distinct labels",
+)
+def a2_dense_label_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    return dense_label_map(part, "p_brand")
+
+
+@register(
+    "a3_moments",
+    """
+    SELECT event_type,
+           count(value) AS n,
+           round(avg(value), 4) AS mean,
+           round(stddev_pop(value), 4) AS stdev
+    FROM events
+    GROUP BY event_type
+    """,
+    "A3: Welford streaming moments ≡ single-pass avg/stddev_pop",
+)
+def a3_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    m = moments(events, ["event_type"], "value")
+    return m.select(
+        "event_type",
+        "n",
+        F.round("mean", 4).alias("mean"),
+        F.round("stdev", 4).alias("stdev"),
+    )
+
+
+_MERGE_TRANSFORMS = [
+    Transform("merge", ["Brand#1", "Brand#2", "Brand#3"], "Brand#LOW"),
+    Transform("rename", "Brand#25", "Brand#TOP"),
+]
+
+
+@register(
+    "a5_extent_merge",
+    f"""
+    SELECT label,
+           min(p_size) AS xmin, max(p_size) AS xmax,
+           round(min(p_retailprice), 2) AS ymin, round(max(p_retailprice), 2) AS ymax
+    FROM (SELECT {recode_sql('p_brand', _MERGE_TRANSFORMS)} AS label,
+                 p_size, p_retailprice
+          FROM part)
+    GROUP BY label
+    """,
+    "T rename/merge recode + A5 extent merge (min/max over merged labels)",
+)
+def a5_extent_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part").withColumn("label", F.col("p_brand"))
+    recoded = recode_column(part, "label", _MERGE_TRANSFORMS)
+    ext = extent_merge(
+        recoded.select(
+            "label",
+            F.col("p_size").alias("xmin"),
+            F.col("p_size").alias("xmax"),
+            F.col("p_retailprice").alias("ymin"),
+            F.col("p_retailprice").alias("ymax"),
+        ),
+        ["label"],
+    )
+    return ext.select(
+        "label",
+        "xmin",
+        "xmax",
+        F.round("ymin", 2).alias("ymin"),
+        F.round("ymax", 2).alias("ymax"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar function surface (SURVEY §2.7)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "fn_scalar",
+    """
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT)  AS order_year,
+           CAST(month(o_orderdate) AS INT) AS order_month,
+           o_orderkey % 7                  AS id_mod,
+           CAST(floor(o_totalprice / 10000) AS INT) AS price_bucket,
+           lower(o_orderstatus)            AS status_lower,
+           concat_ws(':', o_orderstatus, o_orderpriority) AS pri_tag,
+           substr(o_orderpriority, 1, 1)   AS pri_digit
+    FROM orders
+    """,
+    "scalar fn surface: date parts, modulo, floor, case, concat, substring",
+)
+def fn_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("int").alias("order_year"),
+        F.month("o_orderdate").cast("int").alias("order_month"),
+        (F.col("o_orderkey") % 7).alias("id_mod"),
+        F.floor(F.col("o_totalprice") / 10000).cast("int").alias("price_bucket"),
+        F.lower("o_orderstatus").alias("status_lower"),
+        F.concat_ws(":", "o_orderstatus", "o_orderpriority").alias("pri_tag"),
+        F.substring("o_orderpriority", 1, 1).alias("pri_digit"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window operators (engine-internal machinery surfaced: SURVEY §2.8)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "w1_sessionize",
+    """
+    SELECT user_id,
+           CAST(sum(new_s) AS BIGINT) AS n_sessions,
+           count(*) AS n_events
+    FROM (
+      SELECT user_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ) t
+    GROUP BY user_id
+    """,
+    "sessionization: lag + gap>30min flag + per-user session counts",
+)
+def w1_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lag_ts = F.lag("ts").over(w)
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(lag_ts)
+    new_s = F.when(lag_ts.isNull() | (gap > 1800), 1).otherwise(0)
+    return (
+        events.withColumn("new_s", new_s)
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_s").cast("bigint").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+@register(
+    "w2_topk_per_group",
+    """
+    SELECT c_mktsegment, o_orderkey, round(o_totalprice, 2) AS o_totalprice
+    FROM (
+      SELECT c_mktsegment, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY c_mktsegment
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ) t
+    WHERE rn <= 3
+    """,
+    "top-K per group: window row_number ≤ K after a broadcast join",
+)
+def w2_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    joined = orders.join(
+        F.broadcast(customer), orders.o_custkey == customer.c_custkey
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            "c_mktsegment",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+        )
+    )
+
+
+@register(
+    "w3_hourly_rollup",
+    """
+    SELECT date_trunc('hour', ts) AS hour_ts, event_type,
+           count(*) AS n, round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    "time-bucketed rollup (batch equivalent of a tumbling-window stream agg)",
+)
+def w3_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.date_trunc("hour", "ts").alias("hour_ts"), "event_type"
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )

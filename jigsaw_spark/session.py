@@ -1,0 +1,106 @@
+"""SparkSession factory and table catalog.
+
+The engine is designed for a multi-executor cluster (partition-aware
+operators, broadcast hints for dimensions, AQE for runtime re-planning) but
+tests run on local[N]. All sessions pin UTC so results compare bit-stable
+against the DuckDB oracle (DuckDB timestamps are UTC-naive).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+# The driver-provided synthetic tables (TESTDATA.md). `documents` and
+# `embeddings` back the LLM-pipeline operators; the TPC-H-ish star schema
+# backs the relational surface.
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Small dimensions that should always broadcast in joins. At 100 TB the fact
+# tables (orders/lineitem/events/documents/embeddings) shuffle on join keys;
+# these stay broadcast-able (region=5, nation=25, supplier/part grow with SF
+# but remain << fact size; Spark's autoBroadcastJoinThreshold handles the
+# cutover, and AQE re-plans if a runtime size estimate disagrees).
+BROADCAST_DIMS = frozenset({"region", "nation", "supplier", "part"})
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.1"
+
+
+def get_spark(app_name: str = "jigsaw_spark", cpus: int | None = None) -> SparkSession:
+    """Build (or fetch) the engine SparkSession.
+
+    Local-mode knobs follow the scale design:
+      - shuffle.partitions ~ cores locally; on a real cluster this is
+        superseded by AQE coalescing (enabled) so the setting is safe.
+      - AQE on: runtime join-strategy switches + skew-join splitting, which
+        is the scale path for skewed keys at 100 TB.
+      - Arrow on: every pandas-UDF operator (multimodal, CV kernels) moves
+        batches via Arrow instead of pickled rows.
+    """
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # testdata events.parquet stores ts as TIMESTAMP(NANOS); Spark has no
+        # nanos timestamp — read as long and convert in load_table.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one synthetic table. Parquet scan → Catalyst gets pushdown,
+    column pruning, and partition pruning for free.
+
+    Nanosecond-precision timestamp columns (which Spark reads as long under
+    ``nanosAsLong``) are converted to microsecond timestamps — a projection
+    folded into the scan, not a materialization."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    if name == "events":
+        # runtime-settable; required even when the caller (e.g. the driver's
+        # own SparkSession) didn't go through get_spark()
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
+        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, DataFrame]:
+    """Read all synthetic tables and register them as temp views so both the
+    DataFrame API and ``spark.sql`` can address them by name."""
+    out: dict[str, DataFrame] = {}
+    for name in TABLES:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if not os.path.exists(path):
+            continue
+        df = spark.read.parquet(path)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

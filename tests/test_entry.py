@@ -1,0 +1,27 @@
+"""Smoke tests for the driver contract."""
+
+from __future__ import annotations
+
+import __spark_entry__ as entrymod
+
+
+def test_entry_returns_rows(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert set(df.columns) == {"o_orderstatus", "n_orders", "total_price"}
+
+
+def test_queries_and_oracles_aligned(spark):
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    assert set(oracles) <= set(qs)
+    assert len(qs) >= 20
+
+
+def test_every_query_runs_at_smoke_sf(spark):
+    sf = "/root/testdata/sf0.001"
+    for name, fn in entrymod.queries().items():
+        df = fn(spark, sf)
+        assert df.columns, name
+        df.limit(1).collect()
