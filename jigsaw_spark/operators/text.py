@@ -1,0 +1,152 @@
+"""Text-analysis operators for training-data pipelines.
+
+Beyond the reference's surface (BASELINE.json north star): tokenization,
+quality scoring, language ID, and document fingerprinting over a `text`
+column — all pure column expressions (JVM-side, whole-stage codegen; no
+Python in the hot path). Each expression builder has an adjacent `_sql`
+renderer producing the identical DuckDB computation so the oracle can never
+drift from the engine.
+
+Scale: every operator here is a narrow per-row projection — no shuffle, no
+UDF, fully parallel; at 100 TB these run at parquet-scan speed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+TOKEN_PATTERN = "[^a-z0-9]+"
+
+# small deterministic marker sets for the language-ID heuristic
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "to"),
+    "es": ("el", "la", "de", "y", "que"),
+    "fr": ("le", "la", "de", "et", "les"),
+}
+
+STOPWORDS: tuple[str, ...] = ("a", "the", "of", "and", "to", "in")
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+# -- tokenization ------------------------------------------------------------
+
+
+def tokens_expr(text: Column | str) -> Column:
+    """lower → split on non-alphanumeric runs → drop empty edge tokens."""
+    return F.filter(
+        F.split(F.lower(_c(text)), TOKEN_PATTERN), lambda x: x != F.lit("")
+    )
+
+
+def tokens_sql(text: str = "text") -> str:
+    return (
+        f"list_filter(regexp_split_to_array(lower({text}), '{TOKEN_PATTERN}'),"
+        " x -> x <> '')"
+    )
+
+
+def shingles_expr(tokens: Column | str, n: int = 3) -> Column:
+    """Word n-grams as space-joined strings. Caller must guard
+    ``size(tokens) >= n`` (Spark's ``sequence`` runs backwards otherwise)."""
+    t = _c(tokens)
+    idx = F.sequence(F.lit(1), F.size(t) - F.lit(n - 1))
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(t, i + F.lit(k)) for k in range(n)]
+        ),
+    )
+
+
+def shingles_sql(tokens: str = "t", n: int = 3) -> str:
+    parts = " || ' ' || ".join(f"{tokens}[i+{k}]" if k else f"{tokens}[i]" for k in range(n))
+    return f"list_transform(range(1, len({tokens}) - {n - 2}), i -> {parts})"
+
+
+# -- quality scoring ---------------------------------------------------------
+
+
+def avg_token_len_expr(tokens: Column | str) -> Column:
+    t = _c(tokens)
+    total = F.aggregate(
+        F.transform(t, lambda x: F.length(x)), F.lit(0), lambda acc, v: acc + v
+    )
+    return total.cast("double") / F.size(t)
+
+
+def avg_token_len_sql(tokens: str = "t") -> str:
+    return (
+        f"list_sum(list_transform({tokens}, x -> length(x)))::DOUBLE / len({tokens})"
+    )
+
+
+def stopword_ratio_expr(tokens: Column | str, stopwords=STOPWORDS) -> Column:
+    t = _c(tokens)
+    hits = F.size(F.filter(t, lambda x: x.isin(list(stopwords))))
+    return hits.cast("double") / F.size(t)
+
+
+def stopword_ratio_sql(tokens: str = "t", stopwords=STOPWORDS) -> str:
+    inlist = ", ".join(f"'{s}'" for s in stopwords)
+    return f"len(list_filter({tokens}, x -> x IN ({inlist})))::DOUBLE / len({tokens})"
+
+
+def alnum_ratio_expr(text: Column | str) -> Column:
+    """Fraction of characters that are [a-z0-9 ] after lowering — a
+    punctuation/noise proxy."""
+    lowered = F.lower(_c(text))
+    kept = F.length(F.regexp_replace(lowered, "[^a-z0-9 ]", ""))
+    return kept.cast("double") / F.length(lowered)
+
+
+def alnum_ratio_sql(text: str = "text") -> str:
+    return (
+        f"length(regexp_replace(lower({text}), '[^a-z0-9 ]', '', 'g'))::DOUBLE"
+        f" / length(lower({text}))"
+    )
+
+
+# -- language ID -------------------------------------------------------------
+
+
+def lang_hits_expr(tokens: Column | str, lang: str) -> Column:
+    t = _c(tokens)
+    return F.size(F.filter(t, lambda x: x.isin(list(LANG_MARKERS[lang]))))
+
+
+def lang_hits_sql(tokens: str, lang: str) -> str:
+    inlist = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+    return f"len(list_filter({tokens}, x -> x IN ({inlist})))"
+
+
+def lang_predict_expr(en: Column, es: Column, fr: Column) -> Column:
+    """argmax with deterministic tie order en > es > fr."""
+    return (
+        F.when((en >= es) & (en >= fr), F.lit("en"))
+        .when(es >= fr, F.lit("es"))
+        .otherwise(F.lit("fr"))
+    )
+
+
+def lang_predict_sql(en: str, es: str, fr: str) -> str:
+    return (
+        f"CASE WHEN {en} >= {es} AND {en} >= {fr} THEN 'en' "
+        f"WHEN {es} >= {fr} THEN 'es' ELSE 'fr' END"
+    )
+
+
+# -- fingerprinting ----------------------------------------------------------
+
+
+def fingerprint_expr(tokens: Column | str) -> Column:
+    """Normalization fingerprint: md5 over the canonical token stream —
+    whitespace/punctuation/case-insensitive duplicate detector."""
+    return F.md5(F.array_join(_c(tokens), " "))
+
+
+def fingerprint_sql(tokens: str = "t") -> str:
+    return f"md5(array_to_string({tokens}, ' '))"

@@ -703,3 +703,8 @@ def w3_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("total_value"),
         )
     )
+
+
+# LLM-data-pipeline queries (dedup / similarity / text) register themselves
+# on import; keep this at module end so `register` and `_t` exist.
+from jigsaw_spark.plans import queries_llm  # noqa: E402,F401

@@ -1,0 +1,334 @@
+"""LLM-data-pipeline queries: dedup, similarity search, text analysis.
+
+Same registry pattern as plans/queries.py — every operator exercised on the
+driver's `documents` / `embeddings` tables with an adjacent DuckDB oracle.
+Imported by plans/queries.py for the side effect of registration.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jigsaw_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_pairs,
+)
+from jigsaw_spark.operators.similarity import (
+    cosine_near_dup_pairs,
+    cosine_topk,
+    srp_buckets,
+    srp_planes,
+    srp_signature_sql,
+)
+from jigsaw_spark.operators.text import (
+    alnum_ratio_expr,
+    alnum_ratio_sql,
+    avg_token_len_expr,
+    avg_token_len_sql,
+    fingerprint_expr,
+    fingerprint_sql,
+    lang_hits_expr,
+    lang_hits_sql,
+    lang_predict_expr,
+    lang_predict_sql,
+    stopword_ratio_expr,
+    stopword_ratio_sql,
+    tokens_expr,
+    tokens_sql,
+)
+from jigsaw_spark.plans.queries import register, _t
+
+_TOKS_CTE = f"toks AS (SELECT doc_id, {tokens_sql('text')} AS t FROM documents)"
+
+_SHINGLES_CTE = (
+    "sh AS (SELECT DISTINCT doc_id, "
+    "unnest(list_transform(range(1, len(t) - 1), "
+    "i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle "
+    "FROM toks WHERE len(t) >= 3)"
+)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_tokens",
+    f"""
+    WITH {_TOKS_CTE}
+    SELECT d.doc_id,
+           CAST(length(d.text) AS INT) AS n_chars,
+           CAST(len(t.t) AS INT)       AS n_tokens,
+           CAST(len(list_distinct(t.t)) AS INT) AS n_unique_tokens
+    FROM documents d JOIN toks t ON d.doc_id = t.doc_id
+    """,
+    "token counting: chars, whitespace/punct tokens, distinct tokens",
+)
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    t = tokens_expr("text")
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.size(t).alias("n_tokens"),
+        F.size(F.array_distinct(t)).alias("n_unique_tokens"),
+    )
+
+
+@register(
+    "text_quality",
+    f"""
+    WITH {_TOKS_CTE}
+    SELECT d.doc_id,
+           round({avg_token_len_sql('t.t')}, 4)  AS avg_token_len,
+           round({stopword_ratio_sql('t.t')}, 4) AS stopword_ratio,
+           round({alnum_ratio_sql('d.text')}, 4) AS alnum_ratio
+    FROM documents d JOIN toks t ON d.doc_id = t.doc_id
+    """,
+    "quality scoring: token length / stopword / punctuation ratios",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").withColumn("t", tokens_expr("text"))
+    return docs.select(
+        "doc_id",
+        F.round(avg_token_len_expr("t"), 4).alias("avg_token_len"),
+        F.round(stopword_ratio_expr("t"), 4).alias("stopword_ratio"),
+        F.round(alnum_ratio_expr("text"), 4).alias("alnum_ratio"),
+    )
+
+
+@register(
+    "text_langid",
+    f"""
+    WITH {_TOKS_CTE},
+    hits AS (
+      SELECT doc_id,
+             CAST({lang_hits_sql('t', 'en')} AS INT) AS en_hits,
+             CAST({lang_hits_sql('t', 'es')} AS INT) AS es_hits,
+             CAST({lang_hits_sql('t', 'fr')} AS INT) AS fr_hits
+      FROM toks)
+    SELECT doc_id, {lang_predict_sql('en_hits', 'es_hits', 'fr_hits')} AS pred_lang,
+           en_hits, es_hits, fr_hits
+    FROM hits
+    """,
+    "language-ID n-gram/marker heuristic with deterministic argmax",
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").withColumn("t", tokens_expr("text"))
+    hits = docs.select(
+        "doc_id",
+        lang_hits_expr("t", "en").alias("en_hits"),
+        lang_hits_expr("t", "es").alias("es_hits"),
+        lang_hits_expr("t", "fr").alias("fr_hits"),
+    )
+    return hits.select(
+        "doc_id",
+        lang_predict_expr(
+            F.col("en_hits"), F.col("es_hits"), F.col("fr_hits")
+        ).alias("pred_lang"),
+        "en_hits",
+        "es_hits",
+        "fr_hits",
+    )
+
+
+@register(
+    "text_fingerprint",
+    f"""
+    WITH {_TOKS_CTE}
+    SELECT doc_id, {fingerprint_sql('t')} AS fp FROM toks
+    """,
+    "document fingerprint: md5 over the normalized token stream",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", fingerprint_expr(tokens_expr("text")).alias("fp")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    f"""
+    WITH {_TOKS_CTE},
+    fp AS (SELECT doc_id, {fingerprint_sql('t')} AS fp FROM toks)
+    SELECT doc_id,
+           min(doc_id) OVER (PARTITION BY fp) AS keeper,
+           doc_id <> min(doc_id) OVER (PARTITION BY fp) AS is_dup
+    FROM fp
+    """,
+    "exact dedup: canonical-keeper assignment by normalization fingerprint",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dedup(docs, "doc_id").select("doc_id", "keeper", "is_dup")
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH {_TOKS_CTE}, {_SHINGLES_CTE},
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           round(inter / (sa.sz + sb.sz - inter), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE inter / (sa.sz + sb.sz - inter) >= 0.8
+    """,
+    "near-dup pairs by exact trigram-set Jaccard >= 0.8",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "doc_id", threshold=0.8)
+
+
+@register(
+    "dedup_minhash_lsh",
+    f"""
+    WITH {_TOKS_CTE}, {_SHINGLES_CTE},
+    mh AS (
+      SELECT doc_id, seed,
+             min(md5(CAST(seed AS VARCHAR) || '|' || shingle)) AS mh
+      FROM sh CROSS JOIN (SELECT unnest(range(16)) AS seed) seeds
+      GROUP BY doc_id, seed),
+    bands AS (
+      SELECT doc_id, seed // 4 AS band,
+             string_agg(mh, ',' ORDER BY seed) AS sig
+      FROM mh GROUP BY doc_id, band)
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a
+    JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    """,
+    "MinHash-LSH candidates: 16 md5-seeded minhashes, 4 bands x 4 rows",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, "doc_id", num_hashes=16, bands=4)
+
+
+_SIMHASH_CTE = f"""
+    {_TOKS_CTE},
+    tok_counts AS (
+      SELECT doc_id, tok, count(*) AS cnt, md5(tok) AS h
+      FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+      GROUP BY doc_id, tok),
+    scored AS (
+      SELECT doc_id, j,
+             sum(cnt * (2 * (CAST(floor(
+               (strpos('0123456789abcdef', substr(h, CAST(j // 4 + 1 AS INT), 1)) - 1)
+               / power(2, 3 - (j % 4))) AS BIGINT) % 2) - 1)) AS score
+      FROM tok_counts CROSS JOIN (SELECT unnest(range(32)) AS j) bj
+      GROUP BY doc_id, j),
+    sig AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN score > 0 THEN CAST(power(2, j) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS simhash
+      FROM scored GROUP BY doc_id)
+"""
+
+
+@register(
+    "dedup_simhash",
+    f"""
+    WITH {_SIMHASH_CTE}
+    SELECT doc_id, simhash FROM sig
+    """,
+    "SimHash 32-bit signatures: token-frequency-weighted bit majority",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return simhash(docs, "doc_id").select("doc_id", "simhash")
+
+
+@register(
+    "dedup_simhash_pairs",
+    f"""
+    WITH {_SIMHASH_CTE}
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+    """,
+    "SimHash near-dup pairs: Hamming distance <= 2",
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_pairs(docs, "doc_id", max_hamming=2)
+
+
+# ---------------------------------------------------------------------------
+# Embedding similarity search
+# ---------------------------------------------------------------------------
+
+_COS = (
+    "list_cosine_similarity({a}.embedding::DOUBLE[], {b}.embedding::DOUBLE[])"
+)
+
+
+@register(
+    "emb_cosine_near_dup",
+    f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({_COS.format(a='a', b='b')}, 4) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE round({_COS.format(a='a', b='b')}, 9) >= 0.4
+    """,
+    "embedding-cosine near-dup pairs (>= 0.4)",
+)
+def emb_cosine_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_near_dup_pairs(emb, 0.4)
+
+
+@register(
+    "ann_cosine_topk",
+    f"""
+    SELECT query_id, vec_id, cosine, rank FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+             round({_COS.format(a='q', b='c')}, 4) AS cosine,
+             CAST(row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY round({_COS.format(a='q', b='c')}, 9) DESC, c.vec_id
+             ) AS INT) AS rank
+      FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < 5) t
+    WHERE rank <= 10
+    """,
+    "brute-force cosine top-10 per query vector (exact ANN baseline)",
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return cosine_topk(emb, queries, k=10)
+
+
+_SRP_PLANES = srp_planes(16, 64)
+
+
+@register(
+    "ann_srp_buckets",
+    f"""
+    SELECT vec_id,
+           {srp_signature_sql('embedding::DOUBLE[]', _SRP_PLANES)} AS sig
+    FROM embeddings
+    """,
+    "SRP-LSH 16-bit bucket signatures (the ANN scale path)",
+)
+def ann_srp_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return srp_buckets(emb, num_planes=16)
