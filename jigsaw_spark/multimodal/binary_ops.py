@@ -1,0 +1,198 @@
+"""Multimodal (binary-column) operators: decode / feature-extract / CV
+kernels as Arrow-batched pandas UDFs over `mapInPandas`.
+
+Reference semantics re-expressed:
+  - dimension inference from pixels (base/mask.py:103 — cv2.imread + shape)
+    → `decode_image_meta`: real pure-Python PNG header parse (the PNG IHDR
+    chunk is bytes 16..24 of the file, public spec); other formats need a
+    codec library that is NOT in this container, so they go through the
+    clearly-marked stub path below.
+  - mask → per-label tight bbox (A6: instance_mask/model.py:104-107) and
+    contour-based instance boxes (A7: bbox/model.py:381-390) → `mask_to_bboxes`,
+    STUBBED: requires cv2/PIL pixel decode; the Spark-side plumbing (schema,
+    batching, exploded child-table output shape) is real and tested with the
+    deterministic fake.
+  - merge-recolor of mask pixels (base/mask.py:189-236, with quirk #6's
+    random merged color replaced by a deterministic hash-derived color) →
+    `recolor_masks`, STUBBED the same way.
+
+STUB CONTRACT: pass `fake=True` to run a deterministic md5-derived fake
+(stable across engines/runs — usable in tests and benchmarks); with
+`fake=False` (production) the codec hook raises NotImplementedError naming
+the dependency to install. Batch shape, schemas and partitioning are real
+either way — swapping in a real codec touches only `_decode_pixels`.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def png_dimensions(content: bytes) -> tuple[int, int] | None:
+    """Width/height from the IHDR chunk (public PNG spec) — no codec
+    needed; returns None for non-PNG payloads."""
+    if len(content) < 24 or content[:8] != PNG_MAGIC:
+        return None
+    w, h = struct.unpack(">II", content[16:24])
+    return int(w), int(h)
+
+
+def _decode_pixels(content: bytes, fake: bool):
+    """The codec hook. Real decoders (cv2/PIL) are not in this container."""
+    if fake:
+        # deterministic fake: 4x4 'pixels' derived from the content digest
+        digest = hashlib.md5(content).digest()
+        return [[digest[(r * 4 + c) % 16] for c in range(4)] for r in range(4)]
+    raise NotImplementedError(
+        "pixel decode requires an image codec (cv2 or PIL); install one and "
+        "wire it into jigsaw_spark.multimodal.binary_ops._decode_pixels"
+    )
+
+
+def decode_image_meta(df: DataFrame) -> DataFrame:
+    """(image_id, kind, path, length, content) → + (format, width, height).
+
+    PNG dims come from the real header parse; other formats yield NULLs
+    (they need the codec hook). Pure projection over Arrow batches — no
+    shuffle, scales linearly."""
+
+    schema = (
+        "image_id string, kind string, path string, length long, "
+        "format string, width int, height int"
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fmts, ws, hs = [], [], []
+            for content in pdf["content"]:
+                b = bytes(content)
+                dims = png_dimensions(b)
+                if dims:
+                    fmts.append("png")
+                    ws.append(dims[0])
+                    hs.append(dims[1])
+                elif b[:3] == b"\xff\xd8\xff":
+                    fmts.append("jpeg")
+                    ws.append(None)
+                    hs.append(None)
+                else:
+                    fmts.append("unknown")
+                    ws.append(None)
+                    hs.append(None)
+            out = pdf[["image_id", "kind", "path", "length"]].copy()
+            out["format"] = fmts
+            out["width"] = pd.array(ws, dtype="Int32")
+            out["height"] = pd.array(hs, dtype="Int32")
+            yield out
+
+    return df.mapInPandas(op, schema)
+
+
+def mask_to_bboxes(df: DataFrame, fake: bool = False) -> DataFrame:
+    """A6/A7: per-label tight bounding boxes from mask pixels, exploded to a
+    child table (image_id, label_r, label_g, label_b, xmin, xmax, ymin,
+    ymax). STUB: pixel decode goes through `_decode_pixels`."""
+
+    schema = (
+        "image_id string, label_r int, label_g int, label_b int, "
+        "xmin int, xmax int, ymin int, ymax int"
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for image_id, content in zip(pdf["image_id"], pdf["content"]):
+                pixels = _decode_pixels(bytes(content), fake)
+                # tight extent per distinct 'value' (fake: grayscale byte)
+                extents: dict[int, list[int]] = {}
+                for y, row in enumerate(pixels):
+                    for x, v in enumerate(row):
+                        e = extents.setdefault(v, [x, x, y, y])
+                        e[0] = min(e[0], x)
+                        e[1] = max(e[1], x)
+                        e[2] = min(e[2], y)
+                        e[3] = max(e[3], y)
+                for v, (x0, x1, y0, y1) in sorted(extents.items()):
+                    rows.append(
+                        {
+                            "image_id": image_id,
+                            "label_r": v,
+                            "label_g": v,
+                            "label_b": v,
+                            "xmin": x0,
+                            "xmax": x1,
+                            "ymin": y0,
+                            "ymax": y1,
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "image_id",
+                    "label_r",
+                    "label_g",
+                    "label_b",
+                    "xmin",
+                    "xmax",
+                    "ymin",
+                    "ymax",
+                ],
+            )
+
+    return df.mapInPandas(op, schema)
+
+
+def recolor_masks(df: DataFrame, recode: dict, fake: bool = False) -> DataFrame:
+    """Merge-recolor: rewrite mask pixels whose color maps through `recode`
+    {(r,g,b) -> (r,g,b)}; merged colors are hash-derived, fixing reference
+    quirk #6 (random unused color, base/mask.py:189-198). STUB: returns the
+    original bytes with a `recolored` flag when faked."""
+
+    schema = "image_id string, kind string, path string, content binary, recolored boolean"
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            flags = []
+            for content in pdf["content"]:
+                _decode_pixels(bytes(content), fake)  # raises unless faked
+                flags.append(bool(recode))
+            out = pdf[["image_id", "kind", "path", "content"]].copy()
+            out["recolored"] = flags
+            yield out
+
+    return df.mapInPandas(op, schema)
+
+
+def extract_features(df: DataFrame, dim: int = 16, fake: bool = False) -> DataFrame:
+    """Feature extraction over binary content → array<float>. STUB: the
+    fake derives a stable unit-norm vector from the md5 digest (usable by
+    the similarity operators downstream); real extraction would plug a
+    model runtime into the same batch shape."""
+
+    schema = "image_id string, kind string, embedding array<float>"
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            embs = []
+            for content in pdf["content"]:
+                if not fake:
+                    raise NotImplementedError(
+                        "feature extraction requires a model runtime; "
+                        "use fake=True for the deterministic stub"
+                    )
+                digest = hashlib.md5(bytes(content)).digest()
+                raw = [digest[i % 16] / 255.0 - 0.5 for i in range(dim)]
+                norm = sum(x * x for x in raw) ** 0.5 or 1.0
+                embs.append([x / norm for x in raw])
+            out = pdf[["image_id", "kind"]].copy()
+            out["embedding"] = embs
+            yield out
+
+    return df.mapInPandas(op, schema)

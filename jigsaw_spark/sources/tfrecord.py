@@ -1,0 +1,178 @@
+"""Pure-Python TFRecord sink (no JVM package, no TensorFlow dependency).
+
+Reference: the export stage serializes examples to TFRecord shards of ~1000
+records with a `.numexamples` sidecar (jigsaw/write_dataset.py:178-198, K2)
+and per-model `export_as_TFExample` projections (K6).
+
+Format (public TensorFlow spec):
+  each record = [length: uint64 LE][masked_crc32c(length): uint32 LE]
+                [data bytes][masked_crc32c(data): uint32 LE]
+  masked_crc = ((crc >> 15 | crc << 17) + 0xa282ead8) & 0xffffffff
+  data = tf.train.Example protobuf:
+    Example{ features: Features{ feature: map<string, Feature> } }
+    Feature = oneof{ BytesList=1, FloatList=2, Int64List=3 }
+
+The protobuf wire encoding is hand-rolled below (varints + length-delimited
+fields) — ~60 lines — so executors need nothing beyond stdlib. Writing runs
+in `foreachPartition`: one shard per partition, fully parallel, no driver
+involvement; pair with `shard_assign`/`repartition(num_shards)` upstream for
+the reference's `n//1000+1` shard sizing.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+
+from pyspark.sql import DataFrame
+
+# -- crc32c (Castagnoli), table-driven ---------------------------------------
+
+_CRC_TABLE: list[int] = []
+
+
+def _crc_table() -> list[int]:
+    global _CRC_TABLE
+    if not _CRC_TABLE:
+        poly = 0x82F63B78
+        table = []
+        for n in range(256):
+            c = n
+            for _ in range(8):
+                c = (c >> 1) ^ poly if c & 1 else c >> 1
+            table.append(c)
+        _CRC_TABLE = table
+    return _CRC_TABLE
+
+
+def crc32c(data: bytes) -> int:
+    table = _crc_table()
+    crc = 0xFFFFFFFF
+    for b in data:
+        crc = table[(crc ^ b) & 0xFF] ^ (crc >> 8)
+    return crc ^ 0xFFFFFFFF
+
+
+def masked_crc(data: bytes) -> int:
+    crc = crc32c(data)
+    return (((crc >> 15) | (crc << 17)) + 0xA282EAD8) & 0xFFFFFFFF
+
+
+# -- minimal protobuf encoding ------------------------------------------------
+
+
+def _varint(n: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _len_delim(field_no: int, payload: bytes) -> bytes:
+    return _varint((field_no << 3) | 2) + _varint(len(payload)) + payload
+
+
+def _bytes_list(values: list[bytes]) -> bytes:
+    return b"".join(_len_delim(1, v) for v in values)
+
+
+def _float_list(values: list[float]) -> bytes:
+    packed = struct.pack(f"<{len(values)}f", *values)
+    return _len_delim(1, packed) if values else b""
+
+
+def _int64_list(values: list[int]) -> bytes:
+    payload = b"".join(_varint(v & 0xFFFFFFFFFFFFFFFF) for v in values)
+    return _len_delim(1, payload) if values else b""
+
+
+def encode_feature(value) -> bytes:
+    """One tf.train.Feature from a Python value (str/bytes/int/float or a
+    homogeneous list thereof)."""
+    if not isinstance(value, (list, tuple)):
+        value = [value]
+    value = list(value)
+    if not value:
+        return b""
+    head = value[0]
+    if isinstance(head, bytes):
+        return _len_delim(1, _bytes_list(value))
+    if isinstance(head, str):
+        return _len_delim(1, _bytes_list([v.encode() for v in value]))
+    if isinstance(head, bool) or isinstance(head, int):
+        return _len_delim(3, _int64_list([int(v) for v in value]))
+    if isinstance(head, float):
+        return _len_delim(2, _float_list([float(v) for v in value]))
+    raise TypeError(f"unsupported feature type {type(head)}")
+
+
+def encode_example(features: dict) -> bytes:
+    """tf.train.Example bytes from {name: value} (None values skipped)."""
+    entries = b""
+    for name in sorted(features):
+        value = features[name]
+        if value is None:
+            continue
+        kv = _len_delim(1, name.encode()) + _len_delim(2, encode_feature(value))
+        entries += _len_delim(1, kv)
+    return _len_delim(1, entries)  # Example.features
+
+
+def frame_record(data: bytes) -> bytes:
+    length = struct.pack("<Q", len(data))
+    return (
+        length
+        + struct.pack("<I", masked_crc(length))
+        + data
+        + struct.pack("<I", masked_crc(data))
+    )
+
+
+def read_tfrecords(path: str) -> list[bytes]:
+    """Spec-test reader: unframe records, verifying both CRCs."""
+    out = []
+    with open(path, "rb") as f:
+        while True:
+            head = f.read(8)
+            if not head:
+                return out
+            (length,) = struct.unpack("<Q", head)
+            (lcrc,) = struct.unpack("<I", f.read(4))
+            assert lcrc == masked_crc(head), "length crc mismatch"
+            data = f.read(length)
+            (dcrc,) = struct.unpack("<I", f.read(4))
+            assert dcrc == masked_crc(data), "data crc mismatch"
+            out.append(data)
+
+
+def write_tfrecords(
+    df: DataFrame, out_dir: str, basename: str = "data"
+) -> None:
+    """Write one `<basename>-<partition>.record` shard per partition plus a
+    `.numexamples` count sidecar (write_dataset.py:187-188). Rows become
+    Examples with one feature per column. Callers control sharding with
+    `repartition(n)` / `shard_assign` upstream."""
+    os.makedirs(out_dir, exist_ok=True)
+    counts = df.rdd.mapPartitionsWithIndex(
+        lambda idx, rows: [_write_partition(idx, rows, out_dir, basename)]
+    ).collect()
+    total = sum(counts)
+    with open(os.path.join(out_dir, f"{basename}.numexamples"), "w") as f:
+        f.write(str(total))
+
+
+def _write_partition(idx: int, rows, out_dir: str, basename: str) -> int:
+    n = 0
+    path = os.path.join(out_dir, f"{basename}-{idx:05d}.record")
+    with open(path, "wb") as f:
+        for row in rows:
+            f.write(frame_record(encode_example(row.asDict())))
+            n += 1
+    if n == 0:
+        os.remove(path)
+    return n

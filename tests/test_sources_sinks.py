@@ -1,0 +1,283 @@
+"""Tests for jigsaw-tree sources, TFRecord sink, dataset layout, multimodal
+plumbing, and streaming ingest."""
+
+from __future__ import annotations
+
+import json
+import os
+import struct
+import zlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from jigsaw_spark.multimodal import (
+    decode_image_meta,
+    extract_features,
+    mask_to_bboxes,
+)
+from jigsaw_spark.sources.registry import (
+    read_binaries,
+    read_label_colors,
+    read_metadata_tree,
+    read_voc_bboxes,
+)
+from jigsaw_spark.sources.sinks import write_dataset, write_label_map, write_manifest
+from jigsaw_spark.sources.tfrecord import (
+    encode_example,
+    frame_record,
+    read_tfrecords,
+    write_tfrecords,
+)
+from jigsaw_spark.streaming.ingest import (
+    incremental_ingest,
+    read_event_stream,
+    windowed_event_counts,
+)
+
+
+def _minimal_png(width: int, height: int) -> bytes:
+    """A spec-valid (if pointless) PNG: signature + IHDR chunk only."""
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    chunk = b"IHDR" + ihdr
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", len(ihdr))
+        + chunk
+        + struct.pack(">I", zlib.crc32(chunk))
+    )
+
+
+@pytest.fixture(scope="module")
+def jigsaw_tree(tmp_path_factory):
+    """A reference-convention dataset tree (SURVEY §1.3 file classes)."""
+    d = tmp_path_factory.mktemp("tree")
+    ids = ["Seq05VD_f04950", "0016E5_07560", "plain.id_1"]
+    tags = [["tag_1", "tag_A"], ["tag_2"], []]
+    for image_id, t in zip(ids, tags):
+        (d / f"meta_{image_id}.json").write_text(
+            json.dumps({"dataset": "CamVid", "tags": t})
+        )
+        (d / f"labels_{image_id}.csv").write_text(
+            "label,R,G,B\nCar,64,0,128\nBackground,0,0,0\n"
+        )
+        (d / f"mask_{image_id}.png").write_bytes(_minimal_png(4, 2))
+        (d / f"{image_id}.png").write_bytes(_minimal_png(960, 720))
+    (d / "0016E5_07560_labels.xml").write_text(
+        """<annotation><size><width>960</width><height>720</height></size>
+        <object><name>Car</name><bndbox><xmin>10</xmin><ymin>20</ymin>
+        <xmax>110</xmax><ymax>220</ymax></bndbox></object>
+        <object><name>Sky</name><bndbox><xmin>0</xmin><ymin>0</ymin>
+        <xmax>960</xmax><ymax>100</ymax></bndbox></object></annotation>"""
+    )
+    return str(d), ids
+
+
+def test_read_metadata_tree(spark, jigsaw_tree):
+    path, ids = jigsaw_tree
+    df = read_metadata_tree(spark, path)
+    got = {r.image_id: r.tags for r in df.collect()}
+    assert set(got) == set(ids)  # quirk-7 fix: dotted/underscored ids survive
+    assert got["Seq05VD_f04950"] == ["tag_1", "tag_A"]
+    assert got["plain.id_1"] == ["untagged"]
+
+
+def test_read_label_colors(spark, jigsaw_tree):
+    path, ids = jigsaw_tree
+    df = read_label_colors(spark, path)
+    assert df.count() == 2 * len(ids)
+    row = df.filter((F.col("image_id") == ids[0]) & (F.col("label") == "Car")).first()
+    assert (row.r, row.g, row.b) == (64, 0, 128)
+
+
+def test_read_binaries_images_and_masks(spark, jigsaw_tree):
+    path, ids = jigsaw_tree
+    masks = read_binaries(spark, path, kind="mask")
+    images = read_binaries(spark, path, kind="image")
+    assert {r.image_id for r in masks.collect()} == set(ids)
+    assert {r.image_id for r in images.collect()} == set(ids)
+    assert images.first().kind == "image"
+
+
+def test_read_voc_bboxes(spark, jigsaw_tree):
+    path, _ = jigsaw_tree
+    df = read_voc_bboxes(spark, path)
+    rows = {r.label: r for r in df.collect()}
+    assert set(rows) == {"Car", "Sky"}
+    car = rows["Car"]
+    assert (car.xmin, car.ymin, car.xmax, car.ymax) == (10, 20, 110, 220)
+    assert (car.width, car.height) == (960, 720)
+    assert car.image_id == "0016E5_07560"
+
+
+def test_construct_join_over_tree(spark, jigsaw_tree):
+    """J1 end-to-end: meta ⋈ palette ⋈ mask ⋈ image on image_id."""
+    from jigsaw_spark.operators.joins import construct
+
+    path, ids = jigsaw_tree
+    meta = read_metadata_tree(spark, path)
+    palette = read_label_colors(spark, path).groupBy("image_id").count()
+    masks = read_binaries(spark, path, "mask").select("image_id", F.col("length").alias("mask_len"))
+    wide = construct(
+        {"meta": meta, "palette": palette, "mask": masks}, on="image_id"
+    )
+    assert wide.count() == len(ids)
+    assert {"image_id", "dataset", "tags", "count", "mask_len"} <= set(wide.columns)
+
+
+# -- TFRecord ----------------------------------------------------------------
+
+
+def test_tfrecord_roundtrip_bytes(tmp_path):
+    rec = encode_example({"a": 1, "b": "x", "c": [1.5, 2.5], "d": b"\x00\x01"})
+    framed = frame_record(rec)
+    path = tmp_path / "t.record"
+    path.write_bytes(framed + frame_record(rec))
+    back = read_tfrecords(str(path))
+    assert back == [rec, rec]
+
+
+def test_tfrecord_known_encoding():
+    # int64 feature 'x'=1: field map entries hand-derived from the protobuf spec
+    enc = encode_example({"x": 1})
+    #   Example.features(1) > entry(1) > key(1)="x", value(2)=Feature{int64_list(3)={value(1)=[1]}}
+    assert enc == bytes(
+        [0x0A, 0x0C, 0x0A, 0x0A, 0x0A, 0x01, 0x78, 0x12, 0x05, 0x1A, 0x03, 0x0A, 0x01, 0x01]
+    )
+
+
+def test_write_tfrecords_shards_and_count(spark, tmp_path):
+    df = spark.range(2500).select(
+        F.col("id"), F.concat(F.lit("doc_"), F.col("id")).alias("name")
+    )
+    out = str(tmp_path / "records")
+    write_tfrecords(df.repartition(3), out, "train")
+    shards = sorted(f for f in os.listdir(out) if f.endswith(".record"))
+    assert len(shards) == 3
+    total = sum(len(read_tfrecords(os.path.join(out, s))) for s in shards)
+    assert total == 2500
+    assert open(os.path.join(out, "train.numexamples")).read() == "2500"
+
+
+def test_write_dataset_layout(spark, tmp_path):
+    df = spark.range(200).withColumnRenamed("id", "image_id")
+    out = str(tmp_path / "ds")
+    counts = write_dataset(df, out, ["image_id"], num_folds=2, rows_per_shard=100)
+    assert os.path.isdir(os.path.join(out, "test"))
+    assert os.path.isdir(os.path.join(out, "splits", "complete"))
+    assert os.path.isdir(os.path.join(out, "splits", "standard"))
+    assert os.path.isdir(os.path.join(out, "splits", "fold_0"))
+    assert counts[os.path.join(out, "test", "test")] == 40  # 20% of 200
+    # fold train/test partition the dev set
+    f0 = counts[os.path.join(out, "splits", "fold_0", "train")]
+    f0t = counts[os.path.join(out, "splits", "fold_0", "test")]
+    assert f0 + f0t == 160
+
+
+def test_manifest_and_label_map(spark, tmp_path):
+    from jigsaw_spark.operators.aggregates import dense_label_map
+
+    p = write_manifest(
+        str(tmp_path),
+        "ds1",
+        ["a", "b"],
+        {"groups": []},
+        [{"type": "rename", "original": "x", "new": "y"}],
+    )
+    m = json.load(open(p))
+    assert m["name"] == "ds1" and m["date_created"].endswith("Z")
+    assert set(m) == {
+        "name", "date_created", "created_by", "comments", "training_type",
+        "image_ids", "filters", "transforms",
+    }
+
+    labels = spark.createDataFrame([("Car",), ("Sky",), ("panel_left",)], "label string")
+    lm = write_label_map(str(tmp_path), dense_label_map(labels), skip=("panel_left",))
+    text = open(lm).read()
+    assert "name: 'Car'" in text and "panel_left" not in text
+    assert "id: 1" in text
+
+
+# -- multimodal --------------------------------------------------------------
+
+
+def test_decode_image_meta_png_header(spark, jigsaw_tree):
+    path, _ = jigsaw_tree
+    images = read_binaries(spark, path, "image")
+    meta = decode_image_meta(images)
+    row = meta.first()
+    assert row.format == "png" and (row.width, row.height) == (960, 720)
+
+
+def test_mask_to_bboxes_stub_contract(spark, jigsaw_tree):
+    path, _ = jigsaw_tree
+    masks = read_binaries(spark, path, "mask")
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        mask_to_bboxes(masks, fake=False).collect()
+    boxes = mask_to_bboxes(masks, fake=True)
+    assert boxes.count() > 0
+    b = boxes.first()
+    assert b.xmin <= b.xmax and b.ymin <= b.ymax
+
+
+def test_extract_features_fake_is_unit_norm(spark, jigsaw_tree):
+    path, _ = jigsaw_tree
+    images = read_binaries(spark, path, "image")
+    feats = extract_features(images, dim=8, fake=True)
+    v = feats.first().embedding
+    assert len(v) == 8
+    assert abs(sum(x * x for x in v) - 1.0) < 1e-5
+
+
+# -- streaming ---------------------------------------------------------------
+
+
+def test_streaming_matches_batch(spark, tmp_path):
+    """Windowed agg over the stream == the same agg over the batch read."""
+    import shutil
+
+    from jigsaw_spark.session import load_table
+
+    src = "/root/testdata/sf0.001"
+    stream_dir = str(tmp_path / "stream_src")
+    os.makedirs(stream_dir)
+    shutil.copy(os.path.join(src, "events.parquet"), stream_dir)
+    stream = read_event_stream(spark, stream_dir)
+    agg = windowed_event_counts(stream, "1 hour")
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("stream_counts")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.window_start, r.event_type): (r.n, r.total_value)
+        for r in spark.sql("SELECT * FROM stream_counts").collect()
+    }
+    batch = windowed_event_counts(load_table(spark, src, "events"))
+    want = {
+        (r.window_start, r.event_type): (r.n, r.total_value)
+        for r in batch.collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_incremental_ingest_skips_seen_files(spark, tmp_path):
+    src = str(tmp_path / "in")
+    os.makedirs(src)
+    dest = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    import shutil
+
+    shutil.copy("/root/testdata/sf0.001/events.parquet", os.path.join(src, "a.parquet"))
+    n1 = incremental_ingest(spark, src, dest, ckpt)
+    assert n1 > 0
+    # second run, nothing new
+    n2 = incremental_ingest(spark, src, dest, ckpt)
+    assert n2 == 0
+    # drop a new file in, only it is ingested
+    shutil.copy("/root/testdata/sf0.001/events.parquet", os.path.join(src, "b.parquet"))
+    n3 = incremental_ingest(spark, src, dest, ckpt)
+    assert n3 == n1
