@@ -28,8 +28,12 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 4)
     spark = get_spark("jigsaw_spark-bench", cpus=cpus)
 
-    # warm the JVM + parquet footers once so per-query times measure the plan
+    # warm the JVM + parquet footers + Python/Arrow workers once so
+    # per-query times measure the plan, not one-time session setup
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+    spark.range(1024).repartition(cpus).mapInPandas(
+        lambda it: it, "id long"
+    ).write.mode("overwrite").format("noop").save()
 
     timings: dict[str, float] = {}
     for name, spec in QUERIES.items():

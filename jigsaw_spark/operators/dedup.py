@@ -18,14 +18,38 @@ standard distributed-dedup shape:
 
 Every operator is expressible in ANSI SQL with identical md5-derived
 randomness, so each has an exact DuckDB oracle (plans/queries_llm.py).
+
+Execution strategy: signature computation (minhash, simhash) is perfectly
+row-local, so the production path runs it as an Arrow-batched `mapInPandas`
+kernel — ZERO shuffle, linear scan, embarrassingly parallel at any scale.
+The naive relational formulation (explode shingles × seeds → groupBy) is
+what the DuckDB oracle runs, but as a Spark plan it shuffles |docs|·|seeds|
+·|shingles| rows, which is exactly the kind of plan that dies at 100 TB.
+Only the LSH bucket join shuffles — on (band, sig), the minimal key.
+Tokenization stays in Spark (`tokens_expr`) so the Python kernels can never
+drift from the SQL tokenizer.
 """
 
 from __future__ import annotations
+
+import hashlib
+from collections import Counter
+from collections.abc import Iterator
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from jigsaw_spark.operators.text import fingerprint_expr, shingles_expr, tokens_expr
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to full parallelism before a map-only Python
+    kernel. A single dense parquet file arrives as ONE partition on a local
+    read (and as few fat partitions on a cluster); without this the kernel
+    serializes on one core. The shuffled payload is just (key, tokens) —
+    negligible next to the hash work it unlocks."""
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism)
 
 
 def exact_dedup(df: DataFrame, key: str, text: str = "text") -> DataFrame:
@@ -46,8 +70,7 @@ def doc_shingles(df: DataFrame, key: str, text: str = "text", n: int = 3) -> Dat
     """(key, shingle) distinct pairs — the inverted-index relation."""
     toks = tokens_expr(text)
     return (
-        df.select(F.col(key), toks.alias("_t"))
-        .filter(F.size("_t") >= n)
+        _spread(df.select(F.col(key), toks.alias("_t")).filter(F.size("_t") >= n))
         .select(F.col(key), F.explode(shingles_expr("_t", n)).alias("shingle"))
         .distinct()
     )
@@ -111,6 +134,57 @@ def minhash_signatures(
     )
 
 
+def minhash_band_sigs(
+    df: DataFrame,
+    key: str,
+    text: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+) -> DataFrame:
+    """(key, band, sig): per-doc LSH band signatures, computed row-locally.
+
+    One Arrow batch in, band rows out — no explode, no shuffle. Identical
+    output to the relational form (minhash_signatures → groupBy band →
+    string_agg ORDER BY seed): band b's sig is mh[b·r..(b+1)·r) joined with
+    ','. hashlib.md5 == Spark md5 == DuckDB md5 byte-for-byte, and min()
+    over hex strings is the same lexicographic min in all three."""
+    rows_per_band = num_hashes // bands
+    key_type = df.schema[key].dataType.simpleString()
+    toks = _spread(
+        df.select(F.col(key), tokens_expr(text).alias("toks")).filter(
+            F.size("toks") >= n
+        )
+    )
+
+    def compute(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out_key, out_band, out_sig = [], [], []
+            prefixes = [f"{seed}|".encode() for seed in range(num_hashes)]
+            md5 = hashlib.md5
+            for k_val, arr in zip(pdf[key], pdf["toks"]):
+                t = list(arr)
+                sh = {
+                    " ".join(t[i : i + n]).encode()
+                    for i in range(len(t) - n + 1)
+                }
+                mhs = [
+                    min(md5(pre + s).hexdigest() for s in sh)
+                    for pre in prefixes
+                ]
+                for b in range(bands):
+                    out_key.append(k_val)
+                    out_band.append(b)
+                    out_sig.append(
+                        ",".join(mhs[b * rows_per_band : (b + 1) * rows_per_band])
+                    )
+            yield pd.DataFrame({key: out_key, "band": out_band, "sig": out_sig})
+
+    return toks.mapInPandas(compute, f"{key} {key_type}, band int, sig string")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     key: str,
@@ -120,20 +194,13 @@ def minhash_lsh_pairs(
     n: int = 3,
 ) -> DataFrame:
     """Candidate near-dup pairs: docs agreeing on all rows of >=1 band.
-    bands * rows_per_band = num_hashes. Collision prob ≈ 1-(1-j^r)^b."""
-    rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, key, text, num_hashes, n)
-    band_sig = F.array_join(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("seed", "mh"))), lambda s: s["mh"]
-        ),
-        ",",
-    )
-    banded = (
-        sigs.withColumn("band", F.floor(F.col("seed") / rows_per_band).cast("int"))
-        .groupBy(key, "band")
-        .agg(band_sig.alias("sig"))
-    )
+    bands * rows_per_band = num_hashes. Collision prob ≈ 1-(1-j^r)^b.
+
+    Plan shape: map-only signature kernel, then ONE shuffle — the
+    self-join on (band, sig). Bucket sizes are the skew risk at scale
+    (boilerplate docs collapse to one signature); cap candidate buckets
+    upstream if needed, same knob as ngram_jaccard's max_posting."""
+    banded = minhash_band_sigs(df, key, text, num_hashes, bands, n)
     a = banded.select(F.col(key).alias("doc_a"), "band", "sig")
     b = banded.select(F.col(key).alias("doc_b"), "band", "sig")
     return (
@@ -144,50 +211,47 @@ def minhash_lsh_pairs(
     )
 
 
-def _simhash_contribution(tok_md5, cnt, j):
-    """±cnt contribution of one (token, bit-position) pair.
-
-    nibble = value of hex digit j//4 of md5(token); bit = bit (3 - j%4) of
-    that nibble. Spark extracts the nibble with conv(hex,16,10); the DuckDB
-    oracle uses strpos('0123456789abcdef', ch)-1 — different functions,
-    identical integer results (queries_llm.py keeps the SQL adjacent)."""
-    nibble = F.conv(
-        tok_md5.substr((F.floor(j / 4) + 1).cast("int"), F.lit(1)), 16, 10
-    ).cast("int")
-    bit = (F.floor(nibble / F.pow(F.lit(2.0), 3 - (j % 4))) % 2).cast("int")
-    return cnt * (2 * bit - 1)
-
-
 def simhash(df: DataFrame, key: str, text: str = "text", num_bits: int = 32) -> DataFrame:
     """(key, simhash): token-frequency-weighted bit-majority signature.
 
-    Portable formulation (md5 nibble arithmetic) so the oracle matches
-    bit-for-bit. Scale note: the bit explosion (x num_bits) is the
-    SQL-expressible form; a production fast path would do the same in a
-    vectorized pandas UDF with numpy bit ops — same output, fewer rows.
-    """
-    toks = (
-        df.select(F.col(key), F.explode(tokens_expr(text)).alias("tok"))
-        .groupBy(key, "tok")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn("h", F.md5(F.col("tok")))
+    Row-local numpy kernel (mapInPandas): per doc, for each distinct token,
+    bits j=0..num_bits-1 of md5(token) taken hex-digit-MSB-first (bit j =
+    bit (3 - j%4) of nibble j//4 = bit (num_bits-1-j) of the first
+    num_bits/4 hex chars as an int); score_j = Σ cnt·(2·bit-1);
+    sig = Σ 2^j·[score_j > 0]. Bit-identical to the relational md5-nibble
+    formulation the DuckDB oracle runs (queries_llm.py keeps the SQL
+    adjacent), with zero shuffle instead of a |docs|·|tokens|·num_bits
+    explode. Docs with no tokens are dropped (explode semantics)."""
+    import numpy as np
+
+    key_type = df.schema[key].dataType.simpleString()
+    toks = _spread(
+        df.select(F.col(key), tokens_expr(text).alias("toks")).filter(
+            F.size("toks") > 0
+        )
     )
-    bits = toks.select(
-        F.col(key),
-        "cnt",
-        "h",
-        F.explode(F.array(*[F.lit(j) for j in range(num_bits)])).alias("j"),
-    )
-    scored = bits.withColumn(
-        "contrib", _simhash_contribution(F.col("h"), F.col("cnt"), F.col("j"))
-    )
-    maj = (
-        scored.groupBy(key, "j")
-        .agg(F.sum("contrib").alias("score"))
-        .withColumn("bit", (F.col("score") > 0).cast("int"))
-    )
-    weight = F.pow(F.lit(2.0), F.col("j")).cast("bigint")
-    return maj.groupBy(key).agg(F.sum(F.col("bit") * weight).alias("simhash"))
+    hex_chars = num_bits // 4
+    down_shifts = np.arange(num_bits - 1, -1, -1, dtype=np.uint64)
+    weights = 1 << np.arange(num_bits, dtype=np.uint64)
+
+    def compute(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            keys, sigs = [], []
+            for k_val, arr in zip(pdf[key], pdf["toks"]):
+                score = np.zeros(num_bits, dtype=np.int64)
+                for tok, cnt in Counter(arr).items():
+                    x = np.uint64(
+                        int(hashlib.md5(tok.encode()).hexdigest()[:hex_chars], 16)
+                    )
+                    bits = ((x >> down_shifts) & np.uint64(1)).astype(np.int64)
+                    score += cnt * (2 * bits - 1)
+                keys.append(k_val)
+                sigs.append(int(((score > 0).astype(np.uint64) * weights).sum()))
+            yield pd.DataFrame({key: keys, "simhash": sigs})
+
+    return toks.mapInPandas(compute, f"{key} {key_type}, simhash bigint")
 
 
 def simhash_pairs(
@@ -197,17 +261,48 @@ def simhash_pairs(
     max_hamming: int = 2,
     num_bits: int = 32,
 ) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance. The all-pairs join here
-    is the oracle-checkable form; the scale path buckets signatures into
-    (num_bits/max_hamming)-bit bands first (pigeonhole: any pair within
-    max_hamming agrees exactly on >=1 band) and joins per band."""
+    """Near-dup pairs by SimHash Hamming distance.
+
+    Pigeonhole banding instead of the all-pairs cross join: split the
+    signature into (max_hamming+1) bit-bands — any pair within max_hamming
+    differing bits agrees exactly on ≥1 band — join per (band, band_bits),
+    then verify the true Hamming distance. Output identical to all-pairs
+    (and to the oracle's), but the join key prunes the quadratic space to
+    hash-bucket collisions."""
+    n_bands = max_hamming + 1
+    width = num_bits // n_bands
     sigs = simhash(df, key, text, num_bits)
-    a = sigs.select(F.col(key).alias("doc_a"), F.col("simhash").alias("sh_a"))
-    b = sigs.select(F.col(key).alias("doc_b"), F.col("simhash").alias("sh_b"))
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("simhash"), b * width)
+                .bitwiseAND(
+                    F.lit(
+                        (1 << (num_bits - b * width)) - 1
+                        if b == n_bands - 1
+                        else (1 << width) - 1
+                    ).cast("bigint")
+                )
+                .alias("bv"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    banded = sigs.select(
+        F.col(key), "simhash", F.explode(band_structs).alias("bs")
+    ).select(F.col(key), "simhash", F.col("bs.band").alias("band"), F.col("bs.bv").alias("bv"))
+    a = banded.select(
+        F.col(key).alias("doc_a"), F.col("simhash").alias("sh_a"), "band", "bv"
+    )
+    b = banded.select(
+        F.col(key).alias("doc_b"), F.col("simhash").alias("sh_b"), "band", "bv"
+    )
     return (
-        a.crossJoin(b)
+        a.join(b, ["band", "bv"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .withColumn("hamming", F.bit_count(F.expr("sh_a ^ sh_b")))
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
+        .distinct()
     )

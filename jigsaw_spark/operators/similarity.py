@@ -74,15 +74,80 @@ def cosine_near_dup_pairs(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    num_blocks: int = 8,
 ) -> DataFrame:
-    """All pairs (a < b) with cosine >= threshold. Oracle-checkable exact
-    form; at scale, pre-bucket by SRP signature and join per bucket."""
-    a = df.select(F.col(id_col).alias("id_a"), _to_double(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"), _to_double(vec_col).alias("vb"))
+    """All pairs (a < b) with cosine >= threshold — blocked all-pairs.
+
+    Physical plan: assign each vector to one of B blocks (id % B); every
+    unordered block pair (i <= j) becomes one `applyInPandas` group whose
+    kernel does a single numpy matmul over its two sub-matrices. Each row
+    is replicated B+1 times (once per group it participates in), so memory
+    is O(N·(B+1)) while compute parallelism is B(B+1)/2 independent tasks —
+    the standard distributed all-pairs decomposition. At cluster scale,
+    pick B ≈ sqrt(2·cores) so every core gets a block pair; beyond that,
+    pre-bucket by SRP signature (below) to prune the quadratic space.
+
+    Exact same output as the naive crossJoin (the DuckDB oracle's form):
+    filter on round(cos, 9) >= threshold, emit round(cos, 4)."""
+    B = num_blocks
+    # no _to_double here: the float→double cast happens vectorized in numpy
+    # inside the kernel, not via an interpreted HOF over every element
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.pmod(F.col(id_col), F.lit(B)).cast("int").alias("blk"),
+    )
+    left = base.withColumn(
+        "bj", F.explode(F.sequence(F.col("blk"), F.lit(B - 1)))
+    ).select(F.col("blk").alias("bi"), "bj", "id", "v", F.lit(0).alias("role"))
+    right = base.withColumn(
+        "bi", F.explode(F.sequence(F.lit(0), F.col("blk")))
+    ).select("bi", F.col("blk").alias("bj"), "id", "v", F.lit(1).alias("role"))
+
+    def block_pairs(pkey, pdf):
+        import numpy as np
+        import pandas as pd
+
+        i, j = pkey
+        q = pdf[pdf["role"] == 0]
+        c = pdf[pdf["role"] == 1]
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.Series([], dtype="int64"),
+                "id_b": pd.Series([], dtype="int64"),
+                "cos": pd.Series([], dtype="float64"),
+            }
+        )
+        if q.empty or c.empty:
+            return empty
+        Q = np.vstack(q["v"].to_numpy()).astype(np.float64)
+        C = np.vstack(c["v"].to_numpy()).astype(np.float64)
+        sims = (Q @ C.T) / np.outer(
+            np.linalg.norm(Q, axis=1), np.linalg.norm(C, axis=1)
+        )
+        qid = q["id"].to_numpy()
+        cid = c["id"].to_numpy()
+        if i == j:
+            keep = qid[:, None] < cid[None, :]
+        else:
+            keep = np.ones_like(sims, dtype=bool)
+        # loose pre-filter; the exact round-then-compare gate runs in Spark
+        # expressions below so rounding semantics (HALF_UP) never drift
+        keep &= sims >= threshold - 1e-9
+        qi, ci = np.nonzero(keep)
+        ia, ib = qid[qi], cid[ci]
+        return pd.DataFrame(
+            {
+                "id_a": np.minimum(ia, ib),
+                "id_b": np.maximum(ia, ib),
+                "cos": sims[qi, ci],
+            }
+        )
+
     return (
-        a.crossJoin(b)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", cosine_similarity("va", "vb"))
+        left.unionByName(right)
+        .groupBy("bi", "bj")
+        .applyInPandas(block_pairs, "id_a bigint, id_b bigint, cos double")
         .filter(F.round("cos", 9) >= threshold)
         .select("id_a", "id_b", F.round("cos", 4).alias("cosine"))
     )

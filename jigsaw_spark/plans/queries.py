@@ -705,6 +705,8 @@ def w3_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# LLM-data-pipeline queries (dedup / similarity / text) register themselves
-# on import; keep this at module end so `register` and `_t` exist.
+# LLM-data-pipeline queries (dedup / similarity / text) and the streaming
+# query register themselves on import; keep these at module end so
+# `register` and `_t` exist.
 from jigsaw_spark.plans import queries_llm  # noqa: E402,F401
+from jigsaw_spark.plans import queries_streaming  # noqa: E402,F401
