@@ -29,10 +29,24 @@ def main() -> None:
     spark = get_spark("jigsaw_spark-bench", cpus=cpus)
 
     # warm the JVM + parquet footers + Python/Arrow workers once so
-    # per-query times measure the plan, not one-time session setup
+    # per-query times measure the plan, not one-time session setup. The
+    # warm kernel does real hash work so every worker slot actually spawns
+    # a Python process and imports the deps the query kernels use.
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
-    spark.range(1024).repartition(cpus).mapInPandas(
-        lambda it: it, "id long"
+
+    def _warm(batches):
+        import hashlib
+
+        import numpy as np  # noqa: F401
+
+        for pdf in batches:
+            pdf["h"] = [
+                hashlib.md5(str(x).encode()).hexdigest() for x in pdf["id"]
+            ]
+            yield pdf[["id"]]
+
+    spark.range(200_000).repartition(cpus).mapInPandas(
+        _warm, "id long"
     ).write.mode("overwrite").format("noop").save()
 
     timings: dict[str, float] = {}

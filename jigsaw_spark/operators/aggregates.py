@@ -65,6 +65,39 @@ def moments(
     )
 
 
+def rollup_agg(
+    df: DataFrame, group_cols: list[str], aggs: list
+) -> DataFrame:
+    """Hierarchical subtotals (GROUP BY ROLLUP) — the generalized A4
+    cardinality surface (SURVEY §2.4 notes grouping sets come free with
+    Spark). Same hash-aggregate with partial combine; each rollup level
+    adds one grouping set, not one pass."""
+    return df.rollup(*group_cols).agg(*aggs)
+
+
+def cube_agg(df: DataFrame, group_cols: list[str], aggs: list) -> DataFrame:
+    """All-combinations subtotals (GROUP BY CUBE)."""
+    return df.cube(*group_cols).agg(*aggs)
+
+
+def vector_moments(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Per-dimension count/mean/stddev_pop over an array column — the
+    tensor form of A3 (reference: per-pixel Welford accumulators for
+    mean.npy / stdev.npy, jigsaw/models/feature_points/model.py:75-113).
+
+    posexplode → groupBy(dim): the shuffle carries one partial aggregate
+    per (partition × dim), so at 100 TB this moves |dims|·|partitions|
+    rows, not |rows|·|dims| — the map-side combine does the heavy lifting."""
+    ex = df.select(F.posexplode(vec_col).alias("dim", "v")).withColumn(
+        "v", F.col("v").cast("double")
+    )
+    return ex.groupBy("dim").agg(
+        F.count("v").alias("n"),
+        F.avg("v").alias("mean"),
+        F.stddev_pop("v").alias("stdev"),
+    )
+
+
 def extent_merge(
     df: DataFrame,
     group_cols: list[str],

@@ -196,17 +196,24 @@ def minhash_lsh_pairs(
     """Candidate near-dup pairs: docs agreeing on all rows of >=1 band.
     bands * rows_per_band = num_hashes. Collision prob ≈ 1-(1-j^r)^b.
 
-    Plan shape: map-only signature kernel, then ONE shuffle — the
-    self-join on (band, sig). Bucket sizes are the skew risk at scale
-    (boilerplate docs collapse to one signature); cap candidate buckets
-    upstream if needed, same knob as ngram_jaccard's max_posting."""
+    Plan shape: map-only signature kernel, then ONE shuffle — groupBy
+    (band, sig) into buckets, pairs exploded bucket-locally. (A self-join
+    on (band, sig) is equivalent but executes the Python kernel once per
+    join side — Spark can't dedupe identical PythonUDF subplans — so the
+    bucket form halves the kernel work AND halves the shuffles.) Bucket
+    sizes are the skew risk at scale (boilerplate docs collapse to one
+    signature); cap candidate buckets upstream if needed, same knob as
+    ngram_jaccard's max_posting."""
     banded = minhash_band_sigs(df, key, text, num_hashes, bands, n)
-    a = banded.select(F.col(key).alias("doc_a"), "band", "sig")
-    b = banded.select(F.col(key).alias("doc_b"), "band", "sig")
+    buckets = (
+        banded.groupBy("band", "sig")
+        .agg(F.collect_list(key).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
     return (
-        a.join(b, ["band", "sig"])
+        buckets.select(F.explode("ids").alias("doc_a"), "ids")
+        .select("doc_a", F.explode("ids").alias("doc_b"))
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
         .distinct()
     )
 
@@ -292,17 +299,25 @@ def simhash_pairs(
     banded = sigs.select(
         F.col(key), "simhash", F.explode(band_structs).alias("bs")
     ).select(F.col(key), "simhash", F.col("bs.band").alias("band"), F.col("bs.bv").alias("bv"))
-    a = banded.select(
-        F.col(key).alias("doc_a"), F.col("simhash").alias("sh_a"), "band", "bv"
-    )
-    b = banded.select(
-        F.col(key).alias("doc_b"), F.col("simhash").alias("sh_b"), "band", "bv"
+    # bucket form (one kernel pass, one shuffle) — see minhash_lsh_pairs
+    buckets = (
+        banded.groupBy("band", "bv")
+        .agg(F.collect_list(F.struct(F.col(key), F.col("simhash"))).alias("ms"))
+        .filter(F.size("ms") >= 2)
     )
     return (
-        a.join(b, ["band", "bv"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .withColumn("hamming", F.bit_count(F.expr("sh_a ^ sh_b")))
+        buckets.select(F.explode("ms").alias("a"), "ms")
+        .select("a", F.explode("ms").alias("b"))
+        .filter(F.col("a")[key] < F.col("b")[key])
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))),
+        )
         .filter(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
+        .select(
+            F.col("a")[key].alias("doc_a"),
+            F.col("b")[key].alias("doc_b"),
+            "hamming",
+        )
         .distinct()
     )

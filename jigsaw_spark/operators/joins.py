@@ -21,6 +21,7 @@ from functools import reduce
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def semi_join(df: DataFrame, keys: DataFrame, on: list[str] | str) -> DataFrame:
@@ -45,6 +46,86 @@ def union_distinct(dfs: list[DataFrame], key_cols: list[str]) -> DataFrame:
         lambda a, b: a.unionByName(b, allowMissingColumns=True), dfs
     )
     return unioned.dropDuplicates(key_cols)
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    ts: str = "ts",
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """Backward as-of join: attach to every left row the latest right row
+    with ``right.ts <= left.ts`` in the same ``on`` group (left outer —
+    unmatched rows keep NULL right columns).
+
+    Spark lacks a native as-of join; the scalable formulation is the
+    union-tag trick: merge both sides into one stream, sort within each
+    group by (ts, side) with right rows first at equal ts, and carry the
+    last non-null right payload forward with a running window. ONE shuffle
+    on the group key and a partition-local sort — the same cost profile as
+    a sort-merge join, with no range-explosion or per-row probing. This is
+    how as-of joins are done at 100 TB; a right-side broadcast variant only
+    helps when the right side is a dimension.
+
+    ``right`` must be unique per (on, ts) — pre-aggregate if not, or the
+    matched payload is pick-any among ties."""
+    on = list(on)
+    payload_cols = [c for c in right.columns if c not in {*on, ts}]
+    r_payload = F.struct(*payload_cols)
+    left_cols = [c for c in left.columns if c not in {*on, ts}]
+    l_payload = F.struct(*left_cols)
+
+    # union with properly typed null payloads on each side
+    r = right.select(
+        *on,
+        F.col(ts).alias("_ats"),
+        F.lit(0).alias("_side"),
+        r_payload.alias("_rp"),
+        F.lit(None).cast(left.select(l_payload.alias("x")).schema["x"].dataType).alias("_lp"),
+    )
+    l = left.select(
+        *on,
+        F.col(ts).alias("_ats"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(right.select(r_payload.alias("x")).schema["x"].dataType).alias("_rp"),
+        l_payload.alias("_lp"),
+    )
+    w = (
+        Window.partitionBy(*on)
+        .orderBy("_ats", "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = l.unionByName(r).withColumn(
+        "_match", F.last("_rp", ignorenulls=True).over(w)
+    )
+    out = merged.filter(F.col("_side") == 1).select(
+        *on,
+        F.col("_ats").alias(ts),
+        *[F.col(f"_lp.{c}").alias(c) for c in left_cols],
+        *[F.col(f"_match.{c}").alias(f"{right_prefix}{c}") for c in payload_cols],
+    )
+    return out
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    how: str = "inner",
+    broadcast_right: bool = True,
+) -> DataFrame:
+    """Interval join: left rows matched to right rows whose
+    ``[lo, hi)`` contains ``point_col``. With a small right side (band
+    dimensions, calendars) the broadcast turns this into a map-side
+    nested-loop over a handful of intervals — no shuffle at all. For
+    large×large range joins, bucket both sides by epoch/bin first so the
+    theta-condition only runs within co-partitioned buckets."""
+    cond = (F.col(point_col) >= F.col(lo_col)) & (F.col(point_col) < F.col(hi_col))
+    rhs = F.broadcast(right) if broadcast_right else right
+    return left.join(rhs, cond, how)
 
 
 def construct(

@@ -53,6 +53,29 @@ def exact_sample(
     return df.orderBy(*order).limit(n)
 
 
+def stratified_sample(
+    df: DataFrame,
+    n_per_group: int,
+    group_cols: list[str],
+    key_cols: list[str],
+    seed: str = "strat-42",
+    tiebreak_cols: list[str] | None = None,
+) -> DataFrame:
+    """Exactly-N pseudo-random rows PER GROUP — class-balanced subsets for
+    training data (P1 generalized). Unlike the global exact_sample, this is
+    fully parallel at any scale: one shuffle on the group key, then a
+    partition-local top-N per group (no global rank)."""
+    order = det_order(*key_cols, seed=seed)
+    if tiebreak_cols:
+        order += [F.col(c).asc() for c in tiebreak_cols]
+    w = Window.partitionBy(*group_cols).orderBy(*order)
+    return (
+        df.withColumn("_srn", F.row_number().over(w))
+        .filter(F.col("_srn") <= n_per_group)
+        .drop("_srn")
+    )
+
+
 def _ranked(df: DataFrame, key_cols: list[str], seed: str) -> DataFrame:
     w = Window.orderBy(md5_key(*key_cols, seed=seed), *key_cols)
     return df.withColumn("_rn", F.row_number().over(w)).withColumn(

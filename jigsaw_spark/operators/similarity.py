@@ -197,6 +197,30 @@ def srp_signature_sql(vec_sql: str, planes: list[list[float]]) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+def srp_signature_udf(planes: list[list[float]]):
+    """Vectorized form of :func:`srp_signature_expr`: one numpy matmul per
+    Arrow batch (N×dim @ dim×k) instead of k interpreted zip_with/aggregate
+    chains per row. Same signature values — the oracle SQL is unchanged."""
+    import numpy as np
+    import pandas as pd
+
+    P = np.array(planes, dtype=np.float64).T  # dim × k
+    W = (1 << np.arange(len(planes))).astype(np.int64)
+
+    def sig(v):
+        if v.empty:
+            return pd.Series([], dtype="int64")
+        M = np.vstack(v.to_numpy()).astype(np.float64)  # n × dim
+        D = np.round(M @ P, 6)
+        return pd.Series(((D > 0) * W).sum(axis=1).astype(np.int64))
+
+    # explicit returnType + functionType (hint-free form: the factory's
+    # local imports aren't visible to pyspark's annotation resolver)
+    from pyspark.sql.functions import PandasUDFType
+
+    return F.pandas_udf(sig, "bigint", PandasUDFType.SCALAR)
+
+
 def srp_buckets(
     df: DataFrame,
     num_planes: int = 16,
@@ -204,8 +228,10 @@ def srp_buckets(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """(id, signature): the LSH bucketing relation — group/join on
-    `sig` to get candidate sets."""
+    `sig` to get candidate sets. Map-only (no shuffle); the signature
+    kernel is a single matmul per Arrow batch."""
     planes = srp_planes(num_planes, dim=64)
     return df.select(
-        F.col(id_col), srp_signature_expr(vec_col, planes).alias("sig")
+        F.col(id_col),
+        srp_signature_udf(planes)(F.col(vec_col)).alias("sig"),
     )

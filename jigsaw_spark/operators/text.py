@@ -67,6 +67,24 @@ def shingles_sql(tokens: str = "t", n: int = 3) -> str:
     return f"list_transform(range(1, len({tokens}) - {n - 2}), i -> {parts})"
 
 
+# BPE-ish pre-tokenization (GPT-2 style, simplified): contraction pieces,
+# space-prefixed letter runs, space-prefixed digit runs, punctuation runs.
+# Applied to lowered text; no lookarounds so Java regex and RE2 agree.
+BPEISH_PATTERN = r"'[a-z]+| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s']+"
+
+
+def bpeish_tokens_expr(text: Column | str) -> Column:
+    """Token-count estimator in the BPE pre-tokenizer style: counts the
+    word/number/punctuation pieces a byte-pair encoder would start from —
+    a cheap, deterministic proxy for LLM token budgets."""
+    return F.regexp_extract_all(F.lower(_c(text)), F.lit(BPEISH_PATTERN), 0)
+
+
+def bpeish_tokens_sql(text: str = "text") -> str:
+    pattern = BPEISH_PATTERN.replace("'", "''")
+    return f"regexp_extract_all(lower({text}), '{pattern}')"
+
+
 # -- quality scoring ---------------------------------------------------------
 
 

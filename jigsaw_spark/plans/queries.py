@@ -705,8 +705,203 @@ def w3_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# J5 / J6 — as-of and range joins (Spark-side custom operators; SURVEY §2.3
+# lists them absent in the reference — provided by the generalized engine)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "j5_asof_join",
+    """
+    WITH clicks AS (
+      SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+    ), errs AS (
+      SELECT user_id, ts, max(event_id) AS err_id
+      FROM events WHERE event_type = 'error' GROUP BY 1, 2
+    )
+    SELECT c.event_id, c.user_id, e.err_id
+    FROM clicks c ASOF LEFT JOIN errs e
+      ON c.user_id = e.user_id AND c.ts >= e.ts
+    """,
+    "J5: backward as-of join (latest error at-or-before each click, per user)"
+    " — union-tag + running window, one shuffle",
+)
+def j5_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jigsaw_spark.operators.joins import asof_join
+
+    events = _t(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    errs = (
+        events.filter(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("err_id"))
+    )
+    out = asof_join(clicks, errs, on=["user_id"], ts="ts", right_prefix="")
+    return out.select("event_id", "user_id", "err_id")
+
+
+_PRICE_BANDS = [
+    (900.0, 925.0, "b0_900"),
+    (925.0, 950.0, "b1_925"),
+    (950.0, 975.0, "b2_950"),
+    (975.0, 1000.0, "b3_975"),
+]
+_BANDS_SQL = ", ".join(f"({lo}, {hi}, '{name}')" for lo, hi, name in _PRICE_BANDS)
+
+
+@register(
+    "j6_range_join",
+    f"""
+    SELECT band, count(*) AS n_parts, round(avg(p_retailprice), 4) AS avg_price
+    FROM part
+    JOIN (VALUES {_BANDS_SQL}) bands(lo, hi, band)
+      ON p_retailprice >= lo AND p_retailprice < hi
+    GROUP BY band
+    """,
+    "J6: range (interval) join against a broadcast band dimension",
+)
+def j6_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jigsaw_spark.operators.joins import range_join
+
+    part = _t(spark, sf_dir, "part")
+    bands = spark.createDataFrame(_PRICE_BANDS, "lo double, hi double, band string")
+    joined = range_join(part, bands, "p_retailprice", "lo", "hi")
+    return joined.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.round(F.avg("p_retailprice"), 4).alias("avg_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grouping sets / distinct-agg surface (SURVEY §2.4 "free with Spark")
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_rollup",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    "GROUP BY ROLLUP: hierarchical subtotals in one hash aggregate",
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jigsaw_spark.operators.aggregates import rollup_agg
+
+    orders = _t(spark, sf_dir, "orders")
+    return rollup_agg(
+        orders,
+        ["o_orderstatus", "o_orderpriority"],
+        [
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        ],
+    )
+
+
+@register(
+    "agg_cube",
+    """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    "GROUP BY CUBE: all-combinations subtotals",
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jigsaw_spark.operators.aggregates import cube_agg
+
+    orders = _t(spark, sf_dir, "orders")
+    return cube_agg(
+        orders,
+        ["o_orderstatus", "o_orderpriority"],
+        [F.count(F.lit(1)).alias("n")],
+    )
+
+
+@register(
+    "agg_count_distinct",
+    """
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_users,
+           count(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+    "distinct aggregation (expand + two-phase hash agg)",
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# P1-stratified + A3-vector (per-group / per-dimension generalizations)
+# ---------------------------------------------------------------------------
+
+_STRAT_MD5 = md5_key_sql(["o_orderkey"], seed="strat-42")
+
+
+@register(
+    "p1_stratified_sample",
+    f"""
+    SELECT o_orderkey, o_orderpriority FROM (
+      SELECT o_orderkey, o_orderpriority,
+             row_number() OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY {_STRAT_MD5}, o_orderkey
+             ) AS rn
+      FROM orders) t
+    WHERE rn <= 50
+    """,
+    "P1 stratified: exact-N per group, parallel per-group top-N",
+)
+def p1_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jigsaw_spark.operators.samples import stratified_sample
+
+    orders = _t(spark, sf_dir, "orders")
+    return stratified_sample(
+        orders, 50, ["o_orderpriority"], ["o_orderkey"]
+    ).select("o_orderkey", "o_orderpriority")
+
+
+@register(
+    "a3_vector_moments",
+    """
+    SELECT CAST(i AS INT) AS dim,
+           count(*) AS n,
+           round(avg(embedding[i + 1]::DOUBLE), 4) AS mean,
+           round(stddev_pop(embedding[i + 1]::DOUBLE), 4) AS stdev
+    FROM embeddings, (SELECT unnest(range(64)) AS i) dims
+    GROUP BY i
+    """,
+    "A3 tensor form: per-dimension Welford moments over embeddings "
+    "(mean.npy/stdev.npy parity)",
+)
+def a3_vector_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jigsaw_spark.operators.aggregates import vector_moments
+
+    emb = _t(spark, sf_dir, "embeddings")
+    m = vector_moments(emb, "embedding")
+    return m.select(
+        "dim",
+        "n",
+        F.round("mean", 4).alias("mean"),
+        F.round("stdev", 4).alias("stdev"),
+    )
+
+
 # LLM-data-pipeline queries (dedup / similarity / text) and the streaming
 # query register themselves on import; keep these at module end so
 # `register` and `_t` exist.
 from jigsaw_spark.plans import queries_llm  # noqa: E402,F401
+from jigsaw_spark.plans import queries_mm  # noqa: E402,F401
 from jigsaw_spark.plans import queries_streaming  # noqa: E402,F401

@@ -27,6 +27,8 @@ from jigsaw_spark.operators.similarity import (
 from jigsaw_spark.operators.text import (
     alnum_ratio_expr,
     alnum_ratio_sql,
+    bpeish_tokens_expr,
+    bpeish_tokens_sql,
     avg_token_len_expr,
     avg_token_len_sql,
     fingerprint_expr,
@@ -134,6 +136,22 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         "en_hits",
         "es_hits",
         "fr_hits",
+    )
+
+
+@register(
+    "text_bpeish_tokens",
+    f"""
+    SELECT doc_id,
+           CAST(len({bpeish_tokens_sql('text')}) AS INT) AS n_bpeish
+    FROM documents
+    """,
+    "BPE-style pre-tokenizer piece count (LLM token-budget proxy)",
+)
+def text_bpeish_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.size(bpeish_tokens_expr("text")).alias("n_bpeish")
     )
 
 
