@@ -153,6 +153,48 @@ def cosine_near_dup_pairs(
     )
 
 
+# -- IVF (coarse quantizer) ---------------------------------------------------
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cell): assign every vector to its nearest centroid by cosine —
+    the coarse-quantizer step of an IVF index. ``centroids`` is the tiny
+    driver-held codebook (here: seed vectors; at scale: k-means centers) —
+    it ships to executors inside the UDF closure, the classic broadcast
+    pattern. Map-only, no shuffle; downstream ANN probes only the rows of
+    the query's cell(s) instead of the full corpus.
+
+    Tie-break: scores rounded to 9 decimals, lowest centroid id wins —
+    mirrored exactly by the oracle's row_number ORDER BY."""
+    import numpy as np
+    import pandas as pd
+
+    cents = sorted(centroids)
+    cids = np.array([c for c, _ in cents], dtype=np.int64)
+    C = np.array([v for _, v in cents], dtype=np.float64)
+    Cn = np.linalg.norm(C, axis=1)
+
+    def assign(v):
+        if v.empty:
+            return pd.Series([], dtype="int64")
+        M = np.vstack(v.to_numpy()).astype(np.float64)
+        S = (M @ C.T) / np.outer(np.linalg.norm(M, axis=1), Cn)
+        # argmax over round-9 scores; ties -> first (= lowest cid, sorted)
+        return pd.Series(cids[np.argmax(np.round(S, 9), axis=1)])
+
+    from pyspark.sql.functions import PandasUDFType
+
+    assign_udf = F.pandas_udf(assign, "bigint", PandasUDFType.SCALAR)
+    return df.select(
+        F.col(id_col), assign_udf(F.col(vec_col)).alias("cell")
+    )
+
+
 # -- SRP-LSH -----------------------------------------------------------------
 
 

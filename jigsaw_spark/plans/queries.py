@@ -705,6 +705,86 @@ def w3_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "w4_session_window",
+    """
+    WITH o AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), g AS (
+      SELECT user_id, ts, value,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o
+    )
+    SELECT user_id, CAST(min(ts) AS TIMESTAMP) AS session_start,
+           count(*) AS n, round(sum(value), 2) AS total_value
+    FROM g GROUP BY user_id, sid
+    """,
+    "native session_window (gap-based session agg); oracle is the island "
+    "formulation at microsecond precision",
+)
+def w4_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.session_window("ts", "30 minutes").alias("sw"), "user_id"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            "n",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "agg_salted",
+    """
+    SELECT event_type, count(*) AS n, round(sum(value), 2) AS total_value
+    FROM events GROUP BY event_type
+    """,
+    "salted two-stage aggregation over a 5-key (hot-key) grouping — "
+    "bit-identical to the plain GROUP BY the oracle runs",
+)
+def agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jigsaw_spark.operators.skew import salted_agg
+
+    events = _t(spark, sf_dir, "events")
+    out = salted_agg(
+        events,
+        ["event_type"],
+        {"n": ("count", F.lit(1)), "total_value": ("sum", F.col("value"))},
+        num_salts=16,
+    )
+    return out.select(
+        "event_type", "n", F.round("total_value", 2).alias("total_value")
+    )
+
+
+@register(
+    "agg_distinct_twophase",
+    """
+    SELECT event_type, count(DISTINCT user_id) AS n_distinct
+    FROM events GROUP BY event_type
+    """,
+    "skew-spread exact distinct count (dedupe on (key,value) then count)",
+)
+def agg_distinct_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jigsaw_spark.operators.skew import count_distinct_twophase
+
+    events = _t(spark, sf_dir, "events")
+    return count_distinct_twophase(events, ["event_type"], "user_id")
+
+
 # ---------------------------------------------------------------------------
 # J5 / J6 — as-of and range joins (Spark-side custom operators; SURVEY §2.3
 # lists them absent in the reference — provided by the generalized engine)

@@ -335,6 +335,38 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, queries, k=10)
 
 
+@register(
+    "ann_ivf_assign",
+    f"""
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8
+    ), scored AS (
+      SELECT e.vec_id, c.cid,
+             round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                          c.cvec::DOUBLE[]), 9) AS cos
+      FROM embeddings e CROSS JOIN cent c
+    )
+    SELECT vec_id, cid AS cell FROM (
+      SELECT vec_id, cid,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY cos DESC, cid) AS rn
+      FROM scored) t
+    WHERE rn = 1
+    """,
+    "IVF coarse quantizer: nearest-centroid cell assignment (broadcast "
+    "codebook, map-only matmul) — the ANN scale path's partitioner",
+)
+def ann_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jigsaw_spark.operators.similarity import ivf_assign
+
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in emb.filter(F.col("vec_id") < 8).collect()
+    ]
+    return ivf_assign(emb, centroids)
+
+
 _SRP_PLANES = srp_planes(16, 64)
 
 

@@ -18,6 +18,42 @@ from jigsaw_spark.streaming.ingest import read_event_stream, windowed_event_coun
 
 
 @register(
+    "stream_stateful_sessions",
+    """
+    WITH o AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    )
+    SELECT user_id, count(*) AS n_events,
+           CAST(sum(new_s) AS BIGINT) AS n_sessions
+    FROM o GROUP BY user_id
+    """,
+    "applyInPandasWithState per-user session state drained with "
+    "AvailableNow — full-history drain equals the batch island answer",
+)
+def stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from jigsaw_spark.streaming.stateful import run_stateful_sessions
+
+    checkpoint = tempfile.mkdtemp(prefix="jigsaw_stateful_ckpt_")
+    _name, updates = run_stateful_sessions(
+        spark, sf_dir, checkpoint, glob="events.parquet"
+    )
+    # update-mode sink may hold one row per user per micro-batch; totals are
+    # cumulative, so the latest = max
+    return updates.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max("n_sessions").alias("n_sessions"),
+    )
+
+
+@register(
     "stream_hourly_rollup",
     """
     SELECT date_trunc('hour', ts) AS window_start, event_type,

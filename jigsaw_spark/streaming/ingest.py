@@ -43,9 +43,8 @@ def read_event_stream(
         .option("pathGlobFilter", glob)
         .parquet(path)
     )
-    return raw.withColumn(
-        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-    )
+    # `div`, not `/`: double division rounds epoch-nanos at sub-µs scale
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def windowed_event_counts(

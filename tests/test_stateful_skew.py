@@ -1,0 +1,130 @@
+"""Stateful streaming (applyInPandasWithState), skew helpers, IVF assign."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pyspark.sql.functions as F
+import pytest
+
+from jigsaw_spark.operators.similarity import ivf_assign
+from jigsaw_spark.operators.skew import count_distinct_twophase, salted_agg
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_salted_agg_matches_plain(spark, tables):
+    events = tables["events"]
+    plain = {
+        (r["event_type"]): (r["n"], round(r["tv"], 2))
+        for r in events.groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("tv"))
+        .collect()
+    }
+    salted = salted_agg(
+        events,
+        ["event_type"],
+        {"n": ("count", F.lit(1)), "tv": ("sum", F.col("value"))},
+        num_salts=8,
+    )
+    got = {
+        (r["event_type"]): (r["n"], round(r["tv"], 2))
+        for r in salted.collect()
+    }
+    assert got == plain
+
+
+def test_salted_agg_two_stage_plan(spark, tables):
+    events = tables["events"]
+    plan = (
+        salted_agg(events, ["event_type"], {"n": ("count", F.lit(1))})
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # stage-1 partitioning carries the salt
+    assert "_salt" in plan
+
+
+def test_count_distinct_twophase_matches(spark, tables):
+    events = tables["events"]
+    plain = {
+        r["event_type"]: r["n"]
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    got = {
+        r["event_type"]: r["n_distinct"]
+        for r in count_distinct_twophase(events, ["event_type"], "user_id").collect()
+    }
+    assert got == plain
+
+
+def test_ivf_assign_nearest_and_total(spark, tables):
+    emb = tables["embeddings"]
+    cents = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in emb.filter(F.col("vec_id") < 4).collect()
+    ]
+    out = ivf_assign(emb, cents)
+    assert out.count() == emb.count()
+    # a centroid's own vector must land in its own cell (cosine=1 with itself)
+    own = {r["vec_id"]: r["cell"] for r in out.filter(F.col("vec_id") < 4).collect()}
+    assert own == {0: 0, 1: 1, 2: 2, 3: 3}
+    # every cell id is a centroid id
+    cells = {r["cell"] for r in out.select("cell").distinct().collect()}
+    assert cells <= {0, 1, 2, 3}
+
+
+@pytest.fixture()
+def stream_dirs(tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    return str(src), ckpt
+
+
+def test_stateful_sessions_incremental_across_runs(spark, stream_dirs):
+    """State survives the checkpoint: a second AvailableNow run over newly
+    arrived files continues counting from the first run's state."""
+    from jigsaw_spark.streaming.stateful import run_stateful_sessions
+
+    src, ckpt = stream_dirs
+    events = spark.read.parquet(os.path.join(SF, "events.parquet")).orderBy(
+        "event_id"
+    )
+    n = events.count()
+    half = n // 2
+    first = events.limit(half)
+    second = events.subtract(first)
+    first.coalesce(1).write.mode("overwrite").parquet(os.path.join(src, "batch1"))
+
+    _, upd1 = run_stateful_sessions(spark, src + "/*", ckpt, glob="*.parquet")
+    got1 = upd1.groupBy("user_id").agg(F.max("n_events").alias("n")).collect()
+    assert sum(r["n"] for r in got1) == half
+
+    second.coalesce(1).write.mode("overwrite").parquet(os.path.join(src, "batch2"))
+    _, upd2 = run_stateful_sessions(spark, src + "/*", ckpt, glob="*.parquet")
+    got2 = {
+        r["user_id"]: r["n"]
+        for r in upd2.groupBy("user_id").agg(F.max("n_events").alias("n")).collect()
+    }
+    # counts are cumulative over BOTH batches for users updated in run 2 —
+    # that's the stored state continuing; users absent from batch 2 keep
+    # their run-1 totals (the sink dir accumulates all updates)
+    full = {
+        r["user_id"]: r["count"] for r in events.groupBy("user_id").count().collect()
+    }
+    b1 = {
+        r["user_id"]: r["count"] for r in first.groupBy("user_id").count().collect()
+    }
+    b2_users = {r["user_id"] for r in second.select("user_id").distinct().collect()}
+    assert got2
+    for uid, cnt in got2.items():
+        assert cnt == (full[uid] if uid in b2_users else b1[uid])
+    # at least one user must have genuinely accumulated across runs
+    assert any(
+        got2[u] == full[u] and full[u] > b1.get(u, 0) for u in b2_users
+    )
