@@ -57,25 +57,58 @@ def _validate(df: DataFrame, tags: list[str], tags_col: str, validate: bool) -> 
         raise KeyError(f"unknown tag(s): {missing}")
 
 
+def _scalar_tag_pred(tags: list[str], tag_cols: list[str], conjunctive: bool) -> Column:
+    """Tag predicate over scalar attribute columns: "row has tag t" ⇔ some
+    tag column equals t. Semantically identical to array_contains over
+    array(*tag_cols), but expressed as plain column comparisons, which
+    Catalyst pushes into the parquet scan (array_contains over a derived
+    array blocks pushdown — audited by tools/explain_audit.py)."""
+    from operator import or_
+
+    per_tag = [
+        reduce(or_, (F.col(c) == F.lit(t) for c in tag_cols)) for t in tags
+    ]
+    return reduce(and_ if conjunctive else or_, per_tag)
+
+
 def and_filter(
-    df: DataFrame, tags: list[str], tags_col: str = "tags", validate: bool = False
+    df: DataFrame,
+    tags: list[str],
+    tags_col: str = "tags",
+    validate: bool = False,
+    tag_cols: list[str] | None = None,
 ) -> DataFrame:
-    """Keep rows whose tag array contains ALL of ``tags`` (F1)."""
+    """Keep rows having ALL of ``tags`` (F1).
+
+    Two physical forms, same semantics: with ``tag_cols`` the tags live in
+    scalar attribute columns and the predicate pushes down to the scan
+    (the 100 TB fast path); otherwise the ``tags_col`` array is tested with
+    array_contains (the faithful tag-matrix form — parquet cannot push
+    array predicates, so this filters post-scan inside codegen)."""
     if not tags:
         return df
+    if tag_cols:
+        return df.filter(_scalar_tag_pred(tags, tag_cols, conjunctive=True))
     _validate(df, tags, tags_col, validate)
     pred: Column = reduce(and_, (F.array_contains(tags_col, t) for t in tags))
     return df.filter(pred)
 
 
 def or_filter(
-    df: DataFrame, tags: list[str], tags_col: str = "tags", validate: bool = False
+    df: DataFrame,
+    tags: list[str],
+    tags_col: str = "tags",
+    validate: bool = False,
+    tag_cols: list[str] | None = None,
 ) -> DataFrame:
-    """Keep rows whose tag array contains ANY of ``tags`` (F2). One
-    ``arrays_overlap`` instead of the reference's per-tag select + concat +
-    keep-first dedup — relational filters never duplicate rows."""
+    """Keep rows having ANY of ``tags`` (F2). One ``arrays_overlap``
+    instead of the reference's per-tag select + concat + keep-first dedup —
+    relational filters never duplicate rows. ``tag_cols`` selects the
+    pushable scalar form (see and_filter)."""
     if not tags:
         return df.limit(0)
+    if tag_cols:
+        return df.filter(_scalar_tag_pred(tags, tag_cols, conjunctive=False))
     _validate(df, tags, tags_col, validate)
     return df.filter(F.arrays_overlap(tags_col, F.array(*[F.lit(t) for t in tags])))
 

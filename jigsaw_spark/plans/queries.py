@@ -98,13 +98,18 @@ def flagship_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
     )
-    # tags-as-array: the jigsaw tag matrix maps onto row attributes here
-    tagged = orders.withColumn("tags", F.array("o_orderstatus", "o_orderpriority"))
+    # jigsaw tags map onto scalar row attributes here → scalar form, so the
+    # filter pushes into the parquet scan
+    tag_cols = ["o_orderstatus", "o_orderpriority"]
     set_a = exact_sample(
-        and_filter(tagged, ["O", "1-URGENT"]), 500, ["o_orderkey"]
+        and_filter(orders, ["O", "1-URGENT"], tag_cols=tag_cols),
+        500,
+        ["o_orderkey"],
     )
     set_b = exact_sample(
-        or_filter(tagged, ["2-HIGH", "3-MEDIUM"]), 500, ["o_orderkey"]
+        or_filter(orders, ["2-HIGH", "3-MEDIUM"], tag_cols=tag_cols),
+        500,
+        ["o_orderkey"],
     )
     merged = union_distinct([set_a, set_b], ["o_orderkey"])
     return merged.groupBy("o_orderstatus").agg(
@@ -171,10 +176,9 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def f1_and_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
-    tagged = orders.withColumn("tags", F.array("o_orderstatus", "o_orderpriority"))
-    return and_filter(tagged, ["O", "1-URGENT"]).select(
-        "o_orderkey", "o_custkey", "o_totalprice"
-    )
+    return and_filter(
+        orders, ["O", "1-URGENT"], tag_cols=["o_orderstatus", "o_orderpriority"]
+    ).select("o_orderkey", "o_custkey", "o_totalprice")
 
 
 @register(
