@@ -113,6 +113,22 @@ def or_filter(
     return df.filter(F.arrays_overlap(tags_col, F.array(*[F.lit(t) for t in tags])))
 
 
+def tag_pivot(df: DataFrame, key: str, tags_col: str = "tags") -> DataFrame:
+    """The reference's boolean tag matrix as a DERIVED view: one boolean
+    column per observed tag (jigsaw/model_utils/filters.py:40-58). The
+    array stays the source of truth — a data-dependent wide schema can't be
+    the primary representation at 100 TB (SURVEY §1.3) — but the pivot is
+    handy for small interactive slices and keeps S9 parity inspectable.
+    Involves a distinct-tags collect to fix the column set (two jobs)."""
+    exploded = df.select(F.col(key), F.explode(tags_col).alias("tag"))
+    return (
+        exploded.groupBy(key)
+        .pivot("tag")
+        .agg(F.count(F.lit(1)) > 0)
+        .na.fill(False)
+    )
+
+
 @dataclass
 class FilterStep:
     """One AND/OR step in a chain (filters.py:191-202)."""

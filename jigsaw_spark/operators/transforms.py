@@ -71,3 +71,38 @@ def transforms_lineage(transforms: list[Transform]) -> list[dict]:
         {"type": t.transform_type, "original": t.original, "new": t.new}
         for t in transforms
     ]
+
+
+def match_colors_with_tolerance(
+    pixels: DataFrame,
+    palette: DataFrame,
+    tol: int = 2,
+    color_cols: tuple[str, str, str] = ("r", "g", "b"),
+) -> DataFrame:
+    """Label pixels/regions by nearest palette color within a ±tol band per
+    channel — the instance-mask color matching step, with reference quirk
+    #2 fixed (the tolerance list typo `[-2 -1, 0, 1, 2]` evaluates to
+    [-3,0,1,2]; jigsaw/models/instance_mask/model.py:87 — intended ±2).
+
+    Relational form: a broadcast range join of observed colors against the
+    tiny palette (label_colors child table), one interval predicate per
+    channel — no Python, no pixel loops; works the same whether `pixels`
+    holds per-pixel rows or per-region aggregated colors. Ambiguous colors
+    matching several palette entries keep every match (caller disambiguates
+    or tightens tol)."""
+    r, g, b = color_cols
+    pal = palette.select(
+        F.col("label"),
+        F.col(r).alias("_pr"),
+        F.col(g).alias("_pg"),
+        F.col(b).alias("_pb"),
+    )
+    cond = (
+        (F.col(r) >= F.col("_pr") - tol)
+        & (F.col(r) <= F.col("_pr") + tol)
+        & (F.col(g) >= F.col("_pg") - tol)
+        & (F.col(g) <= F.col("_pg") + tol)
+        & (F.col(b) >= F.col("_pb") - tol)
+        & (F.col(b) <= F.col("_pb") + tol)
+    )
+    return pixels.join(F.broadcast(pal), cond, "left").drop("_pr", "_pg", "_pb")

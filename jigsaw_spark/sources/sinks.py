@@ -85,6 +85,80 @@ def write_label_map(
     return path
 
 
+def write_voc_xml(bboxes: DataFrame, out_dir: str) -> int:
+    """K10: re-serialize bbox tables to PASCAL-VOC XML sidecars
+    (`<image_id>_labels.xml`), the functional replacement for the
+    reference's in-place save_changes (jigsaw/models/bbox/model.py:256-306).
+    Expects the read_voc_bboxes child-table schema (image_id, label, xmin,
+    xmax, ymin, ymax, width, height). One file per image, written
+    partition-locally (no driver collect); returns files written.
+    Round-trips through sources.registry.read_voc_bboxes."""
+    os.makedirs(out_dir, exist_ok=True)
+    from pyspark.sql import functions as F
+
+    grouped = bboxes.groupBy("image_id", "width", "height").agg(
+        F.collect_list(
+            F.struct("label", "xmin", "xmax", "ymin", "ymax")
+        ).alias("objs")
+    )
+
+    def write_partition(rows) -> "list[int]":
+        import xml.etree.ElementTree as ET
+
+        n = 0
+        for row in rows:
+            root = ET.Element("annotation")
+            ET.SubElement(root, "filename").text = f"{row['image_id']}.jpg"
+            size = ET.SubElement(root, "size")
+            ET.SubElement(size, "width").text = str(row["width"])
+            ET.SubElement(size, "height").text = str(row["height"])
+            ET.SubElement(size, "depth").text = "3"
+            for o in sorted(row["objs"], key=lambda o: (o["label"], o["xmin"])):
+                obj = ET.SubElement(root, "object")
+                ET.SubElement(obj, "name").text = o["label"]
+                bb = ET.SubElement(obj, "bndbox")
+                for tag in ("xmin", "xmax", "ymin", "ymax"):
+                    ET.SubElement(bb, tag).text = str(o[tag])
+            path = os.path.join(out_dir, f"{row['image_id']}_labels.xml")
+            ET.ElementTree(root).write(path)
+            n += 1
+        return [n]
+
+    return sum(grouped.rdd.mapPartitions(write_partition).collect())
+
+
+def write_feature_stats(
+    df: DataFrame,
+    out_dir: str,
+    vec_col: str = "embedding",
+    feature_names: list[str] | None = None,
+) -> dict:
+    """K8: per-dimension mean/stdev artifacts (`mean.npy`, `stdev.npy`,
+    `feature_points.json`) from the distributed Welford aggregate
+    (jigsaw/models/feature_points/model.py:104-113). The aggregation is
+    cluster-side (vector_moments); only the |dims|-row result lands on the
+    driver for numpy serialization."""
+    import json as _json
+
+    import numpy as np
+
+    from jigsaw_spark.operators.aggregates import vector_moments
+
+    os.makedirs(out_dir, exist_ok=True)
+    rows = sorted(
+        (r["dim"], r["mean"], r["stdev"])
+        for r in vector_moments(df, vec_col).collect()
+    )
+    mean = np.array([m for _, m, _ in rows])
+    stdev = np.array([s for _, _, s in rows])
+    np.save(os.path.join(out_dir, "mean.npy"), mean)
+    np.save(os.path.join(out_dir, "stdev.npy"), stdev)
+    names = feature_names or [f"f{i}" for i, _, _ in rows]
+    with open(os.path.join(out_dir, "feature_points.json"), "w") as f:
+        _json.dump({"feature_points": names}, f, indent=2)
+    return {"dims": len(rows), "out_dir": out_dir}
+
+
 def write_dataset(
     df: DataFrame,
     out_dir: str,
