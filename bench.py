@@ -32,7 +32,10 @@ def main() -> None:
     # per-query times measure the plan, not one-time session setup. The
     # warm kernel does real hash work so every worker slot actually spawns
     # a Python process and imports the deps the query kernels use.
-    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+    import glob as _glob
+
+    for p in sorted(_glob.glob(os.path.join(sf_dir, "*.parquet"))):
+        spark.read.parquet(p).count()
 
     def _warm(batches):
         import hashlib

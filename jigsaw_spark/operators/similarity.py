@@ -195,6 +195,71 @@ def ivf_assign(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search: probe the ``nprobe`` nearest cells per query, then exact
+    cosine top-k among ONLY the vectors assigned to those cells — the scale
+    path that replaces the full-corpus scan of :func:`cosine_topk`.
+
+    Plan shape: corpus→cell assignment is the map-only matmul kernel
+    (:func:`ivf_assign`, no shuffle); query→probe list is a broadcast
+    cross-join against the tiny codebook; candidate generation is an
+    equi-join on ``cell`` with the (small) probed-query side broadcast, so
+    the corpus is scanned once and never shuffled. At 1000 executors the
+    per-cell candidate lists are the unit of parallelism; recall follows
+    the IVF tradeoff (k-NN outside probed cells are missed) and is fully
+    deterministic, so the oracle replicates it exactly.
+
+    Tie-breaks mirror the whole family: round-9 scores, lowest id wins."""
+    spark = corpus.sparkSession
+    cent_df = spark.createDataFrame(
+        [(c, [float(x) for x in v]) for c, v in centroids],
+        f"cid bigint, cvec array<double>",
+    )
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col).join(
+        corpus.select(F.col(id_col), _to_double(vec_col).alias("cv")), id_col
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _to_double(vec_col).alias("qv")
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.round("qc_cos", 9).desc(), F.col("cid")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cent_df))
+        .withColumn("qc_cos", cosine_similarity("qv", "cvec"))
+        .withColumn("probe_rank", F.row_number().over(probe_w))
+        .filter(F.col("probe_rank") <= nprobe)
+        .select("query_id", "qv", F.col("cid").alias("cell"))
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(assigned, "cell")
+        .filter(F.col("query_id") != F.col(id_col))
+        .withColumn("cos", cosine_similarity("qv", "cv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.round("cos", 9).desc(), F.col(id_col)
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            "query_id",
+            id_col,
+            F.round("cos", 4).alias("cosine"),
+            F.col("rn").alias("rank"),
+        )
+    )
+
+
 # -- SRP-LSH -----------------------------------------------------------------
 
 

@@ -168,3 +168,55 @@ def fingerprint_expr(tokens: Column | str) -> Column:
 
 def fingerprint_sql(tokens: str = "t") -> str:
     return f"md5(array_to_string({tokens}, ' '))"
+
+
+# -- TF-IDF ------------------------------------------------------------------
+
+
+def tfidf_top_terms(
+    df, key: str, text: str = "text", top_n: int = 3
+):
+    """Per-document top-N terms by smoothed TF-IDF:
+    ``score = tf · (ln((1 + N) / (1 + df)) + 1)`` (sklearn's smooth-idf),
+    where tf = raw term count in the doc, df = number of docs containing the
+    term, N = total docs in the input.
+
+    Plan shape: explode → (doc, term) hash-agg (map-side combine carries one
+    row per partition×term), term-level doc-frequency agg, broadcast join of
+    the scalar N, then a per-doc top-N window partitioned by doc — every
+    shuffle is on an aggregation key, nothing quadratic. Tie-break: round-9
+    score desc, term asc, so the top-N boundary is engine-stable."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    toks = df.select(F.col(key), tokens_expr(text).alias("_t"))
+    terms = (
+        toks.select(F.col(key), F.explode("_t").alias("term"))
+        .groupBy(key, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    docfreq = terms.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        terms.join(docfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score",
+            F.col("tf")
+            * (
+                F.log((F.lit(1) + F.col("n_docs")) / (F.lit(1) + F.col("df")))
+                + F.lit(1.0)
+            ),
+        )
+    )
+    w = Window.partitionBy(key).orderBy(F.round("score", 9).desc(), F.col("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_n)
+        .select(
+            F.col(key),
+            "term",
+            F.round("score", 4).alias("tfidf"),
+            "rank",
+        )
+    )

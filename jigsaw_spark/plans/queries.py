@@ -983,6 +983,126 @@ def a3_vector_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Generalized analytics surface: percentiles, pivot/unpivot, datetime scalar
+# functions, sketch aggregates
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_percentiles",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+           round(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+           round(quantile_cont(l_extendedprice, 0.75), 4) AS p75
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    "exact linear-interpolation percentiles per group (Spark `percentile` "
+    "≡ SQL quantile_cont). Scale note: swap to approx_percentile (t-digest, "
+    "mergeable partial aggregate) when exactness isn't contractual",
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.25)"), 4).alias("p25"),
+        F.round(F.expr("percentile(l_extendedprice, 0.50)"), 4).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.75)"), 4).alias("p75"),
+    )
+
+
+@register(
+    "agg_pivot",
+    """
+    SELECT o_orderpriority,
+           count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+           count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+           count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+    FROM orders GROUP BY o_orderpriority
+    """,
+    "pivot to wide counts — explicit value list so the schema is static "
+    "(a data-dependent pivot needs an extra distinct scan and can't be "
+    "planned ahead at 100 TB; SURVEY §1.3 makes the same call for tags)",
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    wide = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+    )
+    return wide.select(
+        "o_orderpriority",
+        *[
+            F.coalesce(F.col(s), F.lit(0)).alias(f"n_{s.lower()}")
+            for s in ("F", "O", "P")
+        ],
+    )
+
+
+@register(
+    "agg_unpivot",
+    """
+    SELECT c_custkey, 'acctbal' AS metric, CAST(c_acctbal AS DOUBLE) AS value
+    FROM customer
+    UNION ALL
+    SELECT c_custkey, 'nationkey' AS metric, CAST(c_nationkey AS DOUBLE) AS value
+    FROM customer
+    """,
+    "unpivot (melt) wide columns to long (metric, value) rows — `stack` is "
+    "a generator projection, one scan, no shuffle",
+)
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.expr(
+            "stack(2, 'acctbal', CAST(c_acctbal AS DOUBLE), "
+            "'nationkey', CAST(c_nationkey AS DOUBLE)) AS (metric, value)"
+        ),
+    )
+
+
+@register(
+    "fn_datetime",
+    """
+    SELECT event_id,
+           CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           CAST(extract(year FROM ts) AS INT) AS y,
+           CAST(extract(month FROM ts) AS INT) AS mo,
+           CAST(extract(hour FROM ts) AS INT) AS h,
+           ts + INTERVAL 1 DAY AS next_day
+    FROM events
+    """,
+    "datetime scalar surface: truncation, field extraction, interval "
+    "arithmetic — all codegen'd projections at scan speed",
+)
+def fn_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.date_trunc("day", "ts").alias("day"),
+        F.year("ts").alias("y"),
+        F.month("ts").alias("mo"),
+        F.hour("ts").alias("h"),
+        (F.col("ts") + F.expr("INTERVAL 1 DAY")).alias("next_day"),
+    )
+
+
+@register(
+    "agg_approx_distinct",
+    None,  # HLL sketches are engine-specific — driver records rows-only
+    "approx_count_distinct (HyperLogLog++): the sketch aggregate that "
+    "replaces exact count-distinct at 100 TB — mergeable partials, fixed "
+    "memory per group, one shuffle of sketch bytes instead of keys",
+)
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders")
+    )
+
+
 # LLM-data-pipeline queries (dedup / similarity / text) and the streaming
 # query register themselves on import; keep these at module end so
 # `register` and `_t` exist.

@@ -367,6 +367,93 @@ def ann_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_assign(emb, centroids)
 
 
+_IVF_COS = "round(list_cosine_similarity({a}.embedding::DOUBLE[], {b}.cvec), 9)"
+
+
+@register(
+    "ann_ivf_topk",
+    f"""
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+      FROM embeddings WHERE vec_id < 8
+    ), assign AS (
+      SELECT vec_id, cid AS cell FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_IVF_COS.format(a='e', b='c')} DESC, c.cid) AS rn
+        FROM embeddings e CROSS JOIN cent c) t
+      WHERE rn = 1
+    ), probes AS (
+      SELECT query_id, cell FROM (
+        SELECT q.vec_id AS query_id, c.cid AS cell,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY {_IVF_COS.format(a='q', b='c')} DESC, c.cid) AS rn
+        FROM embeddings q CROSS JOIN cent c
+        WHERE q.vec_id < 5) t
+      WHERE rn <= 2
+    ), scored AS (
+      SELECT p.query_id, a.vec_id,
+             {_COS.format(a='q', b='e')} AS cos
+      FROM probes p
+      JOIN assign a ON a.cell = p.cell
+      JOIN embeddings q ON q.vec_id = p.query_id
+      JOIN embeddings e ON e.vec_id = a.vec_id
+      WHERE a.vec_id <> p.query_id
+    )
+    SELECT query_id, vec_id, round(cos, 4) AS cosine, rank FROM (
+      SELECT query_id, vec_id, cos,
+             CAST(row_number() OVER (PARTITION BY query_id
+               ORDER BY round(cos, 9) DESC, vec_id) AS INT) AS rank
+      FROM scored) t
+    WHERE rank <= 10
+    """,
+    "IVF search: nprobe=2 cell probe + exact top-10 within probed cells "
+    "(the ANN scale path end-to-end: codebook broadcast, map-only "
+    "assignment, cell-local candidate join)",
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jigsaw_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in emb.filter(F.col("vec_id") < 8).collect()
+    ]
+    queries = emb.filter(F.col("vec_id") < 5)
+    return ivf_topk(emb, queries, centroids, k=10, nprobe=2)
+
+
+@register(
+    "text_tfidf",
+    f"""
+    WITH {_TOKS_CTE},
+    terms AS (
+      SELECT doc_id, tok AS term, count(*) AS tf
+      FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+      GROUP BY doc_id, tok),
+    docfreq AS (SELECT term, count(*) AS df FROM terms GROUP BY term),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT t.doc_id, t.term,
+             t.tf * (ln((1 + n.n_docs) / (1 + d.df)) + 1) AS score
+      FROM terms t JOIN docfreq d ON t.term = d.term CROSS JOIN n)
+    SELECT doc_id, term, round(score, 4) AS tfidf, rank FROM (
+      SELECT doc_id, term, score,
+             CAST(row_number() OVER (PARTITION BY doc_id
+               ORDER BY round(score, 9) DESC, term) AS INT) AS rank
+      FROM scored) t
+    WHERE rank <= 3
+    """,
+    "top-3 TF-IDF terms per document (smooth idf; per-doc relevance "
+    "profile for corpus curation)",
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jigsaw_spark.operators.text import tfidf_top_terms
+
+    docs = _t(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, "doc_id", top_n=3)
+
+
 _SRP_PLANES = srp_planes(16, 64)
 
 

@@ -126,3 +126,64 @@ def test_srp_planes_are_stable():
     p2 = srp_planes(2, 4)
     assert p1 == p2
     assert all(-1.0 <= x < 1.0 for row in p1 for x in row)
+
+
+# -- IVF search + TF-IDF -------------------------------------------------------
+
+
+def test_ivf_topk_probes_only_assigned_cells(spark):
+    from jigsaw_spark.operators.similarity import ivf_assign, ivf_topk
+
+    # 2D toy corpus: two tight clusters on orthogonal axes
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.9, 0.1]),
+        (2, [0.8, 0.2]),
+        (3, [0.0, 1.0]),
+        (4, [0.1, 0.9]),
+        (5, [0.2, 0.8]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    centroids = [(0, [1.0, 0.0]), (3, [0.0, 1.0])]
+    queries = emb.filter(F.col("vec_id") == 1)
+
+    # nprobe=1: candidates come only from vec 1's own cell (0, 1, 2)
+    got = ivf_topk(emb, queries, centroids, k=10, nprobe=1).collect()
+    assert {r["vec_id"] for r in got} == {0, 2}
+    assert [r["rank"] for r in sorted(got, key=lambda r: r["rank"])] == [1, 2]
+
+    # nprobe=2 widens to both cells => all 5 non-self vectors
+    got2 = ivf_topk(emb, queries, centroids, k=10, nprobe=2).collect()
+    assert {r["vec_id"] for r in got2} == {0, 2, 3, 4, 5}
+
+    cells = dict(
+        (r["vec_id"], r["cell"]) for r in ivf_assign(emb, centroids).collect()
+    )
+    assert cells == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3, 5: 3}
+
+
+def test_tfidf_top_terms(spark):
+    from jigsaw_spark.operators.text import tfidf_top_terms
+
+    rows = [
+        (1, "apple apple banana"),
+        (2, "banana cherry"),
+        (3, "cherry durian durian durian"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    got = tfidf_top_terms(docs, "doc_id", top_n=2).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], []).append((r["rank"], r["term"], r["tfidf"]))
+    # doc 1: 'apple' (tf=2, df=1) dominates 'banana' (tf=1, df=2)
+    assert [t for _, t, _ in sorted(by_doc[1])] == ["apple", "banana"]
+    # doc 3: 'durian' tf=3 df=1 dominates 'cherry'
+    assert [t for _, t, _ in sorted(by_doc[3])] == ["durian", "cherry"]
+    # every doc emits <= top_n rows with contiguous ranks from 1
+    for terms in by_doc.values():
+        assert [r for r, _, _ in sorted(terms)] == list(range(1, len(terms) + 1))
+    # idf smoothing: unique term in doc scores tf * (ln(4/2)+1)
+    import math
+
+    apple = next(r for r in got if r["term"] == "apple")
+    assert apple["tfidf"] == round(2 * (math.log((1 + 3) / (1 + 1)) + 1), 4)
