@@ -367,6 +367,108 @@ def ann_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_assign(emb, centroids)
 
 
+@register(
+    "dedup_components",
+    f"""
+    WITH RECURSIVE {_SIMHASH_CTE},
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 2),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION
+      SELECT doc_b AS u, doc_a AS v FROM pairs),
+    reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+      WHERE e.v <> r.u)
+    SELECT u AS doc_id, least(u, min(v)) AS component
+    FROM reach GROUP BY u
+    """,
+    "duplicate clusters: connected components (min reachable id) over "
+    "SimHash near-dup pairs — pairwise evidence → keeper groups; Spark "
+    "side is iterative min-label propagation, oracle is a recursive CTE",
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jigsaw_spark.operators.dedup import connected_components
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = simhash_pairs(docs, "doc_id", max_hamming=2)
+    return connected_components(pairs)
+
+
+@register(
+    "curation_pipeline",
+    f"""
+    WITH {_TOKS_CTE},
+    scored AS (
+      SELECT d.doc_id, d.source, d.n_chars, t.t,
+             {alnum_ratio_sql('d.text')} AS alnum,
+             CAST({lang_hits_sql('t.t', 'en')} AS INT) AS en_hits,
+             CAST({lang_hits_sql('t.t', 'es')} AS INT) AS es_hits,
+             CAST({lang_hits_sql('t.t', 'fr')} AS INT) AS fr_hits
+      FROM documents d JOIN toks t ON d.doc_id = t.doc_id),
+    kept AS (
+      SELECT doc_id, source, n_chars, t FROM scored
+      WHERE len(t) >= 20 AND alnum >= 0.5
+        AND {lang_predict_sql('en_hits', 'es_hits', 'fr_hits')} = 'en'),
+    fp AS (SELECT doc_id, source, n_chars, {fingerprint_sql('t')} AS fp FROM kept),
+    keepers AS (
+      SELECT * FROM (
+        SELECT doc_id, source, n_chars,
+               min(doc_id) OVER (PARTITION BY fp) AS keeper
+        FROM fp) t
+      WHERE doc_id = keeper)
+    SELECT source, count(*) AS n_docs,
+           round(avg(n_chars), 2) AS avg_chars
+    FROM keepers GROUP BY source
+    """,
+    "end-to-end corpus curation: quality gates (length, alnum ratio) → "
+    "language filter → exact-dedup keeper selection → per-source stats; "
+    "every stage is a pushdown-friendly projection/filter + one window",
+)
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jigsaw_spark.operators.text import (
+        alnum_ratio_expr,
+        lang_hits_expr,
+        lang_predict_expr,
+    )
+
+    docs = _t(spark, sf_dir, "documents").withColumn("t", tokens_expr("text"))
+    scored = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        "t",
+        alnum_ratio_expr("text").alias("alnum"),
+        lang_hits_expr("t", "en").alias("en_hits"),
+        lang_hits_expr("t", "es").alias("es_hits"),
+        lang_hits_expr("t", "fr").alias("fr_hits"),
+    )
+    kept = scored.filter(
+        (F.size("t") >= 20)
+        & (F.col("alnum") >= 0.5)
+        & (
+            lang_predict_expr(
+                F.col("en_hits"), F.col("es_hits"), F.col("fr_hits")
+            )
+            == "en"
+        )
+    )
+    from pyspark.sql.window import Window
+
+    fp = kept.withColumn("fp", fingerprint_expr("t"))
+    keepers = fp.withColumn(
+        "keeper", F.min("doc_id").over(Window.partitionBy("fp"))
+    ).filter(F.col("doc_id") == F.col("keeper"))
+    return keepers.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 2).alias("avg_chars"),
+    )
+
+
 _IVF_COS = "round(list_cosine_similarity({a}.embedding::DOUBLE[], {b}.cvec), 9)"
 
 

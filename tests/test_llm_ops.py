@@ -187,3 +187,15 @@ def test_tfidf_top_terms(spark):
 
     apple = next(r for r in got if r["term"] == "apple")
     assert apple["tfidf"] == round(2 * (math.log((1 + 3) / (1 + 1)) + 1), 4)
+
+
+def test_connected_components_clusters_and_keepers(spark):
+    from jigsaw_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "doc_a bigint, doc_b bigint",
+    )
+    got = {r["doc_id"]: r["component"] for r in connected_components(pairs).collect()}
+    # chain 1-2-3-4 collapses to min id 1; triangle 20/21/22 to 20
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
