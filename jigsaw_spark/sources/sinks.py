@@ -220,3 +220,33 @@ def _write_split(
     num_shards = n // rows_per_shard + 1
     write_tfrecords(df.repartition(num_shards), out_dir, basename)
     counts[os.path.join(out_dir, basename)] = n
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    num_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+    path: str | None = None,
+) -> None:
+    """Persist a table hash-bucketed (and optionally sorted) on its join
+    key — the co-located-join layout. Two tables bucketed the same way
+    join with ZERO shuffle: each bucket pairs off by file, and with sort
+    columns the join is a streaming sort-merge over pre-sorted runs.
+
+    This is the 100 TB answer to "every query re-shuffles lineitem on
+    orderkey": pay the shuffle once at write time, amortize it over every
+    downstream join/aggregation on the bucket key (SURVEY §4 "partitioning
+    reuse"). Bucket count is fixed at write time — size it so
+    |table| / num_buckets ≈ executor-memory-sized splits at target scale.
+
+    Requires a metastore-backed ``saveAsTable`` (bucketing metadata lives
+    in the catalog, not the parquet footer)."""
+    w = df.write.format("parquet").mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    if path:
+        w = w.option("path", path)
+    w.saveAsTable(table_name)

@@ -281,3 +281,32 @@ def test_incremental_ingest_skips_seen_files(spark, tmp_path):
     shutil.copy("/root/testdata/sf0.001/events.parquet", os.path.join(src, "b.parquet"))
     n3 = incremental_ingest(spark, src, dest, ckpt)
     assert n3 == n1
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Two tables bucketed+sorted on the join key must sort-merge join with
+    zero Exchange (and zero Sort) in the physical plan — the write-once,
+    join-forever layout."""
+    from jigsaw_spark.sources.sinks import write_bucketed
+
+    left = spark.range(0, 1000).withColumnRenamed("id", "k").withColumn(
+        "a", F.col("k") * 2
+    )
+    right = spark.range(0, 1000, 2).withColumnRenamed("id", "k").withColumn(
+        "b", F.col("k") + 1
+    )
+    write_bucketed(left, "bkt_left", ["k"], 4, sort_cols=["k"], path=str(tmp_path / "l"))
+    write_bucketed(right, "bkt_right", ["k"], 4, sort_cols=["k"], path=str(tmp_path / "r"))
+    try:
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = spark.table("bkt_left").join(spark.table("bkt_right"), "k")
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan, plan
+            assert joined.count() == 500
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_left")
+        spark.sql("DROP TABLE IF EXISTS bkt_right")

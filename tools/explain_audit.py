@@ -30,7 +30,9 @@ from jigsaw_spark.plans.queries import QUERIES
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 
 # queries where a cross/nested-loop join is the intended physical shape
-ALL_PAIRS_OK = {"ann_cosine_topk", "j6_range_join"}
+# queries whose nested-loop joins are intentional: broadcast all-pairs
+# against a tiny side (query set / band dim / IVF codebook / 1-row scalar)
+ALL_PAIRS_OK = {"ann_cosine_topk", "j6_range_join", "ann_ivf_topk", "text_tfidf"}
 # queries expected to push a filter into the parquet scan
 EXPECT_PUSHDOWN = {
     "q1_pricing_summary",
