@@ -196,3 +196,78 @@ def extract_features(df: DataFrame, dim: int = 16, fake: bool = False) -> DataFr
             yield out
 
     return df.mapInPandas(op, schema)
+
+
+def _decode_frames(content: bytes, every_n: int, fake: bool):
+    """Codec hook for video: yield (frame_idx, frame_bytes) for every Nth
+    frame. Real decoders (pyav/ffmpeg/cv2.VideoCapture) are not in this
+    container."""
+    if fake:
+        # deterministic fake: frame count derived from the digest, frame
+        # payload = md5(content || idx) — stable across engines/runs
+        digest = hashlib.md5(content).digest()
+        n_frames = 8 + digest[0] % 8
+        for idx in range(0, n_frames, every_n):
+            yield idx, hashlib.md5(content + idx.to_bytes(4, "big")).digest()
+        return
+    raise NotImplementedError(
+        "frame decode requires a video codec (pyav or ffmpeg); wire it into "
+        "jigsaw_spark.multimodal.binary_ops._decode_frames"
+    )
+
+
+def sample_frames(df: DataFrame, every_n: int = 4, fake: bool = False) -> DataFrame:
+    """Video frame sampling: (video_id, content) → exploded child table
+    (video_id, frame_idx, frame). One input row fans out to ~frames/every_n
+    output rows INSIDE the Arrow batch — no Spark-side explode, no shuffle;
+    downstream per-frame ops (decode_image_meta, extract_features) compose
+    directly. At scale, partition count = input file count; repartition
+    upstream if videos are few-but-huge so each task holds O(1) videos."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for vid, content in zip(pdf["video_id"], pdf["content"]):
+                for idx, frame in _decode_frames(bytes(content), every_n, fake):
+                    ids.append(vid)
+                    idxs.append(idx)
+                    frames.append(frame)
+            yield pd.DataFrame(
+                {"video_id": ids, "frame_idx": idxs, "frame": frames}
+            )
+
+    return df.mapInPandas(op, "video_id string, frame_idx int, frame binary")
+
+
+def resize_images(
+    df: DataFrame, width: int = 64, height: int = 64, fake: bool = False
+) -> DataFrame:
+    """(image_id, content) → (image_id, width, height, resized) — the
+    normalize-resolution step before feature extraction. Stub contract as
+    above: the fake emits a deterministic digest-derived payload of the
+    target geometry; the real path needs a raster codec."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = []
+            for content in pdf["content"]:
+                b = bytes(content)
+                if fake:
+                    seed = hashlib.md5(
+                        b + width.to_bytes(2, "big") + height.to_bytes(2, "big")
+                    ).digest()
+                    outs.append(seed * ((width * height) // len(seed) + 1))
+                else:
+                    raise NotImplementedError(
+                        "image resize requires a raster codec (cv2 or PIL); "
+                        "wire it into jigsaw_spark.multimodal.binary_ops.resize_images"
+                    )
+            out = pdf[["image_id"]].copy()
+            out["width"] = width
+            out["height"] = height
+            out["resized"] = outs
+            yield out
+
+    return df.mapInPandas(
+        op, "image_id string, width int, height int, resized binary"
+    )

@@ -1090,6 +1090,50 @@ def fn_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "w5_moving_avg",
+    """
+    SELECT event_id,
+           round(avg(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS mavg
+    FROM events
+    """,
+    "moving average over a bounded row frame — per-key ordered state, one "
+    "shuffle on the partition key",
+)
+def w5_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    return ev.select(
+        "event_id", F.round(F.avg("value").over(w), 4).alias("mavg")
+    )
+
+
+@register(
+    "fn_json",
+    """
+    SELECT event_id,
+           CAST(props->>'$.k' AS INT) AS k,
+           CAST(props->>'$.missing' AS INT) AS missing
+    FROM events
+    """,
+    "JSON extraction from a string column (semi-structured props) — "
+    "codegen'd path evaluation, scan-speed projection",
+)
+def fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k"),
+        F.get_json_object("props", "$.missing").cast("int").alias("missing"),
+    )
+
+
+@register(
     "agg_approx_distinct",
     None,  # HLL sketches are engine-specific — driver records rows-only
     "approx_count_distinct (HyperLogLog++): the sketch aggregate that "

@@ -310,3 +310,43 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS bkt_left")
         spark.sql("DROP TABLE IF EXISTS bkt_right")
+
+
+def test_sample_frames_stub_contract(spark):
+    from jigsaw_spark.multimodal.binary_ops import sample_frames
+
+    vids = spark.createDataFrame(
+        [("v1", b"fake-video-payload-1"), ("v2", b"fake-video-payload-two")],
+        "video_id string, content binary",
+    )
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        sample_frames(vids, fake=False).collect()
+    frames = sample_frames(vids, every_n=4, fake=True).collect()
+    by_vid = {}
+    for r in frames:
+        by_vid.setdefault(r["video_id"], []).append(r)
+    assert set(by_vid) == {"v1", "v2"}
+    for rows in by_vid.values():
+        idxs = sorted(r["frame_idx"] for r in rows)
+        # every_n stride starting at 0
+        assert idxs == list(range(0, max(idxs) + 1, 4))
+        assert all(len(r["frame"]) == 16 for r in rows)
+    # deterministic across runs
+    again = sample_frames(vids, every_n=4, fake=True).collect()
+    assert sorted(map(tuple, frames)) == sorted(map(tuple, again))
+
+
+def test_resize_images_stub_contract(spark):
+    from jigsaw_spark.multimodal.binary_ops import resize_images
+
+    imgs = spark.createDataFrame(
+        [("i1", b"img-bytes-a"), ("i2", b"img-bytes-b")],
+        "image_id string, content binary",
+    )
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        resize_images(imgs, fake=False).collect()
+    out = resize_images(imgs, width=8, height=8, fake=True).collect()
+    assert {r["image_id"] for r in out} == {"i1", "i2"}
+    for r in out:
+        assert (r["width"], r["height"]) == (8, 8)
+        assert len(r["resized"]) >= 64
