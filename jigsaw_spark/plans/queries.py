@@ -999,15 +999,24 @@ def a3_vector_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM lineitem GROUP BY l_returnflag
     """,
     "exact linear-interpolation percentiles per group (Spark `percentile` "
-    "≡ SQL quantile_cont). Scale note: swap to approx_percentile (t-digest, "
-    "mergeable partial aggregate) when exactness isn't contractual",
+    "≡ SQL quantile_cont), computed in ARRAY form so all three quantiles "
+    "share ONE aggregation buffer (one sort per group, not three). Scale "
+    "note: swap to approx_percentile (t-digest, mergeable partial "
+    "aggregate) when exactness isn't contractual",
 )
 def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.expr("percentile(l_extendedprice, 0.25)"), 4).alias("p25"),
-        F.round(F.expr("percentile(l_extendedprice, 0.50)"), 4).alias("p50"),
-        F.round(F.expr("percentile(l_extendedprice, 0.75)"), 4).alias("p75"),
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75))").alias("_q")
+        )
+        .select(
+            "l_returnflag",
+            F.round(F.col("_q")[0], 4).alias("p25"),
+            F.round(F.col("_q")[1], 4).alias("p50"),
+            F.round(F.col("_q")[2], 4).alias("p75"),
+        )
     )
 
 

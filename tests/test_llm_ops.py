@@ -196,6 +196,12 @@ def test_connected_components_clusters_and_keepers(spark):
         [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
         "doc_a bigint, doc_b bigint",
     )
-    got = {r["doc_id"]: r["component"] for r in connected_components(pairs).collect()}
-    # chain 1-2-3-4 collapses to min id 1; triangle 20/21/22 to 20
-    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+    expect = {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+    # both physical strategies (single-task union-find, iterative pointer
+    # jumping) must agree with each other and the closure
+    for strategy in ("local", "distributed", "auto"):
+        got = {
+            r["doc_id"]: r["component"]
+            for r in connected_components(pairs, strategy=strategy).collect()
+        }
+        assert got == expect, strategy
