@@ -58,6 +58,60 @@ def mm_mask_bboxes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mask_to_bboxes(_as_binary_table(spark, sf_dir, "mask"), fake=True)
 
 
+def _as_audio_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize deterministic PCM16 WAV clips from documents.text (fixture
+    generator — see audio_ops.synthesize_wav); real producers hand the same
+    (audio_id, content) shape straight from binaryFile reads."""
+    from jigsaw_spark.multimodal.audio_ops import synthesize_wav
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("audio_id"), "text"
+    )
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "audio_id": pdf["audio_id"],
+                    "content": [
+                        synthesize_wav(t.encode("utf-8")) for t in pdf["text"]
+                    ],
+                }
+            )
+
+    return docs.mapInPandas(synth, "audio_id string, content binary")
+
+
+@register(
+    "mm_audio_pipeline",
+    None,
+    "multimodal audio: WAV header decode (real RIFF parse) + PCM windowing "
+    "(rms/peak/zero-crossings) joined and aggregated per clip — no codec "
+    "deps, fully real path; rows-only check (binary synth not expressible "
+    "in the oracle)",
+)
+def mm_audio_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jigsaw_spark.multimodal.audio_ops import decode_audio_meta, window_audio
+
+    audio = _as_audio_table(spark, sf_dir)
+    meta = decode_audio_meta(audio).select(
+        "audio_id", "sample_rate", "n_samples", "duration_ms"
+    )
+    win = (
+        window_audio(audio, window=512, hop=256)
+        .groupBy("audio_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.round(F.avg("rms"), 6).alias("avg_rms"),
+            F.round(F.max("peak"), 6).alias("max_peak"),
+            F.sum("zero_crossings").alias("total_zc"),
+        )
+    )
+    return meta.join(win, "audio_id")
+
+
 @register(
     "mm_extract_features",
     None,

@@ -54,6 +54,38 @@ def stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_dedup_counts",
+    """
+    SELECT event_type, count(*) AS n
+    FROM (SELECT DISTINCT ON (event_id) event_id, event_type
+          FROM events ORDER BY event_id, ts)
+    GROUP BY event_type
+    """,
+    "streaming exact dedup: dropDuplicatesWithinWatermark on event_id "
+    "(state bounded by the watermark horizon) drained with AvailableNow, "
+    "then counted per type — equals the batch distinct-key answer",
+)
+def stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from jigsaw_spark.streaming.ingest import stream_dedup
+
+    stream = read_event_stream(spark, sf_dir, glob="events.parquet")
+    deduped = stream_dedup(stream, ["event_id"], watermark="2 hours")
+    agg = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@register(
     "stream_hourly_rollup",
     """
     SELECT date_trunc('hour', ts) AS window_start, event_type,

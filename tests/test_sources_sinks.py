@@ -350,3 +350,82 @@ def test_resize_images_stub_contract(spark):
     for r in out:
         assert (r["width"], r["height"]) == (8, 8)
         assert len(r["resized"]) >= 64
+
+
+def test_audio_wav_roundtrip_and_windows(spark):
+    from jigsaw_spark.multimodal.audio_ops import (
+        decode_audio_meta,
+        extract_audio_features,
+        parse_wav_header,
+        synthesize_wav,
+        window_audio,
+    )
+
+    wav = synthesize_wav(b"hello-audio", sample_rate=8000, n_samples=2048)
+    meta = parse_wav_header(wav)
+    assert meta["channels"] == 1 and meta["sample_rate"] == 8000
+    assert meta["bits"] == 16 and meta["n_samples"] == 2048
+
+    clips = spark.createDataFrame(
+        [
+            ("a1", synthesize_wav(b"payload-one")),
+            ("a2", synthesize_wav(b"payload-two")),
+            ("bad", b"not-a-wav-at-all-but-long-enough-to-check-the-magic-bytes"),
+        ],
+        "audio_id string, content binary",
+    )
+
+    got = {r["audio_id"]: r for r in decode_audio_meta(clips).collect()}
+    assert got["a1"]["format"] == "wav" and got["a1"]["n_samples"] == 2048
+    assert got["a1"]["duration_ms"] == 256.0  # 2048 / 8000 Hz
+    assert got["bad"]["format"] == "unknown" and got["bad"]["sample_rate"] is None
+
+    wins = window_audio(clips, window=512, hop=256).collect()
+    by_id = {}
+    for r in wins:
+        by_id.setdefault(r["audio_id"], []).append(r)
+    assert "bad" not in by_id  # non-WAV rows are dropped, not crashed
+    # 2048 samples, window 512, hop 256 -> starts 0..1536 = 7 windows
+    assert sorted(r["window_idx"] for r in by_id["a1"]) == list(range(7))
+    for r in wins:
+        assert 0.0 <= r["rms"] <= r["peak"] <= 1.0
+
+    feats = {r["audio_id"]: r["embedding"] for r in extract_audio_features(clips, dim=8).collect()}
+    assert set(feats) == {"a1", "a2"}
+    for emb in feats.values():
+        assert len(emb) == 8
+        assert abs(sum(x * x for x in emb) - 1.0) < 1e-5  # unit norm
+    # deterministic and content-sensitive
+    assert feats["a1"] != feats["a2"]
+
+
+def test_stream_dedup_drops_cross_file_duplicates(spark, tmp_path):
+    """dropDuplicatesWithinWatermark over a source containing the SAME
+    events file twice yields the single-copy answer."""
+    import shutil
+
+    from jigsaw_spark.streaming.ingest import stream_dedup
+
+    src = "/root/testdata/sf0.001"
+    stream_dir = str(tmp_path / "dup_src")
+    os.makedirs(stream_dir)
+    shutil.copy(os.path.join(src, "events.parquet"), os.path.join(stream_dir, "a.parquet"))
+    shutil.copy(os.path.join(src, "events.parquet"), os.path.join(stream_dir, "b.parquet"))
+
+    from pyspark.sql import functions as F
+
+    stream = read_event_stream(spark, stream_dir)
+    deduped = stream_dedup(stream, ["event_id"], watermark="2 hours")
+    agg = deduped.groupBy().agg(F.count(F.lit(1)).alias("n"))
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("dedup_counts")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    (got,) = spark.sql("SELECT n FROM dedup_counts").collect()
+    want = spark.read.parquet(os.path.join(src, "events.parquet")).count()
+    # doubled input, single-copy output
+    assert got["n"] == want
