@@ -250,3 +250,34 @@ def write_bucketed(
     if path:
         w = w.option("path", path)
     w.saveAsTable(table_name)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    sort_cols: list[str] | None = None,
+    max_records_per_file: int = 1_000_000,
+    mode: str = "overwrite",
+) -> None:
+    """Persist with hive-style directory partitioning (`col=value/` dirs) —
+    the lake layout that makes partition PRUNING work: a reader filtering
+    on a partition column never lists, opens, or schedules the other
+    directories, which is the difference between scanning 100 TB and
+    scanning one day of it.
+
+    `sort_cols` sorts within each output task so parquet min/max row-group
+    stats become selective (row-group skipping on the sort key — the
+    poor-man's z-order for a single key). `maxRecordsPerFile` bounds file
+    size without an extra repartition job; pick partition columns with
+    bounded cardinality (date, source, language), never high-cardinality
+    keys (one dir per value kills the file system at scale)."""
+    out = df
+    if sort_cols:
+        out = out.sortWithinPartitions(*sort_cols)
+    (
+        out.write.mode(mode)
+        .option("maxRecordsPerFile", str(max_records_per_file))
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )

@@ -429,3 +429,30 @@ def test_stream_dedup_drops_cross_file_duplicates(spark, tmp_path):
     want = spark.read.parquet(os.path.join(src, "events.parquet")).count()
     # doubled input, single-copy output
     assert got["n"] == want
+
+
+def test_write_partitioned_prunes_partitions(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from jigsaw_spark.session import load_table
+    from jigsaw_spark.sources.sinks import write_partitioned
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    out = str(tmp_path / "events_by_date")
+    write_partitioned(events, out, ["event_date"], sort_cols=["user_id"])
+
+    # hive-style dirs exist
+    dirs = [d for d in os.listdir(out) if d.startswith("event_date=")]
+    assert len(dirs) > 1
+
+    back = spark.read.parquet(out)
+    one_day = sorted(d.split("=")[1] for d in dirs)[0]
+    q = back.filter(F.col("event_date") == one_day)
+    # partition filter reaches the scan: non-matching dirs are never read
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "event_date" in plan.split("PartitionFilters")[1][:200]
+    # round-trip count matches the unpartitioned filter
+    want = events.filter(F.col("event_date") == one_day).count()
+    assert q.count() == want > 0
