@@ -52,12 +52,19 @@ def main() -> None:
         _warm, "id long"
     ).write.mode("overwrite").format("noop").save()
 
+    # two passes, report min: single-pass timings on a 32-thread local JVM
+    # swing 2-3x on GC pauses and Python-worker churn; the min of two runs
+    # is a stable estimate of actual plan cost. Plan construction +
+    # compilation stays inside the timed region both times.
+    passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
     timings: dict[str, float] = {}
-    for name, spec in QUERIES.items():
-        t0 = time.perf_counter()
-        df = spec.spark(spark, sf_dir)
-        df.write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - t0, 4)
+    for _ in range(passes):
+        for name, spec in QUERIES.items():
+            t0 = time.perf_counter()
+            df = spec.spark(spark, sf_dir)
+            df.write.mode("overwrite").format("noop").save()
+            elapsed = round(time.perf_counter() - t0, 4)
+            timings[name] = min(timings.get(name, elapsed), elapsed)
 
     total = round(sum(timings.values()), 4)
     try:

@@ -70,3 +70,38 @@ def count_distinct_twophase(
         .groupBy(*group_cols)
         .agg(F.count(F.lit(1)).alias(out_name))
     )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    num_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Manual skew-join: replicate the (small-ish) right side across
+    ``num_salts`` salt values and salt the left side deterministically, so
+    a hot join key spreads over num_salts reducers instead of pinning one.
+
+    AQE's skew-join split (enabled in the session) handles most cases at
+    runtime by splitting oversized partitions; this explicit form is for
+    the shapes AQE can't rewrite — a skewed key feeding a downstream
+    stateful op, or when the optimizer's size estimates miss the skew
+    (e.g. post-UDF cardinality). Cost model: right side is materialized
+    num_salts times — use only when |right| * num_salts ≪ |left|'s hot-key
+    mass; a broadcast join is strictly better whenever right fits the
+    broadcast threshold.
+
+    Results are bit-identical to the plain equi-join (salts match by
+    construction), so the oracle is the plain JOIN."""
+    salts = F.explode(
+        F.array(*[F.lit(i) for i in range(num_salts)])
+    ).alias("_salt")
+    replicated = right.select("*", salts)
+    salted_left = left.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(num_salts)),
+    )
+    return (
+        salted_left.join(replicated, on=[on, "_salt"], how=how).drop("_salt")
+    )

@@ -8,6 +8,7 @@ epoch-aligned, i.e. window_start == date_trunc('hour', ts).
 
 from __future__ import annotations
 
+import contextlib
 import os
 import uuid
 
@@ -15,6 +16,27 @@ from pyspark.sql import DataFrame, SparkSession
 
 from jigsaw_spark.plans.queries import register
 from jigsaw_spark.streaming.ingest import read_event_stream, windowed_event_counts
+
+# A streaming query's state-store partition count is frozen from
+# spark.sql.shuffle.partitions at FIRST start with a fresh checkpoint —
+# size it to expected state volume, not to the batch shuffle width. These
+# drains hold tiny bounded state (distinct event ids / open sessions over
+# testdata), so 8 partitions beats the session default 32: every extra
+# state partition is an extra state-store instance per micro-batch. At
+# production state volumes, raise it BEFORE the first run; it cannot be
+# changed without a new checkpoint.
+STREAM_STATE_PARTITIONS = 8
+
+
+@contextlib.contextmanager
+def _state_partitions(spark: SparkSession, n: int = STREAM_STATE_PARTITIONS):
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
 
 
 @register(
@@ -42,9 +64,10 @@ def stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jigsaw_spark.streaming.stateful import run_stateful_sessions
 
     checkpoint = tempfile.mkdtemp(prefix="jigsaw_stateful_ckpt_")
-    _name, updates = run_stateful_sessions(
-        spark, sf_dir, checkpoint, glob="events.parquet"
-    )
+    with _state_partitions(spark):
+        _name, updates = run_stateful_sessions(
+            spark, sf_dir, checkpoint, glob="events.parquet"
+        )
     # update-mode sink may hold one row per user per micro-batch; totals are
     # cumulative, so the latest = max
     return updates.groupBy("user_id").agg(
@@ -74,14 +97,15 @@ def stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduped = stream_dedup(stream, ["event_id"], watermark="2 hours")
     agg = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
     name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _state_partitions(spark):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -99,12 +123,13 @@ def stream_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = read_event_stream(spark, sf_dir, glob="events.parquet")
     agg = windowed_event_counts(stream, "1 hour")
     name = f"stream_rollup_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _state_partitions(spark):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)

@@ -128,3 +128,27 @@ def test_stateful_sessions_incremental_across_runs(spark, stream_dirs):
     assert any(
         got2[u] == full[u] and full[u] > b1.get(u, 0) for u in b2_users
     )
+
+
+def test_salted_join_matches_plain_join(spark):
+    from pyspark.sql import functions as F
+
+    from jigsaw_spark.operators.skew import salted_join
+    from jigsaw_spark.session import load_table
+
+    sf = "/root/testdata/sf0.001"
+    orders = load_table(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf, "customer").select("c_custkey", "c_mktsegment")
+    plain = (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    salted = (
+        salted_join(
+            orders, cust.withColumnRenamed("c_custkey", "o_custkey"), "o_custkey", num_salts=8
+        )
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
