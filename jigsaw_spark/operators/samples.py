@@ -18,12 +18,15 @@ Scale notes (100 TB):
   - ``exact_sample`` compiles to TakeOrderedAndProject — a parallel partial
     top-N per partition then a driver-side merge of N·num_partitions rows.
     Cheap for N up to ~10⁶.
-  - ``split_data``/``kfold_assign``/``shard_assign`` need a *global* rank,
-    which is inherently a serial boundary. They use a single-partition
-    window — exact, matching the reference, fine to ~10⁷ rows. For larger
-    data use the hash-threshold variants (``approx_split``, ``kfold_hash``)
-    which are embarrassingly parallel and deviate from exact counts only by
-    binomial noise (<0.1% at 10⁸ rows).
+  - ``split_data``/``kfold_assign``/``shard_assign`` need a *global* rank.
+    ``_ranked`` computes it fully in parallel (zipWithIndex pattern):
+    range-partition on the md5 order key, sort within partitions, then
+    rank = partition-local index + per-partition offsets collected as
+    metadata (one row per partition). No single-partition window anywhere.
+    The hash-threshold variants (``approx_split``, ``kfold_hash``) remain
+    for when even the rank's one range-shuffle is too much — they are
+    shuffle-free and deviate from exact counts only by binomial noise
+    (<0.1% at 10⁸ rows).
 """
 
 from __future__ import annotations
@@ -76,10 +79,79 @@ def stratified_sample(
     )
 
 
-def _ranked(df: DataFrame, key_cols: list[str], seed: str) -> DataFrame:
-    w = Window.orderBy(md5_key(*key_cols, seed=seed), *key_cols)
-    return df.withColumn("_rn", F.row_number().over(w)).withColumn(
-        "_n", F.count(F.lit(1)).over(Window.partitionBy())
+def _ranked(
+    df: DataFrame,
+    key_cols: list[str],
+    seed: str,
+    strategy: str = "auto",
+    local_threshold: int = 5_000_000,
+) -> DataFrame:
+    """Exact global rank over the deterministic md5 order. The rank VALUES
+    are a pure function of the keys (total order: md5 key, then raw key),
+    so the physical strategy is free to vary by size — like AQE swapping
+    join strategies:
+
+    - ``"local"`` (row count under ``local_threshold``): one global-order
+      window — a single-partition sort. Cheapest when the data fits one
+      task; this is also the reference's semantic shape.
+    - ``"distributed"``: range-partition on the order key, sort within
+      partitions, rank = partition-local index (via
+      ``monotonically_increasing_id``'s (pid, local_idx) encoding) +
+      per-partition offsets collected as metadata (one tiny row per
+      partition — the zipWithIndex pattern). Every stage is parallel and
+      the offset join is a broadcast; the serial boundary never appears,
+      so split/kfold/shard hold at 100 TB.
+
+    ``"auto"`` probes with an early-exit ``limit(threshold+1).count()``
+    (narrow, no shuffle) and picks accordingly."""
+    if strategy == "auto":
+        strategy = (
+            "local"
+            if df.limit(local_threshold + 1).count() <= local_threshold
+            else "distributed"
+        )
+    if strategy == "local":
+        w = Window.orderBy(md5_key(*key_cols, seed=seed), *key_cols)
+        return df.withColumn("_rn", F.row_number().over(w)).withColumn(
+            "_n", F.count(F.lit(1)).over(Window.partitionBy())
+        )
+    hk = md5_key(*key_cols, seed=seed).alias("_hk")
+    keyed = df.withColumn("_hk", hk)
+    order = [F.col("_hk"), *[F.col(c) for c in key_cols]]
+    parted = (
+        keyed.repartitionByRange(*order)
+        .sortWithinPartitions(*order)
+        .localCheckpoint(eager=False)
+    )
+    pid = F.spark_partition_id().alias("_pid")
+    counts = sorted(
+        (r["_pid"], r["c"])
+        for r in parted.select(pid).groupBy("_pid").agg(F.count(F.lit(1)).alias("c")).collect()
+    )
+    total = sum(c for _, c in counts)
+    offsets, acc = [], 0
+    for p, c in counts:
+        offsets.append((p, acc))
+        acc += c
+    spark = df.sparkSession
+    offset_df = spark.createDataFrame(
+        offsets or [(0, 0)], "_pid int, _offset bigint"
+    )
+    # monotonically_increasing_id over the materialized sorted partitions
+    # encodes (partition_id << 33) + local_row_index, so the global rank is
+    # a NARROW map-side expression (+ a broadcast of the tiny offset table)
+    # — no second shuffle, no window at all.
+    return (
+        parted.withColumn("_mid", F.monotonically_increasing_id())
+        .withColumn("_pid", F.shiftright(F.col("_mid"), 33).cast("int"))
+        .withColumn("_lidx", F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1)))
+        .join(F.broadcast(offset_df), "_pid", "left")
+        .withColumn(
+            "_rn",
+            (F.col("_lidx") + F.coalesce("_offset", F.lit(0)) + 1).cast("int"),
+        )
+        .withColumn("_n", F.lit(total))
+        .drop("_mid", "_pid", "_lidx", "_offset", "_hk")
     )
 
 

@@ -178,3 +178,21 @@ def test_recode_rename_then_merge_sequential(spark):
     ts = [Transform("rename", "a", "b"), Transform("merge", ["b", "c"], "d")]
     got = sorted(r.label for r in recode_column(df, "label", ts).collect())
     assert got == ["d", "d", "d", "x"]
+
+
+def test_ranked_strategies_agree(spark):
+    from jigsaw_spark.operators.samples import _ranked
+    from jigsaw_spark.session import load_table
+
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders").select(
+        "o_orderkey"
+    )
+    ranks = {}
+    for strategy in ("local", "distributed"):
+        got = _ranked(orders, ["o_orderkey"], "t-seed", strategy=strategy)
+        ranks[strategy] = {
+            r["o_orderkey"]: (r["_rn"], r["_n"]) for r in got.collect()
+        }
+    assert ranks["local"] == ranks["distributed"]
+    n = len(ranks["local"])
+    assert sorted(rn for rn, _ in ranks["local"].values()) == list(range(1, n + 1))
