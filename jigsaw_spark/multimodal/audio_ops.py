@@ -153,46 +153,59 @@ def decode_audio_meta(df: DataFrame) -> DataFrame:
 
 
 def window_audio(
-    df: DataFrame, window: int = 512, hop: int = 256
+    df: DataFrame, window: int = 512, hop: int = 256, include_clip_meta: bool = False
 ) -> DataFrame:
     """Fixed-size analysis windows over decoded PCM: (audio_id, content) →
     exploded child table (audio_id, window_idx, start_sample, rms, peak,
     zero_crossings). The fan-out happens INSIDE the Arrow batch — one input
     row becomes ~n_samples/hop output rows with no Spark-side explode and
-    no shuffle; downstream per-window aggregation composes relationally."""
+    no shuffle; downstream per-window aggregation composes relationally.
+
+    ``include_clip_meta`` adds (sample_rate, n_samples, duration_ms) to
+    every window row — the header fields are already parsed for the PCM
+    decode, so clip-level metadata costs nothing here, while deriving it
+    downstream would need a second decode pass plus a join."""
 
     schema = (
         "audio_id string, window_idx int, start_sample long, "
         "rms double, peak double, zero_crossings int"
     )
+    if include_clip_meta:
+        schema += ", sample_rate int, n_samples long, duration_ms double"
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, idxs, starts, rmss, peaks, zcs = [], [], [], [], [], []
+            rows: list[tuple] = []
             for aid, content in zip(pdf["audio_id"], pdf["content"]):
-                samples = _pcm16_mono(bytes(content))
+                b = bytes(content)
+                samples = _pcm16_mono(b)
                 if samples is None:
                     continue
+                meta = parse_wav_header(b)
+                clip = (
+                    meta["sample_rate"],
+                    meta["n_samples"],
+                    round(meta["n_samples"] * 1000.0 / meta["sample_rate"], 3)
+                    if meta["sample_rate"]
+                    else None,
+                )
                 for w, start in enumerate(range(0, max(len(samples) - window + 1, 1), hop)):
                     seg = samples[start : start + window]
                     if not len(seg):
                         continue
-                    ids.append(aid)
-                    idxs.append(w)
-                    starts.append(start)
-                    rmss.append(float(np.sqrt(np.mean(seg * seg))))
-                    peaks.append(float(np.abs(seg).max()))
-                    zcs.append(int(np.count_nonzero(np.diff(np.signbit(seg)))))
-            yield pd.DataFrame(
-                {
-                    "audio_id": ids,
-                    "window_idx": idxs,
-                    "start_sample": starts,
-                    "rms": rmss,
-                    "peak": peaks,
-                    "zero_crossings": zcs,
-                }
-            )
+                    row = (
+                        aid,
+                        w,
+                        start,
+                        float(np.sqrt(np.mean(seg * seg))),
+                        float(np.abs(seg).max()),
+                        int(np.count_nonzero(np.diff(np.signbit(seg)))),
+                    )
+                    rows.append(row + clip if include_clip_meta else row)
+            cols = ["audio_id", "window_idx", "start_sample", "rms", "peak", "zero_crossings"]
+            if include_clip_meta:
+                cols += ["sample_rate", "n_samples", "duration_ms"]
+            yield pd.DataFrame(rows, columns=cols)
 
     return df.mapInPandas(op, schema)
 

@@ -93,23 +93,20 @@ def _as_audio_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     "in the oracle)",
 )
 def mm_audio_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from jigsaw_spark.multimodal.audio_ops import decode_audio_meta, window_audio
+    from jigsaw_spark.multimodal.audio_ops import window_audio
 
     audio = _as_audio_table(spark, sf_dir)
-    meta = decode_audio_meta(audio).select(
+    # ONE kernel pass: the windower carries clip metadata (already parsed
+    # for the PCM decode), so no second decode + join is needed
+    win = window_audio(audio, window=512, hop=256, include_clip_meta=True)
+    return win.groupBy(
         "audio_id", "sample_rate", "n_samples", "duration_ms"
+    ).agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.round(F.avg("rms"), 6).alias("avg_rms"),
+        F.round(F.max("peak"), 6).alias("max_peak"),
+        F.sum("zero_crossings").alias("total_zc"),
     )
-    win = (
-        window_audio(audio, window=512, hop=256)
-        .groupBy("audio_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_windows"),
-            F.round(F.avg("rms"), 6).alias("avg_rms"),
-            F.round(F.max("peak"), 6).alias("max_peak"),
-            F.sum("zero_crossings").alias("total_zc"),
-        )
-    )
-    return meta.join(win, "audio_id")
 
 
 @register(
