@@ -148,3 +148,44 @@ def construct(
         rhs = F.broadcast(df) if name in broadcast else df
         out = out.join(rhs, on=on, how=how)
     return out
+
+
+def merge_into(
+    target: DataFrame,
+    source: DataFrame,
+    key_cols: list[str],
+    delete_col: str | None = None,
+) -> DataFrame:
+    """Functional MERGE (upsert): source rows replace matching target rows
+    on the key; unmatched source rows are inserted; with ``delete_col``
+    set, source rows carrying true in that boolean column delete the match
+    instead. Returns the new target (immutable-output semantics — the lake
+    pattern, vs the reference's in-place file rewrites, base/mask.py:218-252).
+
+    Shape: ONE shuffle — union the tagged inputs and keep the
+    highest-priority row per key (window on the key). Equivalent to the
+    full-outer-join formulation but with a single exchange and no wide
+    coalesce list; at 100 TB prefer targets bucketed on the key
+    (sinks.write_bucketed) so the exchange disappears entirely."""
+    from pyspark.sql.window import Window
+
+    cols = target.columns
+    if set(cols) - set(source.columns + ([delete_col] if delete_col else [])):
+        raise ValueError("source must cover target columns")
+    tagged = target.select(*cols).withColumn("_pri", F.lit(0)).unionByName(
+        source.select(
+            *cols,
+            *( [F.col(delete_col)] if delete_col else [] ),
+        ).withColumn("_pri", F.lit(1)),
+        allowMissingColumns=True,
+    )
+    if delete_col is None:
+        tagged = tagged.withColumn("_del", F.lit(False))
+    else:
+        tagged = tagged.withColumn("_del", F.coalesce(F.col(delete_col), F.lit(False)))
+    w = Window.partitionBy(*key_cols).orderBy(F.desc("_pri"))
+    return (
+        tagged.withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") == 1) & ~F.col("_del"))
+        .select(*cols)
+    )

@@ -220,3 +220,86 @@ def tfidf_top_terms(
             "rank",
         )
     )
+
+
+# -- chunking / packing (LLM training-data prep) -----------------------------
+
+
+def chunk_documents(
+    df: "DataFrame",
+    key: str,
+    text: str = "text",
+    chunk_size: int = 64,
+    overlap: int = 16,
+) -> "DataFrame":
+    """Split each document into overlapping token chunks — the standard
+    context-window prep for embedding / training. Output: (key, chunk_idx,
+    n_chunk_tokens, chunk_text). Entirely narrow (sequence + explode +
+    slice inside the row): no shuffle, no Python; chunk fan-out happens in
+    whole-stage codegen."""
+    if overlap >= chunk_size:
+        raise ValueError("overlap must be < chunk_size")
+    stride = chunk_size - overlap
+    toks = tokens_expr(text)
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size("_t") - 1, F.lit(0)), F.lit(stride)
+    )
+    chunk = F.slice("_t", F.col("_s") + 1, chunk_size)
+    return (
+        df.select(F.col(key), toks.alias("_t"))
+        .filter(F.size("_t") >= 1)
+        .select(F.col(key), "_t", F.posexplode(starts).alias("chunk_idx", "_s"))
+        .select(
+            F.col(key),
+            "chunk_idx",
+            F.size(chunk).alias("n_chunk_tokens"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+        )
+    )
+
+
+def chunk_documents_sql(
+    key: str = "doc_id", chunk_size: int = 64, overlap: int = 16
+) -> str:
+    """DuckDB rendering of chunk_documents over the `toks` CTE (same
+    0-based chunk_idx, same truncated final chunk)."""
+    stride = chunk_size - overlap
+    return f"""
+    SELECT {key},
+           CAST(i // {stride} AS INT) AS chunk_idx,
+           len(list_slice(t, i + 1, least(i + {chunk_size}, len(t)))) AS n_chunk_tokens,
+           array_to_string(list_slice(t, i + 1, least(i + {chunk_size}, len(t))), ' ') AS chunk_text
+    FROM (SELECT {key}, t, unnest(range(0, len(t), {stride})) AS i
+          FROM toks WHERE len(t) >= 1) u
+    """
+
+
+def pack_sequences(
+    df: "DataFrame",
+    key_cols: list[str],
+    token_count_col: str,
+    budget: int,
+    partition_cols: list[str] | None = None,
+) -> "DataFrame":
+    """Sequential sequence packing: documents are laid out in deterministic
+    key order and cut into bins of ``budget`` tokens — bin = floor(tokens
+    before this doc / budget), i.e. the "concatenate then chop at context
+    boundaries" layout used to pack LLM pretraining batches. Adds
+    (pack_offset, pack_bin).
+
+    ``partition_cols`` scopes the packing (per source / shard): each scope
+    packs independently and in parallel — the scale path, since an
+    unpartitioned pack is a global running sum (fine to ~10⁷ docs, one
+    range-shuffle; prefer scoped packing beyond that)."""
+    from pyspark.sql.window import Window
+
+    parts = partition_cols or []
+    w = (
+        Window.partitionBy(*parts)
+        .orderBy(*[F.col(c) for c in key_cols])
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum(token_count_col).over(w), F.lit(0))
+    return df.withColumn("pack_offset", before.cast("bigint")).withColumn(
+        "pack_bin", F.floor(F.col("pack_offset") / budget).cast("int")
+    )

@@ -1256,6 +1256,125 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "w6_range_frame",
+    """
+    SELECT event_id, user_id,
+           round(sum(value) OVER (
+             PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW), 4)
+           AS rolling_1h
+    FROM events
+    """,
+    "time-RANGE window frame (true interval semantics, not row counts): "
+    "per-user 1-hour rolling sum ordered by event time",
+)
+def w6_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 4).alias("rolling_1h"),
+    )
+
+
+@register(
+    "fn_subquery",
+    """
+    SELECT o.o_orderkey, o.o_totalprice,
+           (SELECT round(max(o2.o_totalprice), 2) FROM orders o2
+             WHERE o2.o_custkey = o.o_custkey) AS cust_max
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > 0.09)
+    """,
+    "subquery surface: correlated EXISTS / NOT EXISTS (decorrelated to "
+    "semi/anti joins) + correlated scalar subquery (decorrelated to an "
+    "aggregate + join) — Catalyst's RewritePredicateSubquery at work",
+)
+def fn_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    o = os.path.join(sf_dir, "orders.parquet")
+    li = os.path.join(sf_dir, "lineitem.parquet")
+    return spark.sql(
+        f"""
+        SELECT o.o_orderkey, o.o_totalprice,
+               (SELECT round(max(o2.o_totalprice), 2)
+                  FROM parquet.`{o}` o2
+                 WHERE o2.o_custkey = o.o_custkey) AS cust_max
+        FROM parquet.`{o}` o
+        WHERE EXISTS (SELECT 1 FROM parquet.`{li}` l
+                      WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49)
+          AND NOT EXISTS (SELECT 1 FROM parquet.`{li}` l
+                          WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > 0.09)
+        """
+    )
+
+
+@register(
+    "merge_upsert",
+    """
+    WITH src AS (
+      SELECT o_orderkey, o_custkey, 'X' AS o_orderstatus,
+             round(o_totalprice * 1.1, 2) AS o_totalprice
+      FROM orders WHERE o_orderkey % 10 = 0),
+    ins AS (
+      SELECT o_orderkey + 1000000000 AS o_orderkey, o_custkey,
+             'N' AS o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 1000 = 1),
+    merged AS (
+      SELECT * FROM (
+        SELECT m.*, row_number() OVER (
+          PARTITION BY o_orderkey ORDER BY pri DESC) AS rn
+        FROM (
+          SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, 0 AS pri
+          FROM orders
+          UNION ALL
+          SELECT *, 1 AS pri FROM src
+          UNION ALL SELECT *, 1 AS pri FROM ins) m) t
+      WHERE rn = 1)
+    SELECT o_orderstatus, count(*) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM merged GROUP BY o_orderstatus
+    """,
+    "functional MERGE/upsert: updates (keys %10=0 re-priced, status X) + "
+    "inserts (shifted keys) applied in one exchange via priority window — "
+    "verified through post-merge per-status aggregates",
+)
+def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jigsaw_spark.operators.joins import merge_into
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    updates = (
+        orders.filter(F.col("o_orderkey") % 10 == 0)
+        .withColumn("o_orderstatus", F.lit("X"))
+        .withColumn("o_totalprice", F.round(F.col("o_totalprice") * 1.1, 2))
+    )
+    inserts = orders.filter(F.col("o_orderkey") % 1000 == 1).select(
+        (F.col("o_orderkey") + 1_000_000_000).alias("o_orderkey"),
+        "o_custkey",
+        F.lit("N").alias("o_orderstatus"),
+        "o_totalprice",
+    )
+    merged = merge_into(
+        orders, updates.unionByName(inserts), ["o_orderkey"]
+    )
+    return merged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
 # LLM-data-pipeline queries (dedup / similarity / text) and the streaming
 # query register themselves on import; keep these at module end so
 # `register` and `_t` exist.

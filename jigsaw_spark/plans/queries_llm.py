@@ -571,3 +571,49 @@ _SRP_PLANES = srp_planes(16, 64)
 def ann_srp_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     return srp_buckets(emb, num_planes=16)
+
+
+@register(
+    "text_chunk",
+    f"""
+    WITH {_TOKS_CTE}
+    SELECT doc_id,
+           CAST(i // 48 AS INT) AS chunk_idx,
+           CAST(len(list_slice(t, i + 1, least(i + 64, len(t)))) AS INT) AS n_chunk_tokens,
+           array_to_string(list_slice(t, i + 1, least(i + 64, len(t))), ' ') AS chunk_text
+    FROM (SELECT doc_id, t, unnest(range(0, len(t), 48)) AS i
+          FROM toks WHERE len(t) >= 1) u
+    """,
+    "document chunking: overlapping 64-token windows, stride 48 — narrow "
+    "sequence+slice fan-out, the context-window prep for embedding/training",
+)
+def text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jigsaw_spark.operators.text import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(docs, "doc_id", chunk_size=64, overlap=16)
+
+
+@register(
+    "text_pack",
+    """
+    WITH sized AS (
+      SELECT doc_id, source, n_chars,
+             coalesce(sum(n_chars) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pack_offset
+      FROM documents)
+    SELECT doc_id, source, n_chars, pack_offset,
+           CAST(pack_offset // 4096 AS INT) AS pack_bin
+    FROM sized
+    """,
+    "sequence packing: concat-then-chop layout into 4096-char bins, scoped "
+    "per source (each scope packs independently — the parallel path)",
+)
+def text_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jigsaw_spark.operators.text import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return pack_sequences(
+        docs, ["doc_id"], "n_chars", budget=4096, partition_cols=["source"]
+    )

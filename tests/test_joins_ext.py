@@ -136,3 +136,27 @@ def test_vector_moments_matches_numpy(spark):
         assert out[d]["n"] == 3
         assert abs(out[d]["mean"] - arr[:, d].mean()) < 1e-12
         assert abs(out[d]["stdev"] - arr[:, d].std()) < 1e-12
+
+
+def test_merge_into_upsert_and_delete(spark):
+    from jigsaw_spark.operators.joins import merge_into
+
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k int, name string, v double",
+    )
+    source = spark.createDataFrame(
+        # update k=2, insert k=4, delete k=3
+        [(2, "b2", 22.0, False), (4, "d", 40.0, False), (3, "c", 30.0, True)],
+        "k int, name string, v double, is_deleted boolean",
+    )
+    got = {
+        r["k"]: (r["name"], r["v"])
+        for r in merge_into(target, source, ["k"], delete_col="is_deleted").collect()
+    }
+    assert got == {1: ("a", 10.0), 2: ("b2", 22.0), 4: ("d", 40.0)}
+    # schema mismatch is rejected
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        merge_into(target, source.drop("v"), ["k"])
