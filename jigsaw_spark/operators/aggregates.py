@@ -113,3 +113,34 @@ def extent_merge(
         F.min(y_min).alias(y_min),
         F.max(y_max).alias(y_max),
     )
+
+
+def groupwise_zscore(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    out_col: str = "zscore",
+) -> DataFrame:
+    """Per-group standardization (z = (x - μ_g) / σ_g) as an
+    `applyInPandas` group kernel — the canonical groupwise-Python shape
+    for feature normalization / per-source model scoring. One shuffle on
+    the group key; each group is one Arrow batch in pandas.
+
+    The same semantics are a pure window expression (see the oracle for
+    `agg_zscore_pandas`), which is what you'd use when no Python library is
+    involved; this operator exists as the template for kernels that DO need
+    Python (sklearn scalers, per-group model fits) with a verified
+    relational baseline. Groups must fit one executor's memory — partition
+    the group key further (salting) for pathological group sizes."""
+    import pandas as pd
+
+    out_fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+    schema = f"{out_fields}, {out_col} double"
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        mu = pdf[value_col].mean()
+        sigma = pdf[value_col].std(ddof=0)
+        pdf[out_col] = 0.0 if sigma == 0 else (pdf[value_col] - mu) / sigma
+        return pdf
+
+    return df.groupBy(*group_cols).applyInPandas(kernel, schema)

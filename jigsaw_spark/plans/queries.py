@@ -1257,6 +1257,75 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "fn_higher_order",
+    """
+    SELECT l_orderkey,
+           CAST(len(list_filter(parts, x -> x % 2 = 0)) AS INT) AS n_even,
+           list_reduce(list_transform(parts, x -> x * 2), (a, b) -> a + b)
+             AS doubled_sum,
+           list_sort(parts)[1] AS smallest
+    FROM (SELECT l_orderkey, list(l_partkey ORDER BY l_linenumber) AS parts
+          FROM lineitem GROUP BY l_orderkey)
+    """,
+    "higher-order collection functions (filter / transform+aggregate / "
+    "sort over array columns) — in-row lambdas, whole-stage codegen, the "
+    "no-UDF path for nested data",
+)
+def fn_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    parts = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("l_linenumber", "l_partkey"))
+            ).alias("_p")
+        )
+        .select(
+            "l_orderkey",
+            F.transform("_p", lambda s: s["l_partkey"]).alias("parts"),
+        )
+    )
+    return parts.select(
+        "l_orderkey",
+        F.size(F.filter("parts", lambda x: x % 2 == 0)).alias("n_even"),
+        F.aggregate(
+            F.transform("parts", lambda x: x * 2),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("doubled_sum"),
+        F.array_min("parts").alias("smallest"),
+    )
+
+
+@register(
+    "agg_zscore_pandas",
+    """
+    SELECT l_orderkey, l_linenumber, l_returnflag,
+           round(CASE WHEN stddev_pop(l_extendedprice) OVER w = 0 THEN 0
+                 ELSE (l_extendedprice - avg(l_extendedprice) OVER w)
+                      / stddev_pop(l_extendedprice) OVER w END, 4) AS z
+    FROM lineitem
+    WINDOW w AS (PARTITION BY l_returnflag)
+    """,
+    "per-group standardization via applyInPandas (Arrow group kernel) "
+    "hash-verified against the pure window-expression form — the template "
+    "for groupwise Python (sklearn scalers, per-group fits)",
+)
+def agg_zscore_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jigsaw_spark.operators.aggregates import groupwise_zscore
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"
+    )
+    return groupwise_zscore(li, ["l_returnflag"], "l_extendedprice").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        F.round("zscore", 4).alias("z"),
+    )
+
+
+@register(
     "w6_range_frame",
     """
     SELECT event_id, user_id,
