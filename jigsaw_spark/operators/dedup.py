@@ -126,6 +126,60 @@ def ngram_jaccard_pairs(
     )
 
 
+def edit_distance_pairs(
+    df: DataFrame,
+    key: str,
+    text: str = "text",
+    block_cols: list[str] | None = None,
+    length_bucket: int = 20,
+    prefix_len: int = 60,
+    max_distance: int = 40,
+    length_col: str | None = None,
+) -> DataFrame:
+    """Near-dup pairs (a < b) by Levenshtein distance over a bounded prefix.
+
+    Edit distance is O(prefix²) per pair, so the operator NEVER computes it
+    all-pairs: candidates are blocked on ``block_cols`` plus a length bucket
+    (same floor(len/length_bucket)), which bounds the self-join fan-out the
+    same way the LSH band join does. Distance itself is Spark's built-in
+    ``levenshtein`` — JVM-side, codegen'd, no Python. True edit-distance
+    near-dups can straddle a bucket boundary (|len_a-len_b| < max_distance
+    but different buckets); at scale run a second pass with the bucket
+    offset by length_bucket/2 and union, the standard shift-block trick.
+    """
+    blocks = list(block_cols or [])
+    length = (
+        F.col(length_col) if length_col else F.length(F.col(text))
+    )
+    proj = df.select(
+        F.col(key),
+        F.substring(F.col(text), 1, prefix_len).alias("_prefix"),
+        *[F.col(c) for c in blocks],
+        F.floor(length / length_bucket).alias("_lb"),
+    )
+    a = proj.select(
+        F.col(key).alias("doc_a"),
+        F.col("_prefix").alias("_pa"),
+        *[F.col(c).alias(f"_ba_{c}") for c in blocks],
+        F.col("_lb").alias("_lba"),
+    )
+    b = proj.select(
+        F.col(key).alias("doc_b"),
+        F.col("_prefix").alias("_pb"),
+        *[F.col(c).alias(f"_bb_{c}") for c in blocks],
+        F.col("_lb").alias("_lbb"),
+    )
+    cond = (F.col("doc_a") < F.col("doc_b")) & (F.col("_lba") == F.col("_lbb"))
+    for c in blocks:
+        cond = cond & (F.col(f"_ba_{c}") == F.col(f"_bb_{c}"))
+    return (
+        a.join(b, cond)
+        .withColumn("distance", F.levenshtein("_pa", "_pb"))
+        .filter(F.col("distance") <= max_distance)
+        .select("doc_a", "doc_b", "distance")
+    )
+
+
 def minhash_signatures(
     df: DataFrame, key: str, text: str = "text", num_hashes: int = 16, n: int = 3
 ) -> DataFrame:

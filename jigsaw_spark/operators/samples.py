@@ -185,6 +185,29 @@ def approx_split(
     return df.filter(pred), df.filter(~pred)
 
 
+def bernoulli_threshold_hex(fraction: float, digits: int = 8) -> str:
+    """Hex prefix threshold for :func:`bernoulli_sample`: a row is kept when
+    its md5 hex digest compares lexicographically below this string. hex
+    digits 0-9a-f are ASCII-ordered, so string compare ≡ numeric compare of
+    the first ``digits`` nibbles — portable to any engine with md5()."""
+    scaled = min(int(round(fraction * 16**digits)), 16**digits - 1)
+    return format(scaled, f"0{digits}x")
+
+
+def bernoulli_sample(
+    df: DataFrame,
+    key_cols: list[str],
+    fraction: float,
+    seed: str = "tablesample-42",
+) -> DataFrame:
+    """TABLESAMPLE BERNOULLI analog, deterministic in the key (P1 scale
+    path). Pure filter — no shuffle, no global rank, fully parallel, and
+    membership is partition-independent (AQE/speculation-safe), unlike
+    ``df.sample(fraction, seed)`` whose membership depends on split order.
+    Row count is binomial around n·fraction."""
+    return df.filter(md5_key(*key_cols, seed=seed) < F.lit(bernoulli_threshold_hex(fraction)))
+
+
 def kfold_assign(
     df: DataFrame, k: int, key_cols: list[str], seed: str = "kfold-0"
 ) -> DataFrame:

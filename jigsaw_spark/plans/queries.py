@@ -1449,4 +1449,7 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 # `register` and `_t` exist.
 from jigsaw_spark.plans import queries_llm  # noqa: E402,F401
 from jigsaw_spark.plans import queries_mm  # noqa: E402,F401
+from jigsaw_spark.plans import queries_rel2  # noqa: E402,F401
+from jigsaw_spark.plans import queries_rel3  # noqa: E402,F401
+from jigsaw_spark.plans import queries_rel4  # noqa: E402,F401
 from jigsaw_spark.plans import queries_streaming  # noqa: E402,F401

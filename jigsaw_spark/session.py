@@ -63,6 +63,11 @@ def get_spark(app_name: str = "jigsaw_spark", cpus: int | None = None) -> SparkS
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # runtime row-level filtering: build a bloom filter from the small
+        # side of a shuffle join and push it into the big side's scan — at
+        # 100 TB this skips row groups AQE's partition-level stats can't
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        .config("spark.sql.optimizer.runtimeFilter.semiJoinReduction.enabled", "true")
         # testdata events.parquet stores ts as TIMESTAMP(NANOS); Spark has no
         # nanos timestamp — read as long and convert in load_table.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

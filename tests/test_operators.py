@@ -196,3 +196,48 @@ def test_ranked_strategies_agree(spark):
     assert ranks["local"] == ranks["distributed"]
     n = len(ranks["local"])
     assert sorted(rn for rn, _ in ranks["local"].values()) == list(range(1, n + 1))
+
+
+def test_bernoulli_sample_deterministic_and_unbiased(spark):
+    from jigsaw_spark.operators.samples import bernoulli_sample, bernoulli_threshold_hex
+    from jigsaw_spark.session import load_table
+
+    # threshold is the hex rendering of fraction * 16^digits
+    assert bernoulli_threshold_hex(0.25) == "40000000"
+    assert bernoulli_threshold_hex(1.0) == "ffffffff"
+
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+    n = orders.count()
+    a = bernoulli_sample(orders, ["o_orderkey"], 0.25)
+    b = bernoulli_sample(orders, ["o_orderkey"], 0.25)
+    keys_a = sorted(r.o_orderkey for r in a.select("o_orderkey").collect())
+    keys_b = sorted(r.o_orderkey for r in b.select("o_orderkey").collect())
+    assert keys_a == keys_b  # membership is a pure function of the key
+    # binomial tolerance: ±5 sigma around n/4
+    import math
+
+    sigma = math.sqrt(n * 0.25 * 0.75)
+    assert abs(len(keys_a) - n / 4) < 5 * sigma
+    # different seed draws an independent stream
+    c = bernoulli_sample(orders, ["o_orderkey"], 0.25, seed="other")
+    keys_c = sorted(r.o_orderkey for r in c.select("o_orderkey").collect())
+    assert keys_a != keys_c
+
+
+def test_edit_distance_pairs_blocked(spark):
+    from jigsaw_spark.operators.dedup import edit_distance_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox", "en"),
+            (2, "the quick brown fax", "en"),   # distance 1 from doc 1
+            (3, "the quick brown fox", "fr"),   # identical text, other block
+            (4, "completely different words!", "en"),  # other length bucket
+        ],
+        "doc_id long, text string, lang string",
+    )
+    got = edit_distance_pairs(
+        df, key="doc_id", text="text", block_cols=["lang"],
+        length_bucket=10, prefix_len=60, max_distance=5,
+    ).collect()
+    assert [(r.doc_a, r.doc_b, r.distance) for r in got] == [(1, 2, 1)]
