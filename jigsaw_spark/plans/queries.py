@@ -1452,4 +1452,5 @@ from jigsaw_spark.plans import queries_mm  # noqa: E402,F401
 from jigsaw_spark.plans import queries_rel2  # noqa: E402,F401
 from jigsaw_spark.plans import queries_rel3  # noqa: E402,F401
 from jigsaw_spark.plans import queries_rel4  # noqa: E402,F401
+from jigsaw_spark.plans import queries_rel5  # noqa: E402,F401
 from jigsaw_spark.plans import queries_streaming  # noqa: E402,F401

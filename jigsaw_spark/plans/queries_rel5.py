@@ -1,0 +1,434 @@
+"""Fifth relational batch: the remaining TPC-H query *shapes* expressible
+over the driver's star schema — bidirectional dimension pairing (Q7),
+market-share ratio (Q8), outer-fact top-N (Q10), argmax-vs-aggregate view
+(Q15), correlated-average threshold (Q17), and anti-join opportunity
+analysis (Q22). Reference parity note: jigsaw itself has no multi-table
+relational surface (SURVEY §2.3 — joins exist only as filename-convention
+equi-joins, `jigsaw/model_utils/filters.py:258-262`); these queries cover
+the *generalized* engine surface the driver grades, each with an exact
+DuckDB oracle.
+
+Scale notes are per-query in the docstrings; the common discipline:
+`nation`/`region`/`supplier`/`part` are broadcast dims, fact⋈fact joins
+shuffle on their join keys only, and every aggregate rides map-side
+partial aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jigsaw_spark.plans.queries import _t, register
+
+
+# ---------------------------------------------------------------------------
+# Q7 shape — volume shipping between two nations, grouped by year and
+# direction. One lineitem⋈orders shuffle join; supplier/customer/nation are
+# broadcast. The disjunctive nation-pair predicate is applied post-join as
+# a residual (it references both sides).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q7_nation_volume",
+    """
+    SELECT supp_nation, cust_nation, l_year,
+           round(sum(volume), 2) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(extract(year FROM l_shipdate) AS INT) AS l_year,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM supplier
+      JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+    "TPC-H Q7 shape: bidirectional nation-pair volume by ship year — "
+    "lineitem⋈orders is the only shuffle join; both nation legs broadcast",
+)
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    # pre-restrict both broadcast legs to the two nations of interest so the
+    # broadcast hash tables only carry rows that can survive the residual.
+    nat = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    )
+    supp = F.broadcast(
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = F.broadcast(
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(supp, li["l_suppkey"] == supp["s_suppkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_1")
+                & (F.col("cust_nation") == "NATION_2")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_2")
+                & (F.col("cust_nation") == "NATION_1")
+            )
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q8 shape — market share of one supplier nation inside one customer
+# region, by order year. The share is a conditional-sum ratio (numerator
+# fused into the same hash aggregate as the denominator — no second pass).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q8_market_share",
+    """
+    SELECT o_year,
+           round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                          ELSE 0 END) / sum(volume), 6) AS mkt_share
+    FROM (
+      SELECT CAST(extract(year FROM o_orderdate) AS INT) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             n1.n_name AS supp_nation
+      FROM lineitem
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      JOIN region   ON n2.n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+    ) all_volume
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+    "TPC-H Q8 shape: one nation's share of a region's volume per year — "
+    "numerator and denominator fused in a single hash aggregate",
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    supp = F.broadcast(
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(nat.select("n_nationkey", "n_name")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    # ASIA-region customers: nation⋈region collapses to a tiny broadcast dim
+    asia_cust = F.broadcast(
+        _t(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(
+                nat.join(
+                    F.broadcast(reg),
+                    nat["n_regionkey"] == reg["r_regionkey"],
+                ).select("n_nationkey")
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(asia_cust, orders["o_custkey"] == F.col("c_custkey"), "inner")
+        .join(supp, li["l_suppkey"] == supp["s_suppkey"])
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(
+                        F.lit(0.0)
+                    )
+                )
+                / F.sum(vol),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q10 shape — returned-item revenue per customer, top 20. The per-customer
+# aggregate shuffles on c_custkey once; TakeOrdered replaces a global sort.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q10_returned_items",
+    """
+    SELECT c_custkey, c_name, round(sum(l_extendedprice * (1 - l_discount)), 2)
+             AS revenue,
+           round(max(c_acctbal), 2) AS c_acctbal, n_name
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    "TPC-H Q10 shape: lost-revenue ranking — returnflag filter pushed to "
+    "the lineitem scan, one shuffle agg on custkey, TakeOrdered top-20",
+)
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    cust = _t(spark, sf_dir, "customer")
+    nat = F.broadcast(_t(spark, sf_dir, "nation"))
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(nat, cust["c_nationkey"] == nat["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.round(F.max("c_acctbal"), 2).alias("c_acctbal"),
+        )
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q15 shape — the supplier(s) achieving max revenue. The revenue CTE is
+# aggregated once, then joined against its own 1-row max: Spark plans the
+# max as a broadcast of a single row; no second scan of lineitem (the agg
+# result is reused under AQE exchange reuse).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q15_top_supplier",
+    """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-07-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+    "TPC-H Q15 shape: argmax over an aggregated view — scalar-subquery max "
+    "broadcast against the same aggregate (exchange reuse, no rescan)",
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("total_revenue")
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("mx"))
+    supp = F.broadcast(_t(spark, sf_dir, "supplier").select("s_suppkey", "s_name"))
+    return (
+        revenue.join(F.broadcast(max_rev), F.col("total_revenue") == F.col("mx"))
+        .join(supp, F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q17 shape — small-quantity revenue: lines under half their part's average
+# quantity. The correlated average decorrelates to a per-part aggregate
+# joined back on l_partkey; integer quantities make the threshold exact in
+# both engines (integer sums are exact in doubles).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q17_small_quantity",
+    """
+    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#1'
+      AND l_quantity < (
+        SELECT 0.5 * avg(l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = p_partkey)
+    """,
+    "TPC-H Q17 shape: correlated per-part average threshold — decorrelated "
+    "to one partkey aggregate joined back; brand filter broadcast",
+)
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    brand_parts = F.broadcast(
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#1")
+        .select("p_partkey")
+    )
+    # per-part average over ALL lineitems of that part (the correlated
+    # subquery ranges over lineitem unrestricted by brand — but only
+    # brand-filtered parts can reach the final join, so we semi-join the
+    # average's input to the brand parts to shrink the agg 20×; averages
+    # for parts outside the brand can never be referenced).
+    part_avg = (
+        li.join(brand_parts, li["l_partkey"] == brand_parts["p_partkey"], "left_semi")
+        .groupBy("l_partkey")
+        .agg((F.lit(0.5) * F.avg("l_quantity")).alias("half_avg_qty"))
+        .withColumnRenamed("l_partkey", "avg_partkey")
+    )
+    return (
+        li.join(brand_parts, li["l_partkey"] == brand_parts["p_partkey"])
+        .join(F.broadcast(part_avg), li["l_partkey"] == F.col("avg_partkey"))
+        .filter(F.col("l_quantity") < F.col("half_avg_qty"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q22 shape — wealthy customers with no urgent orders, per nation. NOT EXISTS →
+# anti join on the orders fact; the average-balance threshold is a 1-row
+# broadcast. Group key is the nation (the schema has no phone country code).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q22_idle_customers",
+    """
+    WITH threshold AS (
+      SELECT avg(c_acctbal) AS avg_bal FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c_nationkey AS nationkey, count(*) AS numcust,
+           round(sum(c_acctbal), 2) AS totacctbal
+    FROM customer, threshold
+    WHERE c_acctbal > avg_bal
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderpriority = '1-URGENT')
+    GROUP BY c_nationkey
+    ORDER BY nationkey
+    """,
+    "TPC-H Q22 shape: above-average-balance customers with zero urgent orders — "
+    "1-row threshold broadcast + anti join against the orders fact, "
+    "grouped per nation",
+)
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    threshold = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    return (
+        cust.join(F.broadcast(threshold))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, cust["c_custkey"] == orders["o_custkey"], "left_anti")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q9 shape — profit by supplier nation and year, with p_retailprice as the
+# unit-cost proxy (the schema has no partsupp). part is a broadcast dim;
+# the lineitem⋈orders shuffle is the only exchange before the final
+# (nation, year) aggregate.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q9_profit_by_nation",
+    """
+    SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+    FROM (
+      SELECT n_name AS nation,
+             CAST(extract(year FROM o_orderdate) AS INT) AS o_year,
+             l_extendedprice * (1 - l_discount)
+               - p_retailprice * l_quantity * 0.1 AS amount
+      FROM lineitem
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN part     ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      WHERE p_name LIKE '%r%'
+    ) profit
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+    "TPC-H Q9 shape: profit rollup by supplier nation × order year; "
+    "p_retailprice×qty×0.1 stands in for ps_supplycost (no partsupp in "
+    "the schema); part/supplier/nation broadcast, LIKE filter on the dim",
+)
+def q9_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    part = F.broadcast(
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%r%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    supp = F.broadcast(
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity") * F.lit(0.1)
+    return (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(supp, li["l_suppkey"] == supp["s_suppkey"])
+        .groupBy("nation", F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(F.round(F.sum(amount), 2).alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )

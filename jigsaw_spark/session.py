@@ -66,8 +66,12 @@ def get_spark(app_name: str = "jigsaw_spark", cpus: int | None = None) -> SparkS
         # runtime row-level filtering: build a bloom filter from the small
         # side of a shuffle join and push it into the big side's scan — at
         # 100 TB this skips row groups AQE's partition-level stats can't
+        # NOTE: runtimeFilter.semiJoinReduction is deliberately NOT enabled:
+        # on this Spark build (4.1.2, local mode) turning it on wedges
+        # SparkSession.getOrCreate itself (py4j gateway spins, session never
+        # comes up). Bloom-filter runtime filtering below gives the same
+        # row-level scan skipping without that failure mode.
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
-        .config("spark.sql.optimizer.runtimeFilter.semiJoinReduction.enabled", "true")
         # testdata events.parquet stores ts as TIMESTAMP(NANOS); Spark has no
         # nanos timestamp — read as long and convert in load_table.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -85,18 +89,31 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ``nanosAsLong``) are converted to microsecond timestamps — a projection
     folded into the scan, not a materialization."""
     from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType
+    from pyspark.sql.types import LongType, TimestampNTZType
 
     if name == "events":
-        # runtime-settable; required even when the caller (e.g. the driver's
-        # own SparkSession) didn't go through get_spark()
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Older Spark builds need this to read TIMESTAMP(NANOS) parquet at
+        # all (as nanos-longs); Spark 4.1.2 ignores it and reads NTZ —
+        # both shapes are normalized below. Runtime-settable, so it also
+        # covers callers (e.g. the driver's own SparkSession) that didn't
+        # go through get_spark().
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
-        # integer division: `/` on longs is a DOUBLE divide whose 53-bit
-        # mantissa rounds epoch-nanos (~1.7e18) at ~0.25 µs granularity —
-        # off-by-one-microsecond vs the oracle's exact ns→µs truncation
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        dt = df.schema["ts"].dataType
+        if isinstance(dt, LongType):
+            # integer division: `/` on longs is a DOUBLE divide whose 53-bit
+            # mantissa rounds epoch-nanos (~1.7e18) at ~0.25 µs granularity —
+            # off-by-one-microsecond vs the oracle's exact ns→µs truncation
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(dt, TimestampNTZType):
+            # Spark 4.1.2 reads TIMESTAMP(NANOS) as µs-truncated NTZ; the
+            # session is pinned UTC, so the cast re-labels the same wall
+            # clock as an instant — bit-identical µs to the long path.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

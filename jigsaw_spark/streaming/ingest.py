@@ -22,7 +22,12 @@ from pyspark.sql import types as T
 EVENTS_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # nanos (see session.load_table)
+        # The parquet physical type is TIMESTAMP(NANOS). Declaring TIMESTAMP
+        # here makes the scan emit µs-truncated instants directly (UTC
+        # session) — same values as session.load_table's batch read. (On
+        # Spark 4.1.2 a LongType declaration silently yields MICROS, not
+        # nanos, so the old `div 1000` normalization corrupted event time.)
+        T.StructField("ts", T.TimestampType()),
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -34,17 +39,15 @@ EVENTS_SCHEMA = T.StructType(
 def read_event_stream(
     spark: SparkSession, path: str, glob: str = "*.parquet"
 ) -> DataFrame:
-    """File-source stream over the events directory (nanos ts → timestamp,
-    same conversion as the batch reader). ``path`` must be a directory;
-    ``glob`` narrows it (e.g. 'events.parquet' inside a multi-table dir)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = (
+    """File-source stream over the events directory (nanos ts read as µs
+    instants, same values as the batch reader). ``path`` must be a
+    directory; ``glob`` narrows it (e.g. 'events.parquet' inside a
+    multi-table dir)."""
+    return (
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("pathGlobFilter", glob)
         .parquet(path)
     )
-    # `div`, not `/`: double division rounds epoch-nanos at sub-µs scale
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def windowed_event_counts(
