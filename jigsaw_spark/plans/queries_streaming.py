@@ -133,3 +133,62 @@ def stream_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
     return spark.table(name)
+
+
+@register(
+    "stream_stream_join",
+    """
+    SELECT v.user_id, count(*) AS n_pairs
+    FROM events v
+    JOIN events c
+      ON v.user_id = c.user_id
+     AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 10 MINUTE
+    WHERE v.event_type = 'view' AND c.event_type = 'click'
+    GROUP BY v.user_id
+    """,
+    "stream-stream interval join: view-stream ⋈ click-stream on user_id "
+    "within a 10-minute event-time band, both sides watermarked so join "
+    "state is evicted once the watermark passes the band (the 100 TB/day "
+    "requirement: state is bounded by watermark × arrival rate, not by "
+    "stream history). AvailableNow drain over a static dir == batch "
+    "interval join, which is the oracle.",
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    views = (
+        read_event_stream(spark, sf_dir, glob="events.parquet")
+        .filter(F.col("event_type") == "view")
+        .withWatermark("ts", "1 hour")
+        .select(F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts"))
+    )
+    clicks = (
+        read_event_stream(spark, sf_dir, glob="events.parquet")
+        .filter(F.col("event_type") == "click")
+        .withWatermark("ts", "1 hour")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+    )
+    joined = views.join(
+        clicks,
+        F.expr(
+            "v_user = c_user AND c_ts >= v_ts"
+            " AND c_ts <= v_ts + interval 10 minutes"
+        ),
+    )
+    name = f"stream_join_{uuid.uuid4().hex[:8]}"
+    with _state_partitions(spark):
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    from pyspark.sql import functions as F2
+
+    return (
+        spark.table(name)
+        .groupBy(F2.col("v_user").alias("user_id"))
+        .agg(F2.count(F2.lit(1)).alias("n_pairs"))
+    )

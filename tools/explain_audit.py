@@ -32,7 +32,17 @@ SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 # queries where a cross/nested-loop join is the intended physical shape
 # queries whose nested-loop joins are intentional: broadcast all-pairs
 # against a tiny side (query set / band dim / IVF codebook / 1-row scalar)
-ALL_PAIRS_OK = {"ann_cosine_topk", "j6_range_join", "ann_ivf_topk", "text_tfidf"}
+ALL_PAIRS_OK = {
+    "ann_cosine_topk",
+    "j6_range_join",
+    "ann_ivf_topk",
+    "text_tfidf",
+    # 1-row scalar broadcast crossed into the fact side (bounds row /
+    # avg-balance threshold): a degenerate BroadcastNestedLoopJoin that is
+    # O(n) at any scale — the intended physical shape
+    "ts_gap_fill",
+    "q22_idle_customers",
+}
 # queries expected to push a filter into the parquet scan
 EXPECT_PUSHDOWN = {
     "q1_pricing_summary",
