@@ -31,7 +31,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -54,6 +54,38 @@ def exact_sample(
     if tiebreak_cols:
         order += [F.col(c).asc() for c in tiebreak_cols]
     return df.orderBy(*order).limit(n)
+
+
+def weighted_sample(
+    df: DataFrame,
+    n: int,
+    key_cols: list[str],
+    weight: Column,
+    seed: str = "wsample-42",
+) -> DataFrame:
+    """Exact-N weighted sample without replacement (Efraimidis-Spirakis
+    A-ES), deterministic in the key — the data-mixture sampler: rows with
+    weight 2w are selected ~2x as often as weight w, exactly N survive.
+
+    Each row draws u ~ Uniform(0,1] from its md5 stream; the rank key is
+    ln(u)/weight and the N largest win. Scale shape: TakeOrdered top-N
+    (per-partition heaps + single merge), no global sort, no shuffle of
+    the full input — same physical plan as exact_sample. Portable: the
+    oracle reproduces u from the same md5 hex prefix bit-for-bit."""
+    u = (
+        F.conv(F.substring(md5_key(*key_cols, seed=seed), 1, 12), 16, 10).cast(
+            "double"
+        )
+        + F.lit(1.0)
+    ) / F.lit(float(16**12))
+    wkey = F.log(u) / weight
+    key_sort = [F.col(c).asc() for c in key_cols]
+    return (
+        df.withColumn("_wkey", wkey)
+        .orderBy(F.desc("_wkey"), *key_sort)
+        .limit(n)
+        .drop("_wkey")
+    )
 
 
 def stratified_sample(

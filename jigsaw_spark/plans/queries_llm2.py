@@ -149,3 +149,45 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("contamination"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Data-mixture sampling: weighted exact-N selection over the corpus, with
+# per-source weights (the "sample src3 3x as much as src1" step every
+# training-data mixture applies). Weight here derives from the source id so
+# the oracle can recompute it without a dim table; in production it's a
+# broadcast-joined weights dimension.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "p_weighted_sample",
+    """
+    WITH weighted AS (
+      SELECT doc_id, source,
+             CAST(1.0 + CAST(substr(source, 4) AS INT) % 7 AS DOUBLE) AS w,
+             ln((('0x' || substr(
+                    md5(concat_ws('|', 'wsample-42', CAST(doc_id AS VARCHAR))),
+                    1, 12))::UBIGINT + 1.0) / 281474976710656.0)
+               / (1.0 + CAST(substr(source, 4) AS INT) % 7) AS wkey
+      FROM documents
+    )
+    SELECT doc_id, source, w
+    FROM weighted
+    ORDER BY wkey DESC, doc_id
+    LIMIT 100
+    """,
+    "Efraimidis-Spirakis weighted exact-N sample (data-mixture sampling): "
+    "ln(u)/w rank keys from the md5 stream, TakeOrdered top-N",
+)
+def p_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jigsaw_spark.operators.samples import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    w = 1.0 + F.substring("source", 4, 10).cast("int") % 7
+    return weighted_sample(
+        docs.select("doc_id", "source", w.alias("w")),
+        100,
+        ["doc_id"],
+        F.col("w"),
+    )

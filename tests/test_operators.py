@@ -241,3 +241,40 @@ def test_edit_distance_pairs_blocked(spark):
         length_bucket=10, prefix_len=60, max_distance=5,
     ).collect()
     assert [(r.doc_a, r.doc_b, r.distance) for r in got] == [(1, 2, 1)]
+
+
+def test_weighted_sample_exact_n_and_weight_bias(spark):
+    """A-ES weighted sampling: exactly N rows, deterministic membership,
+    and heavy-weight rows overrepresented vs their population share."""
+    from pyspark.sql import functions as F
+
+    from jigsaw_spark.operators.samples import weighted_sample
+
+    # 2000 rows: 10% carry weight 20, 90% weight 1
+    base = spark.range(2000).select(
+        F.col("id"),
+        F.when(F.col("id") % 10 == 0, 20.0).otherwise(1.0).alias("w"),
+    )
+    got = weighted_sample(base, 200, ["id"], F.col("w"))
+    rows = got.collect()
+    assert len(rows) == 200
+    # determinism: same call → same membership
+    again = {r.id for r in weighted_sample(base, 200, ["id"], F.col("w")).collect()}
+    assert {r.id for r in rows} == again
+    # bias: heavy rows are 10% of the population but weight 20/1; expected
+    # share in the sample is far above 10% — assert a loose 25% floor
+    heavy = sum(1 for r in rows if r.id % 10 == 0)
+    assert heavy >= 50, heavy
+
+
+def test_weighted_sample_uniform_weights_match_exact_sample_scale(spark):
+    """With all weights equal the selection law reduces to a uniform
+    exact-N draw: ln(u)/c is a monotone transform of u."""
+    from pyspark.sql import functions as F
+
+    from jigsaw_spark.operators.samples import weighted_sample
+
+    base = spark.range(500).select("id", F.lit(3.0).alias("w"))
+    a = {r.id for r in weighted_sample(base, 50, ["id"], F.col("w")).collect()}
+    b = {r.id for r in weighted_sample(base, 50, ["id"], F.lit(7.0)).collect()}
+    assert a == b  # weight scale cancels out of the ranking

@@ -456,3 +456,21 @@ def test_write_partitioned_prunes_partitions(spark, tmp_path):
     # round-trip count matches the unpartitioned filter
     want = events.filter(F.col("event_date") == one_day).count()
     assert q.count() == want > 0
+
+
+def test_orc_roundtrip_pushdown(spark, tmp_path):
+    """ORC source/sink parity: write the orders table as ORC, read it back
+    identically, and confirm predicate pushdown reaches the ORC scan."""
+    from jigsaw_spark.session import load_table
+
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders").limit(500)
+    out = str(tmp_path / "orders_orc")
+    orders.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    assert back.count() == 500
+    assert {f.name for f in back.schema} == {f.name for f in orders.schema}
+    filtered = back.filter(back.o_orderkey < 100)
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "orc" in plan.lower()
+    assert "PushedFilters: [IsNotNull(o_orderkey), LessThan(o_orderkey," in plan
+    assert filtered.count() == orders.filter("o_orderkey < 100").count()
