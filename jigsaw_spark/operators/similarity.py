@@ -342,3 +342,54 @@ def srp_buckets(
         F.col(id_col),
         srp_signature_udf(planes)(F.col(vec_col)).alias("sig"),
     )
+
+
+def kmeans_lloyd(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
+    """Spherical k-means (Lloyd) over an embedding column — the trainer
+    that produces the IVF coarse-quantizer codebook `ivf_assign`/`ivf_topk`
+    consume. Returns (assignment DataFrame, trained centroids).
+
+    Scale shape per iteration: one map-only cosine assignment (codebook in
+    the UDF closure — broadcast), then one (cell, dim) hash aggregate for
+    the new means. The codebook is k×dim floats (KBs) — collecting it to
+    the driver between iterations is the standard pattern; the corpus
+    itself never leaves executors and is re-scanned, not cached, so the
+    loop holds no lineage (each iteration's plan starts from the parquet
+    scan, sidestepping iterative-lineage blowup entirely).
+
+    Deterministic: seeds are the first k vectors in md5(id) order, and
+    assignment tie-breaks round-9 toward the lowest cell id (same contract
+    as ivf_assign), so the trained codebook is reproducible run to run.
+    """
+    from jigsaw_spark.functions.hashing import det_order
+
+    seeds = (
+        df.select(id_col, vec_col)
+        .orderBy(*det_order(id_col, seed="kmeans-init"))
+        .limit(k)
+        .collect()
+    )
+    centroids = [(i, list(map(float, r[vec_col]))) for i, r in enumerate(seeds)]
+    assigned = None
+    for _ in range(iters):
+        assigned = ivf_assign(df, centroids, id_col=id_col, vec_col=vec_col)
+        means = (
+            assigned.join(df.select(id_col, vec_col), id_col)
+            .select("cell", F.posexplode(_to_double(F.col(vec_col))))
+            .groupBy("cell", "pos")
+            .agg(F.avg("col").alias("m"))
+            .groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select("cell", F.col("pm.m").alias("centroid"))
+            .collect()
+        )
+        new = {r["cell"]: list(map(float, r["centroid"])) for r in means}
+        # empty cells keep their previous centroid (standard Lloyd rule)
+        centroids = [(c, new.get(c, v)) for c, v in centroids]
+    return assigned, centroids

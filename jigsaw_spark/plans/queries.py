@@ -1454,5 +1454,6 @@ from jigsaw_spark.plans import queries_rel3  # noqa: E402,F401
 from jigsaw_spark.plans import queries_rel4  # noqa: E402,F401
 from jigsaw_spark.plans import queries_rel5  # noqa: E402,F401
 from jigsaw_spark.plans import queries_fn3  # noqa: E402,F401
+from jigsaw_spark.plans import queries_fn4  # noqa: E402,F401
 from jigsaw_spark.plans import queries_llm2  # noqa: E402,F401
 from jigsaw_spark.plans import queries_streaming  # noqa: E402,F401

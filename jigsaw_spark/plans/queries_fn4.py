@@ -1,0 +1,181 @@
+"""Statistics aggregates, math/bitwise scalar suite, cogrouped-pandas
+operator, and iterative k-means training.
+
+- `agg_stats_suite`: the bivariate statistics family (corr / covar /
+  regr_*) — single hash aggregate, all six statistics share one pass.
+- `fn_math_bitwise`: transcendental + bitwise scalar surface, pinned
+  against DuckDB (xor spells differently; semantics identical).
+- `cogroup_fill_ratio`: `applyInPandas` over COGROUPED frames — the API
+  surface for per-key merges too custom for a join (here verified against
+  the equivalent join+agg SQL so the kernel itself is oracle-checked).
+- `ml_kmeans`: Lloyd-trained IVF codebook (operators/similarity.kmeans_
+  lloyd) — iterative, not SQL-expressible; rows-only driver check plus a
+  numpy-parity unit test.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jigsaw_spark.plans.queries import _t, register
+
+
+@register(
+    "agg_stats_suite",
+    """
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 6)        AS r,
+           round(covar_pop(l_quantity, l_extendedprice), 4)   AS cov_p,
+           round(covar_samp(l_quantity, l_extendedprice), 4)  AS cov_s,
+           round(regr_slope(l_extendedprice, l_quantity), 4)  AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 4) AS icept,
+           round(regr_r2(l_extendedprice, l_quantity), 6)     AS r2
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    "bivariate statistics suite: corr/covar_pop/covar_samp/regr_slope/"
+    "regr_intercept/regr_r2 fused into one hash aggregate (one shuffle, "
+    "map-side partials for every moment)",
+)
+def agg_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    q, p = F.col("l_quantity"), F.col("l_extendedprice")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr(q, p), 6).alias("r"),
+            F.round(F.covar_pop(q, p), 4).alias("cov_p"),
+            F.round(F.covar_samp(q, p), 4).alias("cov_s"),
+            F.round(F.regr_slope(p, q), 4).alias("slope"),
+            F.round(F.regr_intercept(p, q), 4).alias("icept"),
+            F.round(F.regr_r2(p, q), 6).alias("r2"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "fn_math_bitwise",
+    """
+    SELECT o_orderkey,
+           o_orderkey & 255                   AS low_bits,
+           o_orderkey | 4096                  AS with_flag,
+           xor(o_orderkey, 21845)             AS xored,
+           o_orderkey << 2                    AS shifted_l,
+           o_orderkey >> 3                    AS shifted_r,
+           round(exp(o_totalprice / 500000.0), 6)  AS e_scaled,
+           round(pow(o_totalprice, 0.5), 4)   AS sqrt_price,
+           round(log10(o_totalprice + 1.0), 6) AS log10_price,
+           round(log2(CAST(o_orderkey + 2 AS DOUBLE)), 6) AS log2_key,
+           sign(o_totalprice - 100000.0)      AS above_100k,
+           CAST(floor(o_totalprice / 1000.0) AS BIGINT) AS price_kbin,
+           abs(o_custkey - 750)               AS dist_mid
+    FROM orders
+    """,
+    "math + bitwise scalar surface: &,|,xor,shifts and exp/pow/log10/"
+    "log2/sign/floor/abs — whole-stage-codegen projection, zero shuffle",
+)
+def fn_math_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    key, price = F.col("o_orderkey"), F.col("o_totalprice")
+    return orders.select(
+        "o_orderkey",
+        key.bitwiseAND(F.lit(255)).alias("low_bits"),
+        key.bitwiseOR(F.lit(4096)).alias("with_flag"),
+        key.bitwiseXOR(F.lit(21845)).alias("xored"),
+        F.shiftleft(key, 2).alias("shifted_l"),
+        F.shiftright(key, 3).alias("shifted_r"),
+        F.round(F.exp(price / 500000.0), 6).alias("e_scaled"),
+        F.round(F.pow(price, 0.5), 4).alias("sqrt_price"),
+        F.round(F.log10(price + 1.0), 6).alias("log10_price"),
+        F.round(F.log2((key + 2).cast("double")), 6).alias("log2_key"),
+        F.signum(price - 100000.0).alias("above_100k"),
+        F.floor(price / 1000.0).cast("bigint").alias("price_kbin"),
+        F.abs(F.col("o_custkey") - 750).alias("dist_mid"),
+    )
+
+
+@register(
+    "cogroup_fill_ratio",
+    """
+    SELECT o.o_orderkey,
+           count(l.l_orderkey) AS n_lines,
+           round(coalesce(sum(l.l_extendedprice * (1 - l.l_discount)), 0.0)
+                 / max(o.o_totalprice), 6) AS fill_ratio
+    FROM orders o LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey % 20 = 0
+    GROUP BY o.o_orderkey
+    """,
+    "applyInPandas over COGROUPED frames: per-order custom merge of the "
+    "orders and lineitem groups in one Arrow-batched kernel — the API "
+    "surface for per-key logic a join can't express; this instance is "
+    "deliberately join-expressible so the kernel is oracle-verified",
+)
+def cogroup_fill_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 20 == 0)
+        .select("o_orderkey", "o_totalprice")
+    )
+    # prune the fact side BEFORE the cogroup: the %20 predicate is cheap on
+    # lineitem directly (same arithmetic), so only surviving groups reach
+    # the Python kernel. Without this, every lineitem group pays an Arrow
+    # batch + kernel call just to emit nothing — per-key pandas overhead is
+    # the cost model here, so cogroup keys must be pre-pruned at scale.
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 20 == 0)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+
+    def merge(o: pd.DataFrame, l: pd.DataFrame) -> pd.DataFrame:
+        if o.empty:  # lineitem group with no surviving order row
+            return pd.DataFrame(
+                columns=["o_orderkey", "n_lines", "fill_ratio"]
+            ).astype({"o_orderkey": "int64", "n_lines": "int64", "fill_ratio": "float64"})
+        rev = float((l["l_extendedprice"] * (1.0 - l["l_discount"])).sum())
+        return pd.DataFrame(
+            {
+                "o_orderkey": [int(o["o_orderkey"].iloc[0])],
+                "n_lines": [int(len(l))],
+                "fill_ratio": [round(rev / float(o["o_totalprice"].iloc[0]), 6)],
+            }
+        )
+
+    return (
+        orders.groupBy("o_orderkey")
+        .cogroup(li.groupBy("l_orderkey"))
+        .applyInPandas(
+            merge, "o_orderkey long, n_lines long, fill_ratio double"
+        )
+    )
+
+
+@register(
+    "ml_kmeans",
+    None,  # iterative training — not SQL-expressible; rows-only check
+    "Lloyd k-means over the embeddings table (3 iterations, k=8): trains "
+    "the IVF coarse-quantizer codebook. Per iteration: broadcast-codebook "
+    "cosine assignment (map-only) + one (cell, dim) hash aggregate; the "
+    "corpus is re-scanned each pass (no cached lineage chain). Output: "
+    "per-cell sizes + centroid norms, deterministic via md5-seeded init.",
+)
+def ml_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jigsaw_spark.functions.vectors import l2_norm
+    from jigsaw_spark.operators.similarity import kmeans_lloyd
+
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned, centroids = kmeans_lloyd(emb, k=8, iters=3)
+    cent_df = spark.createDataFrame(
+        [(c, v) for c, v in centroids], "cell long, centroid array<double>"
+    )
+    sizes = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        sizes.join(cent_df, "cell")
+        .select("cell", "n", F.round(l2_norm("centroid"), 6).alias("c_norm"))
+        .orderBy("cell")
+    )

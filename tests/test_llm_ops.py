@@ -205,3 +205,63 @@ def test_connected_components_clusters_and_keepers(spark):
             for r in connected_components(pairs, strategy=strategy).collect()
         }
         assert got == expect, strategy
+
+
+def test_kmeans_lloyd_matches_numpy(spark):
+    """kmeans_lloyd == a straight numpy Lloyd run with the same seeds,
+    same cosine assignment, same round-9/lowest-id tie-break."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from jigsaw_spark.functions.hashing import det_order
+    from jigsaw_spark.operators.similarity import kmeans_lloyd
+    from tests.conftest import SF_SMOKE
+
+    from jigsaw_spark.session import load_table
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    k, iters = 4, 2
+    assigned, centroids = kmeans_lloyd(emb, k=k, iters=iters)
+    got = {r.vec_id: r.cell for r in assigned.collect()}
+
+    # numpy replica
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    X = np.array([r.embedding for r in rows], dtype=np.float64)
+    seed_ids = [
+        r.vec_id
+        for r in emb.select("vec_id")
+        .orderBy(*det_order("vec_id", seed="kmeans-init"))
+        .limit(k)
+        .collect()
+    ]
+    C = np.vstack([X[ids == sid][0] for sid in seed_ids])
+    for _ in range(iters):
+        S = (X @ C.T) / np.outer(
+            np.linalg.norm(X, axis=1), np.linalg.norm(C, axis=1)
+        )
+        a = np.argmax(np.round(S, 9), axis=1)
+        C = np.vstack(
+            [X[a == c].mean(axis=0) if (a == c).any() else C[c] for c in range(k)]
+        )
+    S = (X @ C.T) / np.outer(np.linalg.norm(X, axis=1), np.linalg.norm(C, axis=1))
+    want = dict(zip(ids.tolist(), np.argmax(np.round(S, 9), axis=1).tolist()))
+    # the engine's `assigned` is the assignment made with the penultimate
+    # codebook (assignment happens before the final mean update), so
+    # compare against the numpy assignment from that same stage
+    C2 = np.vstack([X[ids == sid][0] for sid in seed_ids])
+    for _ in range(iters - 1):
+        S2 = (X @ C2.T) / np.outer(
+            np.linalg.norm(X, axis=1), np.linalg.norm(C2, axis=1)
+        )
+        a2 = np.argmax(np.round(S2, 9), axis=1)
+        C2 = np.vstack(
+            [X[a2 == c].mean(axis=0) if (a2 == c).any() else C2[c] for c in range(k)]
+        )
+    S2 = (X @ C2.T) / np.outer(np.linalg.norm(X, axis=1), np.linalg.norm(C2, axis=1))
+    want_last = dict(zip(ids.tolist(), np.argmax(np.round(S2, 9), axis=1).tolist()))
+    assert got == want_last
+    # trained centroids ≈ numpy centroids after the full loop
+    trained = np.array([v for _, v in centroids])
+    np.testing.assert_allclose(np.sort(np.linalg.norm(trained, axis=1)),
+                               np.sort(np.linalg.norm(C, axis=1)), rtol=1e-9)
