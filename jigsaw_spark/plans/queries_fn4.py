@@ -105,7 +105,7 @@ def fn_math_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(coalesce(sum(l.l_extendedprice * (1 - l.l_discount)), 0.0)
                  / max(o.o_totalprice), 6) AS fill_ratio
     FROM orders o LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-    WHERE o.o_orderkey % 20 = 0
+    WHERE o.o_orderkey % 200 = 0
     GROUP BY o.o_orderkey
     """,
     "applyInPandas over COGROUPED frames: per-order custom merge of the "
@@ -118,17 +118,17 @@ def cogroup_fill_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = (
         _t(spark, sf_dir, "orders")
-        .filter(F.col("o_orderkey") % 20 == 0)
+        .filter(F.col("o_orderkey") % 200 == 0)
         .select("o_orderkey", "o_totalprice")
     )
-    # prune the fact side BEFORE the cogroup: the %20 predicate is cheap on
+    # prune the fact side BEFORE the cogroup: the %200 predicate is cheap on
     # lineitem directly (same arithmetic), so only surviving groups reach
     # the Python kernel. Without this, every lineitem group pays an Arrow
     # batch + kernel call just to emit nothing — per-key pandas overhead is
     # the cost model here, so cogroup keys must be pre-pruned at scale.
     li = (
         _t(spark, sf_dir, "lineitem")
-        .filter(F.col("l_orderkey") % 20 == 0)
+        .filter(F.col("l_orderkey") % 200 == 0)
         .select("l_orderkey", "l_extendedprice", "l_discount")
     )
 

@@ -432,3 +432,96 @@ def q9_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum(amount), 2).alias("sum_profit"))
         .orderBy("nation", F.desc("o_year"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Q4 shape — order-priority distribution over orders having at least one
+# qualifying line. EXISTS decorrelates to a left-semi join; the semi join's
+# build side is the filtered lineitem scan, and the final priority agg is
+# tiny. One shuffle (the semi join on orderkey), then a near-driver agg.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q4_priority_check",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-07-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_discount > 0.08)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    "TPC-H Q4 shape: EXISTS → left-semi join on orderkey, then the "
+    "5-row priority distribution",
+)
+def q4_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    qualifying = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_discount") > 0.08)
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(
+            qualifying, orders["o_orderkey"] == qualifying["l_orderkey"], "left_semi"
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q16 shape — supplier-count distribution per (brand, type, size) class,
+# excluding a NOT-IN supplier blacklist. NOT IN over a non-nullable key
+# decorrelates to an anti join; count(DISTINCT s_suppkey) expands to a
+# two-phase aggregate. part is the broadcast dim on the lineitem bridge
+# (the schema has no partsupp; lineitem supplies the part⋈supplier pairs).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q16_supplier_cnt",
+    """
+    SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_type <> 'PROMO'
+      AND p_size IN (1, 2, 3, 4, 5)
+      AND l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+    GROUP BY p_brand, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_size
+    """,
+    "TPC-H Q16 shape: NOT IN blacklist → anti join, distinct-count per "
+    "(brand, size) class via two-phase aggregate, broadcast part dim",
+)
+def q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = F.broadcast(
+        _t(spark, sf_dir, "part")
+        .filter((F.col("p_type") != "PROMO") & F.col("p_size").isin(1, 2, 3, 4, 5))
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    blacklist = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0.0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .join(
+            F.broadcast(blacklist),
+            li["l_suppkey"] == blacklist["s_suppkey"],
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_size")
+    )
