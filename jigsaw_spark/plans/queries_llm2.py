@@ -191,3 +191,153 @@ def p_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["doc_id"],
         F.col("w"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction: scrub emails/phones from text before training. The corpus
+# has no PII, so each doc gets a deterministic synthetic contact line
+# appended, then the scrubber removes it — the query verifies detection
+# counts AND the exact post-scrub text (md5), so the redaction itself is
+# oracle-checked. Pure regexp projection: zero shuffle, codegen'd, linear.
+# Patterns stay in the Java∩RE2∩PCRE common subset (character classes,
+# +/{n} quantifiers — no lookaround) so any engine agrees byte-for-byte.
+# ---------------------------------------------------------------------------
+
+_EMAIL_RE = r"[a-z0-9]+@[a-z0-9]+\.[a-z]+"
+_PHONE_RE = r"\+1-555-[0-9]{4}"
+
+
+@register(
+    "text_pii_scrub",
+    f"""
+    WITH synth AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id ||
+             '@example.com or +1-555-' ||
+             lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS raw
+      FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(raw, '{_EMAIL_RE}'))  AS n_emails,
+           len(regexp_extract_all(raw, '{_PHONE_RE}')) AS n_phones,
+           md5(regexp_replace(regexp_replace(raw, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                              '{_PHONE_RE}', '<PHONE>', 'g')) AS scrubbed_md5
+    FROM synth
+    """,
+    "PII redaction: global regexp scrub of emails + phones, verified by "
+    "match counts and the md5 of the redacted text",
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(raw, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(raw, F.lit(_EMAIL_RE), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all(raw, F.lit(_PHONE_RE), 0)).alias("n_phones"),
+        F.md5(scrubbed.cast("binary")).alias("scrubbed_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization: the dedup key for web corpora. Synthetic URLs get
+# the standard normalizations — lowercase scheme+host, tracking params
+# (utm_*) stripped, fragment dropped — then dedup-count per canonical
+# host. Everything is split_part / lambda-filter string algebra shared by
+# both engines; zero shuffle except the final per-host rollup.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_url_canon",
+    """
+    WITH urls AS (
+      SELECT doc_id,
+             'https://' || upper(substr(source, 1, 1)) || substr(source, 2)
+               || '.Example.COM/Docs/' || doc_id
+               || '?utm_source=feed&id=' || doc_id % 7 || '&utm_c=x#frag'
+               AS url
+      FROM documents
+    ), parts AS (
+      SELECT doc_id,
+             lower(split_part(url, '/', 3)) AS host,
+             split_part(split_part(url, '?', 1), '/', 5) AS path_leaf,
+             array_to_string(
+               list_filter(
+                 str_split(split_part(split_part(url, '?', 2), '#', 1), '&'),
+                 x -> NOT starts_with(x, 'utm_')),
+               '&') AS clean_query
+      FROM urls
+    )
+    SELECT host,
+           count(*) AS n_docs,
+           count(DISTINCT 'https://' || host || '/docs/' || path_leaf ||
+                 CASE WHEN clean_query = '' THEN '' ELSE '?' || clean_query END)
+             AS n_canonical
+    FROM parts
+    GROUP BY host
+    ORDER BY host
+    """,
+    "URL canonicalization for web-corpus dedup: lowercase host, strip "
+    "utm_* params and fragment via shared split/lambda string algebra, "
+    "then per-host canonical-URL counts",
+)
+def dedup_url_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.upper(F.substring("source", 1, 1)),
+        F.expr("substring(source, 2)"),
+        F.lit(".Example.COM/Docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?utm_source=feed&id="),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit("&utm_c=x#frag"),
+    )
+    parts = docs.select(
+        "doc_id",
+        F.lower(F.split_part(url, F.lit("/"), F.lit(3))).alias("host"),
+        F.split_part(
+            F.split_part(url, F.lit("?"), F.lit(1)), F.lit("/"), F.lit(5)
+        ).alias("path_leaf"),
+        F.array_join(
+            F.filter(
+                F.split(
+                    F.split_part(
+                        F.split_part(url, F.lit("?"), F.lit(2)),
+                        F.lit("#"),
+                        F.lit(1),
+                    ),
+                    "&",
+                ),
+                lambda x: ~x.startswith("utm_"),
+            ),
+            "&",
+        ).alias("clean_query"),
+    )
+    canonical = F.concat(
+        F.lit("https://"),
+        F.col("host"),
+        F.lit("/docs/"),
+        F.col("path_leaf"),
+        F.when(F.col("clean_query") == "", F.lit("")).otherwise(
+            F.concat(F.lit("?"), F.col("clean_query"))
+        ),
+    )
+    return (
+        parts.select("host", canonical.alias("canon"))
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("canon").alias("n_canonical"),
+        )
+        .orderBy("host")
+    )
