@@ -78,12 +78,11 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Contamination: distinct-4-gram overlap between the corpus and a
 # "benchmark" subset (doc_id % 50 == 0 → 2% of docs, the held-out stand-in).
 # The benchmark's distinct gram set is tiny relative to the corpus → built
-# once and BROADCAST; the probe side explodes distinct grams per doc and
-# semi-joins the broadcast, so the corpus never shuffles. At 100 TB this is
-# exactly the shape you want: benchmark n-gram sets are MBs (bounded by the
-# eval suites), corpus is the 100 TB side, and a broadcast hash semi-join
-# keeps it map-side; the per-doc re-aggregation groups on doc_id, the same
-# key the explode preserved, so AQE coalesces it locally.
+# once and BROADCAST; the probe side is one (doc_id, gram) distinct plus a
+# broadcast left join with a hit flag, re-aggregated per doc. At 100 TB:
+# benchmark n-gram sets are MBs (bounded by the eval suites), the corpus is
+# the big side, and its only exchange is the (doc_id, gram) distinct the
+# dedup needs anyway — the join itself stays map-side.
 # ---------------------------------------------------------------------------
 
 
@@ -117,35 +116,43 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     "corpus against a broadcast benchmark gram set",
 )
 def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _t(spark, sf_dir, "documents")
-    grams = (
-        docs.select("doc_id", tokens_expr("text").alias("t"))
-        .filter(F.size("t") >= 4)
-        .select("doc_id", F.array_distinct(shingles_expr("t", 4)).alias("grams"))
+    from jigsaw_spark.session import widen
+
+    # widen(): the shingle kernel is CPU-bound and chained on a scan that
+    # locally yields ONE partition (single-row-group parquet) — without
+    # width it runs 1-task (measured 36 s at sf0.1; ~2 s with it).
+    docs = widen(_t(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", tokens_expr("text").alias("t")).filter(
+        F.size("t") >= 4
     )
+    # distinct grams as ROWS, not arrays: explode the raw shingle stream and
+    # dedupe (doc_id, g) in the exchange. Never explode(array_distinct(...))
+    # — Generate re-evaluates a non-trivial generator child per OUTPUT row
+    # (measured 13 s vs 0.2 s at sf0.1); the row-level distinct does the
+    # same dedup inside the shuffle Spark needs anyway.
+    ex = toks.select(
+        "doc_id", F.explode(shingles_expr("t", 4)).alias("g")
+    ).distinct()
     bench = F.broadcast(
-        grams.filter(F.col("doc_id") % 50 == 0)
-        .select(F.explode("grams").alias("g"))
+        ex.filter(F.col("doc_id") % 50 == 0)
+        .select("g")
         .distinct()
-    )
-    probe = grams.filter(F.col("doc_id") % 50 != 0)
-    hits = (
-        probe.select("doc_id", F.explode("grams").alias("g"))
-        .join(bench, "g")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_contaminated"))
-        .withColumnRenamed("doc_id", "hit_doc_id")
+        .withColumn("hit", F.lit(1))
     )
     return (
-        probe.join(hits, probe["doc_id"] == hits["hit_doc_id"], "left")
+        ex.filter(F.col("doc_id") % 50 != 0)
+        .join(bench, "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce("hit", F.lit(0))).alias("n_contaminated"),
+        )
         .select(
             "doc_id",
-            F.size("grams").alias("n_grams"),
-            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+            "n_grams",
+            "n_contaminated",
             F.round(
-                F.coalesce("n_contaminated", F.lit(0)).cast("double")
-                / F.size("grams"),
-                6,
+                F.col("n_contaminated").cast("double") / F.col("n_grams"), 6
             ).alias("contamination"),
         )
     )

@@ -129,3 +129,20 @@ def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> dict[str, 
         df.createOrReplaceTempView(name)
         out[name] = df
     return out
+
+
+def widen(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Give a CPU-heavy narrow pipeline enough partitions to use every core.
+
+    File scans derive partition count from splittable bytes; the driver's
+    single-row-group local parquet yields ONE partition, serializing any
+    expensive projection chained on the scan (measured: the contamination
+    query's shingle kernel ran 1-task, 36 s at sf0.1). At 100 TB the scan
+    itself supplies width (thousands of files/row groups) and this is a
+    no-op by the partition-count guard; locally it costs one cheap shuffle
+    of raw rows before the expensive compute."""
+    sc = df.sparkSession.sparkContext
+    target = min_parts or sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= max(2, target // 2):
+        return df
+    return df.repartition(target)

@@ -474,3 +474,45 @@ def test_orc_roundtrip_pushdown(spark, tmp_path):
     assert "orc" in plan.lower()
     assert "PushedFilters: [IsNotNull(o_orderkey), LessThan(o_orderkey," in plan
     assert filtered.count() == orders.filter("o_orderkey < 100").count()
+
+
+def test_jsonl_roundtrip_schema_and_values(spark, tmp_path):
+    """JSON-lines sink/source parity: nested struct + array columns
+    survive the roundtrip with explicit schema on re-read."""
+    from pyspark.sql import functions as F
+
+    from jigsaw_spark.session import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id",
+        "lang",
+        F.struct("source", "n_chars").alias("meta"),
+        F.split("text", " ").alias("words"),
+    )
+    out = str(tmp_path / "docs_jsonl")
+    docs.write.mode("overwrite").json(out)
+    back = spark.read.schema(docs.schema).json(out)
+    assert back.count() == docs.count()
+    a = {r.doc_id: (r.meta.source, len(r.words)) for r in docs.collect()}
+    b = {r.doc_id: (r.meta.source, len(r.words)) for r in back.collect()}
+    assert a == b
+
+
+def test_csv_roundtrip_header_and_types(spark, tmp_path):
+    """CSV sink/source parity with header + explicit schema (the lake
+    interchange format for flat tables)."""
+    from jigsaw_spark.session import load_table
+
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    out = str(tmp_path / "orders_csv")
+    orders.write.mode("overwrite").option("header", True).csv(out)
+    back = (
+        spark.read.option("header", True).schema(orders.schema).csv(out)
+    )
+    assert back.count() == orders.count()
+    assert back.schema == orders.schema
+    a = sorted(r.o_orderkey for r in orders.collect())
+    b = sorted(r.o_orderkey for r in back.collect())
+    assert a == b
