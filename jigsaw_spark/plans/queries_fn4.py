@@ -179,3 +179,100 @@ def ml_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("cell", "n", F.round(l2_norm("centroid"), 6).alias("c_norm"))
         .orderBy("cell")
     )
+
+
+@register(
+    "agg_grouping_sets",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           grouping(o_orderstatus) AS g_status,
+           grouping(o_orderpriority) AS g_priority,
+           count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                            (o_orderstatus), ())
+    ORDER BY g_status, g_priority, o_orderstatus, o_orderpriority
+    """,
+    "arbitrary GROUPING SETS (beyond rollup/cube) with grouping() markers "
+    "— one Expand + one hash aggregate, each set shares the same shuffle",
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    o = os.path.join(sf_dir, "orders.parquet")
+    return spark.sql(
+        f"""
+        SELECT o_orderstatus, o_orderpriority,
+               grouping(o_orderstatus) AS g_status,
+               grouping(o_orderpriority) AS g_priority,
+               count(*) AS n, round(sum(o_totalprice), 2) AS total
+        FROM parquet.`{o}`
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), ())
+        ORDER BY g_status, g_priority, o_orderstatus, o_orderpriority
+        """
+    )
+
+
+@register(
+    "ts_locf",
+    """
+    SELECT event_id, user_id,
+           round(last_value(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS v_locf
+    FROM (SELECT event_id, user_id, ts,
+                 CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+          FROM events)
+    """,
+    "last-observation-carried-forward: ignore-nulls last_value over an "
+    "explicit running frame — the sensor/telemetry gap-fill pattern; one "
+    "shuffle on the partition key",
+)
+def ts_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    v = F.when(F.col("event_type") == "error", F.lit(None)).otherwise(
+        F.col("value")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.last(v, ignorenulls=True).over(w), 4).alias("v_locf"),
+    )
+
+
+@register(
+    "agg_bool_suite",
+    """
+    SELECT l_returnflag,
+           count_if(l_discount > 0.05)       AS n_discounted,
+           bool_and(l_quantity >= 1)         AS all_positive,
+           bool_or(l_tax > 0.07)             AS any_high_tax,
+           count(*) - count_if(l_discount > 0.05) AS n_rest
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    "boolean aggregate family: count_if / bool_and (every) / bool_or "
+    "(any) — fused into one hash aggregate",
+)
+def agg_bool_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    disc = F.col("l_discount") > 0.05
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count_if(disc).alias("n_discounted"),
+            F.every(F.col("l_quantity") >= 1).alias("all_positive"),
+            F.some(F.col("l_tax") > 0.07).alias("any_high_tax"),
+            (F.count(F.lit(1)) - F.count_if(disc)).alias("n_rest"),
+        )
+        .orderBy("l_returnflag")
+    )
