@@ -348,3 +348,79 @@ def dedup_url_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("host")
     )
+
+
+# ---------------------------------------------------------------------------
+# Model-scored quality filtering: a fixed-weight logistic regressor over the
+# engine's quality features — the shape of a fastText/classifier quality
+# gate (the real model's weights would be broadcast the same way; here they
+# are literals so the oracle recomputes the identical score). Pure column
+# arithmetic: zero shuffle, codegen'd, and the keep/drop decision composes
+# with the curation pipeline's other gates.
+# ---------------------------------------------------------------------------
+
+_QW = {"b": -1.5, "len": 0.55, "stop": 2.0, "alnum": 1.2, "chars": 0.002}
+
+
+def _quality_model_oracle() -> str:
+    from jigsaw_spark.operators.text import (
+        alnum_ratio_sql,
+        avg_token_len_sql,
+        stopword_ratio_sql,
+        tokens_sql,
+    )
+
+    z = (
+        "({b} + {len} * avg_token_len + {stop} * stopword_ratio"
+        " + {alnum} * alnum_ratio + {chars} * n_chars)".format(**_QW)
+    )
+    return """
+    WITH feats AS (
+      SELECT doc_id, n_chars,
+             {atl} AS avg_token_len,
+             {stop} AS stopword_ratio,
+             {alnum} AS alnum_ratio
+      FROM (SELECT doc_id, n_chars, text, {toks} AS t FROM documents)
+    )
+    SELECT doc_id,
+           round(1.0 / (1.0 + exp(-{z})), 6) AS quality_score,
+           CASE WHEN 1.0 / (1.0 + exp(-{z})) >= 0.5
+                THEN true ELSE false END AS keep
+    FROM feats
+    """.format(
+        atl=avg_token_len_sql("t"),
+        stop=stopword_ratio_sql("t"),
+        alnum=alnum_ratio_sql("text"),
+        toks=tokens_sql("text"),
+        z=z,
+    )
+
+
+@register(
+    "text_quality_model",
+    _quality_model_oracle(),
+    "model-scored quality gate: fixed-weight logistic regression over the "
+    "quality features (the classifier-filter shape; weights broadcast as "
+    "literals) — zero-shuffle scoring + keep decision",
+)
+def text_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jigsaw_spark.operators.text import (
+        alnum_ratio_expr,
+        avg_token_len_expr,
+        stopword_ratio_expr,
+    )
+
+    docs = _t(spark, sf_dir, "documents").withColumn("t", tokens_expr("text"))
+    z = (
+        F.lit(_QW["b"])
+        + F.lit(_QW["len"]) * avg_token_len_expr("t")
+        + F.lit(_QW["stop"]) * stopword_ratio_expr("t")
+        + F.lit(_QW["alnum"]) * alnum_ratio_expr("text")
+        + F.lit(_QW["chars"]) * F.col("n_chars")
+    )
+    score = 1.0 / (1.0 + F.exp(-z))
+    return docs.select(
+        "doc_id",
+        F.round(score, 6).alias("quality_score"),
+        (score >= 0.5).alias("keep"),
+    )
