@@ -393,3 +393,63 @@ def kmeans_lloyd(
         # empty cells keep their previous centroid (standard Lloyd rule)
         centroids = [(c, new.get(c, v)) for c, v in centroids]
     return assigned, centroids
+
+
+def pq_encode(
+    df: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[list[list[float]]]]:
+    """Product quantization: split each vector into ``m`` subvectors and
+    replace each with the id of its nearest sub-codebook centroid (L2) —
+    a dim-D float vector compresses to ``m`` small ints. This is the
+    memory side of IVF-PQ: at 100 TB the float embeddings dominate
+    storage; PQ codes are ~(32·D)/(m·log2 k)× smaller and ANN distance
+    becomes an m-term table lookup.
+
+    Codebooks train like `kmeans_lloyd` seeds: the first ``k`` vectors in
+    md5(id) order donate their subvectors (deterministic; production
+    would run Lloyd per subspace the same way). Encoding is one map-only
+    Arrow kernel — codebooks ride the UDF closure (broadcast), the corpus
+    never shuffles. Returns (codes DataFrame, codebooks[m][k][dsub])."""
+    import numpy as np
+    import pandas as pd
+
+    from jigsaw_spark.functions.hashing import det_order
+
+    seeds = (
+        df.select(vec_col)
+        .orderBy(*det_order(id_col, seed="pq-train"))
+        .limit(k)
+        .collect()
+    )
+    S = np.array([r[vec_col] for r in seeds], dtype=np.float64)
+    dim = S.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    books = [S[:, j * dsub : (j + 1) * dsub].copy() for j in range(m)]
+
+    def encode(it):
+        for pdf in it:
+            M_ = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            codes = np.empty((len(pdf), m), dtype=np.int32)
+            for j, B in enumerate(books):
+                sub = M_[:, j * dsub : (j + 1) * dsub]
+                # ||x-c||² argmin via the expanded form; ties -> lowest id
+                d2 = (
+                    (sub * sub).sum(1, keepdims=True)
+                    - 2.0 * (sub @ B.T)
+                    + (B * B).sum(1)
+                )
+                codes[:, j] = np.argmin(np.round(d2, 9), axis=1)
+            yield pd.DataFrame(
+                {"vec_id": pdf[id_col], "codes": list(codes.tolist())}
+            )
+
+    out = df.select(id_col, vec_col).mapInPandas(
+        encode, "vec_id long, codes array<int>"
+    )
+    return out, [b.tolist() for b in books]

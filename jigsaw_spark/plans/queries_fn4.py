@@ -276,3 +276,28 @@ def agg_bool_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "ann_pq_codes",
+    None,  # codebook-trained encoding — rows-only; numpy parity in tests
+    "Product quantization over the embeddings table (m=4 subspaces, k=16 "
+    "codes): each float vector compresses to 4 small ints via map-only "
+    "Arrow encoding with driver-held codebooks. Output: per-(first-code) "
+    "cell sizes + mean second code — stable aggregate view of the codes.",
+)
+def ann_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jigsaw_spark.operators.similarity import pq_encode
+    from jigsaw_spark.session import widen
+
+    emb = widen(_t(spark, sf_dir, "embeddings"))
+    codes, _books = pq_encode(emb, m=4, k=16)
+    return (
+        codes.select(
+            F.col("codes")[0].alias("c0"),
+            F.col("codes")[1].alias("c1"),
+        )
+        .groupBy("c0")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("c1"), 4).alias("mean_c1"))
+        .orderBy("c0")
+    )

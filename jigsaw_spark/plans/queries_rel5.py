@@ -525,3 +525,73 @@ def q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_size")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q2 shape — best-cost supplier per part: a per-part aggregate compared
+# against a correlated per-part minimum. The correlated scalar subquery is
+# expressed as a window min over the SAME grouped frame (one shuffle on
+# (part, supp), window re-partitions by part — AQE reuses the narrow
+# dependency), dodging Q2's classic double-scan plan. Float-equality join
+# is safe cross-engine: both sides compute min over identical doubles.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q2_min_cost_supplier",
+    """
+    WITH costs AS (
+      SELECT l_partkey, l_suppkey,
+             min(l_extendedprice / l_quantity) AS unit_cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ), best AS (
+      SELECT l_partkey, l_suppkey, unit_cost,
+             min(unit_cost) OVER (PARTITION BY l_partkey) AS best_cost
+      FROM costs
+    )
+    SELECT p_partkey, p_name, s_name, n_name, round(unit_cost, 4) AS unit_cost
+    FROM best
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_size <= 3 AND unit_cost = best_cost
+    ORDER BY p_partkey, s_name
+    LIMIT 100
+    """,
+    "TPC-H Q2 shape: per-part minimum-cost supplier — correlated min as a "
+    "window over the grouped frame (no second scan), broadcast dims, "
+    "total-order top-100",
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+    costs = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    best = costs.withColumn(
+        "best_cost", F.min("unit_cost").over(Window.partitionBy("l_partkey"))
+    ).filter(F.col("unit_cost") == F.col("best_cost"))
+    part = F.broadcast(
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_size") <= 3)
+        .select("p_partkey", "p_name")
+    )
+    supp = F.broadcast(
+        _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    )
+    nat = F.broadcast(_t(spark, sf_dir, "nation").select("n_nationkey", "n_name"))
+    return (
+        best.join(part, best["l_partkey"] == part["p_partkey"])
+        .join(supp, best["l_suppkey"] == supp["s_suppkey"])
+        .join(nat, supp["s_nationkey"] == nat["n_nationkey"])
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_name",
+            "n_name",
+            F.round("unit_cost", 4).alias("unit_cost"),
+        )
+        .orderBy("p_partkey", "s_name")
+        .limit(100)
+    )

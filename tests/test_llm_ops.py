@@ -265,3 +265,41 @@ def test_kmeans_lloyd_matches_numpy(spark):
     trained = np.array([v for _, v in centroids])
     np.testing.assert_allclose(np.sort(np.linalg.norm(trained, axis=1)),
                                np.sort(np.linalg.norm(C, axis=1)), rtol=1e-9)
+
+
+def test_pq_encode_matches_numpy(spark):
+    """pq_encode == numpy argmin over the same seed-derived codebooks."""
+    import numpy as np
+
+    from jigsaw_spark.functions.hashing import det_order
+    from jigsaw_spark.operators.similarity import pq_encode
+    from jigsaw_spark.session import load_table
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    m, k = 4, 8
+    codes_df, books = pq_encode(emb, m=m, k=k)
+    got = {r.vec_id: list(r.codes) for r in codes_df.collect()}
+
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = [r.vec_id for r in rows]
+    X = np.array([r.embedding for r in rows], dtype=np.float64)
+    seed_rows = (
+        emb.select("embedding")
+        .orderBy(*det_order("vec_id", seed="pq-train"))
+        .limit(k)
+        .collect()
+    )
+    S = np.array([r.embedding for r in seed_rows], dtype=np.float64)
+    dsub = X.shape[1] // m
+    want = {}
+    for i, vid in enumerate(ids):
+        cs = []
+        for j in range(m):
+            B = S[:, j * dsub : (j + 1) * dsub]
+            sub = X[i, j * dsub : (j + 1) * dsub]
+            d2 = ((sub - B) ** 2).sum(1)
+            cs.append(int(np.argmin(np.round(d2, 9))))
+        want[vid] = cs
+    assert got == want
+    assert len(books) == m and len(books[0]) == k

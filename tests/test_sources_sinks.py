@@ -516,3 +516,47 @@ def test_csv_roundtrip_header_and_types(spark, tmp_path):
     a = sorted(r.o_orderkey for r in orders.collect())
     b = sorted(r.o_orderkey for r in back.collect())
     assert a == b
+
+
+def test_foreachbatch_sink_idempotent_across_restarts(spark, tmp_path):
+    """foreachBatch + checkpoint = exactly-once file sink: a second
+    AvailableNow run from the same checkpoint re-processes nothing, and a
+    new input file is picked up incrementally without duplicating old
+    batches."""
+    import shutil
+
+    src = tmp_path / "src"
+    src.mkdir()
+    shutil.copy(
+        "/root/testdata/sf0.001/events.parquet", str(src / "events.parquet")
+    )
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        stream = read_event_stream(spark, str(src), glob="*.parquet")
+        agg = stream.select("event_id", "event_type")
+
+        def write_batch(df, batch_id):
+            df.write.mode("append").parquet(out)
+
+        q = (
+            agg.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run()
+    n1 = spark.read.parquet(out).count()
+    run()  # same checkpoint, no new files -> no new rows
+    n2 = spark.read.parquet(out).count()
+    assert n2 == n1
+    # drop a renamed copy in -> only the new file's rows are appended
+    shutil.copy(
+        "/root/testdata/sf0.001/events.parquet", str(src / "events2.parquet")
+    )
+    run()
+    n3 = spark.read.parquet(out).count()
+    assert n3 == 2 * n1
