@@ -301,3 +301,113 @@ def ann_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("c1"), 4).alias("mean_c1"))
         .orderBy("c0")
     )
+
+
+@register(
+    "agg_string_agg",
+    """
+    SELECT o_orderstatus,
+           string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority)
+             AS priorities,
+           count(*) AS n
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    "ordered string aggregation (LISTAGG): collect_set → sort_array → "
+    "array_join gives a deterministic csv per group — same result as the "
+    "oracle's ORDER BY string_agg, one hash aggregate",
+)
+def agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.array_join(
+                F.sort_array(F.collect_set("o_orderpriority")), ","
+            ).alias("priorities"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "ts_interp",
+    """
+    WITH marked AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN event_type = 'error' THEN NULL
+                  ELSE round(value, 4) END AS v
+      FROM events
+    ), bounds AS (
+      SELECT event_id, user_id, ts, v,
+             last_value(v IGNORE NULLS) OVER w_back  AS v_prev,
+             epoch_us(ts) - last_value(CASE WHEN v IS NOT NULL
+                 THEN epoch_us(ts) END IGNORE NULLS) OVER w_back AS dt_prev,
+             first_value(v IGNORE NULLS) OVER w_fwd  AS v_next,
+             first_value(CASE WHEN v IS NOT NULL
+                 THEN epoch_us(ts) END IGNORE NULLS) OVER w_fwd
+               - epoch_us(ts) AS dt_next
+      FROM marked
+      WINDOW w_back AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             w_fwd AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_id, user_id,
+           round(CASE
+             WHEN v IS NOT NULL THEN v
+             WHEN v_prev IS NOT NULL AND v_next IS NOT NULL THEN
+               v_prev + (v_next - v_prev)
+                 * dt_prev / nullif(dt_prev + dt_next, 0)
+             ELSE coalesce(v_prev, v_next) END, 4) AS v_interp
+    FROM bounds
+    """,
+    "linear time-interpolation of gaps: previous/next observations + "
+    "event-time distances from two ignore-nulls window passes over one "
+    "partition shuffle; boundary gaps fall back to nearest observation",
+)
+def ts_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    v = F.when(F.col("event_type") == "error", F.lit(None)).otherwise(
+        F.round(F.col("value"), 4)
+    )
+    us = F.unix_micros(F.col("ts"))
+    w_back = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    marked = ev.select("event_id", "user_id", "ts", v.alias("v"))
+    t_obs = F.when(F.col("v").isNotNull(), us)
+    bounds = marked.select(
+        "event_id",
+        "user_id",
+        "v",
+        F.last("v", ignorenulls=True).over(w_back).alias("v_prev"),
+        (us - F.last(t_obs, ignorenulls=True).over(w_back)).alias("dt_prev"),
+        F.first("v", ignorenulls=True).over(w_fwd).alias("v_next"),
+        (F.first(t_obs, ignorenulls=True).over(w_fwd) - us).alias("dt_next"),
+    )
+    interp = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(
+            F.col("v_prev").isNotNull() & F.col("v_next").isNotNull(),
+            F.col("v_prev")
+            + (F.col("v_next") - F.col("v_prev"))
+            * F.col("dt_prev")
+            / F.nullif(F.col("dt_prev") + F.col("dt_next"), F.lit(0)),
+        )
+        .otherwise(F.coalesce("v_prev", "v_next"))
+    )
+    return bounds.select(
+        "event_id", "user_id", F.round(interp, 4).alias("v_interp")
+    )

@@ -560,3 +560,31 @@ def test_foreachbatch_sink_idempotent_across_restarts(spark, tmp_path):
     run()
     n3 = spark.read.parquet(out).count()
     assert n3 == 2 * n1
+
+
+def test_dynamic_partition_overwrite_preserves_siblings(spark, tmp_path):
+    """Dynamic partitionOverwriteMode: rewriting one partition's data must
+    not clobber sibling partitions — the incremental-backfill contract for
+    a hive-partitioned lake (static mode would truncate the whole table)."""
+    out = str(tmp_path / "lake")
+    base = spark.range(100).selectExpr(
+        "id", "CAST(id % 4 AS INT) AS bucket"
+    )
+    base.write.partitionBy("bucket").mode("overwrite").parquet(out)
+    assert spark.read.parquet(out).count() == 100
+
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        patch = spark.range(1000, 1010).selectExpr(
+            "id", "CAST(1 AS INT) AS bucket"
+        )
+        patch.write.partitionBy("bucket").mode("overwrite").parquet(out)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    back = spark.read.parquet(out)
+    # bucket 1 replaced (25 -> 10 rows), buckets 0/2/3 untouched
+    assert back.filter("bucket = 1").count() == 10
+    assert back.filter("bucket != 1").count() == 75
+    assert back.filter("bucket = 1 AND id >= 1000").count() == 10
