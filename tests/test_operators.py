@@ -278,3 +278,19 @@ def test_weighted_sample_uniform_weights_match_exact_sample_scale(spark):
     a = {r.id for r in weighted_sample(base, 50, ["id"], F.col("w")).collect()}
     b = {r.id for r in weighted_sample(base, 50, ["id"], F.lit(7.0)).collect()}
     assert a == b  # weight scale cancels out of the ranking
+
+
+def test_widen_noop_when_already_wide(spark):
+    """widen(): repartitions a 1-partition scan to defaultParallelism, and
+    no-ops when the input already has width (the 100 TB case)."""
+    from jigsaw_spark.session import load_table, widen
+
+    narrow = load_table(spark, "/root/testdata/sf0.001", "documents")
+    assert narrow.rdd.getNumPartitions() == 1
+    wide = widen(narrow)
+    assert (
+        wide.rdd.getNumPartitions()
+        == spark.sparkContext.defaultParallelism
+    )
+    already = narrow.repartition(spark.sparkContext.defaultParallelism)
+    assert widen(already) is already
