@@ -177,3 +177,58 @@ def w8_value_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag(price, 1, 0.0).over(w).alias("prev_price"),
         F.lead(price, 1, -1.0).over(w).alias("next_price"),
     )
+
+
+@register(
+    "fn_regex",
+    r"""
+    SELECT c_custkey,
+           regexp_extract(c_name, 'Customer#([0-9]+)', 1) AS cust_digits,
+           len(regexp_extract_all(c_name, '[0-9]')) AS n_digits,
+           regexp_matches(c_name, '^Customer#[0-9]+$') AS well_formed,
+           regexp_replace(c_mktsegment, '[AEIOU]', '*', 'g') AS seg_masked
+    FROM customer
+    """,
+    "regex surface with dialect-safe patterns (char classes + anchors, no "
+    "lookaround): capture-group extract, match count, full-match test, "
+    "global replace — zero-shuffle codegen projection",
+)
+def fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.regexp_extract(F.col("c_name"), r"Customer#([0-9]+)", 1).alias(
+            "cust_digits"
+        ),
+        F.size(F.regexp_extract_all(F.col("c_name"), F.lit("[0-9]"), 0)).alias(
+            "n_digits"
+        ),
+        F.col("c_name").rlike(r"^Customer#[0-9]+$").alias("well_formed"),
+        F.regexp_replace(F.col("c_mktsegment"), "[AEIOU]", "*").alias(
+            "seg_masked"
+        ),
+    )
+
+
+@register(
+    "fn_null_order",
+    """
+    SELECT c_custkey, seg_null
+    FROM (SELECT c_custkey, nullif(c_mktsegment, 'BUILDING') AS seg_null
+          FROM customer)
+    ORDER BY seg_null NULLS FIRST, c_custkey
+    LIMIT 400
+    """,
+    "explicit null-ordering: NULLS FIRST sort + deterministic key "
+    "tiebreak through a LIMIT — both engines must agree on the boundary",
+)
+def fn_null_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        cust.select(
+            "c_custkey",
+            F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("seg_null"),
+        )
+        .orderBy(F.col("seg_null").asc_nulls_first(), F.col("c_custkey").asc())
+        .limit(400)
+    )
