@@ -411,3 +411,62 @@ def ts_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bounds.select(
         "event_id", "user_id", F.round(interp, 4).alias("v_interp")
     )
+
+
+@register(
+    "agg_hll_mergeable",
+    """
+    WITH per_type AS (
+      SELECT event_type, count(DISTINCT user_id) AS exact_users
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, exact_users FROM per_type ORDER BY event_type
+    """,
+    "mergeable HLL sketches (DataSketches): per-type user sketches built "
+    "with hll_sketch_agg, re-merged with hll_union_agg for the global "
+    "estimate — the pre-aggregated-rollup architecture where partial "
+    "sketches are stored and unioned instead of rescanning raw data. The "
+    "oracle checks the EXACT distinct counts; the query asserts the "
+    "estimates land within HLL error of exact (verified in-query, "
+    "emitting the exact counts so the hash gate stays precise).",
+)
+def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    sketches = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id", 14).alias("sk"),
+        F.count_distinct("user_id").alias("exact_users"),
+    )
+    checked = sketches.select(
+        "event_type",
+        "exact_users",
+        F.hll_sketch_estimate("sk").alias("est"),
+    ).withColumn(
+        "within_err",
+        (F.abs(F.col("est") - F.col("exact_users"))
+         <= F.greatest(F.col("exact_users") * 0.05, F.lit(5.0))),
+    )
+    # the merge leg: union the per-type sketches into ONE global sketch
+    # (this is what stored rollups do instead of rescanning raw data) and
+    # check its estimate against the exact global distinct count
+    global_check = (
+        sketches.agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("g_est")
+        )
+        .crossJoin(ev.agg(F.count_distinct("user_id").alias("g_exact")))
+        .select(
+            (
+                F.abs(F.col("g_est") - F.col("g_exact"))
+                <= F.greatest(F.col("g_exact") * 0.05, F.lit(5.0))
+            ).alias("g_ok")
+        )
+    )
+    # keep the hash gate exact: emit exact counts, but FAIL the query (row
+    # count drops, driver flags it) if any per-type estimate or the merged
+    # global estimate strays outside HLL error
+    return (
+        checked.filter(F.col("within_err"))
+        .crossJoin(F.broadcast(global_check))
+        .filter(F.col("g_ok"))
+        .select("event_type", "exact_users")
+        .orderBy("event_type")
+    )

@@ -588,3 +588,68 @@ def test_dynamic_partition_overwrite_preserves_siblings(spark, tmp_path):
     assert back.filter("bucket = 1").count() == 10
     assert back.filter("bucket != 1").count() == 75
     assert back.filter("bucket = 1 AND id >= 1000").count() == 10
+
+
+def test_foreachbatch_merge_materialized_rollup(spark, tmp_path):
+    """Streaming materialized-view maintenance: each micro-batch MERGEs its
+    partial per-type counts into a parquet rollup target via merge_into —
+    the incremental-aggregation pattern where the stream updates a stored
+    rollup instead of recomputing it. After draining two file arrivals,
+    the target equals the batch answer over all input."""
+    import shutil
+
+    from jigsaw_spark.operators.joins import merge_into
+
+    src = tmp_path / "src"
+    src.mkdir()
+    shutil.copy(
+        "/root/testdata/sf0.001/events.parquet", str(src / "e1.parquet")
+    )
+    target = str(tmp_path / "rollup")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        stream = read_event_stream(spark, str(src), glob="*.parquet")
+        partial = stream.groupBy("event_type").count()
+
+        def upsert(batch_df, batch_id):
+            import os
+
+            # update mode: the batch holds the NEW cumulative total for
+            # every key that changed — a true key-level upsert into the
+            # stored rollup (replace matched keys, insert new ones)
+            incoming = batch_df.withColumnRenamed("count", "n")
+            if os.path.exists(target):
+                current = spark.read.parquet(target)
+                out = merge_into(current, incoming, ["event_type"])
+            else:
+                out = incoming
+            out.write.mode("overwrite").parquet(target + "_next")
+            spark.read.parquet(target + "_next").write.mode(
+                "overwrite"
+            ).parquet(target)
+
+        q = (
+            partial.writeStream.outputMode("update")
+            .foreachBatch(upsert)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run()
+    first = {
+        r.event_type: r.n for r in spark.read.parquet(target).collect()
+    }
+    assert sum(first.values()) == 1000
+    # second arrival doubles every count after the next drain
+    shutil.copy(
+        "/root/testdata/sf0.001/events.parquet", str(src / "e2.parquet")
+    )
+    run()
+    second = {
+        r.event_type: r.n for r in spark.read.parquet(target).collect()
+    }
+    assert sum(second.values()) == 2000
+    assert all(second[k] == 2 * first[k] for k in first)
