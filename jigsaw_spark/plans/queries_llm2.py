@@ -424,3 +424,54 @@ def text_quality_model(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(score, 6).alias("quality_score"),
         (score >= 0.5).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup keeping the BEST representative: group by content hash, keep
+# the row winning a (quality, tiebreak) comparator — the curation variant
+# of dropDuplicates where survivorship is a policy, not an accident.
+# max_by with a struct comparator does it in ONE hash aggregate (no
+# window, no second pass); ties resolve by lowest doc_id, so survivorship
+# is total and engine-independent.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact_keep_best",
+    """
+    SELECT md5(text) AS content_key,
+           count(*) AS n_copies,
+           max(n_chars) AS best_chars,
+           min(CASE WHEN rnk = 1 THEN doc_id END) AS kept_doc
+    FROM (
+      SELECT doc_id, text, n_chars,
+             row_number() OVER (
+               PARTITION BY md5(text)
+               ORDER BY n_chars DESC, doc_id) AS rnk
+      FROM documents)
+    GROUP BY md5(text)
+    ORDER BY content_key
+    """,
+    "policy dedup: per content-hash group keep the longest document "
+    "(lowest id on ties) via a (quality, -id) max_by comparator — one "
+    "hash aggregate, no window in the Spark plan",
+)
+def dedup_exact_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    # comparator struct: higher n_chars wins; ties -> LOWER doc_id, so the
+    # max-struct carries a negated id
+    best = F.max_by(
+        F.col("doc_id"),
+        F.struct(F.col("n_chars").alias("q"), (-F.col("doc_id")).alias("t")),
+    )
+    return (
+        docs.select(F.md5(F.col("text").cast("binary")).alias("content_key"),
+                    "doc_id", "n_chars")
+        .groupBy("content_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.max("n_chars").alias("best_chars"),
+            best.alias("kept_doc"),
+        )
+        .orderBy("content_key")
+    )

@@ -42,6 +42,7 @@ ALL_PAIRS_OK = {
     # O(n) at any scale — the intended physical shape
     "ts_gap_fill",
     "q22_idle_customers",
+    "agg_hll_mergeable",
 }
 # queries expected to push a filter into the parquet scan
 EXPECT_PUSHDOWN = {
