@@ -64,8 +64,14 @@ def _as_audio_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     (audio_id, content) shape straight from binaryFile reads."""
     from jigsaw_spark.multimodal.audio_ops import synthesize_wav
 
-    docs = _t(spark, sf_dir, "documents").select(
-        F.col("doc_id").cast("string").alias("audio_id"), "text"
+    from jigsaw_spark.session import widen
+
+    # widen(): the synth kernel is CPU-bound and would otherwise run
+    # single-task on the 1-partition local scan (SCALE.md §9)
+    docs = widen(
+        _t(spark, sf_dir, "documents").select(
+            F.col("doc_id").cast("string").alias("audio_id"), "text"
+        )
     )
 
     def synth(batches):
