@@ -92,8 +92,12 @@ def _int64_list(values: list[int]) -> bytes:
 
 
 def encode_feature(value) -> bytes:
-    """One tf.train.Feature from a Python value (str/bytes/int/float or a
-    homogeneous list thereof)."""
+    """One tf.train.Feature from a Python value (str/bytes/int/float,
+    datetime/date — encoded as epoch micros / epoch days int64, the
+    TFExample-conventional temporal encoding — or a homogeneous list
+    thereof)."""
+    import datetime as _dt
+
     if not isinstance(value, (list, tuple)):
         value = [value]
     value = list(value)
@@ -108,6 +112,19 @@ def encode_feature(value) -> bytes:
         return _len_delim(3, _int64_list([int(v) for v in value]))
     if isinstance(head, float):
         return _len_delim(2, _float_list([float(v) for v in value]))
+    if isinstance(head, _dt.datetime):
+        epoch = _dt.datetime(1970, 1, 1, tzinfo=head.tzinfo)
+        return _len_delim(
+            3,
+            _int64_list(
+                [int((v - epoch).total_seconds() * 1_000_000) for v in value]
+            ),
+        )
+    if isinstance(head, _dt.date):
+        return _len_delim(
+            3,
+            _int64_list([(v - _dt.date(1970, 1, 1)).days for v in value]),
+        )
     raise TypeError(f"unsupported feature type {type(head)}")
 
 

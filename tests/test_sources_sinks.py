@@ -653,3 +653,25 @@ def test_foreachbatch_merge_materialized_rollup(spark, tmp_path):
     }
     assert sum(second.values()) == 2000
     assert all(second[k] == 2 * first[k] for k in first)
+
+
+def test_tfrecord_temporal_features(tmp_path):
+    """Timestamp/date columns encode as epoch-micros / epoch-days int64
+    features (the crash a user hits first when exporting a table that
+    carries an order-date column)."""
+    import datetime as dt
+
+    ts = dt.datetime(2024, 1, 2, 3, 4, 5, 123456)
+    d = dt.date(2024, 1, 2)
+    rec = encode_example({"ts": ts, "d": d, "x": 1})
+    # same bytes as encoding the equivalent int64s directly
+    want = encode_example(
+        {
+            "ts": int(
+                (ts - dt.datetime(1970, 1, 1)).total_seconds() * 1_000_000
+            ),
+            "d": (d - dt.date(1970, 1, 1)).days,
+            "x": 1,
+        }
+    )
+    assert rec == want
