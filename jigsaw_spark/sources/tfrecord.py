@@ -114,12 +114,14 @@ def encode_feature(value) -> bytes:
         return _len_delim(2, _float_list([float(v) for v in value]))
     if isinstance(head, _dt.datetime):
         epoch = _dt.datetime(1970, 1, 1, tzinfo=head.tzinfo)
-        return _len_delim(
-            3,
-            _int64_list(
-                [int((v - epoch).total_seconds() * 1_000_000) for v in value]
-            ),
-        )
+
+        def _us(v):
+            # exact integer micros (float total_seconds() drifts by a few
+            # µs for far-future dates: 4e15 µs exceeds a double's exactness)
+            d = v - epoch
+            return (d.days * 86_400 + d.seconds) * 1_000_000 + d.microseconds
+
+        return _len_delim(3, _int64_list([_us(v) for v in value]))
     if isinstance(head, _dt.date):
         return _len_delim(
             3,

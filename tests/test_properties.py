@@ -151,3 +151,30 @@ def test_components_strategies_agree_on_random_graphs(spark, edge_list):
             for r in connected_components(pairs, strategy=strategy).collect()
         }
         assert got == want, strategy
+
+
+@given(
+    st.lists(
+        st.datetimes(
+            min_value=__import__("datetime").datetime(1970, 1, 1),
+            max_value=__import__("datetime").datetime(2100, 1, 1),
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(max_examples=50, suppress_health_check=[HealthCheck.too_slow])
+def test_tfrecord_datetime_encoding_matches_epoch_micros(values):
+    """Temporal features encode exactly as their epoch-micros int64s —
+    truncated to whole micros, order preserved, list shape intact."""
+    import datetime as dt
+
+    from jigsaw_spark.sources.tfrecord import encode_example
+
+    epoch = dt.datetime(1970, 1, 1)
+    micros = [
+        ((v - epoch).days * 86_400 + (v - epoch).seconds) * 1_000_000
+        + (v - epoch).microseconds
+        for v in values
+    ]
+    assert encode_example({"t": values}) == encode_example({"t": micros})
