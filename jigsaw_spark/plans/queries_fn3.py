@@ -232,3 +232,30 @@ def fn_null_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("seg_null").asc_nulls_first(), F.col("c_custkey").asc())
         .limit(400)
     )
+
+
+@register(
+    "fn_codec",
+    """
+    SELECT c_custkey,
+           to_base64(c_name::BLOB)               AS name_b64,
+           hex(c_mktsegment)                     AS seg_hex,
+           from_base64(to_base64(c_name::BLOB))::VARCHAR AS roundtrip,
+           length(to_base64(c_name::BLOB))       AS b64_len
+    FROM customer
+    """,
+    "binary codec surface: base64 / hex / base64-roundtrip over UTF-8 "
+    "bytes — the opaque-payload encoding path for multimodal columns; "
+    "zero-shuffle projection",
+)
+def fn_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    name_bin = F.col("c_name").cast("binary")
+    b64 = F.base64(name_bin)
+    return cust.select(
+        "c_custkey",
+        b64.alias("name_b64"),
+        F.hex(F.col("c_mktsegment").cast("binary")).alias("seg_hex"),
+        F.unbase64(b64).cast("string").alias("roundtrip"),
+        F.length(b64).alias("b64_len"),
+    )
