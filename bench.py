@@ -71,14 +71,37 @@ def main() -> None:
         sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
     except ValueError:
         sf = None
+
+    # Full per-query timings go to a file; the stdout line stays compact
+    # (the r01 driver failed to parse a ~3 KB line with all 130 timings —
+    # it overflowed the capture window). The printed "queries" dict keeps
+    # only the slowest handful as the headline signal.
+    detail_path = Path(__file__).resolve().parent / "BENCH_DETAIL.json"
+    detail_path.write_text(
+        json.dumps(
+            {
+                "metric": "total_query_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "sf": sf,
+                "n_queries": len(timings),
+                "queries": timings,
+            },
+            indent=1,
+            sort_keys=True,
+        )
+    )
+    top = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:8])
     print(
         json.dumps(
             {
                 "metric": "total_query_wall_seconds",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": top,
                 "sf": sf,
+                "n_queries": len(timings),
+                "detail": "BENCH_DETAIL.json",
             }
         )
     )

@@ -78,7 +78,11 @@ def weighted_sample(
         )
         + F.lit(1.0)
     ) / F.lit(float(16**12))
-    wkey = F.log(u) / weight
+    # round the rank key: JVM and other engines' libm log() may differ in
+    # the last ULP, which could flip membership at the top-N boundary; 12
+    # digits is far above the ULP noise and far below any real weight gap
+    # (the key-column tiebreak already makes the order total).
+    wkey = F.round(F.log(u) / weight, 12)
     key_sort = [F.col(c).asc() for c in key_cols]
     return (
         df.withColumn("_wkey", wkey)

@@ -363,9 +363,15 @@ def kmeans_lloyd(
     loop holds no lineage (each iteration's plan starts from the parquet
     scan, sidestepping iterative-lineage blowup entirely).
 
-    Deterministic: seeds are the first k vectors in md5(id) order, and
+    Determinism: seeds are the first k vectors in md5(id) order, and
     assignment tie-breaks round-9 toward the lowest cell id (same contract
-    as ivf_assign), so the trained codebook is reproducible run to run.
+    as ivf_assign). The centroid update is F.avg over doubles, whose
+    partial-sum merge order varies with partitioning/AQE — the round-9
+    tie-break absorbs almost all of that drift, so the codebook is
+    bit-exact only under a fixed partitioning; assignments near an exact
+    cosine tie can differ across cluster layouts. Note the returned
+    ``assigned`` frame reflects the PENULTIMATE codebook (Lloyd assigns,
+    then updates means once more before returning).
     """
     from jigsaw_spark.functions.hashing import det_order
 
@@ -446,10 +452,13 @@ def pq_encode(
                 )
                 codes[:, j] = np.argmin(np.round(d2, 9), axis=1)
             yield pd.DataFrame(
-                {"vec_id": pdf[id_col], "codes": list(codes.tolist())}
+                {id_col: pdf[id_col], "codes": list(codes.tolist())}
             )
 
+    # output schema follows the caller's id column name AND type — a
+    # string/int id must not be force-cast to long by a hardcoded schema
+    id_type = df.schema[id_col].dataType.simpleString()
     out = df.select(id_col, vec_col).mapInPandas(
-        encode, "vec_id long, codes array<int>"
+        encode, f"{id_col} {id_type}, codes array<int>"
     )
     return out, [b.tolist() for b in books]

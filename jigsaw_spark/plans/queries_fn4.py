@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from jigsaw_spark.plans.queries import _t, register
+from jigsaw_spark.plans.queries import _t, dec2, dsum, register
 
 
 @register(
@@ -187,7 +187,8 @@ def ml_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderstatus, o_orderpriority,
            grouping(o_orderstatus) AS g_status,
            grouping(o_orderpriority) AS g_priority,
-           count(*) AS n, round(sum(o_totalprice), 2) AS total
+           count(*) AS n,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total
     FROM orders
     GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
                             (o_orderstatus), ())
@@ -205,7 +206,8 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT o_orderstatus, o_orderpriority,
                grouping(o_orderstatus) AS g_status,
                grouping(o_orderpriority) AS g_priority,
-               count(*) AS n, round(sum(o_totalprice), 2) AS total
+               count(*) AS n,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS total
         FROM parquet.`{o}`
         GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
                                 (o_orderstatus), ())

@@ -173,10 +173,10 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH weighted AS (
       SELECT doc_id, source,
              CAST(1.0 + CAST(substr(source, 4) AS INT) % 7 AS DOUBLE) AS w,
-             ln((('0x' || substr(
+             round(ln((('0x' || substr(
                     md5(concat_ws('|', 'wsample-42', CAST(doc_id AS VARCHAR))),
                     1, 12))::UBIGINT + 1.0) / 281474976710656.0)
-               / (1.0 + CAST(substr(source, 4) AS INT) % 7) AS wkey
+               / (1.0 + CAST(substr(source, 4) AS INT) % 7), 12) AS wkey
       FROM documents
     )
     SELECT doc_id, source, w

@@ -16,7 +16,7 @@ from pyspark.sql.window import Window
 from jigsaw_spark.functions.hashing import md5_key_sql
 from jigsaw_spark.operators.dedup import edit_distance_pairs
 from jigsaw_spark.operators.samples import bernoulli_sample, bernoulli_threshold_hex
-from jigsaw_spark.plans.queries import _t, register
+from jigsaw_spark.plans.queries import _t, dec2, dsum, register
 
 
 # ---------------------------------------------------------------------------
@@ -261,7 +261,8 @@ def p_bernoulli_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT CAST(floor(o_totalprice / 25000) AS BIGINT) AS bucket,
            count(*) AS n,
-           round(sum(o_totalprice), 2) AS total
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS total
     FROM orders
     GROUP BY 1
     """,
@@ -275,6 +276,6 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("o_totalprice"), 2).alias("total"),
+            dsum(dec2("o_totalprice")).alias("total"),
         )
     )

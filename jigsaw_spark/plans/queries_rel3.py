@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from jigsaw_spark.plans.queries import _t, register
+from jigsaw_spark.plans.queries import _REV_SQL, _t, dec2, dsum, register, rev_col
 
 
 # ---------------------------------------------------------------------------
@@ -27,7 +27,9 @@ from jigsaw_spark.plans.queries import _t, register
 @register(
     "q6_filter_revenue",
     """
-    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+    SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                           * CAST(l_discount AS DECIMAL(3,2))), 2) AS DOUBLE)
+             AS revenue,
            count(*) AS n_lines
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -48,9 +50,10 @@ def q6_filter_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
-                "revenue"
-            ),
+            dsum(
+                dec2("l_extendedprice", 12)
+                * F.col("l_discount").cast("decimal(3,2)")
+            ).alias("revenue"),
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
@@ -177,8 +180,8 @@ def q14_promo_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q19_disjunctive_join",
-    """
-    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+    f"""
+    SELECT CAST(round(sum({_REV_SQL}), 2) AS DOUBLE) AS revenue,
            count(*) AS n_lines
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
@@ -211,9 +214,7 @@ def q19_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             | branch("Brand#34", 25, 20, 30)
         )
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
+            dsum(rev_col()).alias("revenue"),
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
@@ -297,7 +298,7 @@ def ts_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_type,
            count(gap_us) AS n_gaps,
-           round(avg(gap_us / 1000000.0), 3) AS avg_gap_s
+           round(CAST(sum(gap_us) AS DOUBLE) / count(gap_us) / 1000000.0, 3) AS avg_gap_s
     FROM (
       SELECT event_type,
              epoch_us(ts) - lag(epoch_us(ts)) OVER (
@@ -318,7 +319,9 @@ def ts_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("gap_us").isNotNull())
     return gapped.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_gaps"),
-        F.round(F.avg(F.col("gap_us") / 1000000.0), 3).alias("avg_gap_s"),
+        F.round(
+            F.sum("gap_us").cast("double") / F.count("gap_us") / 1000000.0, 3
+        ).alias("avg_gap_s"),
     )
 
 

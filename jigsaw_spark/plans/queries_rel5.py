@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from jigsaw_spark.plans.queries import _t, register
+from jigsaw_spark.plans.queries import _REV_SQL, _t, dec2, dsum, register, rev_col
 
 
 # ---------------------------------------------------------------------------
@@ -32,13 +32,13 @@ from jigsaw_spark.plans.queries import _t, register
 
 @register(
     "q7_nation_volume",
-    """
+    f"""
     SELECT supp_nation, cust_nation, l_year,
-           round(sum(volume), 2) AS revenue
+           CAST(round(sum(volume), 2) AS DOUBLE) AS revenue
     FROM (
       SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
              CAST(extract(year FROM l_shipdate) AS INT) AS l_year,
-             l_extendedprice * (1 - l_discount) AS volume
+             {_REV_SQL} AS volume
       FROM supplier
       JOIN lineitem ON s_suppkey = l_suppkey
       JOIN orders   ON o_orderkey = l_orderkey
@@ -91,11 +91,7 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cust_nation",
             F.year("l_shipdate").cast("int").alias("l_year"),
         )
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
-        )
+        .agg(dsum(rev_col()).alias("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
 
@@ -109,13 +105,14 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q8_market_share",
-    """
+    f"""
     SELECT o_year,
-           round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume
-                          ELSE 0 END) / sum(volume), 6) AS mkt_share
+           round(CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                          ELSE CAST(0 AS DECIMAL(3,2)) END) AS DOUBLE)
+                 / CAST(sum(volume) AS DOUBLE), 6) AS mkt_share
     FROM (
       SELECT CAST(extract(year FROM o_orderdate) AS INT) AS o_year,
-             l_extendedprice * (1 - l_discount) AS volume,
+             {_REV_SQL} AS volume,
              n1.n_name AS supp_nation
       FROM lineitem
       JOIN orders   ON o_orderkey = l_orderkey
@@ -159,7 +156,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("c_custkey")
     )
-    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    vol = rev_col()
     return (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
         .join(asia_cust, orders["o_custkey"] == F.col("c_custkey"), "inner")
@@ -169,10 +166,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.sum(
                     F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(
-                        F.lit(0.0)
+                        F.lit(0).cast("decimal(3,2)")
                     )
-                )
-                / F.sum(vol),
+                ).cast("double")
+                / F.sum(vol).cast("double"),
                 6,
             ).alias("mkt_share")
         )
@@ -188,9 +185,9 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q10_returned_items",
-    """
-    SELECT c_custkey, c_name, round(sum(l_extendedprice * (1 - l_discount)), 2)
-             AS revenue,
+    f"""
+    SELECT c_custkey, c_name,
+           CAST(round(sum({_REV_SQL}), 2) AS DOUBLE) AS revenue,
            round(max(c_acctbal), 2) AS c_acctbal, n_name
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
@@ -220,9 +217,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(nat, cust["c_nationkey"] == nat["n_nationkey"])
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
+            dsum(rev_col()).alias("revenue"),
             F.round(F.max("c_acctbal"), 2).alias("c_acctbal"),
         )
         .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
@@ -241,10 +236,10 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q15_top_supplier",
-    """
+    f"""
     WITH revenue AS (
       SELECT l_suppkey AS supplier_no,
-             round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+             CAST(round(sum({_REV_SQL}), 2) AS DOUBLE) AS total_revenue
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1997-01-01'
         AND l_shipdate <  TIMESTAMP '1997-07-01'
@@ -264,9 +259,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp"))
     )
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-        ).alias("total_revenue")
+        dsum(rev_col()).alias("total_revenue")
     )
     max_rev = revenue.agg(F.max("total_revenue").alias("mx"))
     supp = F.broadcast(_t(spark, sf_dir, "supplier").select("s_suppkey", "s_name"))
@@ -289,7 +282,8 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q17_small_quantity",
     """
-    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                 / 7.0, 2) AS avg_yearly
     FROM lineitem
     JOIN part ON p_partkey = l_partkey
     WHERE p_brand = 'Brand#1'
@@ -322,7 +316,11 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(brand_parts, li["l_partkey"] == brand_parts["p_partkey"])
         .join(F.broadcast(part_avg), li["l_partkey"] == F.col("avg_partkey"))
         .filter(F.col("l_quantity") < F.col("half_avg_qty"))
-        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+        .agg(
+            F.round(
+                F.sum(dec2("l_extendedprice")).cast("double") / 7.0, 2
+            ).alias("avg_yearly")
+        )
     )
 
 
@@ -337,10 +335,13 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q22_idle_customers",
     """
     WITH threshold AS (
-      SELECT avg(c_acctbal) AS avg_bal FROM customer WHERE c_acctbal > 0.0
+      SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+               / count(c_acctbal) AS avg_bal
+      FROM customer WHERE c_acctbal > 0.0
     )
     SELECT c_nationkey AS nationkey, count(*) AS numcust,
-           round(sum(c_acctbal), 2) AS totacctbal
+           CAST(round(sum(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS totacctbal
     FROM customer, threshold
     WHERE c_acctbal > avg_bal
       AND NOT EXISTS (SELECT 1 FROM orders
@@ -361,7 +362,9 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_custkey")
     )
     threshold = cust.filter(F.col("c_acctbal") > 0.0).agg(
-        F.avg("c_acctbal").alias("avg_bal")
+        (F.sum(dec2("c_acctbal")).cast("double") / F.count("c_acctbal")).alias(
+            "avg_bal"
+        )
     )
     return (
         cust.join(F.broadcast(threshold))
@@ -370,7 +373,7 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("c_nationkey").alias("nationkey"))
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+            dsum(dec2("c_acctbal")).alias("totacctbal"),
         )
         .orderBy("nationkey")
     )
@@ -386,13 +389,15 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q9_profit_by_nation",
-    """
-    SELECT nation, o_year, round(sum(amount), 2) AS sum_profit
+    f"""
+    SELECT nation, o_year, CAST(round(sum(amount), 2) AS DOUBLE) AS sum_profit
     FROM (
       SELECT n_name AS nation,
              CAST(extract(year FROM o_orderdate) AS INT) AS o_year,
-             l_extendedprice * (1 - l_discount)
-               - p_retailprice * l_quantity * 0.1 AS amount
+             {_REV_SQL}
+               - CAST(p_retailprice AS DECIMAL(12,2))
+                 * CAST(l_quantity AS DECIMAL(12,2))
+                 * CAST(0.1 AS DECIMAL(1,1)) AS amount
       FROM lineitem
       JOIN orders   ON o_orderkey = l_orderkey
       JOIN part     ON p_partkey = l_partkey
@@ -421,15 +426,15 @@ def q9_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
         .select("s_suppkey", F.col("n_name").alias("nation"))
     )
-    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
-        "p_retailprice"
-    ) * F.col("l_quantity") * F.lit(0.1)
+    amount = rev_col() - dec2("p_retailprice", 12) * dec2("l_quantity", 12) * F.lit(
+        "0.1"
+    ).cast("decimal(1,1)")
     return (
         li.join(part, li["l_partkey"] == part["p_partkey"])
         .join(orders, li["l_orderkey"] == orders["o_orderkey"])
         .join(supp, li["l_suppkey"] == supp["s_suppkey"])
         .groupBy("nation", F.year("o_orderdate").cast("int").alias("o_year"))
-        .agg(F.round(F.sum(amount), 2).alias("sum_profit"))
+        .agg(dsum(amount).alias("sum_profit"))
         .orderBy("nation", F.desc("o_year"))
     )
 

@@ -113,7 +113,8 @@ def stream_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_hourly_rollup",
     """
     SELECT date_trunc('hour', ts) AS window_start, event_type,
-           count(*) AS n, round(sum(value), 2) AS total_value
+           count(*) AS n,
+           CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value
     FROM events
     GROUP BY 1, 2
     """,

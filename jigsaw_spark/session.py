@@ -101,6 +101,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         except Exception:
             pass
+        # The NTZ→timestamp normalization below re-labels the NTZ wall
+        # clock in the SESSION time zone; a non-UTC caller session (one
+        # that didn't come through get_spark()) would silently shift every
+        # ts by its offset vs the oracle and the streaming reader. Pin it
+        # here, runtime-settable like nanosAsLong above.
+        try:
+            spark.conf.set("spark.sql.session.timeZone", "UTC")
+        except Exception:
+            pass
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         dt = df.schema["ts"].dataType

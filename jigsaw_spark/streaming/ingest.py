@@ -61,7 +61,14 @@ def windowed_event_counts(
         src = events.withWatermark("ts", watermark)
     return (
         src.groupBy(F.window("ts", window).alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            # exact decimal accumulation → order/partitioning-independent
+            # cent rounding (see plans/queries.py money-arithmetic note)
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
         .select(
             F.col("w.start").alias("window_start"),
             "event_type",
