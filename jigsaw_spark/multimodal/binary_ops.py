@@ -9,18 +9,19 @@ Reference semantics re-expressed:
     clearly-marked stub path below.
   - mask → per-label tight bbox (A6: instance_mask/model.py:104-107) and
     contour-based instance boxes (A7: bbox/model.py:381-390) → `mask_to_bboxes`,
-    STUBBED: requires cv2/PIL pixel decode; the Spark-side plumbing (schema,
-    batching, exploded child-table output shape) is real and tested with the
-    deterministic fake.
+    REAL for PNG payloads via the pure-Python codec in png_codec.py (the
+    reference's masks are PNGs — base/mask.py:83-103).
   - merge-recolor of mask pixels (base/mask.py:189-236, with quirk #6's
     random merged color replaced by a deterministic hash-derived color) →
-    `recolor_masks`, STUBBED the same way.
+    `recolor_masks`, REAL for PNG (decode → palette rewrite → re-encode).
+  - nearest-neighbor mask/image resize → `resize_images`, REAL for PNG.
 
-STUB CONTRACT: pass `fake=True` to run a deterministic md5-derived fake
-(stable across engines/runs — usable in tests and benchmarks); with
-`fake=False` (production) the codec hook raises NotImplementedError naming
-the dependency to install. Batch shape, schemas and partitioning are real
-either way — swapping in a real codec touches only `_decode_pixels`.
+STUB CONTRACT (non-PNG formats only): JPEG/video/model-based extraction
+still need codec/model runtimes absent from this container. Pass
+`fake=True` to run a deterministic md5-derived fake (stable across
+engines/runs — usable in tests and benchmarks); with `fake=False` a
+non-PNG payload raises NotImplementedError naming the dependency. Batch
+shape, schemas and partitioning are identical either way.
 """
 
 from __future__ import annotations
@@ -45,14 +46,28 @@ def png_dimensions(content: bytes) -> tuple[int, int] | None:
 
 
 def _decode_pixels(content: bytes, fake: bool):
-    """The codec hook. Real decoders (cv2/PIL) are not in this container."""
+    """The codec hook → uint8 ndarray (h, w) or (h, w, C).
+
+    PNG decodes for real through the pure-Python codec (png_codec.py);
+    other formats would need cv2/PIL, which this container lacks — they
+    raise NotImplementedError unless ``fake`` requests the deterministic
+    digest-derived stand-in."""
+    import numpy as np
+
     if fake:
         # deterministic fake: 4x4 'pixels' derived from the content digest
         digest = hashlib.md5(content).digest()
-        return [[digest[(r * 4 + c) % 16] for c in range(4)] for r in range(4)]
+        return np.array(
+            [[digest[(r * 4 + c) % 16] for c in range(4)] for r in range(4)],
+            dtype=np.uint8,
+        )
+    if content[:8] == PNG_MAGIC:
+        from jigsaw_spark.multimodal.png_codec import decode_png
+
+        return decode_png(content)
     raise NotImplementedError(
-        "pixel decode requires an image codec (cv2 or PIL); install one and "
-        "wire it into jigsaw_spark.multimodal.binary_ops._decode_pixels"
+        "pixel decode for non-PNG formats requires an image codec "
+        "(cv2 or PIL); PNG decodes natively via multimodal/png_codec.py"
     )
 
 
@@ -96,9 +111,11 @@ def decode_image_meta(df: DataFrame) -> DataFrame:
 
 
 def mask_to_bboxes(df: DataFrame, fake: bool = False) -> DataFrame:
-    """A6/A7: per-label tight bounding boxes from mask pixels, exploded to a
-    child table (image_id, label_r, label_g, label_b, xmin, xmax, ymin,
-    ymax). STUB: pixel decode goes through `_decode_pixels`."""
+    """A6/A7: per-label tight bounding boxes from mask pixels, exploded to
+    a child table (image_id, label_r, label_g, label_b, xmin, xmax, ymin,
+    ymax). REAL for PNG masks (the reference's format — base/mask.py:83-103,
+    tight-extent semantics of instance_mask/model.py:104-107); non-PNG
+    payloads go through the stub contract (`fake=True` or raise)."""
 
     schema = (
         "image_id string, label_r int, label_g int, label_b int, "
@@ -106,30 +123,40 @@ def mask_to_bboxes(df: DataFrame, fake: bool = False) -> DataFrame:
     )
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
             rows = []
             for image_id, content in zip(pdf["image_id"], pdf["content"]):
-                pixels = _decode_pixels(bytes(content), fake)
-                # tight extent per distinct 'value' (fake: grayscale byte)
-                extents: dict[int, list[int]] = {}
-                for y, row in enumerate(pixels):
-                    for x, v in enumerate(row):
-                        e = extents.setdefault(v, [x, x, y, y])
-                        e[0] = min(e[0], x)
-                        e[1] = max(e[1], x)
-                        e[2] = min(e[2], y)
-                        e[3] = max(e[3], y)
-                for v, (x0, x1, y0, y1) in sorted(extents.items()):
+                arr = np.asarray(_decode_pixels(bytes(content), fake))
+                # normalize to (h, w, 3): gray → replicated triple (matches
+                # the reference treating single-channel masks as gray RGB);
+                # alpha is not a label channel and is dropped
+                if arr.ndim == 2:
+                    rgb = np.repeat(arr[:, :, None], 3, axis=2)
+                elif arr.shape[2] >= 3:
+                    rgb = arr[:, :, :3]
+                else:  # gray+alpha
+                    rgb = np.repeat(arr[:, :, :1], 3, axis=2)
+                packed = (
+                    (rgb[:, :, 0].astype(np.int32) << 16)
+                    | (rgb[:, :, 1].astype(np.int32) << 8)
+                    | rgb[:, :, 2].astype(np.int32)
+                )
+                # tight extent per distinct color, vectorized per label
+                # (np.unique is sorted → deterministic child-row order)
+                for u in np.unique(packed):
+                    ys, xs = np.nonzero(packed == u)
                     rows.append(
                         {
                             "image_id": image_id,
-                            "label_r": v,
-                            "label_g": v,
-                            "label_b": v,
-                            "xmin": x0,
-                            "xmax": x1,
-                            "ymin": y0,
-                            "ymax": y1,
+                            "label_r": int(u >> 16) & 0xFF,
+                            "label_g": int(u >> 8) & 0xFF,
+                            "label_b": int(u) & 0xFF,
+                            "xmin": int(xs.min()),
+                            "xmax": int(xs.max()),
+                            "ymin": int(ys.min()),
+                            "ymax": int(ys.max()),
                         }
                     )
             yield pd.DataFrame(
@@ -150,20 +177,51 @@ def mask_to_bboxes(df: DataFrame, fake: bool = False) -> DataFrame:
 
 
 def recolor_masks(df: DataFrame, recode: dict, fake: bool = False) -> DataFrame:
-    """Merge-recolor: rewrite mask pixels whose color maps through `recode`
-    {(r,g,b) -> (r,g,b)}; merged colors are hash-derived, fixing reference
-    quirk #6 (random unused color, base/mask.py:189-198). STUB: returns the
-    original bytes with a `recolored` flag when faked."""
+    """K11 merge-recolor: rewrite mask pixels whose color maps through
+    `recode` {(r,g,b) -> (r,g,b)} and re-encode — REAL for PNG masks
+    (decode → vectorized palette rewrite → encode; reference semantics
+    base/mask.py:189-236, with quirk #6's random merged color replaced by
+    the caller's deterministic mapping). `recolored` reports whether any
+    pixel actually changed. Map-only Arrow kernel — no shuffle."""
 
     schema = "image_id string, kind string, path string, content binary, recolored boolean"
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
-            flags = []
+            contents, flags = [], []
             for content in pdf["content"]:
-                _decode_pixels(bytes(content), fake)  # raises unless faked
-                flags.append(bool(recode))
-            out = pdf[["image_id", "kind", "path", "content"]].copy()
+                b = bytes(content)
+                arr = np.asarray(_decode_pixels(b, fake))
+                if fake:
+                    # stub path: geometry-free flag semantics (legacy)
+                    contents.append(b)
+                    flags.append(bool(recode))
+                    continue
+                if arr.ndim == 2:
+                    rgb = np.repeat(arr[:, :, None], 3, axis=2).copy()
+                else:
+                    rgb = arr[:, :, :3].copy()
+                changed = False
+                for (r, g, bb), (r2, g2, b2) in recode.items():
+                    m = (
+                        (rgb[:, :, 0] == r)
+                        & (rgb[:, :, 1] == g)
+                        & (rgb[:, :, 2] == bb)
+                    )
+                    if m.any():
+                        rgb[m] = (r2, g2, b2)
+                        changed = True
+                if changed:
+                    from jigsaw_spark.multimodal.png_codec import encode_png
+
+                    contents.append(encode_png(rgb))
+                else:
+                    contents.append(b)
+                flags.append(changed)
+            out = pdf[["image_id", "kind", "path"]].copy()
+            out["content"] = contents
             out["recolored"] = flags
             yield out
 
@@ -243,9 +301,10 @@ def resize_images(
     df: DataFrame, width: int = 64, height: int = 64, fake: bool = False
 ) -> DataFrame:
     """(image_id, content) → (image_id, width, height, resized) — the
-    normalize-resolution step before feature extraction. Stub contract as
-    above: the fake emits a deterministic digest-derived payload of the
-    target geometry; the real path needs a raster codec."""
+    normalize-resolution step before feature extraction. REAL for PNG:
+    decode → nearest-neighbor resample (label-preserving, the right choice
+    for masks) → re-encode. Non-PNG keeps the stub contract (deterministic
+    digest payload under ``fake``, NotImplementedError otherwise)."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -257,10 +316,18 @@ def resize_images(
                         b + width.to_bytes(2, "big") + height.to_bytes(2, "big")
                     ).digest()
                     outs.append(seed * ((width * height) // len(seed) + 1))
+                elif b[:8] == PNG_MAGIC:
+                    from jigsaw_spark.multimodal.png_codec import (
+                        decode_png,
+                        encode_png,
+                        resize_nearest,
+                    )
+
+                    outs.append(encode_png(resize_nearest(decode_png(b), width, height)))
                 else:
                     raise NotImplementedError(
-                        "image resize requires a raster codec (cv2 or PIL); "
-                        "wire it into jigsaw_spark.multimodal.binary_ops.resize_images"
+                        "non-PNG resize requires a raster codec (cv2 or PIL); "
+                        "PNG resizes natively via multimodal/png_codec.py"
                     )
             out = pdf[["image_id"]].copy()
             out["width"] = width

@@ -1553,6 +1553,7 @@ _CERTIFICATION_PRIORITY = [
     "flagship_pipeline",
     "merge_upsert",
     # judge-named round-2 targets
+    "mm_png_mask_bboxes",  # new this round: real PNG decode, exact oracle
     "dedup_minhash_lsh",
     "dedup_components",
     "ann_ivf_topk",

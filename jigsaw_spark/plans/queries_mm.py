@@ -58,6 +58,69 @@ def mm_mask_bboxes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mask_to_bboxes(_as_binary_table(spark, sf_dir, "mask"), fake=True)
 
 
+@register(
+    "mm_png_mask_bboxes",
+    """
+    WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 20 = 0)
+    SELECT CAST(doc_id AS VARCHAR) AS image_id,
+           0 AS label_r, 0 AS label_g, 0 AS label_b,
+           0 AS xmin, 31 AS xmax, 0 AS ymin, 23 AS ymax
+    FROM d
+    UNION ALL
+    SELECT CAST(doc_id AS VARCHAR),
+           64, 0, 128,
+           CAST(1 + doc_id % 11 AS INT),
+           CAST(1 + doc_id % 11 + 2 + doc_id % 3 AS INT),
+           CAST(1 + doc_id % 5 AS INT),
+           CAST(1 + doc_id % 5 + 2 + doc_id % 3 AS INT)
+    FROM d
+    UNION ALL
+    SELECT CAST(doc_id AS VARCHAR),
+           0, 64, 64,
+           CAST(17 + doc_id % 9 AS INT),
+           CAST(17 + doc_id % 9 + 2 + doc_id % 4 AS INT),
+           CAST(12 + doc_id % 7 AS INT),
+           CAST(12 + doc_id % 7 + 2 + doc_id % 2 AS INT)
+    FROM d
+    """,
+    "multimodal A6 REAL path: doc_id-derived PNG masks (pure-Python "
+    "encode) decoded by the stdlib-zlib PNG codec into per-color tight "
+    "bboxes — the oracle recomputes the painted-rectangle geometry in SQL, "
+    "so the whole encode→decode→extent kernel is value-checked. Map-only "
+    "Arrow kernels, zero shuffle.",
+)
+def mm_png_mask_bboxes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jigsaw_spark.session import widen
+
+    docs = widen(
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 20 == 0)
+        .select("doc_id")
+    )
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        from jigsaw_spark.multimodal.png_codec import encode_png
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                arr = np.zeros((24, 32, 3), dtype=np.uint8)
+                x0, y0 = 1 + i % 11, 1 + i % 5
+                arr[y0 : y0 + 3 + i % 3, x0 : x0 + 3 + i % 3] = (64, 0, 128)
+                x1, y1 = 17 + i % 9, 12 + i % 7
+                arr[y1 : y1 + 3 + i % 2, x1 : x1 + 3 + i % 4] = (0, 64, 64)
+                ids.append(str(i))
+                blobs.append(encode_png(arr))
+            yield pd.DataFrame({"image_id": ids, "content": blobs})
+
+    masks = docs.mapInPandas(synth, "image_id string, content binary")
+    return mask_to_bboxes(masks, fake=False)
+
+
 def _as_audio_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthesize deterministic PCM16 WAV clips from documents.text (fixture
     generator — see audio_ops.synthesize_wav); real producers hand the same

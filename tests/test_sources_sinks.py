@@ -210,14 +210,40 @@ def test_decode_image_meta_png_header(spark, jigsaw_tree):
 
 
 def test_mask_to_bboxes_stub_contract(spark, jigsaw_tree):
+    # non-PNG payloads still go through the stub contract
+    raw = spark.createDataFrame(
+        [("m1", b"not-a-png-payload")], "image_id string, content binary"
+    )
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        mask_to_bboxes(raw, fake=False).collect()
     path, _ = jigsaw_tree
     masks = read_binaries(spark, path, "mask")
-    with pytest.raises(Exception, match="NotImplementedError|codec"):
-        mask_to_bboxes(masks, fake=False).collect()
     boxes = mask_to_bboxes(masks, fake=True)
     assert boxes.count() > 0
     b = boxes.first()
     assert b.xmin <= b.xmax and b.ymin <= b.ymax
+
+
+def test_mask_to_bboxes_real_png(spark):
+    # real path: encode a known mask, decode through the operator, expect
+    # exact tight extents per color
+    import numpy as np
+
+    from jigsaw_spark.multimodal.png_codec import encode_png
+
+    arr = np.zeros((6, 8, 3), dtype=np.uint8)
+    arr[1:3, 2:5] = (64, 0, 128)  # Car: y 1..2, x 2..4
+    arr[4:6, 6:8] = (0, 64, 64)  # Pedestrian: y 4..5, x 6..7
+    df = spark.createDataFrame(
+        [("m1", bytearray(encode_png(arr)))], "image_id string, content binary"
+    )
+    rows = {
+        (r.label_r, r.label_g, r.label_b): (r.xmin, r.xmax, r.ymin, r.ymax)
+        for r in mask_to_bboxes(df, fake=False).collect()
+    }
+    assert rows[(64, 0, 128)] == (2, 4, 1, 2)
+    assert rows[(0, 64, 64)] == (6, 7, 4, 5)
+    assert rows[(0, 0, 0)] == (0, 7, 0, 5)
 
 
 def test_extract_features_fake_is_unit_norm(spark, jigsaw_tree):
