@@ -1554,6 +1554,7 @@ _CERTIFICATION_PRIORITY = [
     "merge_upsert",
     # judge-named round-2 targets
     "mm_png_mask_bboxes",  # new this round: real PNG decode, exact oracle
+    "k6_bbox_norm",  # new this round: K6 bbox export normalization, oracle
     "dedup_minhash_lsh",
     "dedup_components",
     "ann_ivf_topk",

@@ -3,10 +3,11 @@
 There is no binary table in the driver's testdata, so these synthesize an
 opaque `content BINARY` column from `documents.text` — the point is to
 exercise the REAL Spark-side plumbing (binary schema, Arrow batch shape,
-mapInPandas partitioning) of the multimodal operators end-to-end. Pixel
-decode itself is stubbed per the container contract (no image codecs
-installed; jigsaw_spark/multimodal/binary_ops.py STUB CONTRACT), so these
-register with oracle=None → the driver records the weaker rows-only check.
+mapInPandas partitioning) of the multimodal operators end-to-end. PNG
+pixel paths are fully real (multimodal/png_codec.py) and value-checked by
+exact oracles (mm_png_mask_bboxes, k6_bbox_norm); non-PNG decode is
+stubbed per the container contract (binary_ops.py STUB CONTRACT) and those
+queries register with oracle=None → rows-only check.
 
 Reference parity targets: dimension inference (base/mask.py:103), A6/A7
 mask→bbox extraction (instance_mask/model.py:104-107, bbox/model.py:381-390),
@@ -192,3 +193,145 @@ def mm_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("image_id").cast("bigint").alias("vec_id"), "embedding"
     )
     return srp_buckets(ids, num_planes=16)
+
+
+@register(
+    "k6_bbox_norm",
+    """
+    WITH d AS (
+      SELECT doc_id, 320 + (doc_id % 5) * 64 AS w, 480 AS h
+      FROM documents WHERE doc_id % 10 = 0
+    ), b AS (
+      SELECT doc_id, w, h,
+             'lab_' || CAST(doc_id % 3 AS VARCHAR) AS label,
+             CAST(1 + doc_id % 3 AS BIGINT) AS label_int,
+             doc_id % 100 AS xmin, doc_id % 80 AS ymin,
+             doc_id % 100 + 10 + doc_id % 50 AS xmax,
+             doc_id % 80 + 5 + doc_id % 40 AS ymax
+      FROM d
+      UNION ALL
+      SELECT doc_id, w, h,
+             'lab_' || CAST((doc_id + 1) % 3 AS VARCHAR),
+             CAST(1 + (doc_id + 1) % 3 AS BIGINT),
+             (doc_id * 7) % 150, (doc_id * 3) % 90,
+             (doc_id * 7) % 150 + 20, (doc_id * 3) % 90 + 30
+      FROM d)
+    SELECT CAST(doc_id AS VARCHAR) AS image_id,
+           CAST(xmin AS DOUBLE) / w AS xmin_n,
+           CAST(xmax AS DOUBLE) / w AS xmax_n,
+           CAST(ymin AS DOUBLE) / h AS ymin_n,
+           CAST(ymax AS DOUBLE) / h AS ymax_n,
+           label, label_int
+    FROM b
+    """,
+    "K6 bbox export projection (reference bbox/model.py:310-356): pixel "
+    "boxes normalized to [0,1] by per-image width/height through "
+    "bbox_tfexample_projection, exploded back to rows — the oracle "
+    "recomputes the synthesis arithmetic and the normalization division. "
+    "Projection is pure column expressions + one broadcast label-map join.",
+)
+def k6_bbox_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jigsaw_spark.sources.model_exports import bbox_tfexample_projection
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    sid = F.col("doc_id").cast("string")
+    images = docs.select(
+        sid.alias("image_id"),
+        F.concat(sid, F.lit(".png")).alias("filename"),
+        F.lit("png").alias("format"),
+        (F.lit(320) + (F.col("doc_id") % 5) * 64).cast("int").alias("width"),
+        F.lit(480).alias("height"),
+        F.encode(sid, "utf-8").alias("encoded"),
+    )
+    d = F.col("doc_id")
+    b1 = docs.select(
+        sid.alias("image_id"),
+        F.concat(F.lit("lab_"), (d % 3).cast("string")).alias("label"),
+        (d % 100).alias("xmin"),
+        (d % 80).alias("ymin"),
+        (d % 100 + 10 + d % 50).alias("xmax"),
+        (d % 80 + 5 + d % 40).alias("ymax"),
+    )
+    b2 = docs.select(
+        sid.alias("image_id"),
+        F.concat(F.lit("lab_"), ((d + 1) % 3).cast("string")).alias("label"),
+        ((d * 7) % 150).alias("xmin"),
+        ((d * 3) % 90).alias("ymin"),
+        ((d * 7) % 150 + 20).alias("xmax"),
+        ((d * 3) % 90 + 30).alias("ymax"),
+    )
+    label_map = spark.createDataFrame(
+        [("lab_0", 1), ("lab_1", 2), ("lab_2", 3)], "label string, label_int int"
+    )
+    proj = bbox_tfexample_projection(images, b1.unionByName(b2), label_map)
+    z = F.arrays_zip(
+        F.col("`image/object/bbox/xmin`").alias("xmin_n"),
+        F.col("`image/object/bbox/xmax`").alias("xmax_n"),
+        F.col("`image/object/bbox/ymin`").alias("ymin_n"),
+        F.col("`image/object/bbox/ymax`").alias("ymax_n"),
+        F.col("`image/object/class/text`").alias("label"),
+        F.col("`image/object/class/label`").alias("label_int"),
+    )
+    return proj.select("image_id", F.explode(z).alias("b")).select(
+        "image_id", "b.*"
+    )
+
+
+@register(
+    "k6_deeplab_export",
+    None,
+    "K6 deeplab projection (reference deeplab/model.py:17-44) end-to-end: "
+    "synthesized color masks → grayscale class-id PNG + serialized "
+    "tf.train.Example bytes (pure-Python protobuf) — rows-only check "
+    "(binary example payloads aren't SQL-expressible); byte-level parity "
+    "is covered in tests/test_model_exports.py.",
+)
+def k6_deeplab_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jigsaw_spark.session import widen
+    from jigsaw_spark.sources.model_exports import (
+        deeplab_projection,
+        rows_to_tfexamples,
+    )
+
+    docs = widen(
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 20 == 0)
+        .select("doc_id")
+    )
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        from jigsaw_spark.multimodal.png_codec import encode_png
+
+        for pdf in batches:
+            rows = {"image_id": [], "filename": [], "format": [], "width": [],
+                    "height": [], "encoded": [], "mask": []}
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                arr = np.zeros((24, 32, 3), dtype=np.uint8)
+                x0, y0 = 1 + i % 11, 1 + i % 5
+                arr[y0 : y0 + 3 + i % 3, x0 : x0 + 3 + i % 3] = (64, 0, 128)
+                x1, y1 = 17 + i % 9, 12 + i % 7
+                arr[y1 : y1 + 3 + i % 2, x1 : x1 + 3 + i % 4] = (0, 64, 64)
+                rows["image_id"].append(str(i))
+                rows["filename"].append(f"{i}.png")
+                rows["format"].append("png")
+                rows["width"].append(32)
+                rows["height"].append(24)
+                rows["encoded"].append(b"IMG" + str(i).encode())
+                rows["mask"].append(encode_png(arr))
+            yield pd.DataFrame(rows)
+
+    import pandas as pd  # noqa: F401  (kernel dep)
+
+    masks = docs.mapInPandas(
+        synth,
+        "image_id string, filename string, format string, width int, "
+        "height int, encoded binary, mask binary",
+    )
+    label_colors = [("car", 1, (64, 0, 128)), ("pedestrian", 2, (0, 64, 64))]
+    proj = deeplab_projection(masks, label_colors)
+    ex = rows_to_tfexamples(proj)
+    return ex.select("image_id", F.length("example").alias("example_bytes"))

@@ -170,27 +170,35 @@ def read_tfrecords(path: str) -> list[bytes]:
 
 
 def write_tfrecords(
-    df: DataFrame, out_dir: str, basename: str = "data"
+    df: DataFrame, out_dir: str, basename: str = "data", raw_col: str | None = None
 ) -> None:
     """Write one `<basename>-<partition>.record` shard per partition plus a
     `.numexamples` count sidecar (write_dataset.py:187-188). Rows become
-    Examples with one feature per column. Callers control sharding with
-    `repartition(n)` / `shard_assign` upstream."""
+    Examples with one feature per column; pass ``raw_col`` naming a binary
+    column of ALREADY-serialized Example bytes (e.g. from
+    model_exports.rows_to_tfexamples) to frame those verbatim instead.
+    Callers control sharding with `repartition(n)` / `shard_assign`
+    upstream."""
     os.makedirs(out_dir, exist_ok=True)
     counts = df.rdd.mapPartitionsWithIndex(
-        lambda idx, rows: [_write_partition(idx, rows, out_dir, basename)]
+        lambda idx, rows: [_write_partition(idx, rows, out_dir, basename, raw_col)]
     ).collect()
     total = sum(counts)
     with open(os.path.join(out_dir, f"{basename}.numexamples"), "w") as f:
         f.write(str(total))
 
 
-def _write_partition(idx: int, rows, out_dir: str, basename: str) -> int:
+def _write_partition(
+    idx: int, rows, out_dir: str, basename: str, raw_col: str | None = None
+) -> int:
     n = 0
     path = os.path.join(out_dir, f"{basename}-{idx:05d}.record")
     with open(path, "wb") as f:
         for row in rows:
-            f.write(frame_record(encode_example(row.asDict())))
+            if raw_col is not None:
+                f.write(frame_record(bytes(row[raw_col])))
+            else:
+                f.write(frame_record(encode_example(row.asDict())))
             n += 1
     if n == 0:
         os.remove(path)
