@@ -155,3 +155,51 @@ def widen(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     if df.rdd.getNumPartitions() >= max(2, target // 2):
         return df
     return df.repartition(target)
+
+
+def object_store_conf(
+    endpoint: str | None = None,
+    path_style: bool = True,
+) -> dict[str, str]:
+    """K7: the `s3a://` write recipe (reference parity: io_utils.py:388-431
+    uploads exports to S3 as a separate boto3 stage; Spark-first there is
+    no upload stage — sinks write `s3a://bucket/...` directly and the
+    committer handles atomicity).
+
+    Returns the conf dict to apply at session build (most keys are NOT
+    runtime-settable). Credentials intentionally absent: the
+    DefaultAWSCredentialsProviderChain (env/instance-profile/IRSA) is the
+    production path; never bake keys into code.
+
+    Key choices, and why they matter at 100 TB:
+      - magic committer: task commits become S3 multipart completes — no
+        rename (S3 has no rename; the classic FileOutputCommitter v1/v2
+        'rename' is a copy) and no missing-dir races.
+      - fast upload to heap buffers: writers stream multiparts while the
+        task is still producing, bounding executor disk.
+      - path-style + endpoint override: MinIO/on-prem object stores.
+    """
+    conf = {
+        # committer: the S3A "magic" committer is the zero-rename path
+        "spark.sql.sources.commitProtocolClass": (
+            "org.apache.spark.internal.io.cloud.PathOutputCommitProtocol"
+        ),
+        "spark.sql.parquet.output.committer.class": (
+            "org.apache.spark.internal.io.cloud.BindingParquetOutputCommitter"
+        ),
+        "spark.hadoop.fs.s3a.committer.name": "magic",
+        "spark.hadoop.fs.s3a.committer.magic.enabled": "true",
+        # upload pipeline
+        "spark.hadoop.fs.s3a.fast.upload": "true",
+        "spark.hadoop.fs.s3a.fast.upload.buffer": "bytebuffer",
+        "spark.hadoop.fs.s3a.multipart.size": "128M",
+        "spark.hadoop.fs.s3a.connection.maximum": "96",
+        # keep directory markers: deleting them on every write turns deep
+        # export trees into LIST/DELETE storms
+        "spark.hadoop.fs.s3a.directory.marker.retention": "keep",
+    }
+    if endpoint:
+        conf["spark.hadoop.fs.s3a.endpoint"] = endpoint
+    if path_style:
+        conf["spark.hadoop.fs.s3a.path.style.access"] = "true"
+    return conf
