@@ -254,6 +254,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     n: int = 3,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs: docs agreeing on all rows of >=1 band.
     bands * rows_per_band = num_hashes. Collision prob ≈ 1-(1-j^r)^b.
@@ -262,22 +263,51 @@ def minhash_lsh_pairs(
     (band, sig) into buckets, pairs exploded bucket-locally. (A self-join
     on (band, sig) is equivalent but executes the Python kernel once per
     join side — Spark can't dedupe identical PythonUDF subplans — so the
-    bucket form halves the kernel work AND halves the shuffles.) Bucket
-    sizes are the skew risk at scale (boilerplate docs collapse to one
-    signature); cap candidate buckets upstream if needed, same knob as
-    ngram_jaccard's max_posting."""
+    bucket form halves the kernel work AND halves the shuffles.)
+
+    ``max_bucket`` is the SKEW CAP — the knob that makes this survive a
+    boilerplate-heavy corpus at 100 TB. A bucket of B identical-signature
+    docs (legal disclaimers, templated pages) explodes to B(B-1)/2 pairs
+    under all-pairs — quadratic in the hottest key, exactly where skew
+    kills the stage. Buckets larger than the cap instead emit a CHAIN over
+    their (sorted) ids — B-1 consecutive pairs: fan-out drops to linear,
+    determinism holds under any partitioning, and connected-components
+    clustering downstream is unchanged (the chain keeps the bucket one
+    component). Per-pair recall inside oversized buckets is deliberately
+    traded away — those pairs are boilerplate by construction. Buckets at
+    or under the cap keep exact all-pairs semantics."""
     banded = minhash_band_sigs(df, key, text, num_hashes, bands, n)
     buckets = (
         banded.groupBy("band", "sig")
-        .agg(F.collect_list(key).alias("ids"))
+        .agg(F.array_sort(F.collect_list(key)).alias("ids"))
         .filter(F.size("ids") >= 2)
     )
-    return (
-        buckets.select(F.explode("ids").alias("doc_a"), "ids")
-        .select("doc_a", F.explode("ids").alias("doc_b"))
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .distinct()
+
+    def all_pairs(b: DataFrame) -> DataFrame:
+        return (
+            b.select(F.explode("ids").alias("doc_a"), "ids")
+            .select("doc_a", F.explode("ids").alias("doc_b"))
+            .filter(F.col("doc_a") < F.col("doc_b"))
+        )
+
+    if max_bucket is None:
+        return all_pairs(buckets).distinct()
+    small = all_pairs(buckets.filter(F.size("ids") <= max_bucket))
+    # consecutive-id chain: zip ids[0..B-2] with ids[1..B-1]
+    chained = (
+        buckets.filter(F.size("ids") > max_bucket)
+        .select(
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("ids"), 1, F.size("ids") - 1),
+                    F.slice(F.col("ids"), 2, F.size("ids") - 1),
+                    lambda a, b: F.struct(a.alias("doc_a"), b.alias("doc_b")),
+                )
+            ).alias("p")
+        )
+        .select("p.doc_a", "p.doc_b")
     )
+    return small.unionByName(chained).distinct()
 
 
 def simhash(df: DataFrame, key: str, text: str = "text", num_bits: int = 32) -> DataFrame:

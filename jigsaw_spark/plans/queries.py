@@ -1561,6 +1561,7 @@ _CERTIFICATION_PRIORITY = [
     "q2_min_cost_supplier",
     "stream_stream_join",
     # dedup family
+    "dedup_lsh_capped",  # new this round: skew cap exercised, exact oracle
     "dedup_exact",
     "dedup_exact_keep_best",
     "dedup_ngram_jaccard",

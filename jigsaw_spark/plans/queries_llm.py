@@ -617,3 +617,62 @@ def text_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(
         docs, ["doc_id"], "n_chars", budget=4096, partition_cols=["source"]
     )
+
+
+_BOILER = (
+    "standard legal disclaimer all rights reserved reproduction prohibited "
+    "without express written consent of the publisher"
+)
+
+
+@register(
+    "dedup_lsh_capped",
+    f"""
+    WITH src AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN '{_BOILER}' ELSE text END AS text
+      FROM documents),
+    toks AS (SELECT doc_id, {tokens_sql('text')} AS t FROM src),
+    {_SHINGLES_CTE},
+    mh AS (
+      SELECT doc_id, seed,
+             min(md5(CAST(seed AS VARCHAR) || '|' || shingle)) AS mh
+      FROM sh CROSS JOIN (SELECT unnest(range(16)) AS seed) seeds
+      GROUP BY doc_id, seed),
+    bands AS (
+      SELECT doc_id, seed // 4 AS band,
+             string_agg(mh, ',' ORDER BY seed) AS sig
+      FROM mh GROUP BY doc_id, band),
+    sized AS (SELECT band, sig, count(*) AS n FROM bands GROUP BY band, sig),
+    small AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+      JOIN sized s ON s.band = a.band AND s.sig = a.sig
+      WHERE s.n <= 10),
+    chains AS (
+      SELECT lag(a.doc_id) OVER (
+               PARTITION BY a.band, a.sig ORDER BY a.doc_id) AS doc_a,
+             a.doc_id AS doc_b
+      FROM bands a JOIN sized s ON s.band = a.band AND s.sig = a.sig
+      WHERE s.n > 10)
+    SELECT DISTINCT doc_a, doc_b FROM (
+      SELECT doc_a, doc_b FROM small
+      UNION ALL
+      SELECT doc_a, doc_b FROM chains WHERE doc_a IS NOT NULL)
+    """,
+    "MinHash-LSH with the skew cap EXERCISED: 20% of the corpus is forced "
+    "to one boilerplate text, collapsing to a single signature per band "
+    "(the 100 TB templated-page hazard). Buckets > 10 emit a sorted-id "
+    "chain (linear fan-out, components-equivalent) instead of quadratic "
+    "all-pairs; buckets <= 10 keep exact all-pairs. Oracle replays both "
+    "regimes relationally (lag window = the chain).",
+)
+def dedup_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.when(F.col("doc_id") % 5 == 0, F.lit(_BOILER)).otherwise(
+            F.col("text")
+        ),
+    )
+    return minhash_lsh_pairs(docs, "doc_id", num_hashes=16, bands=4, max_bucket=10)

@@ -303,3 +303,36 @@ def test_pq_encode_matches_numpy(spark):
         want[vid] = cs
     assert got == want
     assert len(books) == m and len(books[0]) == k
+
+
+def test_minhash_lsh_skew_cap_bounds_fanout(spark):
+    """Oversized (boilerplate) buckets emit a linear chain; pairs among
+    normal docs are untouched by the cap."""
+    boiler = "identical boilerplate disclaimer text repeated across corpus"
+    rows = [(i, boiler) for i in range(100)] + [
+        (200, "the quick brown fox jumps over the lazy dog"),
+        (201, "the quick brown fox jumps over the lazy cat"),
+        (202, "zebra yak xylophone wombat vulture unique words here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs(df, "doc_id", max_bucket=10).collect()
+    }
+    uncapped = {
+        (r.doc_a, r.doc_b) for r in minhash_lsh_pairs(df, "doc_id").collect()
+    }
+
+    boiler_capped = {p for p in capped if p[0] < 100}
+    boiler_uncapped = {p for p in uncapped if p[0] < 100}
+    # quadratic -> linear: 100*99/2 pairs collapse to the 99-edge chain
+    assert len(boiler_uncapped) == 100 * 99 // 2
+    assert boiler_capped == {(i, i + 1) for i in range(99)}
+    # the chain keeps the bucket one connected component
+    nodes = {x for p in boiler_capped for x in p}
+    assert nodes == set(range(100))
+    # recall elsewhere unchanged: non-boilerplate pairs identical
+    assert {p for p in capped if p[0] >= 100} == {
+        p for p in uncapped if p[0] >= 100
+    }
