@@ -1605,6 +1605,9 @@ _CERTIFICATION_PRIORITY = [
     "q18_large_orders",
     "q19_disjunctive_join",
     "q22_idle_customers",
+    "q11_important_value",  # new this round: schema-adapted, oracle
+    "q20_promo_suppliers",  # new this round: schema-adapted, oracle
+    "q21_waiting_suppliers",  # new this round: schema-adapted, oracle
     # streaming drains
     "stream_stateful_sessions",
     "stream_dedup_counts",

@@ -600,3 +600,188 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("p_partkey", "s_name")
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# Q11 analog — "important inventory value". The schema has no partsupp, so
+# lineitem stands in as the part×supplier value fact (noted in COVERAGE.md);
+# the SHAPE is Q11's signature: per-part value aggregate HAVING'd against a
+# scalar-subquery fraction of the same aggregate over the whole nation.
+# Scale: the nation filter broadcasts through supplier; both the per-part
+# agg and the 1-row global total reuse one shuffled frame; the threshold is
+# a 1-row broadcast. Exact-decimal sums make the HAVING boundary
+# deterministic across engines.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q11_important_value",
+    f"""
+    WITH natsupp AS (
+      SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_3'),
+    val AS (
+      SELECT l_partkey,
+             CAST(round(sum({_REV_SQL}), 2) AS DOUBLE) AS value
+      FROM lineitem JOIN natsupp ON l_suppkey = s_suppkey
+      GROUP BY l_partkey)
+    SELECT l_partkey, value
+    FROM val
+    WHERE value > (SELECT 0.001 * sum(value) FROM val)
+    ORDER BY value DESC, l_partkey
+    """,
+    "TPC-H Q11 shape (partsupp-free analog): per-part value vs a scalar "
+    "fraction of the national total — agg + HAVING against a 1-row "
+    "broadcast subquery; supplier/nation dims broadcast",
+)
+def q11_important_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    nat = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    natsupp = F.broadcast(
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey")
+    )
+    val = (
+        li.join(natsupp, li["l_suppkey"] == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(dsum(rev_col()).alias("value"))
+    )
+    threshold = val.agg((F.lit(0.001) * F.sum("value")).alias("thr"))
+    return (
+        val.join(F.broadcast(threshold))
+        .filter(F.col("value") > F.col("thr"))
+        .select("l_partkey", "value")
+        .orderBy(F.desc("value"), "l_partkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q20 analog — "potential part promotion". No partsupp.availqty, so the
+# excess-stock predicate becomes: suppliers whose 1997 shipped quantity of
+# the name-matched parts exceeds an outsized share (17%, ~1.2x
+# the uniform-year share in this data) of their all-time shipped quantity
+# of those parts (same correlated-sums-compare + semi-join signature; noted
+# in COVERAGE.md). Integer-valued quantities keep both sums exact, so the
+# threshold boundary is engine-stable.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q20_promo_suppliers",
+    """
+    WITH target_parts AS (
+      SELECT p_partkey FROM part WHERE p_name LIKE '%gear%'),
+    shipped AS (
+      SELECT l_suppkey,
+             sum(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01'
+                       AND l_shipdate <  TIMESTAMP '1998-01-01'
+                      THEN l_quantity ELSE 0 END) AS qty97,
+             sum(l_quantity) AS qty_all
+      FROM lineitem JOIN target_parts ON l_partkey = p_partkey
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE s_suppkey IN (
+      SELECT l_suppkey FROM shipped WHERE qty97 > 0.17 * qty_all)
+    ORDER BY s_suppkey
+    """,
+    "TPC-H Q20 shape (availqty-free analog): name-filtered part dim "
+    "broadcast into lineitem, correlated sums compared per supplier, "
+    "left-semi join back to supplier",
+)
+def q20_promo_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    parts = F.broadcast(
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%gear%"))
+        .select("p_partkey")
+    )
+    in97 = (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp")) & (
+        F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    shipped = (
+        li.join(parts, li["l_partkey"] == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(F.when(in97, F.col("l_quantity")).otherwise(F.lit(0.0))).alias(
+                "qty97"
+            ),
+            F.sum("l_quantity").alias("qty_all"),
+        )
+        .filter(F.col("qty97") > 0.17 * F.col("qty_all"))
+        .select("l_suppkey")
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        supp.join(
+            F.broadcast(shipped), supp["s_suppkey"] == shipped["l_suppkey"], "left_semi"
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q21 analog — "suppliers who kept orders waiting". The schema has no
+# commit/receipt dates, so the fault predicate becomes l_returnflag = 'R'
+# (noted in COVERAGE.md); the signature — EXISTS another supplier on the
+# order, NOT EXISTS another supplier also at fault — is preserved. Spark
+# side decorrelates BOTH subqueries into ONE per-order aggregate
+# (distinct-supplier count + distinct-faulty-supplier count) joined back:
+# two correlated scans collapse into a single shuffle — the plan you want
+# at 100 TB instead of two extra lineitem passes.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q21_waiting_suppliers",
+    """
+    SELECT s_name, count(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+    "TPC-H Q21 shape (date-free analog): sole-faulty-supplier attribution "
+    "on multi-supplier orders — EXISTS/NOT EXISTS decorrelated to one "
+    "per-order distinct-count aggregate instead of two correlated scans",
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    order_stats = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_fault_supp"),
+    )
+    orders_f = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey")
+    supp = F.broadcast(
+        _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    )
+    l1 = li.filter(F.col("l_returnflag") == "R")
+    return (
+        l1.join(orders_f, l1["l_orderkey"] == orders_f["o_orderkey"])
+        .join(order_stats, "l_orderkey")
+        # EXISTS other supplier ⇔ n_supp >= 2; NOT EXISTS other faulty
+        # supplier ⇔ this l1 supplier is the only one with 'R'
+        .filter((F.col("n_supp") >= 2) & (F.col("n_fault_supp") == 1))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
