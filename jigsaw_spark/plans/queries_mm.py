@@ -335,3 +335,58 @@ def k6_deeplab_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     proj = deeplab_projection(masks, label_colors)
     ex = rows_to_tfexamples(proj)
     return ex.select("image_id", F.length("example").alias("example_bytes"))
+
+
+@register(
+    "k6_feature_points",
+    """
+    SELECT CAST(doc_id AS VARCHAR) AS image_id,
+           480 AS height, 640 AS width,
+           doc_id % 97 AS x_nose,
+           (doc_id * 3) % 97 AS x_tail,
+           doc_id % 89 AS y_nose,
+           (doc_id * 7) % 89 AS y_tail,
+           CAST(doc_id % 13 AS DOUBLE) / 13.0 AS pose0,
+           CAST(doc_id % 17 AS DOUBLE) / 17.0 AS pose1
+    FROM documents WHERE doc_id % 10 = 0
+    """,
+    "K6 feature-points export projection (reference "
+    "feature_points/model.py:115-148): centroid map -> consistency check "
+    "against the label universe -> xs-then-ys packing in sorted label "
+    "order + pose floats, re-flattened to scalars for the oracle, which "
+    "recomputes the synthesis arithmetic. Pure column expressions.",
+)
+def k6_feature_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jigsaw_spark.sources.model_exports import feature_points_projection
+
+    d = F.col("doc_id")
+    sid = d.cast("string")
+    meta = _t(spark, sf_dir, "documents").filter(d % 10 == 0).select(
+        sid.alias("image_id"),
+        F.lit(640).alias("width"),
+        F.lit(480).alias("height"),
+        F.encode(sid, "utf-8").alias("encoded"),
+        F.lit("png").alias("format"),
+        F.create_map(
+            F.lit("nose"),
+            F.array((d % 97).cast("int"), (d % 89).cast("int")),
+            F.lit("tail"),
+            F.array(((d * 3) % 97).cast("int"), ((d * 7) % 89).cast("int")),
+        ).alias("centroids"),
+        F.array(
+            (d % 13).cast("double") / 13.0, (d % 17).cast("double") / 17.0
+        ).alias("pose"),
+    )
+    proj = feature_points_projection(meta, ["nose", "tail"])
+    fp = F.col("feature_points")
+    return proj.select(
+        "image_id",
+        "height",
+        "width",
+        fp[0].alias("x_nose"),
+        fp[1].alias("x_tail"),
+        fp[2].alias("y_nose"),
+        fp[3].alias("y_tail"),
+        F.col("pose")[0].alias("pose0"),
+        F.col("pose")[1].alias("pose1"),
+    )
