@@ -51,6 +51,14 @@ def table_hash(rows: list[tuple], col_order: list[int]) -> str:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
+    ap.add_argument(
+        "--vanilla",
+        action="store_true",
+        help="use an UNCONFIGURED SparkSession like the driver does "
+        "(default shuffle partitions / broadcast threshold / no engine "
+        "confs) — catches config-dependent divergence the tuned session "
+        "hides (the r01 merge_upsert flake class)",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -60,7 +68,14 @@ def main() -> int:
     oracles = entrymod.oracle_sql()
     names = args.names or list(qs)
 
-    spark = get_spark("verify-oracle", cpus=8)
+    if args.vanilla:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.master("local[8]").appName(
+            "verify-vanilla"
+        ).getOrCreate()
+    else:
+        spark = get_spark("verify-oracle", cpus=8)
     con = duckdb.connect()
     for t in TABLES:
         p = Path(args.sf) / f"{t}.parquet"
