@@ -43,6 +43,7 @@ ALL_PAIRS_OK = {
     "ts_gap_fill",
     "q22_idle_customers",
     "agg_hll_mergeable",
+    "q11_important_value",  # 0.001×total threshold: 1-row broadcast cross
 }
 # queries expected to push a filter into the parquet scan
 EXPECT_PUSHDOWN = {
