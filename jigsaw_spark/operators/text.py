@@ -303,3 +303,100 @@ def pack_sequences(
     return df.withColumn("pack_offset", before.cast("bigint")).withColumn(
         "pack_bin", F.floor(F.col("pack_offset") / budget).cast("int")
     )
+
+
+def unigram_logprob(df, key: str, text: str = "text"):
+    """Corpus-unigram language-model score per document — the KenLM-lite
+    of data curation: documents whose tokens are improbable under the
+    corpus's own unigram distribution are outliers (OCR garbage, wrong
+    language, boilerplate codes). score = mean over tokens of
+    -ln(count(tok)/total_tokens); lower = more typical.
+
+    Plan shape: one explode → (term) hash-agg builds the LM (map-side
+    combine), a 1-row total broadcast, one shuffle join token→prob, one
+    per-doc re-agg. Nothing quadratic; the LM table scales with vocab,
+    not corpus size. Cross-engine: ln() of identical int-ratio operands +
+    a round-4 mean keeps the value hash stable (same contract as
+    tfidf_top_terms)."""
+    from pyspark.sql import functions as F
+
+    toks = df.select(F.col(key), F.explode(tokens_expr(text)).alias("term"))
+    lm = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    total = lm.agg(F.sum("cnt").alias("total"))
+    return (
+        toks.join(lm, "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy(key)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.avg(-F.log(F.col("cnt").cast("double") / F.col("total"))), 4
+            ).alias("neg_logprob"),
+        )
+    )
+
+
+def bm25_topk(
+    df,
+    key: str,
+    query_terms: list[str],
+    text: str = "text",
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+):
+    """BM25 retrieval of the top-k documents for a fixed query term set —
+    the classic quality-weighted lexical search over a training corpus
+    (dedup triage, contamination review, targeted sampling).
+
+    idf = ln(1 + (N - df + 0.5)/(df + 0.5)); per-doc term score =
+    idf · tf·(k1+1)/(tf + k1·(1 - b + b·len/avglen)).
+
+    Plan shape: the query-term filter prunes the exploded postings BEFORE
+    any aggregation (the inverted-index discipline — only |Q| terms'
+    postings flow); doc-length and corpus stats are one agg + two 1-row
+    broadcasts; final top-k is TakeOrdered (per-partition heaps, no global
+    sort). Tie-break round-9 score + key keeps the boundary stable."""
+    from pyspark.sql import functions as F
+
+    toks = df.select(F.col(key), F.explode(tokens_expr(text)).alias("term"))
+    doclen = toks.groupBy(key).agg(F.count(F.lit(1)).alias("dl"))
+    stats = doclen.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    qterms = [t.lower() for t in query_terms]
+    tf = (
+        toks.filter(F.col("term").isin(qterms))
+        .groupBy(key, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(doclen, key)
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                1
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ),
+        )
+        .withColumn(
+            "tscore",
+            F.col("idf")
+            * F.col("tf")
+            * (k1 + 1)
+            / (
+                F.col("tf")
+                + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+        .groupBy(key)
+        .agg(F.round(F.sum("tscore"), 4).alias("bm25"))
+    )
+    return (
+        scored.orderBy(F.round("bm25", 9).desc(), F.col(key))
+        .limit(k)
+    )

@@ -1608,6 +1608,8 @@ _CERTIFICATION_PRIORITY = [
     "stream_dedup_counts",
     "stream_hourly_rollup",
     # --- window boundary (~50 if the driver cap is a count) ---
+    "text_unigram_logprob",
+    "text_bm25_topk",
     "k6_deeplab_export",
     "ml_kmeans",
     "ann_pq_codes",

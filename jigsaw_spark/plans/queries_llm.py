@@ -676,3 +676,66 @@ def dedup_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return minhash_lsh_pairs(docs, "doc_id", num_hashes=16, bands=4, max_bucket=10)
+
+
+@register(
+    "text_unigram_logprob",
+    f"""
+    WITH {_TOKS_CTE},
+    tok AS (SELECT doc_id, unnest(t) AS term FROM toks),
+    lm AS (SELECT term, count(*) AS cnt FROM tok GROUP BY term),
+    total AS (SELECT sum(cnt) AS total FROM lm)
+    SELECT doc_id, count(*) AS n_tokens,
+           round(avg(-ln(CAST(cnt AS DOUBLE) / total)), 4) AS neg_logprob
+    FROM tok JOIN lm USING (term) CROSS JOIN total
+    GROUP BY doc_id
+    """,
+    "corpus-unigram LM scoring (KenLM-lite curation signal): one explode + "
+    "vocab agg builds the LM, 1-row total broadcast, token→prob join, "
+    "per-doc mean −ln p — outlier docs (OCR garbage/wrong language) score "
+    "high. LM table scales with vocab, never corpus",
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jigsaw_spark.operators.text import unigram_logprob
+
+    return unigram_logprob(_t(spark, sf_dir, "documents"), "doc_id")
+
+
+_BM25_TERMS = ["spark", "window", "vector"]
+
+
+@register(
+    "text_bm25_topk",
+    f"""
+    WITH {_TOKS_CTE},
+    tok AS (SELECT doc_id, unnest(t) AS term FROM toks),
+    doclen AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM doclen),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+           WHERE term IN ('spark', 'window', 'vector')
+           GROUP BY doc_id, term),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT doc_id,
+             round(sum(
+               ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+               * tf * 2.2
+               / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))), 4) AS bm25
+      FROM tf JOIN dfreq USING (term)
+      JOIN doclen USING (doc_id) CROSS JOIN stats
+      GROUP BY doc_id)
+    SELECT doc_id, bm25 FROM scored
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 20
+    """,
+    "BM25 top-k lexical retrieval over the corpus (k1=1.2, b=0.75): "
+    "query-term filter prunes postings before any agg (inverted-index "
+    "discipline), doc-length + corpus stats are 1-row broadcasts, top-k "
+    "is TakeOrdered — no global sort",
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jigsaw_spark.operators.text import bm25_topk
+
+    return bm25_topk(
+        _t(spark, sf_dir, "documents"), "doc_id", _BM25_TERMS, k=20
+    )

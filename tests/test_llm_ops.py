@@ -336,3 +336,39 @@ def test_minhash_lsh_skew_cap_bounds_fanout(spark):
     assert {p for p in capped if p[0] >= 100} == {
         p for p in uncapped if p[0] >= 100
     }
+
+
+def test_unigram_logprob_reference(spark):
+    """Hand-computed corpus LM: 'a a b' + 'b c' → counts a:2 b:2 c:1, T=5."""
+    import math
+
+    from jigsaw_spark.operators.text import unigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c")], "doc_id int, text string"
+    )
+    got = {r.doc_id: r for r in unigram_logprob(df, "doc_id").collect()}
+    exp1 = -(2 * math.log(2 / 5) + math.log(2 / 5)) / 3
+    exp2 = -(math.log(2 / 5) + math.log(1 / 5)) / 2
+    assert got[1].n_tokens == 3 and abs(got[1].neg_logprob - exp1) < 1e-3
+    assert got[2].n_tokens == 2 and abs(got[2].neg_logprob - exp2) < 1e-3
+
+
+def test_bm25_ranks_matching_docs_first(spark):
+    from jigsaw_spark.operators.text import bm25_topk
+
+    df = spark.createDataFrame(
+        [
+            (1, "spark spark spark window"),
+            (2, "spark window"),
+            (3, "table scan row"),
+            (4, "window"),
+        ],
+        "doc_id int, text string",
+    )
+    rows = bm25_topk(df, "doc_id", ["spark", "window"], k=3).collect()
+    ranked = [r.doc_id for r in rows]
+    assert len(ranked) == 3
+    assert 3 not in ranked  # non-matching doc never scores
+    assert ranked[0] in (1, 2)  # both query terms present rank highest
+    assert all(r.bm25 > 0 for r in rows)
