@@ -1610,6 +1610,7 @@ _CERTIFICATION_PRIORITY = [
     # --- window boundary (~50 if the driver cap is a count) ---
     "text_unigram_logprob",
     "text_bm25_topk",
+    "ann_ivfpq_topk",
     "k6_deeplab_export",
     "ml_kmeans",
     "ann_pq_codes",

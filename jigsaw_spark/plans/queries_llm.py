@@ -739,3 +739,28 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(
         _t(spark, sf_dir, "documents"), "doc_id", _BM25_TERMS, k=20
     )
+
+
+@register(
+    "ann_ivfpq_topk",
+    None,
+    "IVF-PQ ANN search (the 100 TB composition): coarse-quantize + PQ-"
+    "encode the corpus in map-only kernels, score ONLY probed cells' "
+    "4-byte codes via per-query ADC lookup tables (floats never read at "
+    "query time; 64x memory reduction at m=4/k=16). Rows-only check "
+    "(deterministic; numpy-parity-tested in tests/test_llm_ops.py)",
+)
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jigsaw_spark.operators.similarity import ivfpq_topk
+    from jigsaw_spark.session import widen
+
+    emb = widen(_t(spark, sf_dir, "embeddings"))
+    seed_rows = (
+        _t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < 8)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    centroids = [(int(r.vec_id), [float(x) for x in r.embedding]) for r in seed_rows]
+    queries = centroids[:5]
+    return ivfpq_topk(emb, queries, centroids, k=10, nprobe=2)

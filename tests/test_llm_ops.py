@@ -372,3 +372,58 @@ def test_bm25_ranks_matching_docs_first(spark):
     assert 3 not in ranked  # non-matching doc never scores
     assert ranked[0] in (1, 2)  # both query terms present rank highest
     assert all(r.bm25 > 0 for r in rows)
+
+
+def test_ivfpq_matches_numpy_reference(spark):
+    """IVF-PQ ADC distances vs a straight numpy replay of the same
+    codebooks/cells (deterministic md5-ordered training)."""
+    import numpy as np
+
+    from jigsaw_spark.functions.hashing import det_order
+    from jigsaw_spark.operators.similarity import ivfpq_topk
+
+    rng = np.random.RandomState(7)
+    vecs = rng.randn(40, 8).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    centroids = [(i, [float(x) for x in vecs[i]]) for i in range(4)]
+    queries = centroids[:2]
+    got = ivfpq_topk(df, queries, centroids, k=5, nprobe=2, m=4, codes_k=8)
+    rows = got.collect()
+    assert {r.query_id for r in rows} == {0, 1}
+
+    # numpy replay: PQ codebooks = first 8 vectors in md5(vec_id) order
+    order_df = df.select("vec_id").orderBy(
+        *det_order("vec_id", seed="pq-train")
+    ).limit(8)
+    seed_ids = [r.vec_id for r in order_df.collect()]
+    S = vecs[seed_ids].astype(np.float64)
+    books = [S[:, j * 2 : (j + 1) * 2] for j in range(4)]
+    C = np.array([v for _, v in centroids])
+    M = vecs.astype(np.float64)
+    cos = (M @ C.T) / np.outer(
+        np.linalg.norm(M, axis=1), np.linalg.norm(C, axis=1)
+    )
+    cells = np.argmax(np.round(cos, 9), axis=1)
+    codes = np.empty((40, 4), dtype=int)
+    for j, B in enumerate(books):
+        sub = M[:, j * 2 : (j + 1) * 2]
+        d2 = (
+            (sub * sub).sum(1, keepdims=True)
+            - 2.0 * (sub @ B.T)
+            + (B * B).sum(1)
+        )
+        codes[:, j] = np.argmin(np.round(d2, 9), axis=1)
+    for r in rows:
+        qv = vecs[r.query_id].astype(np.float64)
+        adc = 0.0
+        for j, B in enumerate(books):
+            diff = B[codes[r.vec_id, j]] - qv[j * 2 : (j + 1) * 2]
+            adc += float((diff * diff).sum())
+        assert abs(adc - r.adc_d2) < 1e-3
+        # probed-cells-only guarantee
+        qcos = (C @ qv) / (np.linalg.norm(C, axis=1) * np.linalg.norm(qv))
+        probed = set(np.argsort(-np.round(qcos, 9))[:2])
+        assert cells[r.vec_id] in probed
