@@ -1611,6 +1611,7 @@ _CERTIFICATION_PRIORITY = [
     "text_unigram_logprob",
     "text_bm25_topk",
     "ann_ivfpq_topk",
+    "j7_full_outer",
     "k6_deeplab_export",
     "ml_kmeans",
     "ann_pq_codes",

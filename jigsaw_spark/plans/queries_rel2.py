@@ -279,3 +279,70 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(dec2("o_totalprice")).alias("total"),
         )
     )
+
+
+@register(
+    "j7_full_outer",
+    """
+    WITH o AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             count(*) AS n_orders,
+             CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+               AS order_total
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        AND o_orderdate <  TIMESTAMP '1997-02-01'
+      GROUP BY 1),
+    s AS (
+      SELECT CAST(l_shipdate AS DATE) AS day,
+             count(*) AS n_ships,
+             CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+               AS ship_total
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1997-02-01'
+      GROUP BY 1)
+    SELECT COALESCE(o.day, s.day) AS day,
+           COALESCE(n_orders, 0) AS n_orders,
+           COALESCE(order_total, 0.0) AS order_total,
+           COALESCE(n_ships, 0) AS n_ships,
+           COALESCE(ship_total, 0.0) AS ship_total
+    FROM o FULL OUTER JOIN s ON o.day = s.day
+    """,
+    "full-outer join of two independently aggregated daily series "
+    "(placed/shipped reconciliation) with COALESCE'd gaps — both sides "
+    "pre-aggregated BEFORE the join so the outer join shuffles day-counts, "
+    "not raw facts; date filters pushed to both scans",
+)
+def j7_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    jan = lambda c: (F.col(c) >= F.lit("1997-01-01").cast("timestamp")) & (  # noqa: E731
+        F.col(c) < F.lit("1997-02-01").cast("timestamp")
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(jan("o_orderdate"))
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(dec2("o_totalprice")).alias("order_total"),
+        )
+    )
+    s = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(jan("l_shipdate"))
+        .groupBy(F.col("l_shipdate").cast("date").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_ships"),
+            dsum(dec2("l_extendedprice")).alias("ship_total"),
+        )
+    )
+    return (
+        o.join(s, "day", "full_outer")
+        .select(
+            "day",
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("order_total", F.lit(0.0)).alias("order_total"),
+            F.coalesce("n_ships", F.lit(0)).alias("n_ships"),
+            F.coalesce("ship_total", F.lit(0.0)).alias("ship_total"),
+        )
+    )
