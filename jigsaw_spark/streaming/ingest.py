@@ -128,3 +128,67 @@ def _rows_from_progress(query) -> int:
             p = json.loads(p)
         total += int(p["numInputRows"])
     return total
+
+
+def streaming_upsert(
+    spark: SparkSession,
+    src_path: str,
+    dest_path: str,
+    checkpoint: str,
+    keys: list[str],
+    order_col: str = "ts",
+    glob: str = "*.parquet",
+) -> "DataFrame":
+    """CDC upsert sink: drain the stream with AvailableNow and MERGE each
+    micro-batch into a keyed parquet snapshot — latest row per key wins
+    (ordered by ``order_col``, then the keys for a total order). The
+    streaming side of ``operators/joins.merge_into``: F8 incrementality
+    (checkpoint skips already-seen files) + upsert semantics instead of
+    blind append.
+
+    Each batch first collapses to one row per key KERNEL-FREE (max_by over
+    a (order_col, keys) struct — one hash agg), then functional-MERGEs
+    into the current snapshot and atomically swaps directories. Local-FS
+    snapshot swap here; at cluster scale the snapshot is a partitioned
+    table and the merge rewrites only affected partitions (same
+    merge_into plan, partition-pruned on the join key range) or targets a
+    table format with native MERGE. Returns the final snapshot frame."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from jigsaw_spark.operators.joins import merge_into
+
+    stream = read_event_stream(spark, src_path, glob=glob)
+
+    def sink(batch_df, _batch_id):
+        if not batch_df.columns:
+            return
+        cols = [c for c in batch_df.columns if c not in keys]
+        # latest row per key within the batch: deterministic max_by struct
+        latest = batch_df.groupBy(*keys).agg(
+            F.max_by(
+                F.struct(*cols), F.struct(F.col(order_col), *[F.col(k) for k in keys])
+            ).alias("_r")
+        ).select(*keys, "_r.*")
+        if os.path.exists(dest_path):
+            current = spark.read.parquet(dest_path)
+            merged = merge_into(current, latest, keys)
+        else:
+            merged = latest
+        nxt = dest_path + ".next"
+        merged.write.mode("overwrite").parquet(nxt)
+        if os.path.exists(dest_path):
+            shutil.rmtree(dest_path)
+        os.rename(nxt, dest_path)
+
+    q = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(dest_path)

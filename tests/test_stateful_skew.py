@@ -152,3 +152,55 @@ def test_salted_join_matches_plain_join(spark):
         .agg(F.count(F.lit(1)).alias("n"))
     )
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_streaming_upsert_latest_per_key(spark, tmp_path):
+    """CDC upsert sink: two AvailableNow drains — the second sees only the
+    newly arrived file (checkpoint) and its rows overwrite matching keys
+    in the snapshot, insert the rest."""
+    import datetime as dt
+
+    from jigsaw_spark.streaming.ingest import streaming_upsert
+
+    src = tmp_path / "src"
+    src.mkdir()
+    dest = str(tmp_path / "snapshot")
+    ckpt = str(tmp_path / "ckpt")
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def mk(rows, name):
+        # the file stream source does not recurse into write-dir layouts;
+        # land each batch as a single flat file under src/
+        import glob
+        import shutil
+
+        tmp = str(tmp_path / f"_stage_{name}")
+        spark.createDataFrame(
+            [(ts, uid, et, val, "{}") for ts, uid, et, val in rows],
+            "ts timestamp, user_id long, event_type string, value double, props string",
+        ).coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        shutil.copy(part, str(src / name))
+
+    mk(
+        [
+            (t0, 1, "a", 1.0),
+            (t0 + dt.timedelta(minutes=1), 1, "b", 2.0),  # latest for key 1
+            (t0, 2, "a", 5.0),
+        ],
+        "batch1.parquet",
+    )
+    snap = streaming_upsert(spark, str(src), dest, ckpt, keys=["user_id"])
+    got = {r.user_id: (r.event_type, r.value) for r in snap.collect()}
+    assert got == {1: ("b", 2.0), 2: ("a", 5.0)}
+
+    mk(
+        [
+            (t0 + dt.timedelta(minutes=5), 2, "c", 9.0),  # update key 2
+            (t0, 3, "a", 7.0),  # insert key 3
+        ],
+        "batch2.parquet",
+    )
+    snap2 = streaming_upsert(spark, str(src), dest, ckpt, keys=["user_id"])
+    got2 = {r.user_id: (r.event_type, r.value) for r in snap2.collect()}
+    assert got2 == {1: ("b", 2.0), 2: ("c", 9.0), 3: ("a", 7.0)}
