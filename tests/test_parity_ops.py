@@ -95,3 +95,27 @@ def test_tag_pivot_boolean_matrix(spark):
     assert out["i1"]["a"] and out["i1"]["b"] and not out["i1"]["untagged"]
     assert not out["i2"]["a"] and out["i2"]["b"]
     assert out["i3"]["untagged"]
+
+
+def test_money_sums_invariant_under_partitioning(spark, tables):
+    """The exact-decimal money-sum contract: rounded totals must be
+    bit-identical whether the data arrives in 1 partition or 32 (double
+    accumulation would flip cents near half-cent boundaries)."""
+    from pyspark.sql import functions as F
+
+    from jigsaw_spark.plans.queries import dec2, dsum
+
+    orders = tables["orders"].select("o_orderstatus", "o_totalprice")
+
+    def totals(df):
+        return {
+            r.o_orderstatus: r.total
+            for r in df.groupBy("o_orderstatus")
+            .agg(dsum(dec2("o_totalprice")).alias("total"))
+            .collect()
+        }
+
+    a = totals(orders.repartition(1))
+    b = totals(orders.repartition(32))
+    c = totals(orders.orderBy(F.desc("o_totalprice")).repartition(7))
+    assert a == b == c
