@@ -280,13 +280,46 @@ def agg_bool_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PQ_ORACLE = """
+    WITH ordered AS (
+      SELECT embedding::DOUBLE[] AS sv,
+             row_number() OVER (
+               ORDER BY md5(concat_ws('|', 'pq-train', CAST(vec_id AS VARCHAR))),
+                        vec_id) - 1 AS sidx
+      FROM embeddings),
+    seeds AS (SELECT * FROM ordered WHERE sidx < 16),
+    codes AS (
+      SELECT e.vec_id, s.sidx, js.j,
+             round(list_sum(list_transform(range(16), d ->
+               (e.embedding[js.j*16 + d + 1]::DOUBLE - s.sv[js.j*16 + d + 1])
+               * (e.embedding[js.j*16 + d + 1]::DOUBLE - s.sv[js.j*16 + d + 1]))),
+               9) AS d2
+      FROM embeddings e
+      CROSS JOIN seeds s CROSS JOIN (SELECT unnest([0, 1]) AS j) js),
+    assign AS (
+      SELECT vec_id, j, sidx AS code FROM (
+        SELECT vec_id, j, sidx,
+               row_number() OVER (PARTITION BY vec_id, j
+                                  ORDER BY d2, sidx) AS rn
+        FROM codes) t
+      WHERE rn = 1)
+    SELECT CAST(a0.code AS INT) AS c0, count(*) AS n,
+           round(avg(a1.code), 4) AS mean_c1
+    FROM (SELECT vec_id, code FROM assign WHERE j = 0) a0
+    JOIN (SELECT vec_id, code FROM assign WHERE j = 1) a1 USING (vec_id)
+    GROUP BY 1 ORDER BY 1
+"""
+
+
 @register(
     "ann_pq_codes",
-    None,  # codebook-trained encoding — rows-only; numpy parity in tests
+    _PQ_ORACLE,  # codebook-trained encoding — rows-only; numpy parity in tests
     "Product quantization over the embeddings table (m=4 subspaces, k=16 "
     "codes): each float vector compresses to 4 small ints via map-only "
     "Arrow encoding with driver-held codebooks. Output: per-(first-code) "
-    "cell sizes + mean second code — stable aggregate view of the codes.",
+    "cell sizes + mean second code. The oracle re-derives the md5-ordered "
+    "sub-codebooks and the round-9 argmin assignment relationally — full "
+    "value check of the PQ encoder.",
 )
 def ann_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jigsaw_spark.operators.similarity import pq_encode

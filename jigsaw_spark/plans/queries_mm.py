@@ -41,9 +41,19 @@ def _as_binary_table(spark: SparkSession, sf_dir: str, kind: str) -> DataFrame:
 
 @register(
     "mm_decode_meta",
-    None,
+    """
+    SELECT CAST(doc_id AS VARCHAR) AS image_id,
+           'image' AS kind,
+           'mem://documents/' || doc_id AS path,
+           CAST(length(text) AS BIGINT) AS length,
+           'unknown' AS format,
+           CAST(NULL AS INT) AS width,
+           CAST(NULL AS INT) AS height
+    FROM documents
+    """,
     "multimodal: binary-column metadata decode (PNG header parse + format "
-    "sniffing) over mapInPandas — rows-only check (codec-free path)",
+    "sniffing) over mapInPandas — text payloads sniff to 'unknown', so the "
+    "oracle value-checks the kernel's passthrough + sniff result exactly",
 )
 def mm_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_image_meta(_as_binary_table(spark, sf_dir, "image"))
@@ -51,9 +61,21 @@ def mm_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "mm_mask_bboxes",
-    None,
-    "multimodal A6/A7: mask → per-label tight bboxes child table "
-    "(deterministic-fake decode) — rows-only check",
+    """
+    WITH cells AS (
+      SELECT doc_id, i % 4 AS x, i // 4 AS y,
+             ('0x' || substr(md5(text), 2 * i + 1, 2))::INT AS v
+      FROM documents CROSS JOIN (SELECT unnest(range(16)) AS i) g)
+    SELECT CAST(doc_id AS VARCHAR) AS image_id,
+           v AS label_r, v AS label_g, v AS label_b,
+           CAST(min(x) AS INT) AS xmin, CAST(max(x) AS INT) AS xmax,
+           CAST(min(y) AS INT) AS ymin, CAST(max(y) AS INT) AS ymax
+    FROM cells GROUP BY doc_id, v
+    """,
+    "multimodal A6/A7: mask → per-label tight bboxes child table. The "
+    "deterministic fake grid is md5(content)-derived, so the oracle "
+    "replays the digest arithmetic relationally (hex pair i = cell i of "
+    "the 4×4 grid) and value-checks the extent kernel exactly",
 )
 def mm_mask_bboxes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mask_to_bboxes(_as_binary_table(spark, sf_dir, "mask"), fake=True)
@@ -179,11 +201,39 @@ def mm_audio_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FAKE_RAW = (
+    "list_transform(range(64), i -> "
+    "('0x' || substr(md5(text), 2 * (i % 16) + 1, 2))::INT / 255.0 - 0.5)"
+)
+_FAKE_NORM = f"sqrt(list_sum(list_transform({_FAKE_RAW}, x -> x * x)))"
+# the kernel emits float32 (Arrow array<float>); replicate the rounding
+_FAKE_EMB = (
+    f"list_transform({_FAKE_RAW}, "
+    f"x -> CAST(CAST(x / {_FAKE_NORM} AS FLOAT) AS DOUBLE))"
+)
+
+
+def _mm_feat_oracle() -> str:
+    from jigsaw_spark.operators.similarity import srp_planes, srp_signature_sql
+
+    # materialize the embedding once per row; inlining it into the
+    # signature expression re-evaluates the md5 arithmetic 16× per plane
+    return (
+        f"WITH emb AS (SELECT CAST(doc_id AS BIGINT) AS vec_id, "
+        f"{_FAKE_EMB} AS e FROM documents) "
+        f"SELECT vec_id, {srp_signature_sql('e', srp_planes(16, 64))} AS sig "
+        f"FROM emb"
+    )
+
+
 @register(
     "mm_extract_features",
-    None,
-    "multimodal: binary → embedding (deterministic-fake extractor) "
-    "composed into SRP-LSH bucketing — rows-only check",
+    _mm_feat_oracle(),
+    "multimodal: binary → embedding (deterministic md5-fake extractor, "
+    "unit-norm float32) composed into SRP-LSH bucketing. The oracle "
+    "replays the digest arithmetic, the float32 rounding, AND the 16 "
+    "inlined-hyperplane signature relationally — full value check of the "
+    "extract→bucket pipeline",
 )
 def mm_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = extract_features(
