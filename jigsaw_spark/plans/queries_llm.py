@@ -741,14 +741,77 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVFPQ_ORACLE = """
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+      FROM embeddings WHERE vec_id < 8),
+    q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < 5),
+    assign AS (
+      SELECT vec_id, cid AS cell FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY round(list_cosine_similarity(
+                            e.embedding::DOUBLE[], c.cvec), 9) DESC,
+                          c.cid) AS rn
+        FROM embeddings e CROSS JOIN cent c) t WHERE rn = 1),
+    ordered AS (
+      SELECT embedding::DOUBLE[] AS sv,
+             row_number() OVER (
+               ORDER BY md5(concat_ws('|', 'pq-train', CAST(vec_id AS VARCHAR))),
+                        vec_id) - 1 AS sidx
+      FROM embeddings),
+    seeds AS (SELECT * FROM ordered WHERE sidx < 16),
+    codes AS (
+      SELECT vec_id, j, sidx AS code FROM (
+        SELECT e.vec_id, s.sidx, js.j,
+               row_number() OVER (PARTITION BY e.vec_id, js.j ORDER BY
+                 round(list_sum(list_transform(range(16), d ->
+                   (e.embedding[js.j*16 + d + 1]::DOUBLE - s.sv[js.j*16 + d + 1])
+                   * (e.embedding[js.j*16 + d + 1]::DOUBLE
+                      - s.sv[js.j*16 + d + 1]))), 9),
+                 s.sidx) AS rn
+        FROM embeddings e CROSS JOIN seeds s
+        CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j) js) t
+      WHERE rn = 1),
+    probes AS (
+      SELECT query_id, cell FROM (
+        SELECT q.query_id, c.cid AS cell,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY round(list_cosine_similarity(q.qv, c.cvec), 9) DESC,
+                          c.cid) AS rn
+        FROM q CROSS JOIN cent c) t WHERE rn <= 2),
+    cand AS (
+      SELECT p.query_id, a.vec_id FROM probes p JOIN assign a ON a.cell = p.cell),
+    dist AS (
+      SELECT c.query_id, c.vec_id,
+             round(sum(list_sum(list_transform(range(16), d ->
+               (q.qv[k.j*16 + d + 1] - s.sv[k.j*16 + d + 1])
+               * (q.qv[k.j*16 + d + 1] - s.sv[k.j*16 + d + 1])))), 9) AS d2
+      FROM cand c
+      JOIN q USING (query_id)
+      JOIN codes k ON k.vec_id = c.vec_id
+      JOIN seeds s ON s.sidx = k.code
+      GROUP BY c.query_id, c.vec_id)
+    SELECT query_id, vec_id, round(d2, 4) AS adc_d2, CAST(rn AS INT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY d2, vec_id) AS rn
+          FROM dist) t
+    WHERE rn <= 10
+"""
+
+
 @register(
     "ann_ivfpq_topk",
-    None,
+    _IVFPQ_ORACLE,
     "IVF-PQ ANN search (the 100 TB composition): coarse-quantize + PQ-"
     "encode the corpus in map-only kernels, score ONLY probed cells' "
     "4-byte codes via per-query ADC lookup tables (floats never read at "
-    "query time; 64x memory reduction at m=4/k=16). Rows-only check "
-    "(deterministic; numpy-parity-tested in tests/test_llm_ops.py)",
+    "query time; 64x memory reduction at m=4/k=16). The oracle re-derives "
+    "cells, md5-ordered sub-codebooks, probe lists AND the ADC distances "
+    "relationally — the full approximate pipeline is value-checked, "
+    "approximation included",
 )
 def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jigsaw_spark.operators.similarity import ivfpq_topk
