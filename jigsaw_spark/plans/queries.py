@@ -1571,6 +1571,7 @@ _CERTIFICATION_PRIORITY = [
     "dedup_simhash_pairs",
     "emb_cosine_near_dup",
     "dedup_url_canon",
+    "dedup_end_to_end",
     "text_edit_distance",
     # ANN family (oracle-backed members; pq/kmeans are rows-only → below)
     "ann_cosine_topk",
@@ -1579,7 +1580,6 @@ _CERTIFICATION_PRIORITY = [
     # text-analysis family
     "text_langid",
     "text_bpeish_tokens",
-    "text_fingerprint",
     "text_tfidf",
     "text_repetition",
     "text_contamination",
@@ -1608,6 +1608,7 @@ _CERTIFICATION_PRIORITY = [
     "stream_dedup_counts",
     "stream_hourly_rollup",
     # --- window boundary (~50 if the driver cap is a count) ---
+    "text_fingerprint",
     "text_unigram_logprob",
     "text_bm25_topk",
     "ann_ivfpq_topk",

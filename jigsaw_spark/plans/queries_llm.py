@@ -827,3 +827,65 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = [(int(r.vec_id), [float(x) for x in r.embedding]) for r in seed_rows]
     queries = centroids[:5]
     return ivfpq_topk(emb, queries, centroids, k=10, nprobe=2)
+
+
+@register(
+    "dedup_end_to_end",
+    f"""
+    WITH RECURSIVE {_TOKS_CTE}, {_SHINGLES_CTE},
+    mh AS (
+      SELECT doc_id, seed,
+             min(md5(CAST(seed AS VARCHAR) || '|' || shingle)) AS mh
+      FROM sh CROSS JOIN (SELECT unnest(range(16)) AS seed) seeds
+      GROUP BY doc_id, seed),
+    bands AS (
+      SELECT doc_id, seed // 4 AS band,
+             string_agg(mh, ',' ORDER BY seed) AS sig
+      FROM mh GROUP BY doc_id, band),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION SELECT doc_b AS u, doc_a AS v FROM pairs),
+    reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v <> r.u),
+    comp AS (
+      SELECT u AS doc_id, least(u, min(v)) AS component
+      FROM reach GROUP BY u),
+    labeled AS (
+      SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id)
+    SELECT count(*) AS n_docs,
+           count(CASE WHEN doc_id = component THEN 1 END) AS n_keepers,
+           count(CASE WHEN doc_id <> component THEN 1 END) AS n_dropped
+    FROM labeled
+    """,
+    "end-to-end near-dedup: MinHash-LSH candidate pairs → connected "
+    "components (min-reachable-id clusters) → keeper = component "
+    "representative → corpus survival stats. The full pipeline a 100 TB "
+    "curation run executes: signature kernel (map-only) → ONE bucket "
+    "shuffle → size-adaptive CC → broadcast-joined labels; oracle replays "
+    "LSH + a recursive-CTE closure",
+)
+def dedup_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jigsaw_spark.operators.dedup import connected_components
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, "doc_id", num_hashes=16, bands=4)
+    comp = connected_components(pairs)
+    labeled = docs.select("doc_id").join(comp, "doc_id", "left").select(
+        "doc_id", F.coalesce("component", F.col("doc_id")).alias("component")
+    )
+    return labeled.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(F.col("doc_id") == F.col("component"), 1)).alias(
+            "n_keepers"
+        ),
+        F.count(F.when(F.col("doc_id") != F.col("component"), 1)).alias(
+            "n_dropped"
+        ),
+    )
