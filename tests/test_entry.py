@@ -25,3 +25,14 @@ def test_every_query_runs_at_smoke_sf(spark):
         df = fn(spark, sf)
         assert df.columns, name
         df.limit(1).collect()
+
+
+def test_certification_window_is_oracle_backed():
+    """The driver's correctness gate walks the registry in order with a
+    bounded window (~50): every entry inside the window must carry an
+    exact oracle so window slots are never spent on rows-only checks."""
+    from jigsaw_spark.plans.queries import QUERIES
+
+    window = list(QUERIES.items())[:50]
+    missing = [name for name, spec in window if spec.oracle is None]
+    assert not missing, f"rows-only queries inside the window: {missing}"

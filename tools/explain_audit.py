@@ -44,6 +44,8 @@ ALL_PAIRS_OK = {
     "q22_idle_customers",
     "agg_hll_mergeable",
     "q11_important_value",  # 0.001×total threshold: 1-row broadcast cross
+    "text_unigram_logprob",  # 1-row total-tokens broadcast cross
+    "text_bm25_topk",  # 1-row corpus-stats broadcast cross
 }
 # queries expected to push a filter into the parquet scan
 EXPECT_PUSHDOWN = {
