@@ -196,3 +196,57 @@ def test_projections_roundtrip_through_tfrecord_sink(spark, tmp_path):
         recs.extend(read_tfrecords(str(f)))
     assert len(recs) == 1
     assert recs[0] == bytes(examples.collect()[0]["example"])
+
+
+def test_packed_corpus_to_tfrecord_integration(spark, tmp_path):
+    """LLM pretraining-batch layout end to end: tokenize → pack into
+    budget bins → one serialized Example per bin (concatenated token
+    stream + doc boundaries) → TFRecord shards → byte-identical readback."""
+    from pyspark.sql import functions as F
+
+    from jigsaw_spark.operators.text import pack_sequences, tokens_expr
+    from jigsaw_spark.sources.model_exports import rows_to_tfexamples
+    from jigsaw_spark.sources.tfrecord import read_tfrecords, write_tfrecords
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "epsilon zeta"),
+            (3, "eta theta iota kappa lambda mu"),
+            (4, "nu xi"),
+        ],
+        "doc_id long, text string",
+    )
+    toks = docs.select(
+        "doc_id",
+        tokens_expr("text").alias("t"),
+        F.size(tokens_expr("text")).alias("n_tokens"),
+    )
+    packed = pack_sequences(toks, ["doc_id"], "n_tokens", budget=8)
+    bins = (
+        packed.groupBy("pack_bin")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("pack_offset", "doc_id", "t"))
+                    ),
+                    lambda s: s["t"],
+                )
+            ).alias("tokens"),
+            F.array_sort(F.collect_list("doc_id")).alias("doc_ids"),
+        )
+        .select(
+            F.col("pack_bin").cast("string").alias("image_id"),
+            "tokens",
+            "doc_ids",
+        )
+    )
+    examples = rows_to_tfexamples(bins)
+    out = tmp_path / "packed"
+    write_tfrecords(examples.select("example"), str(out), basename="pack", raw_col="example")
+    recs = []
+    for f in sorted(out.glob("*.record")):
+        recs.extend(read_tfrecords(str(f)))
+    assert len(recs) == bins.count() >= 2
+    assert sorted(recs) == sorted(bytes(r["example"]) for r in examples.collect())

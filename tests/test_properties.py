@@ -178,3 +178,22 @@ def test_tfrecord_datetime_encoding_matches_epoch_micros(values):
         for v in values
     ]
     assert encode_example({"t": values}) == encode_example({"t": micros})
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    cents=st.lists(st.integers(-10**7, 10**7), min_size=1, max_size=60),
+    parts=st.integers(1, 8),
+)
+def test_dsum_equals_exact_decimal_sum(spark, cents, parts):
+    """dsum(dec2(x)) must equal the exact Decimal sum of the 2-decimal
+    inputs for ANY partitioning — the money-aggregation contract."""
+    from decimal import Decimal
+
+    from jigsaw_spark.plans.queries import dec2, dsum
+
+    vals = [c / 100.0 for c in cents]
+    df = spark.createDataFrame([(v,) for v in vals], "x double").repartition(parts)
+    got = df.agg(dsum(dec2("x")).alias("s")).collect()[0]["s"]
+    exact = float(sum(Decimal(c) for c in cents) / 100)
+    assert got == exact
