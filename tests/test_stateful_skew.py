@@ -204,3 +204,43 @@ def test_streaming_upsert_latest_per_key(spark, tmp_path):
     snap2 = streaming_upsert(spark, str(src), dest, ckpt, keys=["user_id"])
     got2 = {r.user_id: (r.event_type, r.value) for r in snap2.collect()}
     assert got2 == {1: ("b", 2.0), 2: ("c", 9.0), 3: ("a", 7.0)}
+
+
+def test_rocksdb_state_store_same_results(spark, tmp_path):
+    """The RocksDB provider (disk-spilling state — the 100 TB/day streaming
+    path) must produce byte-identical windowed aggregates to the default
+    in-heap provider."""
+    import uuid
+
+    from jigsaw_spark.streaming.ingest import (
+        read_event_stream,
+        rocksdb_state_conf,
+        windowed_event_counts,
+    )
+
+    def drain(provider_confs):
+        for k, v in provider_confs.items():
+            spark.conf.set(k, v)
+        try:
+            stream = read_event_stream(
+                spark, os.path.join(SF), glob="events.parquet"
+            )
+            name = f"ss_{uuid.uuid4().hex[:8]}"
+            q = (
+                windowed_event_counts(stream, "1 hour")
+                .writeStream.outputMode("complete")
+                .format("memory")
+                .queryName(name)
+                .option("checkpointLocation", str(tmp_path / name))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            return sorted(map(tuple, spark.table(name).collect()))
+        finally:
+            for k in provider_confs:
+                spark.conf.unset(k)
+
+    default = drain({})
+    rocks = drain(rocksdb_state_conf())
+    assert default == rocks and len(rocks) > 0
