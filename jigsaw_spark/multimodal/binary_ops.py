@@ -338,3 +338,141 @@ def resize_images(
     return df.mapInPandas(
         op, "image_id string, width int, height int, resized binary"
     )
+
+
+def _label_regions(packed, background: int = 0):
+    """Connected-component labeling of a packed-color grid (4-connectivity)
+    — the codec-free analog of the reference's GaussianBlur+findContours
+    instance separation (reference: jigsaw/models/bbox/model.py:381-390).
+
+    Run-based two-pass union-find: each scanline decomposes into maximal
+    same-color runs (one np.diff per row), runs union with overlapping
+    same-color runs of the previous row — O(runs), not O(pixels·instances),
+    so a 960×720 mask labels in milliseconds without cv2/scipy. Returns
+    (labels int64 grid, n_instances); background pixels get label -1."""
+    import numpy as np
+
+    h, w = packed.shape
+    parent: list[int] = []
+
+    def find(a: int) -> int:
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    def union(a: int, b: int) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    labels = np.full((h, w), -1, dtype=np.int64)
+    prev_runs: list[tuple[int, int, int, int]] = []
+    for y in range(h):
+        row = packed[y]
+        bounds = np.nonzero(np.diff(row))[0] + 1
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds, [w]))
+        cur_runs = []
+        for s, e in zip(starts, ends):
+            v = int(row[s])
+            if v == background:
+                continue
+            lab = len(parent)
+            parent.append(lab)
+            for ps, pe, pv, pl in prev_runs:
+                if pv == v and ps < e and s < pe:
+                    union(lab, pl)
+            cur_runs.append((int(s), int(e), v, lab))
+            labels[y, s:e] = lab
+        prev_runs = cur_runs
+    # resolve to dense instance ids in first-appearance (root) order —
+    # vectorized LUT over the run labels, no per-pixel Python loop
+    roots = sorted({find(i) for i in range(len(parent))})
+    remap = {r: i for i, r in enumerate(roots)}
+    if parent:
+        lut = np.array([remap[find(i)] for i in range(len(parent))], dtype=np.int64)
+        flat = labels.ravel()
+        mask = flat >= 0
+        flat[mask] = lut[flat[mask]]
+    return labels, len(roots)
+
+
+def mask_to_instance_bboxes(df: DataFrame, fake: bool = False) -> DataFrame:
+    """A7 REAL: per-INSTANCE tight bounding boxes — disjoint regions of the
+    same color become separate rows (unlike `mask_to_bboxes`, which merges
+    them into one per-color extent). Child table: (image_id, label_r/g/b,
+    instance_id, xmin, xmax, ymin, ymax, area). Background (0,0,0) is not
+    an instance. instance_id is ordered by (ymin, xmin, color) — raster
+    order, deterministic under any partitioning. Map-only Arrow kernel."""
+    schema = (
+        "image_id string, label_r int, label_g int, label_b int, "
+        "instance_id int, xmin int, xmax int, ymin int, ymax int, area long"
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for image_id, content in zip(pdf["image_id"], pdf["content"]):
+                arr = np.asarray(_decode_pixels(bytes(content), fake))
+                if arr.ndim == 2:
+                    rgb = np.repeat(arr[:, :, None], 3, axis=2)
+                elif arr.shape[2] >= 3:
+                    rgb = arr[:, :, :3]
+                else:
+                    rgb = np.repeat(arr[:, :, :1], 3, axis=2)
+                packed = (
+                    (rgb[:, :, 0].astype(np.int32) << 16)
+                    | (rgb[:, :, 1].astype(np.int32) << 8)
+                    | rgb[:, :, 2].astype(np.int32)
+                )
+                labels, n = _label_regions(packed, background=0)
+                inst = []
+                for i in range(n):
+                    ys, xs = np.nonzero(labels == i)
+                    v = int(packed[ys[0], xs[0]])
+                    inst.append(
+                        (
+                            int(ys.min()),
+                            int(xs.min()),
+                            v,
+                            int(xs.max()),
+                            int(ys.max()),
+                            int(len(ys)),
+                        )
+                    )
+                inst.sort()
+                for iid, (y0, x0, v, x1, y1, area) in enumerate(inst):
+                    rows.append(
+                        {
+                            "image_id": image_id,
+                            "label_r": (v >> 16) & 0xFF,
+                            "label_g": (v >> 8) & 0xFF,
+                            "label_b": v & 0xFF,
+                            "instance_id": iid,
+                            "xmin": x0,
+                            "xmax": x1,
+                            "ymin": y0,
+                            "ymax": y1,
+                            "area": area,
+                        }
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "image_id",
+                    "label_r",
+                    "label_g",
+                    "label_b",
+                    "instance_id",
+                    "xmin",
+                    "xmax",
+                    "ymin",
+                    "ymax",
+                    "area",
+                ],
+            )
+
+    return df.mapInPandas(op, schema)

@@ -1554,6 +1554,7 @@ _CERTIFICATION_PRIORITY = [
     "merge_upsert",
     # new this round (oracle-backed)
     "mm_png_mask_bboxes",
+    "mm_png_instance_bboxes",
     "k6_bbox_norm",
     "k6_feature_points",
     "dedup_lsh_capped",
@@ -1594,7 +1595,6 @@ _CERTIFICATION_PRIORITY = [
     "q9_profit_by_nation",
     "q10_returned_items",
     "q11_important_value",
-    "q14_promo_ratio",
     "q15_top_supplier",
     "q16_supplier_cnt",
     "q17_small_quantity",
@@ -1608,6 +1608,7 @@ _CERTIFICATION_PRIORITY = [
     "stream_dedup_counts",
     "stream_hourly_rollup",
     # --- window boundary (~50 if the driver cap is a count) ---
+    "q14_promo_ratio",
     "text_fingerprint",
     "text_unigram_logprob",
     "text_bm25_topk",

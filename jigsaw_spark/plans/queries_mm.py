@@ -440,3 +440,74 @@ def k6_feature_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pose")[0].alias("pose0"),
         F.col("pose")[1].alias("pose1"),
     )
+
+
+@register(
+    "mm_png_instance_bboxes",
+    """
+    WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 20 = 0),
+    inst AS (
+      SELECT doc_id, 64 AS r, 0 AS g, 128 AS b,
+             1 + doc_id % 6 AS xmin, 1 + doc_id % 6 + 2 AS xmax,
+             1 + doc_id % 4 AS ymin, 1 + doc_id % 4 + 2 AS ymax,
+             9 AS area
+      FROM d
+      UNION ALL
+      SELECT doc_id, 64, 0, 128,
+             20 + doc_id % 5, 20 + doc_id % 5 + 2,
+             2 + doc_id % 6, 2 + doc_id % 6 + 2, 9
+      FROM d
+      UNION ALL
+      SELECT doc_id, 0, 64, 64,
+             10 + doc_id % 4, 10 + doc_id % 4 + 3,
+             15 + doc_id % 5, 15 + doc_id % 5 + 3, 16
+      FROM d)
+    SELECT CAST(doc_id AS VARCHAR) AS image_id,
+           r AS label_r, g AS label_g, b AS label_b,
+           CAST(row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY ymin, xmin) - 1 AS INT)
+             AS instance_id,
+           CAST(xmin AS INT) AS xmin, CAST(xmax AS INT) AS xmax,
+           CAST(ymin AS INT) AS ymin, CAST(ymax AS INT) AS ymax,
+           CAST(area AS BIGINT) AS area
+    FROM inst
+    """,
+    "multimodal A7 REAL path: two disjoint SAME-color rectangles + one "
+    "other color per synthesized PNG — per-INSTANCE boxes via run-based "
+    "connected-component labeling (the findContours analog), which "
+    "mask_to_bboxes's per-color extents cannot separate. Oracle replays "
+    "the geometry with raster-order instance ids.",
+)
+def mm_png_instance_bboxes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jigsaw_spark.multimodal.binary_ops import mask_to_instance_bboxes
+    from jigsaw_spark.session import widen
+
+    docs = widen(
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 20 == 0)
+        .select("doc_id")
+    )
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        from jigsaw_spark.multimodal.png_codec import encode_png
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                arr = np.zeros((24, 32, 3), dtype=np.uint8)
+                x0, y0 = 1 + i % 6, 1 + i % 4
+                arr[y0 : y0 + 3, x0 : x0 + 3] = (64, 0, 128)
+                x1, y1 = 20 + i % 5, 2 + i % 6
+                arr[y1 : y1 + 3, x1 : x1 + 3] = (64, 0, 128)
+                x2, y2 = 10 + i % 4, 15 + i % 5
+                arr[y2 : y2 + 4, x2 : x2 + 4] = (0, 64, 64)
+                ids.append(str(i))
+                blobs.append(encode_png(arr))
+            yield pd.DataFrame({"image_id": ids, "content": blobs})
+
+    masks = docs.mapInPandas(synth, "image_id string, content binary")
+    return mask_to_instance_bboxes(masks, fake=False)

@@ -291,3 +291,23 @@ def rows_to_tfexamples(
             yield pd.DataFrame({id_col: pdf[id_col], "example": examples})
 
     return df.mapInPandas(op, f"{id_col} string, example binary")
+
+
+def instance_tfexample_projection(
+    images: DataFrame,
+    boxes: DataFrame,
+    masks: DataFrame,
+    label_map: DataFrame,
+    label_colors: list[tuple[str, int, tuple[int, int, int]]],
+) -> DataFrame:
+    """The instance-segmentation export (reference:
+    jigsaw/models/instance_mask/model.py:119-181): the bbox projection's
+    normalized-coordinate features PLUS the per-label binary mask PNGs in
+    one example. Composed from the two base projections joined on
+    image_id — masks ride a map-only kernel, boxes are pure expressions,
+    the join is 1 row per image on both sides."""
+    bbox_part = bbox_tfexample_projection(images, boxes, label_map)
+    mask_part = instance_mask_projection(masks, label_colors).select(
+        "image_id", F.col("`image/object/mask`").alias("image/object/mask")
+    )
+    return bbox_part.join(mask_part, "image_id")

@@ -250,3 +250,75 @@ def test_packed_corpus_to_tfrecord_integration(spark, tmp_path):
         recs.extend(read_tfrecords(str(f)))
     assert len(recs) == bins.count() >= 2
     assert sorted(recs) == sorted(bytes(r["example"]) for r in examples.collect())
+
+
+def test_instance_tfexample_combines_boxes_and_masks(spark):
+    """instance_mask/model.py:119-181 parity: one example carrying both
+    the normalized bbox features and the per-label mask PNGs."""
+    from jigsaw_spark.sources.model_exports import instance_tfexample_projection
+
+    masks, arr = _mask_df(spark)
+    images = masks.drop("mask")
+    boxes = spark.createDataFrame(
+        [("img1", "car", 2, 1, 4, 2), ("img1", "pedestrian", 6, 4, 7, 5)],
+        "image_id string, label string, xmin int, ymin int, xmax int, ymax int",
+    )
+    label_map = spark.createDataFrame(
+        [("car", 1), ("pedestrian", 2)], "label string, label_int int"
+    )
+    proj = instance_tfexample_projection(
+        images, boxes, masks, label_map, LABEL_COLORS
+    )
+    ex = rows_to_tfexamples(proj).collect()[0]
+    expected = encode_example(
+        {
+            "image/height": 6,
+            "image/width": 8,
+            "image/filename": "img1.png",
+            "image/source_id": "img1.png",
+            "image/encoded": b"IMGBYTES",
+            "image/format": "png",
+            "image/object/bbox/xmin": [2 / 8, 6 / 8],
+            "image/object/bbox/xmax": [4 / 8, 7 / 8],
+            "image/object/bbox/ymin": [1 / 6, 4 / 6],
+            "image/object/bbox/ymax": [2 / 6, 5 / 6],
+            "image/object/class/text": ["car", "pedestrian"],
+            "image/object/class/label": [1, 2],
+            "image/object/mask": [
+                encode_png((arr == np.array([64, 0, 128])).all(axis=2).astype(np.uint8)),
+                encode_png((arr == np.array([0, 64, 64])).all(axis=2).astype(np.uint8)),
+            ],
+        }
+    )
+    assert bytes(ex["example"]) == expected
+
+
+def test_label_regions_separates_instances(spark):
+    """Run-based CC labeling: disjoint same-color regions get distinct
+    instance ids; diagonal touching does NOT connect (4-connectivity);
+    L-shapes stay one instance."""
+    import numpy as np
+
+    from jigsaw_spark.multimodal.binary_ops import mask_to_instance_bboxes
+    from jigsaw_spark.multimodal.png_codec import encode_png
+
+    arr = np.zeros((8, 8, 3), dtype=np.uint8)
+    c = (64, 0, 128)
+    # L-shape (one instance)
+    arr[1:4, 1] = c
+    arr[3, 1:4] = c
+    # diagonal-touching pixel at (4,4) vs L corner (3,3): separate
+    arr[4, 4] = c
+    # far square, same color: separate
+    arr[6:8, 6:8] = c
+    df = spark.createDataFrame(
+        [("m", bytearray(encode_png(arr)))], "image_id string, content binary"
+    )
+    rows = sorted(
+        (r.instance_id, r.xmin, r.xmax, r.ymin, r.ymax, r.area)
+        for r in mask_to_instance_bboxes(df, fake=False).collect()
+    )
+    assert len(rows) == 3
+    assert rows[0] == (0, 1, 3, 1, 3, 5)  # the L: 3 vertical + 2 more horizontal
+    assert rows[1] == (1, 4, 4, 4, 4, 1)  # diagonal singleton
+    assert rows[2] == (2, 6, 7, 6, 7, 4)  # far square
