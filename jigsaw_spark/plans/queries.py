@@ -1609,6 +1609,7 @@ _CERTIFICATION_PRIORITY = [
     "stream_hourly_rollup",
     # --- window boundary (~50 if the driver cap is a count) ---
     "q14_promo_ratio",
+    "fn_maps",
     "text_fingerprint",
     "text_unigram_logprob",
     "text_bm25_topk",

@@ -505,3 +505,54 @@ def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "exact_users")
         .orderBy("event_type")
     )
+
+
+@register(
+    "fn_maps",
+    """
+    SELECT o_orderkey,
+           2 AS n_entries,
+           'priority,status' AS sorted_keys,
+           o_orderpriority || '|' || o_orderstatus AS packed_vals,
+           CASE WHEN o_orderstatus = 'F' THEN 'status=F' ELSE 'none' END
+             AS filtered_entry,
+           upper(o_orderstatus) AS status_upper
+    FROM orders
+    WHERE o_orderkey % 100 = 0
+    """,
+    "map-function surface (map construction, map_keys/map_values sorted "
+    "projection, map_filter, transform_values) flattened to scalar "
+    "columns the oracle rebuilds directly — the map column itself never "
+    "leaves the plan, so no engine-specific map rendering is compared",
+)
+def fn_maps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
+    m = F.create_map(
+        F.lit("status"), F.col("o_orderstatus"),
+        F.lit("priority"), F.col("o_orderpriority"),
+    )
+    filtered = F.map_filter(m, lambda k, v: (k == F.lit("status")) & (v == F.lit("F")))
+    return o.select(
+        "o_orderkey",
+        F.size(m).alias("n_entries"),
+        F.array_join(F.array_sort(F.map_keys(m)), ",").alias("sorted_keys"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.map_keys(m)), lambda k: F.element_at(m, k)
+            ),
+            "|",
+        ).alias("packed_vals"),
+        F.coalesce(
+            F.try_element_at(
+                F.transform(
+                    F.map_entries(filtered),
+                    lambda e: F.concat(e["key"], F.lit("="), e["value"]),
+                ),
+                F.lit(1),
+            ),
+            F.lit("none"),
+        ).alias("filtered_entry"),
+        F.element_at(
+            F.transform_values(m, lambda k, v: F.upper(v)), F.lit("status")
+        ).alias("status_upper"),
+    )
