@@ -503,10 +503,24 @@ def ivfpq_topk(
     C = np.array([v for _, v in cents], dtype=np.float64)
     Cn = np.linalg.norm(C, axis=1)
 
-    codes_df, books = pq_encode(corpus, m=m, k=codes_k, id_col=id_col, vec_col=vec_col)
-    B = [np.array(b, dtype=np.float64) for b in books]
-    dim = sum(b.shape[1] for b in B)
+    # train the PQ sub-codebooks exactly as pq_encode does (first codes_k
+    # vectors in md5 order), but encode + cell-assign in ONE fused kernel
+    # below — a separate pq_encode ⋈ ivf_assign join would shuffle the
+    # corpus on id twice for data both kernels already hold row-locally
+    from jigsaw_spark.functions.hashing import det_order
+
+    seeds = (
+        corpus.select(vec_col)
+        .orderBy(*det_order(id_col, seed="pq-train"))
+        .limit(codes_k)
+        .collect()
+    )
+    S = np.array([r[vec_col] for r in seeds], dtype=np.float64)
+    dim = S.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
     dsub = dim // m
+    B = [S[:, j * dsub : (j + 1) * dsub].copy() for j in range(m)]
 
     # per-query probe cells + ADC tables, computed driver-side (queries are
     # the small online side; the corpus side stays distributed)
@@ -523,16 +537,25 @@ def ivfpq_topk(
             t[j] = (diff * diff).sum(axis=1)
         q_tables[int(qid)] = t
 
-    cells = ivf_assign(corpus, centroids, id_col, vec_col)
-    coded = codes_df.join(cells, id_col)
-
     def score(batches):
         import pandas as pd
 
         for pdf in batches:
             ids, qids, d2s = [], [], []
-            code_arr = np.vstack(pdf["codes"].to_numpy()).astype(np.int64)
-            cell_arr = pdf["cell"].to_numpy()
+            M = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            # fused coarse assign (cosine argmax, round-9, lowest cid)
+            cos = (M @ C.T) / np.outer(np.linalg.norm(M, axis=1), Cn)
+            cell_arr = cids[np.argmax(np.round(cos, 9), axis=1)]
+            # fused PQ encode (round-9 argmin L2 per subspace)
+            code_arr = np.empty((len(pdf), m), dtype=np.int64)
+            for j, Bj in enumerate(B):
+                sub = M[:, j * dsub : (j + 1) * dsub]
+                d2j = (
+                    (sub * sub).sum(1, keepdims=True)
+                    - 2.0 * (sub @ Bj.T)
+                    + (Bj * Bj).sum(1)
+                )
+                code_arr[:, j] = np.argmin(np.round(d2j, 9), axis=1)
             id_arr = pdf[id_col].to_numpy()
             for qid, probe in q_probe.items():
                 mask = np.isin(cell_arr, list(probe))
@@ -549,7 +572,7 @@ def ivfpq_topk(
             yield pd.DataFrame({"query_id": qids, id_col: ids, "adc_d2": d2s})
 
     id_type = corpus.schema[id_col].dataType.simpleString()
-    scored = coded.mapInPandas(
+    scored = corpus.select(id_col, vec_col).mapInPandas(
         score, f"query_id long, {id_col} {id_type}, adc_d2 double"
     )
     w = Window.partitionBy("query_id").orderBy(
