@@ -1610,6 +1610,7 @@ _CERTIFICATION_PRIORITY = [
     # --- window boundary (~50 if the driver cap is a count) ---
     "q14_promo_ratio",
     "fn_maps",
+    "fn_structs",
     "text_fingerprint",
     "text_unigram_logprob",
     "text_bm25_topk",

@@ -556,3 +556,45 @@ def fn_maps(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform_values(m, lambda k, v: F.upper(v)), F.lit("status")
         ).alias("status_upper"),
     )
+
+
+@register(
+    "fn_structs",
+    """
+    WITH s AS (
+      SELECT o_orderkey,
+             o_orderstatus AS st, o_orderpriority AS pri,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      FROM orders WHERE o_orderkey % 100 = 0)
+    SELECT o_orderkey,
+           st AS status_field,
+           st || '#' || pri AS packed,
+           CASE WHEN (st, pri) = ('F', '1-URGENT') THEN 1 ELSE 0 END
+             AS is_urgent_f,
+           CAST((st, pri) < ('O', '3-MEDIUM') AS INT) AS below_pivot
+    FROM s
+    """,
+    "struct surface: named_struct construction, field access, struct "
+    "equality and lexicographic ordering comparison — flattened to "
+    "scalars; DuckDB compares ROW values with the same field-order "
+    "lexicographic semantics",
+)
+def fn_structs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
+    st = F.struct(
+        F.col("o_orderstatus").alias("st"),
+        F.col("o_orderpriority").alias("pri"),
+    )
+    pivot = F.struct(F.lit("O").alias("st"), F.lit("3-MEDIUM").alias("pri"))
+    return o.select(
+        "o_orderkey",
+        st.getField("st").alias("status_field"),
+        F.concat(st["st"], F.lit("#"), st["pri"]).alias("packed"),
+        F.when(
+            st == F.struct(F.lit("F").alias("st"), F.lit("1-URGENT").alias("pri")),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_urgent_f"),
+        (st < pivot).cast("int").alias("below_pivot"),
+    )
