@@ -1611,6 +1611,7 @@ _CERTIFICATION_PRIORITY = [
     "q14_promo_ratio",
     "fn_maps",
     "fn_structs",
+    "p_temperature_mixture",
     "text_fingerprint",
     "text_unigram_logprob",
     "text_bm25_topk",

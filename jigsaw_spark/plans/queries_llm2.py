@@ -475,3 +475,42 @@ def dedup_exact_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("content_key")
     )
+
+
+@register(
+    "p_temperature_mixture",
+    """
+    WITH cnt AS (
+      SELECT doc_id, source,
+             count(*) OVER (PARTITION BY source) AS n_src
+      FROM documents),
+    weighted AS (
+      SELECT doc_id, source,
+             pow(n_src, -0.3) AS w,
+             round(ln((('0x' || substr(
+                    md5(concat_ws('|', 'mix-42', CAST(doc_id AS VARCHAR))),
+                    1, 12))::UBIGINT + 1.0) / 281474976710656.0)
+               / pow(n_src, -0.3), 12) AS wkey
+      FROM cnt)
+    SELECT doc_id, source, round(w, 9) AS w
+    FROM weighted
+    ORDER BY wkey DESC, doc_id
+    LIMIT 200
+    """,
+    "temperature-scaled data-mixture sampling (alpha=0.7): per-source "
+    "weight n_src^(alpha-1) upweights rare domains, exact-200 draw via "
+    "the Efraimidis-Spirakis md5 stream — the multi-corpus rebalancing "
+    "step of LLM pretraining mixes. One window count + TakeOrdered; no "
+    "global sort",
+)
+def p_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from jigsaw_spark.operators.samples import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    w = F.pow(F.count(F.lit(1)).over(Window.partitionBy("source")), F.lit(-0.3))
+    out = weighted_sample(
+        docs.withColumn("w", w), 200, ["doc_id"], F.col("w"), seed="mix-42"
+    )
+    return out.select("doc_id", "source", F.round("w", 9).alias("w"))
