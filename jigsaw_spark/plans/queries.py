@@ -1612,6 +1612,7 @@ _CERTIFICATION_PRIORITY = [
     "fn_maps",
     "fn_structs",
     "p_temperature_mixture",
+    "fn_try_errors",
     "text_fingerprint",
     "text_unigram_logprob",
     "text_bm25_topk",

@@ -598,3 +598,41 @@ def fn_structs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("is_urgent_f"),
         (st < pivot).cast("int").alias("below_pivot"),
     )
+
+
+@register(
+    "fn_try_errors",
+    """
+    SELECT o_orderkey,
+           TRY_CAST(o_orderpriority AS INT) AS bad_int,
+           TRY_CAST(substr(o_orderpriority, 1, 1) AS INT) AS prio_digit,
+           CASE WHEN o_orderkey % 7 = 0 THEN NULL
+                ELSE o_totalprice / (o_orderkey % 7)
+           END AS safe_div,
+           TRY_CAST('1997-13-40' AS DATE) IS NULL AS bad_date_null,
+           COALESCE(TRY_CAST(o_orderstatus AS INT), -1) AS status_or_default
+    FROM orders
+    WHERE o_orderkey % 50 = 0
+    """,
+    "error-tolerant scalar surface: try_cast on unparseable strings/"
+    "dates → NULL (not job failure — the 100 TB dirty-data contract), "
+    "try_divide zero → NULL, COALESCE defaulting. DuckDB TRY_CAST has "
+    "identical null-on-failure semantics; the division is double-IEEE on "
+    "identical operands",
+)
+def fn_try_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 50 == 0)
+    return o.select(
+        "o_orderkey",
+        F.col("o_orderpriority").try_cast("int").alias("bad_int"),
+        F.substring("o_orderpriority", 1, 1).try_cast("int").alias("prio_digit"),
+        F.try_divide(F.col("o_totalprice"), F.col("o_orderkey") % 7).alias(
+            "safe_div"
+        ),
+        F.try_to_timestamp(F.lit("1997-13-40")).cast("date").isNull().alias(
+            "bad_date_null"
+        ),
+        F.coalesce(
+            F.col("o_orderstatus").try_cast("int"), F.lit(-1)
+        ).alias("status_or_default"),
+    )
