@@ -545,3 +545,63 @@ def connected_components(
         if changed == 0:
             break
     return labels.select(F.col("u").alias("doc_id"), F.col("comp").alias("component"))
+
+
+def semantic_dedup(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    key: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): embedding-space
+    near-duplicate removal that restricts the pairwise search to k-means
+    clusters. Rows land in a cell via the IVF coarse quantizer
+    (`similarity.ivf_assign` — broadcast codebook, map-only); within each
+    cell every pair's cosine is evaluated and a row whose similarity to a
+    LOWER-keyed cell-mate meets ``threshold`` is marked a duplicate of the
+    smallest such mate.
+
+    Returns one row per input row: ``(key, cell, dup_of, is_dup)`` —
+    ``dup_of`` is NULL for keepers, so survivorship is ``is_dup = false``.
+
+    Scale shape: the whole point of SemDeDup is that pairwise cosine never
+    crosses cluster boundaries — with k ∝ N/c cells the quadratic surface
+    is O(N·c), not O(N²). Physically: one map-only assignment pass, ONE
+    shuffle of (key, vec) on the cell id for the self-join, cosine as a
+    JVM codegen'd zip_with/aggregate expression (no Python boundary), then
+    a hash agg on the higher key. Skewed cells (a degenerate codebook
+    centroid that attracts everything) are the same hazard as LSH bucket
+    skew — cap or re-train; AQE skew-join splitting handles moderate skew.
+
+    Determinism / oracle portability: cosine is rounded to 9 digits before
+    the threshold compare (cross-engine libm drift absorbed, same contract
+    as `similarity.cosine_topk`), and the keeper choice is min-key — the
+    reference algorithm keeps the example farthest from the centroid;
+    min-key is deterministic under any partitioning and engine-portable
+    (deviation documented, matching A2's sorted-label precedent).
+    """
+    from jigsaw_spark.functions.vectors import cosine_similarity
+    from jigsaw_spark.operators.similarity import ivf_assign
+
+    cells = ivf_assign(df, centroids, id_col=key, vec_col=vec_col)
+    e = df.select(key, vec_col).join(cells, key)
+    a = e.select(
+        F.col(key).alias("_ka"), F.col(vec_col).alias("_va"), "cell"
+    )
+    b = e.select(
+        F.col(key).alias("_kb"), F.col(vec_col).alias("_vb"), "cell"
+    )
+    dup = (
+        a.join(b, "cell")
+        .where(F.col("_ka") < F.col("_kb"))
+        .where(F.round(cosine_similarity("_va", "_vb"), 9) >= F.lit(threshold))
+        .groupBy(F.col("_kb").alias(key))
+        .agg(F.min("_ka").alias("dup_of"))
+    )
+    return cells.join(dup, key, "left").select(
+        key,
+        "cell",
+        "dup_of",
+        F.col("dup_of").isNotNull().alias("is_dup"),
+    )

@@ -50,16 +50,24 @@ def tokens_sql(text: str = "text") -> str:
 
 
 def shingles_expr(tokens: Column | str, n: int = 3) -> Column:
-    """Word n-grams as space-joined strings. Caller must guard
-    ``size(tokens) >= n`` (Spark's ``sequence`` runs backwards otherwise)."""
+    """Word n-grams as space-joined strings. TOTAL on any input: below n
+    tokens it returns an empty array. The guard must live INSIDE the
+    expression (not in a caller-side filter) because Catalyst may evaluate
+    a derived predicate containing this transform before the caller's
+    filter runs (constraint inference / projection collapse) — Spark's
+    ``sequence`` runs backwards for start > stop and ``element_at`` throws
+    out of bounds, so an external guard is not reorder-safe."""
     t = _c(tokens)
     idx = F.sequence(F.lit(1), F.size(t) - F.lit(n - 1))
-    return F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(t, i + F.lit(k)) for k in range(n)]
+    return F.when(
+        F.size(t) >= F.lit(n),
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(t, i + F.lit(k)) for k in range(n)]
+            ),
         ),
-    )
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def shingles_sql(tokens: str = "t", n: int = 3) -> str:
@@ -399,4 +407,70 @@ def bm25_topk(
     return (
         scored.orderBy(F.round("bm25", 9).desc(), F.col(key))
         .limit(k)
+    )
+
+
+def boilerplate_coverage(
+    df,
+    key: str = "doc_id",
+    text: str = "text",
+    n: int = 3,
+    min_docs: int = 3,
+    frac_threshold: float = 0.5,
+):
+    """Corpus-frequent n-gram ("boilerplate") coverage — the n-gram
+    generalization of C4's repeated-line rule (Raffel et al. 2020 drop any
+    line occurring ≥3 times in the corpus; reference pipelines apply the
+    same idea to templated spans). A gram is *boilerplate* when it appears
+    in ≥ ``min_docs`` DISTINCT documents; each document is scored by the
+    fraction of its distinct grams that are boilerplate.
+
+    Returns ``(key, n_grams, n_boiler, boiler_frac, is_boiler)`` with
+    ``n_grams`` counting the document's distinct grams.
+
+    Scale shape: per-doc distinct grams are computed inside the scan
+    projection (array_distinct over the shingle expression — zero
+    shuffle), then ONE explode feeds two hash aggregates: gram→distinct-doc
+    count (map-side partial combine) and the per-doc re-aggregate after a
+    broadcast-able semi-match against the frequent-gram set. The frequent
+    set scales with the number of *repeated* grams, not corpus size — at
+    100 TB replace the raw gram string with ``xxhash64(gram)`` before the
+    shuffle (8 bytes vs arbitrary span text; collision odds are the
+    standard 2⁻⁶⁴ per pair) and keep a df-cap on ultra-common grams the
+    same way `dedup.ngram_jaccard_pairs` caps postings.
+    """
+    from pyspark.sql import functions as F
+
+    grams = (
+        df.select(F.col(key), tokens_expr(text).alias("_t"))
+        .where(F.size("_t") >= n)  # shingles_expr contract: sequence() runs backwards below n
+        .select(
+            F.col(key),
+            F.array_distinct(shingles_expr("_t", n)).alias("g"),
+        )
+    )
+    exploded = grams.select(key, F.explode("g").alias("gram"))
+    boiler = (
+        exploded.groupBy("gram")
+        .agg(F.count_distinct(key).alias("df_docs"))
+        .where(F.col("df_docs") >= min_docs)
+        .select("gram")
+    )
+    hits = (
+        exploded.join(F.broadcast(boiler), "gram")
+        .groupBy(key)
+        .agg(F.count(F.lit(1)).alias("n_boiler"))
+    )
+    frac = F.round(
+        F.coalesce(F.col("n_boiler"), F.lit(0)) / F.size("g"), 6
+    )
+    return (
+        grams.join(hits, key, "left")
+        .select(
+            key,
+            F.size("g").alias("n_grams"),
+            F.coalesce("n_boiler", F.lit(0)).alias("n_boiler"),
+            frac.alias("boiler_frac"),
+            (frac > F.lit(frac_threshold)).alias("is_boiler"),
+        )
     )

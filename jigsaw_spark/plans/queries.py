@@ -1535,6 +1535,7 @@ from jigsaw_spark.plans import queries_fn3  # noqa: E402,F401
 from jigsaw_spark.plans import queries_fn4  # noqa: E402,F401
 from jigsaw_spark.plans import queries_llm2  # noqa: E402,F401
 from jigsaw_spark.plans import queries_streaming  # noqa: E402,F401
+from jigsaw_spark.plans import queries_r3  # noqa: E402,F401
 
 
 # ---------------------------------------------------------------------------
@@ -1558,6 +1559,12 @@ _CERTIFICATION_PRIORITY = [
     "k6_bbox_norm",
     "k6_feature_points",
     "dedup_lsh_capped",
+    # new round-3 surface (oracle-backed)
+    "dedup_semantic",
+    "text_boilerplate",
+    "profile_table",
+    "rel_recursive_rollup",
+    "stream_static_join",
     # judge-named round-2 targets
     "dedup_minhash_lsh",
     "dedup_components",

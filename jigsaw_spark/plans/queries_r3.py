@@ -1,0 +1,239 @@
+"""Round-3 surface: semantic dedup, corpus boilerplate, table profiling,
+native recursive CTE, and stream-static enrichment.
+
+Five more first-class operators, each oracle-backed:
+
+- **SemDeDup** (`dedup_semantic`): embedding-space near-dup removal with
+  pairwise cosine restricted to k-means cells (Abbas et al. 2023) — the
+  modern curation step between exact dedup and MinHash text dedup.
+- **Boilerplate coverage** (`text_boilerplate`): corpus-frequent n-gram
+  fraction per document — the n-gram generalization of C4's
+  repeated-line rule.
+- **Table profiler** (`profile_table`): one-scan per-column
+  rows/nulls/distinct/min/max — the lake-table `DESCRIBE STATISTICS`
+  primitive.
+- **Recursive CTE** (`rel_recursive_rollup`): Spark 4.1's native
+  `WITH RECURSIVE` (UNION ALL form) exercising the iterative-union
+  execution path on a unique-parent hierarchy walk.
+- **Stream-static enrichment** (`stream_static_join`): broadcast
+  dimension join inside a stream (zero join state) → windowed rollup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jigsaw_spark.operators.text import shingles_sql, tokens_sql
+from jigsaw_spark.plans.queries import _t, register
+
+# DuckDB replay of `similarity.ivf_assign` over the deterministic k=8
+# codebook (vec_id < 8) — same CTE the ann_ivf_assign oracle uses.
+_CELLS_CTE = """
+    cent AS (
+      SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 8
+    ), scored AS (
+      SELECT e.vec_id, c.cid,
+             round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                          c.cvec::DOUBLE[]), 9) AS cos
+      FROM embeddings e CROSS JOIN cent c
+    ), cells AS (
+      SELECT vec_id, cid AS cell FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cos DESC, cid) AS rn
+        FROM scored) t
+      WHERE rn = 1
+    )"""
+
+
+@register(
+    "dedup_semantic",
+    f"""
+    WITH {_CELLS_CTE},
+    dup AS (
+      SELECT b.vec_id, min(a.vec_id) AS dup_of
+      FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      JOIN embeddings ea ON ea.vec_id = a.vec_id
+      JOIN embeddings eb ON eb.vec_id = b.vec_id
+      WHERE round(list_cosine_similarity(ea.embedding::DOUBLE[],
+                                         eb.embedding::DOUBLE[]), 9) >= 0.4
+      GROUP BY b.vec_id)
+    SELECT c.vec_id, c.cell, d.dup_of,
+           d.dup_of IS NOT NULL AS is_dup
+    FROM cells c LEFT JOIN dup d ON c.vec_id = d.vec_id
+    """,
+    "SemDeDup: k-means-cell-restricted cosine near-dup marking (keep "
+    "min-key per pair) — map-only cell assignment, ONE cell-keyed "
+    "shuffle, JVM cosine, hash-agg survivorship",
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jigsaw_spark.operators.dedup import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in emb.filter(F.col("vec_id") < 8).collect()
+    ]
+    return semantic_dedup(emb, centroids, threshold=0.4)
+
+
+@register(
+    "text_boilerplate",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {tokens_sql("text")} AS t FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, list_distinct({shingles_sql("t", 3)}) AS g
+      FROM toks WHERE len(t) >= 3
+    ),
+    ex AS (SELECT doc_id, unnest(g) AS gram FROM grams),
+    boiler AS (
+      SELECT gram FROM ex GROUP BY gram
+      HAVING count(DISTINCT doc_id) >= 3),
+    hits AS (
+      SELECT doc_id, count(*) AS n_boiler
+      FROM ex JOIN boiler USING (gram) GROUP BY doc_id)
+    SELECT g.doc_id, len(g.g) AS n_grams,
+           coalesce(h.n_boiler, 0) AS n_boiler,
+           round(coalesce(h.n_boiler, 0)::DOUBLE / len(g.g), 6)
+             AS boiler_frac,
+           round(coalesce(h.n_boiler, 0)::DOUBLE / len(g.g), 6) > 0.5
+             AS is_boiler
+    FROM grams g LEFT JOIN hits h ON g.doc_id = h.doc_id
+    """,
+    "corpus-boilerplate coverage: fraction of each doc's distinct 3-grams "
+    "appearing in >= 3 docs (C4 repeated-line rule at n-gram granularity) "
+    "— distinct grams fold into the scan, one explode, two hash aggs",
+)
+def text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jigsaw_spark.operators.text import boilerplate_coverage
+
+    docs = _t(spark, sf_dir, "documents")
+    return boilerplate_coverage(docs, "doc_id", "text", n=3, min_docs=3)
+
+
+_PROFILE_COLS = ("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+
+
+@register(
+    "profile_table",
+    "\nUNION ALL\n".join(
+        f"""
+    SELECT '{c}' AS col_name, count(*) AS n_rows,
+           CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_nulls,
+           count(DISTINCT {c}) AS n_distinct,
+           CAST(min({c}) AS VARCHAR) AS min_val,
+           CAST(max({c}) AS VARCHAR) AS max_val
+    FROM orders"""
+        for c in _PROFILE_COLS
+    ),
+    "one-scan table profiler: per-column rows/nulls/exact-distinct/"
+    "min/max in a single fused hash aggregate (Expand for the "
+    "multi-distinct; approx_count_distinct is the no-Expand scale path), "
+    "long-form via literal-array explode",
+)
+def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jigsaw_spark.operators.aggregates import profile_columns
+
+    orders = _t(spark, sf_dir, "orders")
+    return profile_columns(orders, list(_PROFILE_COLS))
+
+
+@register(
+    "rel_recursive_rollup",
+    """
+    WITH RECURSIVE climb(root, price) AS (
+      SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) FROM orders
+      UNION ALL
+      SELECT root // 10, price FROM climb WHERE root >= 10
+    )
+    SELECT CAST(root AS INT) AS root_digit, count(*) AS n_orders,
+           CAST(round(sum(price), 2) AS DOUBLE) AS total_price
+    FROM climb WHERE root < 10 GROUP BY root
+    """,
+    "native WITH RECURSIVE (Spark 4.1 iterative UnionLoop): unique-parent "
+    "decimal-trie walk — each level is a narrow map (no join, no shuffle "
+    "per iteration), terminal rows aggregate once; exact decimal money "
+    "sums keep the rollup order-independent. The BOM/org-chart recursion "
+    "shape; UNION ALL form (Spark does not yet support cycle-safe UNION "
+    "DISTINCT recursion — acyclic unique-parent graphs terminate without "
+    "it).",
+)
+def rel_recursive_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    o = os.path.join(sf_dir, "orders.parquet")
+    return spark.sql(
+        f"""
+        WITH RECURSIVE climb(root, price) AS (
+          SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2))
+          FROM parquet.`{o}`
+          UNION ALL
+          SELECT root DIV 10, price FROM climb WHERE root >= 10
+        )
+        SELECT CAST(root AS INT) AS root_digit, count(*) AS n_orders,
+               CAST(round(sum(price), 2) AS DOUBLE) AS total_price
+        FROM climb WHERE root < 10 GROUP BY root
+        """
+    )
+
+
+# event_type → reporting category: the enrichment dimension a streaming
+# pipeline would broadcast (KB-scale even at production cardinalities).
+_EVENT_DIM = (
+    ("view", "engagement"),
+    ("click", "engagement"),
+    ("purchase", "conversion"),
+    ("signup", "conversion"),
+    ("error", "ops"),
+)
+
+_DIM_CASE = (
+    "CASE event_type "
+    + " ".join(f"WHEN '{k}' THEN '{v}'" for k, v in _EVENT_DIM)
+    + " END"
+)
+
+
+@register(
+    "stream_static_join",
+    f"""
+    SELECT date_trunc('hour', ts) AS window_start,
+           {_DIM_CASE} AS category,
+           count(*) AS n,
+           CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    "stream-static enrichment: broadcast dimension join inside the stream "
+    "(zero join state — each micro-batch joins the static snapshot) → "
+    "watermarked 1-hour tumbling rollup per category; AvailableNow drain "
+    "== the batch answer",
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jigsaw_spark.plans.queries_streaming import _state_partitions
+    from jigsaw_spark.streaming.ingest import (
+        enriched_event_counts,
+        read_event_stream,
+    )
+
+    import uuid
+
+    dim = spark.createDataFrame(list(_EVENT_DIM), "event_type string, category string")
+    stream = read_event_stream(spark, sf_dir, glob="events.parquet")
+    agg = enriched_event_counts(stream, dim)
+    name = f"stream_enrich_{uuid.uuid4().hex[:8]}"
+    with _state_partitions(spark):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name)

@@ -214,3 +214,38 @@ def rocksdb_state_conf() -> dict[str, str]:
             "true"
         ),
     }
+
+
+def enriched_event_counts(
+    events: DataFrame,
+    dim: DataFrame,
+    on: str = "event_type",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-static enrichment join → windowed rollup. The static side is
+    broadcast (stream-static equi-joins keep NO join state — each
+    micro-batch joins against the current static snapshot, so this is the
+    zero-state enrichment pattern, unlike stream-stream joins whose state
+    is watermark-bounded). Dimension tables at 100 TB stream volume stay
+    KB-MB — exactly the broadcast regime. Works identically on a batch
+    frame for plan parity / the oracle."""
+    src = events
+    if events.isStreaming:
+        src = events.withWatermark("ts", watermark)
+    joined = src.join(F.broadcast(dim), on)
+    return (
+        joined.groupBy(F.window("ts", window).alias("w"), "category")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "category",
+            "n",
+            "total_value",
+        )
+    )
