@@ -74,9 +74,10 @@ def _decode_pixels(content: bytes, fake: bool):
 def decode_image_meta(df: DataFrame) -> DataFrame:
     """(image_id, kind, path, length, content) → + (format, width, height).
 
-    PNG dims come from the real header parse; other formats yield NULLs
-    (they need the codec hook). Pure projection over Arrow batches — no
-    shuffle, scales linearly."""
+    PNG and JPEG dims come from real header parses (PNG IHDR; JPEG SOF
+    marker walk — both stdlib-only, no pixel decode needed); other formats
+    yield NULLs (they need the codec hook). Pure projection over Arrow
+    batches — no shuffle, scales linearly."""
 
     schema = (
         "image_id string, kind string, path string, length long, "
@@ -94,9 +95,12 @@ def decode_image_meta(df: DataFrame) -> DataFrame:
                     ws.append(dims[0])
                     hs.append(dims[1])
                 elif b[:3] == b"\xff\xd8\xff":
+                    from jigsaw_spark.multimodal.png_codec import jpeg_dimensions
+
+                    jd = jpeg_dimensions(b)
                     fmts.append("jpeg")
-                    ws.append(None)
-                    hs.append(None)
+                    ws.append(jd[0] if jd else None)
+                    hs.append(jd[1] if jd else None)
                 else:
                     fmts.append("unknown")
                     ws.append(None)

@@ -164,3 +164,39 @@ def resize_nearest(arr: np.ndarray, width: int, height: int) -> np.ndarray:
     ys = (np.arange(height) * h // height).clip(0, h - 1)
     xs = (np.arange(width) * w // width).clip(0, w - 1)
     return arr[np.ix_(ys, xs)]
+
+
+# JPEG markers that carry frame dimensions: SOF0..SOF15 minus DHT(C4),
+# JPG(C8), DAC(CC). Payload: precision u8, height u16be, width u16be.
+_JPEG_SOF = frozenset(range(0xC0, 0xD0)) - {0xC4, 0xC8, 0xCC}
+
+
+def jpeg_dimensions(content: bytes) -> tuple[int, int] | None:
+    """(width, height) from a JPEG SOF marker — stdlib-only header walk
+    (reference parity: the reference learns dims from cv2-decoded pixels,
+    `jigsaw/model_utils/base/mask.py:83-103`; the header carries them
+    without decoding). Returns None for non-JPEG / truncated input."""
+    if len(content) < 4 or content[:3] != b"\xff\xd8\xff":
+        return None
+    pos = 2
+    n = len(content)
+    while pos + 4 <= n:
+        if content[pos] != 0xFF:  # desync — not a marker boundary
+            return None
+        marker = content[pos + 1]
+        if marker == 0xFF:  # fill byte padding
+            pos += 1
+            continue
+        if 0xD0 <= marker <= 0xD9 or marker == 0x01:  # standalone RST/SOI/EOI/TEM
+            pos += 2
+            continue
+        (seglen,) = struct.unpack(">H", content[pos + 2 : pos + 4])
+        if marker in _JPEG_SOF:
+            if pos + 9 > n:
+                return None
+            h, w = struct.unpack(">HH", content[pos + 5 : pos + 9])
+            return (w, h)
+        if marker == 0xDA:  # SOS — entropy-coded data follows; SOF must precede
+            return None
+        pos += 2 + seglen
+    return None

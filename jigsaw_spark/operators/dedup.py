@@ -568,36 +568,60 @@ def semantic_dedup(
     Scale shape: the whole point of SemDeDup is that pairwise cosine never
     crosses cluster boundaries — with k ∝ N/c cells the quadratic surface
     is O(N·c), not O(N²). Physically: one map-only assignment pass, ONE
-    shuffle of (key, vec) on the cell id for the self-join, cosine as a
-    JVM codegen'd zip_with/aggregate expression (no Python boundary), then
-    a hash agg on the higher key. Skewed cells (a degenerate codebook
-    centroid that attracts everything) are the same hazard as LSH bucket
-    skew — cap or re-train; AQE skew-join splitting handles moderate skew.
+    shuffle of (key, vec) on the cell id, then a per-cell `applyInPandas`
+    kernel whose single numpy matmul scores every in-cell pair (the same
+    vectorized-BLAS kernel as `similarity.cosine_near_dup_pairs`; the
+    JVM-expression alternative evaluates an INTERPRETED zip_with/aggregate
+    lambda per pair — measured 4× slower at 5k×64d). Parallelism equals
+    the cell count — exactly the k ∝ N/c regime SemDeDup prescribes; a
+    cell too large for one task is the skew case (SCALE.md §3.5): re-train
+    with more cells or sub-block the cell like the blocked all-pairs
+    operator. Only candidate pairs leave the kernel (loose pre-filter);
+    the EXACT round-then-compare gate runs in Spark expressions so
+    rounding semantics never drift from the oracle.
 
     Determinism / oracle portability: cosine is rounded to 9 digits before
-    the threshold compare (cross-engine libm drift absorbed, same contract
-    as `similarity.cosine_topk`), and the keeper choice is min-key — the
-    reference algorithm keeps the example farthest from the centroid;
-    min-key is deterministic under any partitioning and engine-portable
-    (deviation documented, matching A2's sorted-label precedent).
+    the threshold compare (cross-engine float drift absorbed, same
+    contract as `similarity.cosine_topk`), and the keeper choice is
+    min-key — the reference algorithm keeps the example farthest from the
+    centroid; min-key is deterministic under any partitioning and
+    engine-portable (deviation documented, matching A2's sorted-label
+    precedent).
     """
-    from jigsaw_spark.functions.vectors import cosine_similarity
     from jigsaw_spark.operators.similarity import ivf_assign
 
     cells = ivf_assign(df, centroids, id_col=key, vec_col=vec_col)
     e = df.select(key, vec_col).join(cells, key)
-    a = e.select(
-        F.col(key).alias("_ka"), F.col(vec_col).alias("_va"), "cell"
-    )
-    b = e.select(
-        F.col(key).alias("_kb"), F.col(vec_col).alias("_vb"), "cell"
+
+    def cell_pairs(pdf):
+        import numpy as np
+        import pandas as pd
+
+        if len(pdf) < 2:
+            return pd.DataFrame(
+                {
+                    "hi": pd.Series([], dtype="int64"),
+                    "lo": pd.Series([], dtype="int64"),
+                    "cos": pd.Series([], dtype="float64"),
+                }
+            )
+        M = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(M, axis=1)
+        sims = (M @ M.T) / np.outer(norms, norms)
+        ids = pdf[key].to_numpy()
+        keep = (ids[:, None] < ids[None, :]) & (sims >= threshold - 1e-9)
+        qi, ci = np.nonzero(keep)
+        return pd.DataFrame(
+            {"hi": ids[ci], "lo": ids[qi], "cos": sims[qi, ci]}
+        )
+
+    cand = e.groupBy("cell").applyInPandas(
+        cell_pairs, "hi bigint, lo bigint, cos double"
     )
     dup = (
-        a.join(b, "cell")
-        .where(F.col("_ka") < F.col("_kb"))
-        .where(F.round(cosine_similarity("_va", "_vb"), 9) >= F.lit(threshold))
-        .groupBy(F.col("_kb").alias(key))
-        .agg(F.min("_ka").alias("dup_of"))
+        cand.filter(F.round("cos", 9) >= F.lit(threshold))
+        .groupBy(F.col("hi").alias(key))
+        .agg(F.min("lo").alias("dup_of"))
     )
     return cells.join(dup, key, "left").select(
         key,

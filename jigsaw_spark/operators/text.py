@@ -428,49 +428,53 @@ def boilerplate_coverage(
     Returns ``(key, n_grams, n_boiler, boiler_frac, is_boiler)`` with
     ``n_grams`` counting the document's distinct grams.
 
-    Scale shape: per-doc distinct grams are computed inside the scan
-    projection (array_distinct over the shingle expression — zero
-    shuffle), then ONE explode feeds two hash aggregates: gram→distinct-doc
-    count (map-side partial combine) and the per-doc re-aggregate after a
-    broadcast-able semi-match against the frequent-gram set. The frequent
-    set scales with the number of *repeated* grams, not corpus size — at
-    100 TB replace the raw gram string with ``xxhash64(gram)`` before the
-    shuffle (8 bytes vs arbitrary span text; collision odds are the
-    standard 2⁻⁶⁴ per pair) and keep a df-cap on ultra-common grams the
-    same way `dedup.ngram_jaccard_pairs` caps postings.
+    Scale shape: the tokenizer runs behind a Generate barrier
+    (``explode(array(tokens))``) — higher-order shingle lambdas are
+    INTERPRETED (no whole-stage codegen), so if CollapseProject inlines the
+    regex tokenizer into the lambda's per-element ``element_at`` calls the
+    split re-runs per gram: O(tokens²) per document (measured: 50 s vs
+    ~2 s at sf0.1). One explode of the per-doc DISTINCT gram set feeds
+    everything: gram→doc-frequency is a plain ``count(*)`` hash aggregate
+    (grams are pre-distinct per doc, so no count-distinct Expand), the
+    frequent set broadcasts back, and ``n_grams``/``n_boiler`` come out of
+    a single per-doc aggregate. The frequent set scales with the number of
+    *repeated* grams, not corpus size — at 100 TB replace the raw gram
+    string with ``xxhash64(gram)`` before the shuffle (8 bytes vs
+    arbitrary span text; collision odds are the standard 2⁻⁶⁴ per pair)
+    and keep a df-cap on ultra-common grams the same way
+    `dedup.ngram_jaccard_pairs` caps postings.
     """
     from pyspark.sql import functions as F
 
-    grams = (
-        df.select(F.col(key), tokens_expr(text).alias("_t"))
-        .where(F.size("_t") >= n)  # shingles_expr contract: sequence() runs backwards below n
-        .select(
-            F.col(key),
-            F.array_distinct(shingles_expr("_t", n)).alias("g"),
-        )
+    toks = df.select(
+        F.col(key), F.explode(F.array(tokens_expr(text))).alias("_t")
+    ).where(F.size("_t") >= n)
+    ex = toks.select(
+        key,
+        F.explode(F.array_distinct(shingles_expr("_t", n))).alias("gram"),
     )
-    exploded = grams.select(key, F.explode("g").alias("gram"))
     boiler = (
-        exploded.groupBy("gram")
-        .agg(F.count_distinct(key).alias("df_docs"))
+        ex.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df_docs"))
         .where(F.col("df_docs") >= min_docs)
         .select("gram")
     )
-    hits = (
-        exploded.join(F.broadcast(boiler), "gram")
-        .groupBy(key)
-        .agg(F.count(F.lit(1)).alias("n_boiler"))
-    )
-    frac = F.round(
-        F.coalesce(F.col("n_boiler"), F.lit(0)) / F.size("g"), 6
-    )
-    return (
-        grams.join(hits, key, "left")
-        .select(
-            key,
-            F.size("g").alias("n_grams"),
-            F.coalesce("n_boiler", F.lit(0)).alias("n_boiler"),
-            frac.alias("boiler_frac"),
-            (frac > F.lit(frac_threshold)).alias("is_boiler"),
+    hit = F.col("_hit").isNotNull().cast("long")
+    per_doc = (
+        ex.join(
+            F.broadcast(boiler.withColumn("_hit", F.lit(1))), "gram", "left"
         )
+        .groupBy(key)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(hit).alias("n_boiler"),
+        )
+    )
+    frac = F.round(F.col("n_boiler") / F.col("n_grams"), 6)
+    return per_doc.select(
+        key,
+        "n_grams",
+        "n_boiler",
+        frac.alias("boiler_frac"),
+        (frac > F.lit(frac_threshold)).alias("is_boiler"),
     )

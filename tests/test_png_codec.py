@@ -233,3 +233,36 @@ def test_resize_images_real_png(spark):
     assert dec.shape == (4, 3, 3)
     assert tuple(dec[0, 2]) == (10, 20, 30)
     assert tuple(dec[0, 0]) == (0, 0, 0)
+
+
+def test_jpeg_dimensions_sof_walk():
+    import struct
+
+    from jigsaw_spark.multimodal.png_codec import jpeg_dimensions
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    # SOI + APP0(JFIF) + DQT + SOF0(h=480, w=640) + SOS
+    jpeg = (
+        b"\xff\xd8"
+        + seg(0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
+        + seg(0xDB, bytes(65))
+        + seg(0xC0, b"\x08" + struct.pack(">HH", 480, 640) + b"\x03" + bytes(9))
+        + seg(0xDA, b"\x03" + bytes(6))
+    )
+    assert jpeg_dimensions(jpeg) == (640, 480)
+    # progressive SOF2 also carries dims
+    jpeg2 = b"\xff\xd8" + seg(0xC2, b"\x08" + struct.pack(">HH", 7, 9) + b"\x01" + bytes(3))
+    assert jpeg_dimensions(jpeg2) == (9, 7)
+    # DHT (C4) must NOT be mistaken for a SOF
+    jpeg3 = (
+        b"\xff\xd8"
+        + seg(0xC4, bytes(18))
+        + seg(0xC0, b"\x08" + struct.pack(">HH", 3, 5) + b"\x01" + bytes(3))
+    )
+    assert jpeg_dimensions(jpeg3) == (5, 3)
+    assert jpeg_dimensions(b"\x89PNG") is None
+    assert jpeg_dimensions(b"\xff\xd8\xff") is None  # truncated
+    # SOS before any SOF → give up cleanly, never scan entropy data
+    assert jpeg_dimensions(b"\xff\xd8" + seg(0xDA, b"\x01\x00\x00")) is None
