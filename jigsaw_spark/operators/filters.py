@@ -174,8 +174,14 @@ def apply_filter_groups(
 
     Lineage mirrors the reference's filter_metadata shape
     (filters.py:193-222): per group name, its steps, and — when
-    ``collect_counts`` — the per-stage cardinalities (each count is an
-    action; off by default so planning stays lazy).
+    ``collect_counts`` — the per-stage cardinalities. A chain's stage
+    counts are the counts of CUMULATIVE predicates (stage i ⇔ steps 1..i
+    all hold), so every stage of a group is counted in ONE aggregate pass
+    over the source — not one ``.count()`` action (= one full scan at
+    100 TB) per stage, which is what a literal port of the reference's
+    per-step ``len(df)`` logging would cost. The post-sample count needs
+    no job at all: exact-N sampling yields ``min(n, stage_count)`` rows by
+    construction. Off by default so planning stays fully lazy.
     """
     from jigsaw_spark.operators.joins import union_distinct
     from jigsaw_spark.operators.samples import exact_sample
@@ -185,18 +191,56 @@ def apply_filter_groups(
     for g in groups:
         sub = df
         steps_meta = []
+        cum_preds: list[Column] = []
+        acc: Column | None = None
         for step in g.steps:
             sub = apply_filter_chain(sub, [step], tags_col)
-            meta = {"type": step.type, "tags": list(step.tags)}
+            steps_meta.append({"type": step.type, "tags": list(step.tags)})
             if collect_counts:
-                meta["count"] = sub.count()
-            steps_meta.append(meta)
+                p = _step_predicate(step, tags_col)
+                acc = p if acc is None else acc & p
+                cum_preds.append(acc)
+        counts: list[int] = []
+        if collect_counts:
+            if cum_preds:
+                row = df.agg(
+                    *[
+                        F.sum(c.cast("long")).alias(f"_c{i}")
+                        for i, c in enumerate(cum_preds)
+                    ]
+                ).first()
+                counts = [int(row[f"_c{i}"] or 0) for i in range(len(cum_preds))]
+            else:
+                counts = [df.count()]
+            for meta, c in zip(steps_meta, counts):
+                meta["count"] = c
         if g.sample_n is not None:
             sub = exact_sample(sub, g.sample_n, key_cols)
         entry = {"name": g.name, "filters": steps_meta}
         if collect_counts:
-            entry["number_included"] = sub.count()
+            last = counts[-1]
+            entry["number_included"] = (
+                min(g.sample_n, last) if g.sample_n is not None else last
+            )
         lineage.append(entry)
         sets.append(sub)
     merged = union_distinct(sets, key_cols)
     return merged, lineage
+
+
+def _step_predicate(step: "FilterStep", tags_col: str) -> Column:
+    """The step's row predicate as a Column — the counting twin of
+    apply_filter_chain (kept adjacent: both must agree on semantics,
+    including the empty-tags edge: AND of nothing = keep, OR of nothing =
+    drop, matching and_filter/or_filter)."""
+    if step.type == "and":
+        if not step.tags:
+            return F.lit(True)
+        return reduce(and_, (F.array_contains(tags_col, t) for t in step.tags))
+    if step.type == "or":
+        if not step.tags:
+            return F.lit(False)
+        return F.arrays_overlap(
+            tags_col, F.array(*[F.lit(t) for t in step.tags])
+        )
+    raise ValueError(f"unknown filter step type: {step.type!r}")

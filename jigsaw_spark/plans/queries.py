@@ -1565,6 +1565,9 @@ _CERTIFICATION_PRIORITY = [
     "profile_table",
     "rel_recursive_rollup",
     "stream_static_join",
+    "text_topgram_coverage",
+    "ts_ohlc",
+    "agg_mode",
     # judge-named round-2 targets
     "dedup_minhash_lsh",
     "dedup_components",

@@ -237,3 +237,133 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
     return spark.table(name)
+
+
+@register(
+    "text_topgram_coverage",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {tokens_sql("text")} AS t FROM documents
+    ),
+    g AS (
+      SELECT doc_id, unnest({shingles_sql("t", 2)}) AS gram
+      FROM toks WHERE len(t) >= 2
+    ),
+    cnt AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY doc_id, gram),
+    top AS (
+      SELECT doc_id, CAST(max(c) AS BIGINT) AS top_cnt,
+             CAST(sum(c) AS BIGINT) AS n_grams
+      FROM cnt GROUP BY doc_id)
+    SELECT doc_id, n_grams, top_cnt,
+           round(top_cnt::DOUBLE / n_grams, 6) AS top_frac,
+           round(top_cnt::DOUBLE / n_grams, 6) > 0.2 AS is_repetitive
+    FROM top
+    """,
+    "Gopher top-n-gram coverage rule: fraction of a doc's 2-grams claimed "
+    "by its single most frequent 2-gram (complements the duplicate-3-gram "
+    "fraction in text_repetition) — one explode, two hash aggregates, "
+    "counts only (tie-free: the top gram's identity never surfaces)",
+)
+def text_topgram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jigsaw_spark.operators.text import shingles_expr, tokens_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    # Generate barrier (explode of 1-elem array) keeps the regex tokenizer
+    # out of the interpreted shingle lambda — same hazard/fix as
+    # text.boilerplate_coverage
+    toks = docs.select(
+        F.col("doc_id"), F.explode(F.array(tokens_expr("text"))).alias("_t")
+    ).where(F.size("_t") >= 2)
+    g = toks.select(
+        "doc_id", F.explode(shingles_expr("_t", 2)).alias("gram")
+    )
+    cnt = g.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("c"))
+    top = cnt.groupBy("doc_id").agg(
+        F.max("c").alias("top_cnt"), F.sum("c").alias("n_grams")
+    )
+    frac = F.round(F.col("top_cnt") / F.col("n_grams"), 6)
+    return top.select(
+        "doc_id",
+        "n_grams",
+        "top_cnt",
+        frac.alias("top_frac"),
+        (frac > F.lit(0.2)).alias("is_repetitive"),
+    )
+
+
+@register(
+    "ts_ohlc",
+    """
+    WITH o AS (
+      SELECT user_id, date_trunc('hour', ts) AS bucket, value,
+             row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                                ORDER BY ts, event_id) AS rn_a,
+             row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events)
+    SELECT user_id, bucket,
+           max(CASE WHEN rn_a = 1 THEN value END) AS open,
+           max(CASE WHEN rn_d = 1 THEN value END) AS close,
+           min(value) AS low, max(value) AS high,
+           count(*) AS n
+    FROM o GROUP BY user_id, bucket
+    """,
+    "time-series downsampling to OHLC candles (per user per hour): "
+    "open/close via min_by/max_by over the (ts, event_id) total order — "
+    "ONE hash aggregate, no window, no sort (the oracle's two-window "
+    "row_number formulation is the plan this one avoids)",
+)
+def ts_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    okey = F.struct(F.col("ts"), F.col("event_id"))
+    return ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("bucket")
+    ).agg(
+        F.min_by("value", okey).alias("open"),
+        F.max_by("value", okey).alias("close"),
+        F.min("value").alias("low"),
+        F.max("value").alias("high"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "agg_mode",
+    """
+    WITH c AS (
+      SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+      FROM orders GROUP BY o_orderstatus, o_orderpriority)
+    SELECT o_orderstatus, o_orderpriority AS mode_priority,
+           CAST(cnt AS BIGINT) AS mode_count
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY o_orderstatus
+        ORDER BY cnt DESC, o_orderpriority) AS rn
+      FROM c) t
+    WHERE rn = 1
+    """,
+    "statistical mode per group with a DETERMINISTIC tie-break (highest "
+    "count, then smallest value — Spark's built-in `mode` is "
+    "tie-arbitrary): two cascaded hash aggregates via max_by on a "
+    "(count, reversed-value) comparator, no window, no sort",
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    c = orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    # min_by on (−count, value): highest count wins, ties break to the
+    # lexicographically smallest value — both orderings natural in one
+    # struct comparator (max_by would need a reversed string rank)
+    best = c.groupBy("o_orderstatus").agg(
+        F.min_by(
+            F.struct(
+                F.col("o_orderpriority").alias("mode_priority"),
+                F.col("cnt").alias("mode_count"),
+            ),
+            F.struct((-F.col("cnt")).alias("nc"), F.col("o_orderpriority")),
+        ).alias("b")
+    )
+    return best.select(
+        "o_orderstatus", "b.mode_priority", "b.mode_count"
+    )
