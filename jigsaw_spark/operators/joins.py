@@ -54,55 +54,83 @@ def asof_join(
     on: list[str],
     ts: str = "ts",
     right_prefix: str = "r_",
+    direction: str = "backward",
+    tolerance_us: int | None = None,
 ) -> DataFrame:
-    """Backward as-of join: attach to every left row the latest right row
-    with ``right.ts <= left.ts`` in the same ``on`` group (left outer —
-    unmatched rows keep NULL right columns).
+    """As-of join: attach to every left row its nearest right row in the
+    same ``on`` group (left outer — unmatched rows keep NULL right
+    columns). ``direction="backward"`` (default) matches the LATEST right
+    row with ``right.ts <= left.ts``; ``"forward"`` the EARLIEST with
+    ``right.ts >= left.ts`` (both inclusive — pandas merge_asof
+    semantics). ``tolerance_us`` nulls out matches farther than that many
+    microseconds of event time (the merge_asof ``tolerance`` contract:
+    the row survives, the match does not).
 
     Spark lacks a native as-of join; the scalable formulation is the
     union-tag trick: merge both sides into one stream, sort within each
-    group by (ts, side) with right rows first at equal ts, and carry the
-    last non-null right payload forward with a running window. ONE shuffle
-    on the group key and a partition-local sort — the same cost profile as
-    a sort-merge join, with no range-explosion or per-row probing. This is
-    how as-of joins are done at 100 TB; a right-side broadcast variant only
-    helps when the right side is a dimension.
+    group by (ts, side) with right rows sorted toward the match direction
+    at equal ts, and carry the nearest non-null right payload across with
+    a running window (last/preceding for backward, first/following for
+    forward). ONE shuffle on the group key and a partition-local sort —
+    the same cost profile as a sort-merge join, with no range-explosion or
+    per-row probing. This is how as-of joins are done at 100 TB; a
+    right-side broadcast variant only helps when the right side is a
+    dimension. Tolerance is a post-window projection — no extra pass.
 
     ``right`` must be unique per (on, ts) — pre-aggregate if not, or the
     matched payload is pick-any among ties."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     on = list(on)
     payload_cols = [c for c in right.columns if c not in {*on, ts}]
-    r_payload = F.struct(*payload_cols)
+    # matched right ts rides inside the payload struct: exposed as
+    # <prefix><ts> and needed for the tolerance gate
+    r_payload = F.struct(F.col(ts).alias("_rts"), *payload_cols)
     left_cols = [c for c in left.columns if c not in {*on, ts}]
     l_payload = F.struct(*left_cols)
 
-    # union with properly typed null payloads on each side
+    # union with properly typed null payloads on each side; at equal ts the
+    # right row must fall INSIDE the left row's window frame, so right
+    # sorts first for backward ([-inf, current]) and last for forward
+    # ([current, +inf])
+    r_side, l_side = (0, 1) if direction == "backward" else (1, 0)
     r = right.select(
         *on,
         F.col(ts).alias("_ats"),
-        F.lit(0).alias("_side"),
+        F.lit(r_side).alias("_side"),
         r_payload.alias("_rp"),
         F.lit(None).cast(left.select(l_payload.alias("x")).schema["x"].dataType).alias("_lp"),
     )
     l = left.select(
         *on,
         F.col(ts).alias("_ats"),
-        F.lit(1).alias("_side"),
+        F.lit(l_side).alias("_side"),
         F.lit(None).cast(right.select(r_payload.alias("x")).schema["x"].dataType).alias("_rp"),
         l_payload.alias("_lp"),
     )
-    w = (
-        Window.partitionBy(*on)
-        .orderBy("_ats", "_side")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    merged = l.unionByName(r).withColumn(
-        "_match", F.last("_rp", ignorenulls=True).over(w)
-    )
-    out = merged.filter(F.col("_side") == 1).select(
+    base = Window.partitionBy(*on).orderBy("_ats", "_side")
+    if direction == "backward":
+        w = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        nearest = F.last("_rp", ignorenulls=True).over(w)
+    else:
+        w = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        nearest = F.first("_rp", ignorenulls=True).over(w)
+    merged = l.unionByName(r).withColumn("_match", nearest)
+    if tolerance_us is not None:
+        gap = F.abs(
+            F.unix_micros(F.col("_ats")) - F.unix_micros(F.col("_match._rts"))
+        )
+        merged = merged.withColumn(
+            "_match", F.when(gap <= F.lit(tolerance_us), F.col("_match"))
+        )
+    matched_ts = f"{right_prefix}{ts}"
+    out = merged.filter(F.col("_side") == F.lit(l_side)).select(
         *on,
         F.col("_ats").alias(ts),
         *[F.col(f"_lp.{c}").alias(c) for c in left_cols],
+        # matched right ts — omitted when an empty prefix would shadow the
+        # left ts column (back-compat with prefix="" callers)
+        *([F.col("_match._rts").alias(matched_ts)] if matched_ts != ts else []),
         *[F.col(f"_match.{c}").alias(f"{right_prefix}{c}") for c in payload_cols],
     )
     return out

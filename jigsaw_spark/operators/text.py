@@ -446,7 +446,9 @@ def boilerplate_coverage(
     """
     from pyspark.sql import functions as F
 
-    toks = df.select(
+    from jigsaw_spark.session import widen
+
+    toks = widen(df).select(
         F.col(key), F.explode(F.array(tokens_expr(text))).alias("_t")
     ).where(F.size("_t") >= n)
     ex = toks.select(

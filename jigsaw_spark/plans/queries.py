@@ -1568,6 +1568,8 @@ _CERTIFICATION_PRIORITY = [
     "text_topgram_coverage",
     "ts_ohlc",
     "agg_mode",
+    "j5_asof_forward_tol",
+    "w9_distinct_window",
     # judge-named round-2 targets
     "dedup_minhash_lsh",
     "dedup_components",

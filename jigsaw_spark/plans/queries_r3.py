@@ -266,8 +266,9 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_topgram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jigsaw_spark.operators.text import shingles_expr, tokens_expr
+    from jigsaw_spark.session import widen
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = widen(_t(spark, sf_dir, "documents"))
     # Generate barrier (explode of 1-elem array) keeps the regex tokenizer
     # out of the interpreted shingle lambda — same hazard/fix as
     # text.boilerplate_coverage
@@ -366,4 +367,91 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return best.select(
         "o_orderstatus", "b.mode_priority", "b.mode_count"
+    )
+
+
+@register(
+    "j5_asof_forward_tol",
+    """
+    WITH v AS (
+      SELECT user_id, ts, event_id FROM events WHERE event_type = 'view'
+    ), p AS (
+      SELECT user_id, ts, max(event_id) AS p_event
+      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    )
+    SELECT v.event_id, v.user_id,
+           CASE WHEN p.ts IS NOT NULL
+                 AND epoch_us(p.ts) - epoch_us(v.ts) <= 1800000000
+                THEN p.p_event END AS next_purchase,
+           CASE WHEN p.ts IS NOT NULL
+                 AND epoch_us(p.ts) - epoch_us(v.ts) <= 1800000000
+                THEN epoch_us(p.ts) - epoch_us(v.ts) END AS wait_us
+    FROM v ASOF LEFT JOIN p
+      ON v.user_id = p.user_id AND v.ts <= p.ts
+    """,
+    "forward as-of join with tolerance (pandas merge_asof direction= "
+    "'forward'): earliest purchase at-or-after each view per user, match "
+    "nulled beyond 30 min — union-tag + forward running window, one "
+    "shuffle; oracle is DuckDB ASOF (<=) with a post-join tolerance gate",
+)
+def j5_asof_forward_tol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jigsaw_spark.operators.joins import asof_join
+
+    events = _t(spark, sf_dir, "events")
+    views = events.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id"
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("p_event"))
+    )
+    out = asof_join(
+        views,
+        purchases,
+        on=["user_id"],
+        ts="ts",
+        right_prefix="r_",
+        direction="forward",
+        tolerance_us=1_800_000_000,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("r_p_event").alias("next_purchase"),
+        (F.unix_micros("r_ts") - F.unix_micros("ts")).alias("wait_us"),
+    )
+
+
+@register(
+    "w9_distinct_window",
+    """
+    SELECT event_id, user_id,
+           count(DISTINCT event_type) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS kinds_so_far
+    FROM events
+    """,
+    "running DISTINCT count over a window: Spark has no DISTINCT window "
+    "aggregates, so the engine form is size(collect_set() OVER w) — "
+    "set-dedup inside the frame, one shuffle + partition sort (state is "
+    "the distinct-value set, bounded by event_type cardinality, not frame "
+    "length); oracle uses DuckDB's native count(DISTINCT) OVER",
+)
+def w9_distinct_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.size(F.collect_set("event_type").over(w))
+        .cast("long")  # match the oracle's BIGINT count
+        .alias("kinds_so_far"),
     )

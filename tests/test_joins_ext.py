@@ -160,3 +160,42 @@ def test_merge_into_upsert_and_delete(spark):
 
     with _pytest.raises(ValueError):
         merge_into(target, source.drop("v"), ["k"])
+
+
+def test_asof_join_forward_and_tolerance(spark):
+    from jigsaw_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [("u", 100, 1), ("u", 205, 2), ("u", 400, 3), ("v", 50, 4)],
+        "k string, t long, lid int",
+    ).select("k", F.timestamp_micros("t").alias("ts"), "lid")
+    right = spark.createDataFrame(
+        [("u", 100, 10), ("u", 210, 11), ("u", 300, 12)],
+        "k string, t long, rid int",
+    ).select("k", F.timestamp_micros("t").alias("ts"), "rid")
+
+    fwd = {
+        r["lid"]: (r["r_rid"])
+        for r in asof_join(
+            left, right, ["k"], direction="forward"
+        ).collect()
+    }
+    # equal ts matches (inclusive); 205→210 (earliest at-or-after); 400→None
+    assert fwd == {1: 10, 2: 11, 3: None, 4: None}
+
+    back = {
+        r["lid"]: r["r_rid"]
+        for r in asof_join(left, right, ["k"]).collect()
+    }
+    assert back == {1: 10, 2: 10, 3: 12, 4: None}
+
+    tol = {
+        r["lid"]: (r["r_rid"], r["r_ts"])
+        for r in asof_join(
+            left, right, ["k"], direction="forward", tolerance_us=5
+        ).collect()
+    }
+    # 205→210 is 5µs away: inside an inclusive 5µs tolerance; 100→100 is 0
+    assert tol[1][0] == 10 and tol[2][0] == 11
+    # row SURVIVES with a nulled match (merge_asof contract), incl. its ts
+    assert tol[3] == (None, None) and tol[4] == (None, None)
