@@ -1570,6 +1570,7 @@ _CERTIFICATION_PRIORITY = [
     "agg_mode",
     "j5_asof_forward_tol",
     "w9_distinct_window",
+    "fn_variant",
     # judge-named round-2 targets
     "dedup_minhash_lsh",
     "dedup_components",
