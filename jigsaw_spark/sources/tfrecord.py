@@ -203,3 +203,101 @@ def _write_partition(
     if n == 0:
         os.remove(path)
     return n
+
+
+# -- minimal protobuf decoding (the read path) --------------------------------
+
+
+def _read_varint(buf: bytes, pos: int) -> tuple[int, int]:
+    result = 0
+    shift = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        result |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return result, pos
+        shift += 7
+
+
+def _iter_fields(buf: bytes):
+    """Yield (field_no, wire_type, scalar_or_bytes) over one message."""
+    pos = 0
+    n = len(buf)
+    while pos < n:
+        tag, pos = _read_varint(buf, pos)
+        field_no, wt = tag >> 3, tag & 7
+        if wt == 0:  # varint
+            v, pos = _read_varint(buf, pos)
+        elif wt == 2:  # len-delimited
+            ln, pos = _read_varint(buf, pos)
+            v = buf[pos : pos + ln]
+            pos += ln
+        elif wt == 5:  # fixed32
+            v = buf[pos : pos + 4]
+            pos += 4
+        elif wt == 1:  # fixed64
+            v = buf[pos : pos + 8]
+            pos += 8
+        else:
+            raise ValueError(f"unsupported wire type {wt}")
+        yield field_no, wt, v
+
+
+def _signed64(v: int) -> int:
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def _decode_feature(buf: bytes):
+    """One tf.train.Feature → (kind, values) where kind ∈ bytes|float|int64.
+    Handles packed (what we and TF write) AND unpacked repeated encodings."""
+    for field_no, wt, v in _iter_fields(buf):
+        if field_no == 1:  # BytesList
+            return "bytes", [b for fn, _, b in _iter_fields(v) if fn == 1]
+        if field_no == 2:  # FloatList
+            vals: list[float] = []
+            for fn, w, x in _iter_fields(v):
+                if fn != 1:
+                    continue
+                if w == 2:  # packed
+                    vals.extend(struct.unpack(f"<{len(x) // 4}f", x))
+                elif w == 5:
+                    vals.extend(struct.unpack("<f", x))
+            return "float", vals
+        if field_no == 3:  # Int64List
+            ivals: list[int] = []
+            for fn, w, x in _iter_fields(v):
+                if fn != 1:
+                    continue
+                if w == 2:  # packed varints
+                    pos = 0
+                    while pos < len(x):
+                        n, pos = _read_varint(x, pos)
+                        ivals.append(_signed64(n))
+                elif w == 0:
+                    ivals.append(_signed64(x))
+            return "int64", ivals
+    return "bytes", []
+
+
+def decode_example(data: bytes) -> dict[str, tuple[str, list]]:
+    """tf.train.Example bytes → {name: (kind, values)} — the inverse of
+    encode_example, tolerant of any field order and both repeated
+    encodings."""
+    out: dict[str, tuple[str, list]] = {}
+    for field_no, _, features in _iter_fields(data):
+        if field_no != 1:  # Example.features
+            continue
+        for fn, _, entry in _iter_fields(features):
+            if fn != 1:  # Features.feature map entry
+                continue
+            key = None
+            feat = ("bytes", [])
+            for efn, _, ev in _iter_fields(entry):
+                if efn == 1:
+                    key = ev.decode()
+                elif efn == 2:
+                    feat = _decode_feature(ev)
+            if key is not None:
+                out[key] = feat
+    return out

@@ -197,3 +197,41 @@ def test_dsum_equals_exact_decimal_sum(spark, cents, parts):
     got = df.agg(dsum(dec2("x")).alias("s")).collect()[0]["s"]
     exact = float(sum(Decimal(c) for c in cents) / 100)
     assert got == exact
+
+
+@given(
+    st.dictionaries(
+        st.text(alphabet="abcdefgh_", min_size=1, max_size=8),
+        st.one_of(
+            st.integers(min_value=-(2**63), max_value=2**63 - 1),
+            st.lists(
+                st.integers(min_value=-(2**63), max_value=2**63 - 1),
+                min_size=1,
+                max_size=5,
+            ),
+            st.text(max_size=20),
+            st.binary(max_size=20),
+            st.lists(st.binary(max_size=8), min_size=1, max_size=4),
+        ),
+        max_size=6,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_tfexample_encode_decode_roundtrip(features):
+    """decode_example(encode_example(x)) recovers every feature exactly
+    (int64 incl. negatives/extremes via two's-complement varints; strings
+    come back as their utf-8 bytes — TFExample has no string kind)."""
+    from jigsaw_spark.sources.tfrecord import decode_example, encode_example
+
+    decoded = decode_example(encode_example(features))
+    for name, value in features.items():
+        vals = value if isinstance(value, list) else [value]
+        if not vals:
+            continue
+        kind, got = decoded[name]
+        if isinstance(vals[0], str):
+            assert got == [v.encode() for v in vals]
+        elif isinstance(vals[0], bytes):
+            assert got == vals
+        else:
+            assert got == vals and kind == "int64"
