@@ -1571,6 +1571,7 @@ _CERTIFICATION_PRIORITY = [
     "j5_asof_forward_tol",
     "w9_distinct_window",
     "fn_variant",
+    "fn_hashes",
     # judge-named round-2 targets
     "dedup_minhash_lsh",
     "dedup_components",

@@ -486,3 +486,30 @@ def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(k >= 50, F.lit("hi")).otherwise(F.lit("lo")).alias("band"),
         F.try_variant_get("v", "$.absent", "int").alias("absent"),
     )
+
+
+@register(
+    "fn_hashes",
+    """
+    SELECT o_orderkey,
+           md5(o_orderpriority) AS h_md5,
+           sha256(o_orderpriority) AS h_sha256,
+           md5(CAST(o_orderkey AS VARCHAR) || '|' || o_orderstatus)
+             AS h_composite
+    FROM orders
+    """,
+    "cryptographic digest surface (md5 / sha-256 / composite-key "
+    "fingerprint): the content-hash primitives the dedup family and "
+    "md5-keyed determinism (P8) build on, evaluated JVM-side inside "
+    "whole-stage codegen",
+)
+def fn_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.md5("o_orderpriority").alias("h_md5"),
+        F.sha2("o_orderpriority", 256).alias("h_sha256"),
+        F.md5(
+            F.concat_ws("|", F.col("o_orderkey").cast("string"), "o_orderstatus")
+        ).alias("h_composite"),
+    )
