@@ -114,11 +114,43 @@ def run(spark, sf_dir: str, names: list[str]) -> dict[str, float]:
     return out
 
 
+def skew_probe(spark, scaled_dir: str) -> list[str]:
+    """Measure the LSH bucket-skew cap on a boilerplate-heavy corpus: 20%
+    of the scaled docs share one text (the templated-page hazard), so one
+    signature bucket holds 20% of the corpus. Uncapped, that bucket emits
+    quadratic pairs; capped, a linear sorted-id chain."""
+    import pyspark.sql.functions as F
+
+    from jigsaw_spark.operators.dedup import minhash_lsh_pairs
+
+    boiler = (
+        "standard legal disclaimer all rights reserved reproduction "
+        "prohibited without express written consent of the publisher"
+    )
+    docs = spark.read.parquet(os.path.join(scaled_dir, "documents.parquet"))
+    docs = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 5 == 0, F.lit(boiler)).otherwise(F.col("text")),
+    )
+    out = []
+    for label, cap in (("uncapped", None), ("capped(10)", 10)):
+        t0 = time.perf_counter()
+        n = minhash_lsh_pairs(
+            docs, "doc_id", num_hashes=16, bands=4, max_bucket=cap
+        ).count()
+        out.append(
+            f"| minhash_lsh {label} on 20%-boilerplate corpus | "
+            f"{time.perf_counter() - t0:.2f}s | {n} pairs |"
+        )
+    return out
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--factor", type=int, default=10)
     ap.add_argument("--sf", default="/root/testdata/sf0.1")
     ap.add_argument("--keep", action="store_true")
+    ap.add_argument("--skew", action="store_true", help="also run the LSH skew-cap probe")
     args = ap.parse_args()
 
     spark = get_spark("scale-probe", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count())
@@ -144,6 +176,18 @@ def main() -> None:
         lines.append(
             f"| {name} | {base[name]:.2f} | {big[name]:.2f} | {r:.1f}× |"
         )
+    if args.skew:
+        lines += [
+            "",
+            "## Skew-cap probe (×{f} corpus, 20% forced boilerplate)".format(f=args.factor),
+            "",
+            "| case | wall | emitted pairs |",
+            "|---|---|---|",
+            *skew_probe(spark, scaled_dir),
+            "",
+            "The capped run replaces the hot bucket's quadratic all-pairs",
+            "with a linear chain (components-equivalent, SCALE.md §3.4).",
+        ]
     lines += [
         "",
         "Notes: replicated text densifies every posting list ×{f}, so the".format(f=args.factor),
