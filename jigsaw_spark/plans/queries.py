@@ -1572,6 +1572,7 @@ _CERTIFICATION_PRIORITY = [
     "w9_distinct_window",
     "fn_variant",
     "fn_hashes",
+    "rag_pipeline",
     # judge-named round-2 targets
     "dedup_minhash_lsh",
     "dedup_components",

@@ -513,3 +513,87 @@ def fn_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws("|", F.col("o_orderkey").cast("string"), "o_orderstatus")
         ).alias("h_composite"),
     )
+
+
+def _hash_dim_sql(k: int) -> str:
+    # 12 hex chars = 48 bits; /2^48 is an exact power-of-two division, so
+    # the [-1,1) projection is bit-identical across engines
+    return (
+        f"((('0x' || substr(md5('rag|{k}|' || chunk_text), 1, 12))::UBIGINT"
+        f" / 281474976710656.0) * 2 - 1)"
+    )
+
+
+@register(
+    "rag_pipeline",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {tokens_sql("text")} AS t FROM documents
+    ),
+    ch AS (
+      SELECT doc_id, CAST(i // 32 AS INT) AS chunk_idx,
+             array_to_string(list_slice(t, i + 1, least(i + 32, len(t))), ' ')
+               AS chunk_text
+      FROM (SELECT doc_id, t, unnest(range(0, len(t), 32)) AS i
+            FROM toks WHERE len(t) >= 1) u
+    ),
+    e AS (
+      SELECT doc_id * 1000 + chunk_idx AS vec_id,
+             [{", ".join(_hash_dim_sql(k) for k in range(8))}] AS embedding
+      FROM ch
+    )
+    SELECT query_id, vec_id, cosine, rank FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+             round(list_cosine_similarity(q.embedding, c.embedding), 4)
+               AS cosine,
+             CAST(row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY round(list_cosine_similarity(q.embedding,
+                                                     c.embedding), 9) DESC,
+                        c.vec_id
+             ) AS INT) AS rank
+      FROM e q JOIN e c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < 2000) t
+    WHERE rank <= 3
+    """,
+    "end-to-end RAG corpus build: overlapping-window chunking → "
+    "deterministic 8-dim hash embedding (md5 streams, exact 2^-48 "
+    "projection — the SQL-replayable stand-in for a model encoder) → "
+    "brute-force cosine top-3 retrieval for the first two docs' chunks. "
+    "Every stage JVM-side; the embed step is the map-only pattern a real "
+    "encoder UDF slots into (similarity.ivf_topk is the indexed scale "
+    "path over the same vectors)",
+)
+def rag_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jigsaw_spark.operators.similarity import cosine_topk
+    from jigsaw_spark.operators.text import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, "doc_id", chunk_size=32, overlap=0)
+    dims = [
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "|", F.lit("rag"), F.lit(str(k)), "chunk_text"
+                        )
+                    ),
+                    1,
+                    12,
+                ),
+                16,
+                10,
+            ).cast("double")
+            / F.lit(float(16**12))
+            * 2
+            - 1
+        )
+        for k in range(8)
+    ]
+    emb = chunks.select(
+        (F.col("doc_id") * 1000 + F.col("chunk_idx")).alias("vec_id"),
+        F.array(*dims).alias("embedding"),
+    )
+    queries = emb.filter(F.col("vec_id") < 2000)
+    return cosine_topk(emb, queries, k=3)
