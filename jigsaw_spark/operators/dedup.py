@@ -629,3 +629,52 @@ def semantic_dedup(
         "dup_of",
         F.col("dup_of").isNotNull().alias("is_dup"),
     )
+
+
+def dedup_lines(
+    df: DataFrame,
+    key: str,
+    text: str = "text",
+    sep: str = "\n",
+    min_docs: int = 2,
+) -> DataFrame:
+    """C4-style repeated-line removal: drop every line that occurs (after
+    trim-normalization) in ``min_docs`` or more *distinct* documents, then
+    reassemble each document from its surviving lines in original order
+    (C4 "three-sentence span" rule, line-granular variant; Raffel et al.
+    2020 §2.2 — the reference has no corpus-global text op, this is part
+    of the LLM-pipeline extension surface).
+
+    Scale shape: posexplode (map-side, no shuffle) → ONE hash-agg on the
+    line fingerprint (count-distinct docs collapses to count of a
+    pre-deduped (fp, key) projection — two-phase, map-side combinable) →
+    left-anti join on fp (shuffle on the same key the agg used, so AQE
+    reuses the exchange) → ONE hash-agg by doc key to reassemble. Nothing
+    is quadratic; the dup-line set is never collected driver-side.
+    """
+    lines = df.select(
+        F.col(key),
+        F.posexplode(F.split(F.col(text), F.lit(sep), -1)).alias("_idx", "_line"),
+    ).withColumn("_fp", F.md5(F.trim(F.col("_line"))))
+    dup_fps = (
+        lines.select("_fp", key)
+        .distinct()
+        .groupBy("_fp")
+        .agg(F.count(F.lit(1)).alias("_ndocs"))
+        .filter(F.col("_ndocs") >= F.lit(min_docs))
+        .select("_fp")
+    )
+    kept = lines.join(dup_fps, "_fp", "left_anti")
+    return (
+        kept.groupBy(key)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_idx", "_line"))),
+                    lambda s: s["_line"],
+                ),
+                sep,
+            ).alias("clean_text"),
+            F.count(F.lit(1)).alias("n_lines_kept"),
+        )
+    )

@@ -583,3 +583,59 @@ def ivfpq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", id_col, F.round("adc_d2", 4).alias("adc_d2"), "rank")
     )
+
+
+def sq8_quantize(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """SQ8 scalar quantization: per-dimension [min,max] over the corpus →
+    each component linearly mapped to an 8-bit code (the FAISS
+    ``ScalarQuantizer QT_8bit`` layout — 4x smaller than float32, the
+    standard memory-bound ANN compression step below PQ).
+
+    Scale shape: ONE posexplode + (dim)-keyed hash agg (64 rows out,
+    map-side combinable) collected driver-side (KB), then a map-only
+    JVM ``transform`` — the corpus itself is never shuffled. Returns
+    (id, codes array<int>, max_abs_err) where max_abs_err is the
+    order-independent (max, not sum) reconstruction error, so the value
+    is partition- and engine-stable.
+
+    Cross-engine determinism: the ratio is rounded to 9 digits before the
+    *255 scaling (codebase convention, see functions/hashing.py), and
+    round-half-up on positive doubles agrees between Spark and DuckDB.
+    """
+    v = F.col(vec_col)
+    stats = (
+        df.select(F.posexplode(v.cast("array<double>")).alias("d", "x"))
+        .groupBy("d")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+        .orderBy("d")
+        .collect()
+    )
+    mns = F.array(*[F.lit(r["mn"]) for r in stats])
+    mxs = F.array(*[F.lit(r["mx"]) for r in stats])
+
+    def _code(x, i):
+        mn, mx = F.element_at(mns, i + 1), F.element_at(mxs, i + 1)
+        ratio = F.when(mx > mn, F.round((x.cast("double") - mn) / (mx - mn), 9)).otherwise(
+            F.lit(0.0)
+        )
+        return F.round(ratio * 255, 0).cast("int")
+
+    def _recon(c, i):
+        mn, mx = F.element_at(mns, i + 1), F.element_at(mxs, i + 1)
+        return mn + c.cast("double") / 255 * (mx - mn)
+
+    out = df.select(
+        F.col(id_col),
+        F.transform(v, _code).alias("codes"),
+        v.cast("array<double>").alias("_v"),
+    )
+    err = F.array_max(
+        F.zip_with(
+            F.transform(F.col("codes"), _recon),
+            F.col("_v"),
+            lambda r, x: F.abs(r - x),
+        )
+    )
+    return out.select(id_col, "codes", F.round(err, 9).alias("max_abs_err"))

@@ -480,3 +480,89 @@ def boilerplate_coverage(
         frac.alias("boiler_frac"),
         (frac > F.lit(frac_threshold)).alias("is_boiler"),
     )
+
+
+def bpe_train(
+    df: DataFrame,
+    text: str = "text",
+    n_merges: int = 20,
+    min_count: int = 2,
+    checkpoint_every: int = 5,
+):
+    """Distributed BPE tokenizer training (Sennrich et al. 2016): iterate
+    (count adjacent symbol pairs over the weighted word table → merge the
+    most frequent pair everywhere), ``n_merges`` times.
+
+    Returns ``(merges_df, vocab_df)``: the learned merge table
+    (rank, left, right, freq) and the final symbolized word table.
+
+    Scale shape: the corpus is scanned ONCE into a (word, count) table —
+    all iterations run over that weighted vocab, which is |vocab| rows,
+    not |corpus| (the classic trick that makes BPE training tractable).
+    Per iteration: a map-side pair explode + ONE hash agg + a top-1
+    TakeOrdered (deterministic tiebreak on the pair itself), then a
+    map-only JVM ``aggregate`` fold applies the merge left-to-right
+    greedy non-overlapping — no Python in the loop, no full-corpus
+    rescan. Lineage is truncated every ``checkpoint_every`` rounds
+    (localCheckpoint), the same pattern as dedup's iterative CC.
+
+    Tie-break = (freq DESC, left ASC, right ASC) so the merge sequence is
+    total-order deterministic and partition-independent; the pure-Python
+    parity test reproduces it bit-for-bit.
+    """
+    spark = df.sparkSession
+    words = (
+        df.select(F.explode(tokens_expr(text)).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    cur = words.withColumn("toks", F.split("w", "")).localCheckpoint()
+
+    empty_pairs = F.array().cast("array<struct<a:string,b:string>>")
+    merges: list[tuple[int, str, str, int]] = []
+    for step in range(n_merges):
+        pair_arr = F.when(
+            F.size("toks") >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 1),
+                lambda i: F.struct(
+                    F.element_at("toks", i).alias("a"),
+                    F.element_at("toks", i + F.lit(1)).alias("b"),
+                ),
+            ),
+        ).otherwise(empty_pairs)
+        top = (
+            cur.select("cnt", F.explode(pair_arr).alias("p"))
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("cnt").alias("n"))
+            .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["n"] < min_count:
+            break
+        a, b, n = top[0]["a"], top[0]["b"], int(top[0]["n"])
+        merges.append((step, a, b, n))
+        la, lb, lab = F.lit(a), F.lit(b), F.lit(a + b)
+        cur = cur.withColumn(
+            "toks",
+            F.aggregate(
+                "toks",
+                F.array().cast("array<string>"),
+                lambda acc, x: F.when(
+                    (F.size(acc) > 0)
+                    & (F.element_at(acc, -1) == la)
+                    & (x == lb),
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1), F.array(lab)
+                    ),
+                ).otherwise(F.concat(acc, F.array(x))),
+            ),
+        )
+        if (step + 1) % checkpoint_every == 0:
+            cur = cur.localCheckpoint()
+
+    merges_df = spark.createDataFrame(
+        merges, "rank int, left string, right string, freq long"
+    )
+    return merges_df, cur.select("w", "cnt", "toks")

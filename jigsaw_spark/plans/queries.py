@@ -1536,6 +1536,7 @@ from jigsaw_spark.plans import queries_fn4  # noqa: E402,F401
 from jigsaw_spark.plans import queries_llm2  # noqa: E402,F401
 from jigsaw_spark.plans import queries_streaming  # noqa: E402,F401
 from jigsaw_spark.plans import queries_r3  # noqa: E402,F401
+from jigsaw_spark.plans import queries_r4  # noqa: E402,F401
 
 
 # ---------------------------------------------------------------------------
@@ -1573,6 +1574,9 @@ _CERTIFICATION_PRIORITY = [
     "fn_variant",
     "fn_hashes",
     "rag_pipeline",
+    # new round-4 surface (oracle-backed)
+    "dedup_lines",
+    "ann_sq8",
     # judge-named round-2 targets
     "dedup_minhash_lsh",
     "dedup_components",

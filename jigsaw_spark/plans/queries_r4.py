@@ -1,0 +1,145 @@
+"""Round-4 surface: corpus-global line dedup, SQ8 vector compression, and
+distributed BPE tokenizer training.
+
+- **Line-level dedup** (`dedup_lines`): C4's repeated-line rule — drop
+  every (trimmed) line occurring in >= 2 distinct documents, reassemble
+  the survivors in order. Exact oracle.
+- **SQ8 scalar quantization** (`ann_sq8`): per-dimension [min,max] →
+  8-bit codes + order-independent max reconstruction error. Exact oracle.
+- **BPE trainer** (`text_bpe_train`): iterative most-frequent-pair
+  merging over the weighted word table (Sennrich et al. 2016) — the
+  merge-table result is checked rows-only here and bit-for-bit against a
+  pure-Python reference in tests/test_bpe_train.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jigsaw_spark.operators.text import tokens_expr, tokens_sql
+from jigsaw_spark.plans.queries import _t, register
+
+_LINE_W = 5  # words per synthetic line (the corpus has no raw newlines)
+
+# Build the identical pseudo-lined text on both engines: tokens chunked
+# into 5-word lines joined by \n. DuckDB list slices are 1-based inclusive.
+_PRE_SQL = f"""
+    w AS (
+      SELECT doc_id, {tokens_sql("text")} AS ws FROM documents
+    ), pre AS (
+      SELECT doc_id,
+             CASE WHEN len(ws) >= 1 THEN
+               array_to_string(
+                 list_transform(
+                   range(0, CAST(ceil(len(ws) / {_LINE_W}.0) AS INT)),
+                   i -> array_to_string(ws[(i*{_LINE_W}+1):(i*{_LINE_W}+{_LINE_W})], ' ')),
+                 chr(10))
+             ELSE '' END AS ltext
+      FROM w
+    )"""
+
+
+def _pre_lines(docs: DataFrame) -> DataFrame:
+    ws = tokens_expr("text")
+    nl = F.ceil(F.size(ws) / F.lit(float(_LINE_W))).cast("int")
+    ltext = F.when(
+        F.size(ws) >= 1,
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), nl - 1),
+                lambda i: F.array_join(
+                    F.slice(ws, i * _LINE_W + 1, _LINE_W), " "
+                ),
+            ),
+            "\n",
+        ),
+    ).otherwise(F.lit(""))
+    return docs.select("doc_id", ltext.alias("ltext"))
+
+
+@register(
+    "dedup_lines",
+    f"""
+    WITH {_PRE_SQL},
+    lines AS (
+      SELECT doc_id,
+             generate_subscripts(string_split(ltext, chr(10)), 1) AS idx,
+             unnest(string_split(ltext, chr(10))) AS line
+      FROM pre
+    ), dup AS (
+      SELECT fp FROM (
+        SELECT DISTINCT doc_id, md5(trim(line)) AS fp FROM lines) t
+      GROUP BY fp HAVING count(*) >= 2
+    )
+    SELECT doc_id,
+           string_agg(line, chr(10) ORDER BY idx) AS clean_text,
+           count(*) AS n_lines_kept
+    FROM lines
+    WHERE md5(trim(line)) NOT IN (SELECT fp FROM dup)
+    GROUP BY doc_id
+    """,
+    "C4 repeated-line dedup: posexplode -> ONE fp hash-agg (two-phase "
+    "distinct-doc count) -> left-anti on fp (exchange reuse) -> ONE "
+    "doc-keyed reassembly agg; nothing quadratic, dup set never collected",
+)
+def dedup_lines_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jigsaw_spark.operators.dedup import dedup_lines
+
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_lines(_pre_lines(docs), "doc_id", "ltext", "\n", min_docs=2)
+
+
+@register(
+    "ann_sq8",
+    """
+    WITH dims AS (
+      SELECT generate_subscripts(embedding, 1) AS d,
+             unnest(embedding)::DOUBLE AS x
+      FROM embeddings
+    ), st AS (
+      SELECT list(mn ORDER BY d) AS mns, list(mx ORDER BY d) AS mxs FROM (
+        SELECT d, min(x) AS mn, max(x) AS mx FROM dims GROUP BY d) t
+    )
+    SELECT vec_id,
+           list_transform(range(1, len(embedding) + 1), i ->
+             CAST(round(
+               CASE WHEN mxs[i] > mns[i]
+                    THEN round((embedding[i]::DOUBLE - mns[i])
+                               / (mxs[i] - mns[i]), 9)
+                    ELSE 0.0 END * 255, 0) AS INT)) AS codes,
+           round(list_max(list_transform(range(1, len(embedding) + 1), i ->
+             abs(mns[i]
+                 + CAST(round(
+                     CASE WHEN mxs[i] > mns[i]
+                          THEN round((embedding[i]::DOUBLE - mns[i])
+                                     / (mxs[i] - mns[i]), 9)
+                          ELSE 0.0 END * 255, 0) AS INT) / 255.0
+                   * (mxs[i] - mns[i])
+                 - embedding[i]::DOUBLE))), 9) AS max_abs_err
+    FROM embeddings CROSS JOIN st
+    """,
+    "SQ8 scalar quantization: ONE dim-keyed hash agg (64 rows, map-side "
+    "combinable) collected KB-scale, then a map-only JVM transform — the "
+    "corpus never shuffles; error metric is max (order-independent)",
+)
+def ann_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jigsaw_spark.operators.similarity import sq8_quantize
+
+    return sq8_quantize(_t(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "text_bpe_train",
+    None,  # iterative argmax sequence is not SQL-expressible; bit-exact
+    # parity vs a pure-Python reference in tests/test_bpe_train.py
+    "distributed BPE training: corpus collapsed ONCE to a weighted vocab "
+    "table; per merge round a map-side pair explode + ONE hash agg + "
+    "top-1 TakeOrdered + JVM fold rewrite; lineage checkpoint every 5",
+)
+def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jigsaw_spark.operators.text import bpe_train
+
+    docs = _t(spark, sf_dir, "documents")
+    merges, _vocab = bpe_train(docs, "text", n_merges=10)
+    return merges

@@ -1,0 +1,141 @@
+"""Round-4 operators: line-level dedup, SQ8 quantization, BPE training.
+
+The oracle gate (tools/verify_oracle.py) value-checks `dedup_lines` and
+`ann_sq8` against DuckDB at sf0.01; these tests pin the invariants and, for
+the non-SQL-expressible BPE trainer, bit-exact parity with a pure-Python
+reference implementation.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_dedup_lines_drops_cross_doc_repeats(spark):
+    from jigsaw_spark.operators.dedup import dedup_lines
+
+    df = _docs(
+        spark,
+        [
+            (1, "unique one\nSHARED LINE\ntail one"),
+            (2, "unique two\nSHARED LINE"),
+            (3, "  SHARED LINE  \nonly in three"),  # trim-normalized match
+            (4, "SOLO LINE\nSOLO LINE"),  # intra-doc repeat: kept (1 doc)
+        ],
+    )
+    out = {
+        r["doc_id"]: (r["clean_text"], r["n_lines_kept"])
+        for r in dedup_lines(df, "doc_id", "text").collect()
+    }
+    assert out[1] == ("unique one\ntail one", 2)
+    assert out[2] == ("unique two", 1)
+    assert out[3] == ("only in three", 1)
+    # intra-document repetition is not cross-corpus boilerplate
+    assert out[4] == ("SOLO LINE\nSOLO LINE", 2)
+
+
+def test_dedup_lines_doc_fully_boilerplate_vanishes(spark):
+    from jigsaw_spark.operators.dedup import dedup_lines
+
+    df = _docs(spark, [(1, "same"), (2, "same"), (3, "other")])
+    got = dedup_lines(df, "doc_id", "text").collect()
+    assert {r["doc_id"] for r in got} == {3}
+
+
+def test_sq8_codes_bounds_and_error(spark):
+    from jigsaw_spark.operators.similarity import sq8_quantize
+
+    emb = spark.createDataFrame(
+        [(i, [float(i), -1.0 + 0.25 * i, 7.0]) for i in range(9)],
+        "vec_id long, embedding array<float>",
+    )
+    rows = sq8_quantize(emb).collect()
+    assert len(rows) == 9
+    for r in rows:
+        assert all(0 <= c <= 255 for c in r["codes"])
+        # constant dimension (7.0) must quantize to code 0 with zero error
+        assert r["codes"][2] == 0
+    # max reconstruction error bounded by half a quantization step per dim:
+    # the widest range is 8.0 (dim 0) -> step 8/255
+    assert all(r["max_abs_err"] <= 8.0 / 255 / 2 + 1e-9 for r in rows)
+    # extremes hit the code range exactly
+    by_id = {r["vec_id"]: r["codes"] for r in rows}
+    assert by_id[0][0] == 0 and by_id[8][0] == 255
+
+
+def _bpe_reference(word_counts, n_merges, min_count=2):
+    """Pure-Python BPE with the same (freq DESC, left, right) tiebreak and
+    greedy left-to-right non-overlapping merge."""
+    vocab = {w: list(w) for w in word_counts}
+    merges = []
+    for rank in range(n_merges):
+        pairs: dict[tuple[str, str], int] = {}
+        for w, toks in vocab.items():
+            c = word_counts[w]
+            for a, b in zip(toks, toks[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + c
+        if not pairs:
+            break
+        (a, b), n = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if n < min_count:
+            break
+        merges.append((rank, a, b, n))
+        for w, toks in vocab.items():
+            out, i = [], 0
+            while i < len(toks):
+                if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(toks[i])
+                    i += 1
+            vocab[w] = out
+    return merges, vocab
+
+
+def test_bpe_train_matches_pure_python(spark):
+    from jigsaw_spark.operators.text import bpe_train
+
+    texts = [
+        "the cat sat on the mat",
+        "the cats chatter on the matter",
+        "that cat that sat",
+        "scatter the chatter",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    merges_df, vocab_df = bpe_train(df, "text", n_merges=12)
+
+    counts: dict[str, int] = {}
+    for t in texts:
+        for w in re.split(r"[^a-z0-9]+", t.lower()):
+            if w:
+                counts[w] = counts.get(w, 0) + 1
+    ref_merges, ref_vocab = _bpe_reference(counts, 12)
+
+    got = [
+        (r["rank"], r["left"], r["right"], r["freq"])
+        for r in merges_df.orderBy("rank").collect()
+    ]
+    assert got == ref_merges
+    got_vocab = {r["w"]: list(r["toks"]) for r in vocab_df.collect()}
+    assert got_vocab == ref_vocab
+
+
+def test_bpe_fold_merges_left_to_right_non_overlapping(spark):
+    from jigsaw_spark.operators.text import bpe_train
+
+    # "aaaa" with top pair (a,a) must become [aa, aa], not [aa, a, a] or a
+    # re-merged [aaaa] — the greedy non-overlapping contract.
+    df = spark.createDataFrame([("aaaa aaaa aaa",)], "text string")
+    merges_df, vocab_df = bpe_train(df, "text", n_merges=1)
+    m = merges_df.collect()
+    assert [(r["left"], r["right"]) for r in m] == [("a", "a")]
+    toks = {r["w"]: list(r["toks"]) for r in vocab_df.collect()}
+    assert toks["aaaa"] == ["aa", "aa"]
+    assert toks["aaa"] == ["aa", "a"]
