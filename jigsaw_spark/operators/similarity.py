@@ -639,3 +639,86 @@ def sq8_quantize(
         )
     )
     return out.select(id_col, "codes", F.round(err, 9).alias("max_abs_err"))
+
+
+def mmr_select(
+    corpus: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell & Goldstein 1998) greedy
+    subset selection: iteratively pick
+    argmax_d [ lam*cos(d, q) - (1-lam)*max_{s in S} cos(d, s) ] — the
+    standard diversity-aware eval-set / demo-selection op.
+
+    Scale shape: the selected set S is at most k vectors (KB) and rides
+    along as a literal array; each round is ONE corpus scan with a
+    JVM-side cosine + array-max over S, reduced by a top-1 TakeOrdered
+    (no global sort, no shuffle of the corpus, nothing collected but one
+    row per round). k rounds => k scans — at 100 TB you cache/checkpoint
+    the normalized projection once and the scans are columnar-local.
+
+    Determinism: scores round to 9 digits with an id tiebreak (codebase
+    convention), so selection is partition- and engine-independent.
+    Returns (rank, id, relevance, mmr_score) for the k picks.
+    """
+    spark = corpus.sparkSession
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    v = _to_double(vec_col)
+
+    def _cos(a, b):
+        dot = F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        na = F.sqrt(
+            F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x)
+        )
+        nb = F.sqrt(
+            F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x * x)
+        )
+        return dot / (na * nb)
+
+    base = corpus.select(
+        F.col(id_col), v.alias("_v"), F.round(_cos(v, q), 9).alias("_rel")
+    ).localCheckpoint()
+
+    picks: list[tuple[int, object, float, float]] = []
+    chosen: list[list[float]] = []
+    chosen_ids: list = []
+    for rank in range(k):
+        if chosen:
+            sel = F.array(
+                *[F.array(*[F.lit(float(x)) for x in s]) for s in chosen]
+            )
+            max_sim = F.array_max(
+                F.transform(sel, lambda s: F.round(_cos(F.col("_v"), s), 9))
+            )
+        else:
+            max_sim = F.lit(0.0)
+        scored = base.filter(~F.col(id_col).isin(chosen_ids)).select(
+            id_col,
+            "_v",
+            "_rel",
+            # round(1-lam, 9): 1.0-0.7 is 0.30000000000000004 in IEEE — the
+            # oracle renders the literal 0.3, so match it exactly
+            F.round(
+                F.lit(lam) * F.col("_rel")
+                - F.lit(round(1.0 - lam, 9)) * max_sim,
+                9,
+            ).alias("_mmr"),
+        )
+        top = scored.orderBy(F.desc("_mmr"), F.col(id_col)).limit(1).collect()
+        if not top:
+            break
+        r = top[0]
+        picks.append((rank, r[id_col], float(r["_rel"]), float(r["_mmr"])))
+        chosen.append([float(x) for x in r["_v"]])
+        chosen_ids.append(r[id_col])
+    return spark.createDataFrame(
+        picks, f"rank int, {id_col} {corpus.schema[id_col].dataType.simpleString()}, relevance double, mmr_score double"
+    )

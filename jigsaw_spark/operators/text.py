@@ -13,7 +13,9 @@ UDF, fully parallel; at 100 TB these run at parquet-scan speed.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from collections.abc import Iterator
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 TOKEN_PATTERN = "[^a-z0-9]+"
@@ -566,3 +568,67 @@ def bpe_train(
         merges, "rank int, left string, right string, freq long"
     )
     return merges_df, cur.select("w", "cnt", "toks")
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    key: str,
+    text: str = "text",
+) -> DataFrame:
+    """Apply a learned BPE merge table to a corpus (the encode step that
+    runs at full corpus scale, unlike training which runs at vocab scale).
+
+    ``merges`` is the (left, right) list in rank order, exactly as
+    produced by :func:`bpe_train`. Encoding replays the merges in rank
+    order with the same greedy left-to-right non-overlapping rule, so a
+    word seen at training time encodes to exactly its training-vocab
+    symbolization (pinned by tests/test_bpe_train.py parity).
+
+    Scale shape: ONE map-only Arrow kernel over the corpus — the merge
+    table rides along in the task closure (it is KB-scale: vocab_size -
+    base_chars entries), and a per-batch word cache collapses the work to
+    O(distinct words per batch), the same vocab-not-corpus trick as
+    training. Zero shuffle; output rows stay with their input partition.
+    """
+    key_type = df.schema[key].dataType.simpleString()
+    toks = df.select(F.col(key), tokens_expr(text).alias("toks"))
+    merge_list = [(a, b) for a, b in merges]
+
+    def encode_word(w: str, cache: dict) -> list[str]:
+        got = cache.get(w)
+        if got is None:
+            symbols = list(w)
+            for a, b in merge_list:
+                out, i, n = [], 0, len(symbols)
+                while i < n:
+                    if i + 1 < n and symbols[i] == a and symbols[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(symbols[i])
+                        i += 1
+                symbols = out
+            got = cache[w] = symbols
+        return got
+
+    def kernel(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        cache: dict = {}
+        for pdf in batches:
+            pieces = [
+                [p for w in ws for p in encode_word(w, cache)]
+                for ws in pdf["toks"]
+            ]
+            yield pd.DataFrame(
+                {
+                    key: pdf[key],
+                    "pieces": pieces,
+                    "n_pieces": [len(p) for p in pieces],
+                }
+            )
+
+    return toks.mapInPandas(
+        kernel, f"{key} {key_type}, pieces array<string>, n_pieces int"
+    )

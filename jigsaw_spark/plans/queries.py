@@ -1577,6 +1577,7 @@ _CERTIFICATION_PRIORITY = [
     # new round-4 surface (oracle-backed)
     "dedup_lines",
     "ann_sq8",
+    "ann_mmr_select",
     # judge-named round-2 targets
     "dedup_minhash_lsh",
     "dedup_components",

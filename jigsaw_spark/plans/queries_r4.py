@@ -143,3 +143,79 @@ def text_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     merges, _vocab = bpe_train(docs, "text", n_merges=10)
     return merges
+
+
+def _mmr_stage_sql(i: int, lam: float = 0.7) -> str:
+    """Stage i (1-based) of the unrolled greedy MMR oracle: score every
+    not-yet-picked vector against picks p1..p(i-1), take the argmax."""
+    if i == 1:
+        return (
+            f"s1 AS (SELECT vec_id, v, rel, round({lam}*rel, 9) AS mmr FROM rel),\n"
+            "    p1 AS (SELECT * FROM s1 ORDER BY mmr DESC, vec_id LIMIT 1)"
+        )
+    sims = ", ".join(
+        f"round(list_cosine_similarity(r.v, p{j}.v), 9)" for j in range(1, i)
+    )
+    joins = " ".join(f"CROSS JOIN p{j}" for j in range(1, i))
+    excl = " AND ".join(f"r.vec_id <> p{j}.vec_id" for j in range(1, i))
+    maxs = f"greatest({sims})" if i > 2 else sims
+    return (
+        f"s{i} AS (SELECT r.vec_id, r.v, r.rel,\n"
+        f"      round({lam}*r.rel - {round(1-lam, 9)}*{maxs}, 9) AS mmr\n"
+        f"      FROM rel r {joins} WHERE {excl}),\n"
+        f"    p{i} AS (SELECT * FROM s{i} ORDER BY mmr DESC, vec_id LIMIT 1)"
+    )
+
+
+_MMR_K = 5
+_MMR_STAGES = ",\n    ".join(_mmr_stage_sql(i) for i in range(1, _MMR_K + 1))
+_MMR_UNION = "\n      UNION ALL ".join(
+    f"SELECT {i - 1} AS rank, vec_id, rel AS relevance, mmr AS mmr_score FROM p{i}"
+    for i in range(1, _MMR_K + 1)
+)
+
+
+@register(
+    "ann_mmr_select",
+    f"""
+    WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT v AS qv FROM c WHERE vec_id = 0),
+    rel AS (SELECT vec_id, v,
+                   round(list_cosine_similarity(v, qv), 9) AS rel
+            FROM c CROSS JOIN q),
+    {_MMR_STAGES}
+    {_MMR_UNION}
+    """,
+    "greedy MMR diverse top-k: k rounds of ONE corpus scan + top-1 "
+    "TakeOrdered; the selected set rides as a KB literal array, the "
+    "corpus never shuffles and nothing but 1 row/round is collected. "
+    "Oracle = the same greedy argmax unrolled to k CTE stages.",
+)
+def ann_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jigsaw_spark.operators.similarity import mmr_select
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ]
+    return mmr_select(emb, qv, k=_MMR_K, lam=0.7)
+
+
+@register(
+    "text_bpe_encode",
+    None,  # merge-table application is iterative; bit-exact parity vs the
+    # pure-Python reference + train/encode agreement in tests
+    "BPE encode at corpus scale: merges ride the task closure (KB), ONE "
+    "map-only Arrow kernel with a per-batch word cache (vocab-not-corpus "
+    "work), zero shuffle",
+)
+def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jigsaw_spark.operators.text import bpe_encode, bpe_train
+
+    docs = _t(spark, sf_dir, "documents")
+    merges_df, _ = bpe_train(docs, "text", n_merges=10)
+    merges = [
+        (r["left"], r["right"]) for r in merges_df.orderBy("rank").collect()
+    ]
+    return bpe_encode(docs, merges, "doc_id", "text")

@@ -139,3 +139,87 @@ def test_bpe_fold_merges_left_to_right_non_overlapping(spark):
     toks = {r["w"]: list(r["toks"]) for r in vocab_df.collect()}
     assert toks["aaaa"] == ["aa", "aa"]
     assert toks["aaa"] == ["aa", "a"]
+
+
+def test_bpe_encode_matches_training_vocab(spark):
+    from jigsaw_spark.operators.text import bpe_encode, bpe_train
+
+    texts = [
+        "the cat sat on the mat",
+        "the cats chatter on the matter",
+        "that cat that sat",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges_df, vocab_df = bpe_train(df, "text", n_merges=8)
+    merges = [
+        (r["left"], r["right"]) for r in merges_df.orderBy("rank").collect()
+    ]
+    vocab = {r["w"]: list(r["toks"]) for r in vocab_df.collect()}
+
+    enc = {
+        r["doc_id"]: (list(r["pieces"]), r["n_pieces"])
+        for r in bpe_encode(df, merges, "doc_id", "text").collect()
+    }
+    for i, t in enumerate(texts):
+        expect = [
+            p
+            for w in re.split(r"[^a-z0-9]+", t.lower())
+            if w
+            for p in vocab[w]
+        ]
+        assert enc[i] == (expect, len(expect))
+
+    # unseen word still encodes deterministically from chars + merges
+    df2 = spark.createDataFrame([(9, "thematic")], "doc_id long, text string")
+    got = bpe_encode(df2, merges, "doc_id", "text").collect()[0]
+    assert "".join(got["pieces"]) == "thematic"
+
+
+def test_mmr_select_matches_numpy_greedy(spark):
+    import numpy as np
+
+    from jigsaw_spark.operators.similarity import mmr_select
+
+    rng = np.random.default_rng(7)
+    M = rng.normal(size=(40, 8))
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in M[i]]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    # float32 storage: replay what Spark reads
+    M32 = np.array(
+        [[np.float32(x) for x in row] for row in M], dtype=np.float64
+    )
+    q = M32[0]
+    lam, k = 0.7, 6
+
+    def cos(a, b):
+        return round(
+            float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b))), 9
+        )
+
+    rels = {i: cos(M32[i], q) for i in range(40)}
+    picked, ref = [], []
+    for rank in range(k):
+        best = None
+        for i in range(40):
+            if i in picked:
+                continue
+            ms = max((cos(M32[i], M32[j]) for j in picked), default=0.0)
+            score = round(lam * rels[i] - round(1 - lam, 9) * ms, 9)
+            cand = (-score, i)
+            if best is None or cand < best:
+                best = cand
+        i = best[1]
+        picked.append(i)
+        ref.append((rank, i, rels[i], -best[0]))
+
+    got = [
+        (r["rank"], r["vec_id"], r["relevance"], r["mmr_score"])
+        for r in mmr_select(
+            emb, [float(x) for x in q], k=k, lam=lam
+        ).orderBy("rank").collect()
+    ]
+    assert got == ref

@@ -48,6 +48,12 @@ PROBES = [
     "dedup_semantic",
     "ann_cosine_topk",
     "ann_ivf_topk",
+    # round 4: the corpus-global line table (explode ×F rows AND dup-set
+    # growth) and the vocab-bound BPE loop (vocab is constant under
+    # replication — its curve should be flat, the point of the design)
+    "dedup_lines",
+    "ann_sq8",
+    "text_bpe_train",
 ]
 
 TABLES = [
