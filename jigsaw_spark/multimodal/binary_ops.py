@@ -16,8 +16,13 @@ Reference semantics re-expressed:
     `recolor_masks`, REAL for PNG (decode → palette rewrite → re-encode).
   - nearest-neighbor mask/image resize → `resize_images`, REAL for PNG.
 
-STUB CONTRACT (non-PNG formats only): JPEG/video/model-based extraction
-still need codec/model runtimes absent from this container. Pass
+Round 4: baseline JPEG decode is REAL too (jpeg_codec.py — pure-Python
+ITU-T T.81 baseline DCT + Annex K Huffman, PSNR-verified round-trips),
+covering the .jpg imagery the reference fetches (io_utils.py:15-41).
+
+STUB CONTRACT (beyond PNG + baseline JPEG): progressive JPEG, video and
+model-based extraction still need codec/model runtimes absent from this
+container. Pass
 `fake=True` to run a deterministic md5-derived fake (stable across
 engines/runs — usable in tests and benchmarks); with `fake=False` a
 non-PNG payload raises NotImplementedError naming the dependency. Batch
@@ -65,9 +70,14 @@ def _decode_pixels(content: bytes, fake: bool):
         from jigsaw_spark.multimodal.png_codec import decode_png
 
         return decode_png(content)
+    if content[:2] == b"\xff\xd8":
+        from jigsaw_spark.multimodal.jpeg_codec import decode_jpeg
+
+        return decode_jpeg(content)
     raise NotImplementedError(
-        "pixel decode for non-PNG formats requires an image codec "
-        "(cv2 or PIL); PNG decodes natively via multimodal/png_codec.py"
+        "pixel decode beyond PNG/baseline-JPEG requires an image codec "
+        "(cv2 or PIL); PNG decodes via multimodal/png_codec.py, baseline "
+        "JPEG via multimodal/jpeg_codec.py"
     )
 
 

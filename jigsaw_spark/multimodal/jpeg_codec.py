@@ -1,0 +1,510 @@
+"""Pure-Python baseline JPEG codec (numpy only — no cv2/PIL).
+
+Implements the public ITU-T T.81 / JFIF spec: baseline sequential DCT,
+8-bit, Huffman entropy coding with the Annex K standard tables.
+
+- ``encode_jpeg``: grayscale or RGB → 4:4:4 baseline JFIF bytes.
+- ``decode_jpeg``: baseline JFIF → uint8 ndarray; accepts 4:4:4, 4:2:2
+  and 4:2:0 sampling and restart intervals (progressive SOF2 raises —
+  it is a different entropy layout, out of scope for mask/thumbnail
+  pipelines).
+
+This un-stubs the non-PNG branch of ``binary_ops._decode_pixels`` for
+the JPEG payloads the reference fetches (jigsaw/io_utils.py:15-41 pulls
+.jpg imagery; masks stay PNG). JPEG is lossy: round-trips are verified
+by PSNR, not byte equality (tests/test_jpeg_codec.py).
+
+Like png_codec, this runs INSIDE Arrow-batched kernels — per-row Python
+is the accepted cost of a codec boundary, not a relational operator.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# --- Annex K quantization tables (luminance / chrominance) ---------------
+STD_LUM_Q = np.array(
+    [
+        [16, 11, 10, 16, 24, 40, 51, 61],
+        [12, 12, 14, 19, 26, 58, 60, 55],
+        [14, 13, 16, 24, 40, 57, 69, 56],
+        [14, 17, 22, 29, 51, 87, 80, 62],
+        [18, 22, 37, 56, 68, 109, 103, 77],
+        [24, 35, 55, 64, 81, 104, 113, 92],
+        [49, 64, 78, 87, 103, 121, 120, 101],
+        [72, 92, 95, 98, 112, 100, 103, 99],
+    ],
+    dtype=np.float64,
+)
+STD_CHROM_Q = np.array(
+    [
+        [17, 18, 24, 47, 99, 99, 99, 99],
+        [18, 21, 26, 66, 99, 99, 99, 99],
+        [24, 26, 56, 99, 99, 99, 99, 99],
+        [47, 66, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+    ],
+    dtype=np.float64,
+)
+
+# zigzag order: ZIGZAG[i] = flat (row*8+col) index of the i-th coefficient
+ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10,
+        17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34,
+        27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36,
+        29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46,
+        53, 60, 61, 54, 47, 55, 62, 63,
+    ]
+)
+UNZIGZAG = np.argsort(ZIGZAG)
+
+# --- Annex K standard Huffman tables: (BITS counts[1..16], HUFFVAL) ------
+DC_LUM = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+DC_CHROM = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+AC_LUM = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+        0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+        0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+        0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+        0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+        0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+        0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+        0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+        0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+        0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+AC_CHROM = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+        0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+        0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+        0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+        0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+        0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+        0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+        0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+        0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+        0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+        0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+
+# orthonormal 8x8 DCT-II matrix: dct2d(B) = C @ B @ C.T
+_k = np.arange(8).reshape(-1, 1)
+_n = np.arange(8).reshape(1, -1)
+DCT_M = np.sqrt(2.0 / 8.0) * np.cos((2 * _n + 1) * _k * np.pi / 16.0)
+DCT_M[0, :] = np.sqrt(1.0 / 8.0)
+
+
+def _huff_codes(bits, vals):
+    """Canonical Huffman: symbol -> (code, length)."""
+    out, code, i = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[i]] = (code, length)
+            code += 1
+            i += 1
+        code <<= 1
+    return out
+
+
+def _huff_decode_map(bits, vals):
+    """(length, code) -> symbol."""
+    out, code, i = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[(length, code)] = vals[i]
+            code += 1
+            i += 1
+        code <<= 1
+    return out
+
+
+def _quality_tables(quality: int):
+    q = max(1, min(100, quality))
+    scale = 5000.0 / q if q < 50 else 200.0 - 2.0 * q
+    lum = np.clip(np.floor((STD_LUM_Q * scale + 50) / 100), 1, 255)
+    chrom = np.clip(np.floor((STD_CHROM_Q * scale + 50) / 100), 1, 255)
+    return lum, chrom
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:
+                self.buf.append(0x00)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """JPEG magnitude category + value bits (negative = ones' complement)."""
+    if v == 0:
+        return 0, 0
+    size = int(v).bit_length() if v > 0 else int(-v).bit_length()
+    bits = v if v > 0 else v + (1 << size) - 1
+    return size, bits
+
+
+def _encode_block(w: _BitWriter, block, qtab, dc_pred, dc_map, ac_map) -> int:
+    coef = DCT_M @ (block - 128.0) @ DCT_M.T
+    q = np.round(coef / qtab).astype(np.int64).flatten()[ZIGZAG]
+    dc = int(q[0])
+    size, bits = _magnitude(dc - dc_pred)
+    code, length = dc_map[size]
+    w.write(code, length)
+    if size:
+        w.write(bits, size)
+    run = 0
+    last_nz = 0
+    nz = np.nonzero(q[1:])[0]
+    last_nz = nz[-1] + 1 if len(nz) else 0
+    for i in range(1, last_nz + 1):
+        v = int(q[i])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_map[0xF0]  # ZRL
+            w.write(code, length)
+            run -= 16
+        size, bits = _magnitude(v)
+        code, length = ac_map[(run << 4) | size]
+        w.write(code, length)
+        w.write(bits, size)
+        run = 0
+    if last_nz < 63:
+        code, length = ac_map[0x00]  # EOB
+        w.write(code, length)
+    return dc
+
+
+def encode_jpeg(img: np.ndarray, quality: int = 85) -> bytes:
+    """uint8 (h, w) grayscale or (h, w, 3) RGB → baseline 4:4:4 JFIF."""
+    img = np.asarray(img)
+    if img.ndim == 2:
+        planes = [img.astype(np.float64)]
+    elif img.ndim == 3 and img.shape[2] == 3:
+        r, g, b = (img[:, :, i].astype(np.float64) for i in range(3))
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+    else:
+        raise ValueError("expected (h,w) or (h,w,3) uint8")
+    h, w = planes[0].shape
+    lum_q, chrom_q = _quality_tables(quality)
+    qtabs = [lum_q] + [chrom_q] * (len(planes) - 1)
+
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    planes = [
+        np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge") for p in planes
+    ]
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xe0" + struct.pack(
+        ">H", 16
+    ) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"  # APP0
+    for tid, tab in enumerate([lum_q] + ([chrom_q] if len(planes) > 1 else [])):
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tid)
+        out += bytes(int(x) for x in tab.flatten()[ZIGZAG])
+    ncomp = len(planes)
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
+    for cid in range(ncomp):
+        out += bytes([cid + 1, 0x11, 0 if cid == 0 else 1])
+    huffs = [(0x00, DC_LUM), (0x10, AC_LUM)]
+    if ncomp > 1:
+        huffs += [(0x01, DC_CHROM), (0x11, AC_CHROM)]
+    for tc_th, (bits, vals) in huffs:
+        out += b"\xff\xc4" + struct.pack(">HB", 19 + len(vals), tc_th)
+        out += bytes(bits) + bytes(vals)
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ncomp, ncomp)
+    for cid in range(ncomp):
+        out += bytes([cid + 1, 0x00 if cid == 0 else 0x11])
+    out += b"\x00\x3f\x00"
+
+    dc_lum_m, ac_lum_m = _huff_codes(*DC_LUM), _huff_codes(*AC_LUM)
+    dc_chr_m, ac_chr_m = _huff_codes(*DC_CHROM), _huff_codes(*AC_CHROM)
+    writer = _BitWriter()
+    preds = [0] * ncomp
+    for by in range(0, ph, 8):
+        for bx in range(0, pw, 8):
+            for ci, plane in enumerate(planes):
+                dc_m = dc_lum_m if ci == 0 else dc_chr_m
+                ac_m = ac_lum_m if ci == 0 else ac_chr_m
+                preds[ci] = _encode_block(
+                    writer,
+                    plane[by : by + 8, bx : bx + 8],
+                    qtabs[ci],
+                    preds[ci],
+                    dc_m,
+                    ac_m,
+                )
+    writer.flush()
+    out += writer.buf
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _BitReader:
+    """MSB-first reader over entropy-coded data with 0xFF00 unstuffing;
+    stops cleanly at any non-RST marker."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> bool:
+        d = self.data
+        if self.pos >= len(d):
+            return False
+        b = d[self.pos]
+        if b == 0xFF:
+            nxt = d[self.pos + 1] if self.pos + 1 < len(d) else 0xD9
+            if nxt == 0x00:
+                self.pos += 2
+            elif 0xD0 <= nxt <= 0xD7:  # RST: caller resyncs via sync_rst
+                return False
+            else:  # real marker: end of scan
+                return False
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+        return True
+
+    def bit(self) -> int:
+        if self.nbits == 0 and not self._fill():
+            raise EOFError("entropy data exhausted")
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def sync_rst(self) -> None:
+        """Skip to just past the next RST marker, discarding bit state."""
+        self.acc = self.nbits = 0
+        d = self.data
+        while self.pos + 1 < len(d):
+            if d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7:
+                self.pos += 2
+                return
+            self.pos += 1
+
+
+def _extend(bits: int, size: int) -> int:
+    if size == 0:
+        return 0
+    return bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
+
+
+def _decode_huff(reader: _BitReader, table) -> int:
+    code, length = 0, 0
+    while length < 16:
+        code = (code << 1) | reader.bit()
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code")
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Baseline JFIF → uint8 (h, w) or (h, w, 3)."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qtabs: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    comps: list[dict] = []
+    h = w = 0
+    restart = 0
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = data[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:
+            break
+        (seglen,) = struct.unpack(">H", data[pos : pos + 2])
+        seg = data[pos + 2 : pos + seglen]
+        if marker == 0xDB:  # DQT (may hold several tables)
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 0xF
+                n = 64 * (2 if pq else 1)
+                raw = seg[i + 1 : i + 1 + n]
+                vals = (
+                    np.frombuffer(raw, dtype=">u2")
+                    if pq
+                    else np.frombuffer(raw, dtype=np.uint8)
+                ).astype(np.float64)
+                tab = np.zeros(64)
+                tab[ZIGZAG] = vals
+                qtabs[tq] = tab.reshape(8, 8)
+                i += 1 + n
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 0xF
+                bits = list(seg[i + 1 : i + 17])
+                nvals = sum(bits)
+                vals = list(seg[i + 17 : i + 17 + nvals])
+                huff[(tc, th)] = _huff_decode_map(bits, vals)
+                i += 17 + nvals
+        elif marker in (0xC0, 0xC1):  # SOF0/1 baseline
+            h, w = struct.unpack(">HH", seg[1:5])
+            ncomp = seg[5]
+            comps = []
+            for c in range(ncomp):
+                cid, samp, tq = seg[6 + 3 * c : 9 + 3 * c]
+                comps.append(
+                    {"id": cid, "h": samp >> 4, "v": samp & 0xF, "tq": tq}
+                )
+        elif marker == 0xC2:
+            raise NotImplementedError("progressive JPEG (SOF2) unsupported")
+        elif marker == 0xDD:  # DRI
+            (restart,) = struct.unpack(">H", seg)
+        elif marker == 0xDA:  # SOS — entropy data follows
+            ns = seg[0]
+            for c in range(ns):
+                cid, tabs = seg[1 + 2 * c], seg[2 + 2 * c]
+                for comp in comps:
+                    if comp["id"] == cid:
+                        comp["td"], comp["ta"] = tabs >> 4, tabs & 0xF
+            pos += seglen
+            return _decode_scan(data, pos, h, w, comps, qtabs, huff, restart)
+        pos += seglen
+    raise ValueError("no SOS marker found")
+
+
+def _decode_scan(data, pos, h, w, comps, qtabs, huff, restart):
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    planes = [
+        np.zeros((mcus_y * 8 * c["v"], mcus_x * 8 * c["h"])) for c in comps
+    ]
+    reader = _BitReader(data, pos)
+    preds = [0] * len(comps)
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart and mcu_count and mcu_count % restart == 0:
+                reader.sync_rst()
+                preds = [0] * len(comps)
+            for ci, c in enumerate(comps):
+                dc_t, ac_t = huff[(0, c["td"])], huff[(1, c["ta"])]
+                qt = qtabs[c["tq"]]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        size = _decode_huff(reader, dc_t)
+                        diff = _extend(reader.bits(size), size)
+                        preds[ci] += diff
+                        zz = np.zeros(64)
+                        zz[0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            sym = _decode_huff(reader, ac_t)
+                            if sym == 0x00:
+                                break
+                            run, sz = sym >> 4, sym & 0xF
+                            if sym == 0xF0:
+                                k += 16
+                                continue
+                            k += run
+                            if k > 63:
+                                break
+                            zz[k] = _extend(reader.bits(sz), sz)
+                            k += 1
+                        coef = np.zeros(64)
+                        coef[ZIGZAG] = zz
+                        block = (
+                            DCT_M.T @ (coef.reshape(8, 8) * qt) @ DCT_M
+                        ) + 128.0
+                        y0 = (my * c["v"] + by) * 8
+                        x0 = (mx * c["h"] + bx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
+            mcu_count += 1
+    full = []
+    for ci, c in enumerate(comps):
+        p = planes[ci]
+        if c["h"] < hmax or c["v"] < vmax:
+            p = np.repeat(
+                np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1
+            )
+        full.append(p[:h, :w])
+    if len(full) == 1:
+        return np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.round(np.stack([r, g, b], axis=2)), 0, 255).astype(
+        np.uint8
+    )
