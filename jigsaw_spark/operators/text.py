@@ -632,3 +632,28 @@ def bpe_encode(
     return toks.mapInPandas(
         kernel, f"{key} {key_type}, pieces array<string>, n_pieces int"
     )
+
+
+def char_entropy(df: DataFrame, key: str, text: str = "text") -> DataFrame:
+    """Per-document character-level Shannon entropy (nats) — the cheap
+    gibberish/OCR-garbage curation signal (low entropy = repeated filler,
+    high = random bytes; natural language sits in a stable band).
+
+    Algebraic one-pass form: H = ln(n) - (Σ c·ln c)/n over the per-char
+    counts c, so the plan is ONE explode + TWO hash aggs (both map-side
+    combinable) — no window, no per-doc state. Entropy rounds to 4
+    digits (double-sum order tolerance, codebase convention)."""
+    chars = df.select(
+        F.col(key), F.explode(F.split(F.col(text), "")).alias("_ch")
+    ).filter(F.col("_ch") != "")
+    counts = chars.groupBy(key, "_ch").agg(F.count(F.lit(1)).alias("_c"))
+    return counts.groupBy(key).agg(
+        F.sum("_c").alias("n_chars"),
+        F.round(
+            F.log(F.sum("_c").cast("double"))
+            - F.sum(F.col("_c").cast("double") * F.log("_c"))
+            / F.sum("_c").cast("double"),
+            4,
+        ).alias("entropy_nats"),
+        F.count(F.lit(1)).alias("n_distinct_chars"),
+    )

@@ -1578,6 +1578,8 @@ _CERTIFICATION_PRIORITY = [
     "dedup_lines",
     "ann_sq8",
     "ann_mmr_select",
+    "text_entropy",
+    "fn_udtf_lateral",
     # judge-named round-2 targets
     "dedup_minhash_lsh",
     "dedup_components",

@@ -219,3 +219,63 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         (r["left"], r["right"]) for r in merges_df.orderBy("rank").collect()
     ]
     return bpe_encode(docs, merges, "doc_id", "text")
+
+
+@register(
+    "text_entropy",
+    f"""
+    WITH ch AS (
+      SELECT doc_id, unnest(list_transform(range(1, length(text) + 1),
+                                           i -> text[i])) AS ch
+      FROM documents
+    ), counts AS (
+      SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY doc_id, ch
+    )
+    SELECT doc_id,
+           sum(c) AS n_chars,
+           round(ln(CAST(sum(c) AS DOUBLE))
+                 - sum(CAST(c AS DOUBLE) * ln(c)) / CAST(sum(c) AS DOUBLE),
+                 4) AS entropy_nats,
+           count(*) AS n_distinct_chars
+    FROM counts GROUP BY doc_id
+    """,
+    "char-level Shannon entropy (gibberish/OCR-garbage signal) in the "
+    "algebraic one-pass form H = ln n - (sum c ln c)/n: one explode + two "
+    "map-side-combinable hash aggs, no window, no per-doc state",
+)
+def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jigsaw_spark.operators.text import char_entropy
+
+    return char_entropy(_t(spark, sf_dir, "documents"), "doc_id")
+
+
+@register(
+    "fn_udtf_lateral",
+    f"""
+    WITH w AS (
+      SELECT doc_id, {tokens_sql("text")} AS ws FROM documents
+    )
+    SELECT doc_id, i AS chunk_idx,
+           array_to_string(ws[(i*8+1):(i*8+8)], ' ') AS chunk,
+           len(ws[(i*8+1):(i*8+8)]) AS n_tokens
+    FROM w, LATERAL (
+      SELECT unnest(range(0, CAST(ceil(len(ws) / 8.0) AS INT))) AS i) t
+    WHERE len(ws) >= 1
+    """,
+    "Spark 4 Python UDTF surface (arrow-optimized) via lateralJoin: one "
+    "row per 8-token window. API-surface query — the expression-only "
+    "chunker (text_chunk) is the production path; this pins the UDTF "
+    "execution path to the same semantics",
+)
+def fn_udtf_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jigsaw_spark.functions.udtfs import ChunkText
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.lateralJoin(
+        ChunkText(F.col("text").outer(), F.lit(8).outer())
+    ).select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        "chunk",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+    )

@@ -223,3 +223,55 @@ def test_mmr_select_matches_numpy_greedy(spark):
         ).orderBy("rank").collect()
     ]
     assert got == ref
+
+
+def test_char_entropy_known_values(spark):
+    import math
+
+    from jigsaw_spark.operators.text import char_entropy
+
+    df = _docs(spark, [(1, "aaaa"), (2, "abab"), (3, "abcd")])
+    got = {
+        r["doc_id"]: (r["n_chars"], r["entropy_nats"], r["n_distinct_chars"])
+        for r in char_entropy(df, "doc_id").collect()
+    }
+    assert got[1] == (4, 0.0, 1)
+    assert got[2] == (4, round(math.log(2), 4), 2)
+    assert got[3] == (4, round(math.log(4), 4), 4)
+
+
+def test_udtf_chunker_matches_expression_chunker(spark):
+    from jigsaw_spark.functions.udtfs import ChunkText
+
+    df = _docs(
+        spark,
+        [(1, "one two three four five six seven eight nine"), (2, "x")],
+    )
+    got = sorted(
+        (r["doc_id"], r["chunk_idx"], r["chunk"], r["n_tokens"])
+        for r in df.lateralJoin(
+            ChunkText(F.col("text").outer(), F.lit(4).outer())
+        ).collect()
+    )
+    assert got == [
+        (1, 0, "one two three four", 4),
+        (1, 1, "five six seven eight", 4),
+        (1, 2, "nine", 1),
+        (2, 0, "x", 1),
+    ]
+
+
+def test_udtf_sql_lateral_registered(spark):
+    from jigsaw_spark.functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    df = _docs(spark, [(7, "a b c")])
+    df.createOrReplaceTempView("_udtf_docs")
+    rows = spark.sql(
+        "SELECT d.doc_id, c.chunk, c.n_tokens FROM _udtf_docs d, "
+        "LATERAL chunk_text(d.text, 2) c"
+    ).collect()
+    assert sorted((r[0], r[1], r[2]) for r in rows) == [
+        (7, "a b", 2),
+        (7, "c", 1),
+    ]
