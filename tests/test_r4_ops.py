@@ -275,3 +275,55 @@ def test_udtf_sql_lateral_registered(spark):
         (7, "a b", 2),
         (7, "c", 1),
     ]
+
+
+def test_tws_user_stats_gated_on_protobuf(spark, tmp_path):
+    """transformWithState needs the protobuf runtime (Spark's Python
+    state-server protocol). With it absent the operator must fail fast
+    with a clear NotImplementedError; with it present, the AvailableNow
+    drain must equal the batch groupBy."""
+    import pytest
+
+    from jigsaw_spark.streaming.stateful import run_tws_user_stats
+
+    try:
+        import google.protobuf  # noqa: F401
+
+        have_protobuf = True
+    except ImportError:
+        have_protobuf = False
+
+    events = spark.createDataFrame(
+        [
+            (1, "click", 1.25),
+            (1, "view", 2.50),
+            (1, "click", 0.25),
+            (2, "error", 10.00),
+        ],
+        "user_id long, event_type string, value double",
+    )
+    src = str(tmp_path / "events")
+    events.write.parquet(src)
+
+    if not have_protobuf:
+        with pytest.raises(NotImplementedError, match="protobuf"):
+            run_tws_user_stats(
+                spark, src, str(tmp_path / "ckpt"), glob="*.parquet"
+            )
+        return
+
+    _d, updates = run_tws_user_stats(
+        spark, src, str(tmp_path / "ckpt"), glob="*.parquet"
+    )
+    final = {
+        r["user_id"]: (r["n_events"], r["total_cents"], r["n_types"])
+        for r in updates.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("total_cents").alias("total_cents"),
+            F.max("n_types").alias("n_types"),
+        )
+        .collect()
+    }
+    assert final[1] == (3, 400, 2)
+    assert final[2] == (1, 1000, 1)
