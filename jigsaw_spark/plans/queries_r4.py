@@ -279,3 +279,25 @@ def fn_udtf_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
         "chunk",
         F.col("n_tokens").cast("long").alias("n_tokens"),
     )
+
+
+@register(
+    "ml_logreg",
+    None,  # iterative GD is not SQL-expressible; numpy parity with
+    # bounded drift in tests/test_r4_ops.py
+    "full-batch GD logistic regression (quality-classifier trainer): per "
+    "iteration ONE corpus scan — JVM fold dot product, posexplode + "
+    "(dim)-keyed hash agg reduces the gradient to d rows; weights ride "
+    "as broadcast literals, corpus never cached or shuffled",
+)
+def ml_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jigsaw_spark.operators.ml import logreg_train
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "y", (F.col("label") >= 2).cast("int")
+    )
+    w, b, history = logreg_train(
+        emb, "y", "embedding", n_iters=5, lr=0.5, l2=0.01
+    )
+    rows = [(-1, float(b))] + [(d, float(x)) for d, x in enumerate(w)]
+    return spark.createDataFrame(rows, "dim int, weight double")

@@ -327,3 +327,43 @@ def test_tws_user_stats_gated_on_protobuf(spark, tmp_path):
     }
     assert final[1] == (3, 400, 2)
     assert final[2] == (1, 1000, 1)
+
+
+def test_logreg_train_matches_numpy_and_separates(spark):
+    import numpy as np
+
+    from jigsaw_spark.operators.ml import (
+        _numpy_logreg,
+        logreg_score,
+        logreg_train,
+    )
+
+    rng = np.random.default_rng(11)
+    n, d = 200, 6
+    X = rng.normal(size=(n, d))
+    true_w = np.array([2.0, -1.5, 0.0, 0.5, 0.0, 1.0])
+    y = (X @ true_w + 0.3 * rng.normal(size=n) > 0).astype(int)
+
+    df = spark.createDataFrame(
+        [(int(y[i]), [float(v) for v in X[i]]) for i in range(n)],
+        "y int, embedding array<float>",
+    )
+    w, b, hist = logreg_train(df, "y", n_iters=12, lr=0.5, l2=0.01)
+
+    X32 = np.array([[np.float32(v) for v in row] for row in X])
+    rw, rb, rhist = _numpy_logreg(X32.astype(np.float64), y.astype(float),
+                                  n_iters=12, lr=0.5, l2=0.01)
+    assert np.allclose(w, rw, atol=1e-9)
+    assert abs(b - rb) < 1e-9
+    assert np.allclose(
+        [loss for _, loss in hist], [loss for _, loss in rhist], atol=1e-9
+    )
+    # loss monotonically decreasing on this easy problem
+    losses = [loss for _, loss in hist]
+    assert all(a >= b_ for a, b_ in zip(losses, losses[1:]))
+
+    scored = logreg_score(df, w, b).select("y", "prob").collect()
+    acc = sum(
+        (r["prob"] >= 0.5) == bool(r["y"]) for r in scored
+    ) / len(scored)
+    assert acc > 0.85
