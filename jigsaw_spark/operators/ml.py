@@ -143,3 +143,70 @@ def _numpy_logreg(X, y, n_iters=10, lr=0.5, l2=0.0):
         b = b - lr * float(e.sum()) / n
     return w, b, hist
 
+
+
+def hash_features(
+    df: DataFrame,
+    cols: list[str],
+    dims: int = 32,
+    seed: str = "fh",
+    out_col: str = "features",
+) -> DataFrame:
+    """Feature hashing (the hashing trick, Weinberger et al. 2009): each
+    ``col=value`` token hashes to a dimension index and a ±1 sign; the
+    feature vector is the signed count per dimension — the standard
+    unbounded-vocabulary categorical featurizer feeding ``logreg_train``.
+
+    Spark-first shape: a pure map-side JVM expression (per row:
+    dims × |cols| comparisons — fine for the wide-feature regime this
+    targets), no vocabulary table, no shuffle, no Python. Hashing is the
+    portable md5 stream (functions/hashing.py), so the oracle reproduces
+    indices and signs bit-for-bit:
+      idx  = uint48(md5(seed|col=value)[0:12]) % dims
+      sign = +1 if hexdigit 13 is even else -1
+    """
+    from jigsaw_spark.functions.hashing import md5_key
+
+    toks = [
+        md5_key(F.concat_ws("=", F.lit(c), F.col(c).cast("string")), seed=seed)
+        for c in cols
+    ]
+    idxs = [
+        F.pmod(
+            F.conv(F.substring(t, 1, 12), 16, 10).cast("bigint"), F.lit(dims)
+        )
+        for t in toks
+    ]
+    signs = [
+        F.when(
+            F.conv(F.substring(t, 13, 1), 16, 10).cast("int") % 2 == 0,
+            F.lit(1.0),
+        ).otherwise(F.lit(-1.0))
+        for t in toks
+    ]
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dims - 1)),
+        lambda i: sum(
+            (F.when(ix == i, sg).otherwise(F.lit(0.0)))
+            for ix, sg in zip(idxs, signs)
+        ),
+    )
+    return df.withColumn(out_col, vec)
+
+
+def hash_features_sql(cols: list[str], dims: int = 32, seed: str = "fh") -> str:
+    """DuckDB rendering of :func:`hash_features` — kept adjacent so the
+    expression and oracle can never drift."""
+    terms = []
+    for c in cols:
+        h = f"md5(concat_ws('|', '{seed}', concat_ws('=', '{c}', CAST({c} AS VARCHAR))))"
+        idx = f"(('0x' || substr({h}, 1, 12))::UBIGINT % {dims})"
+        sign = (
+            f"CASE WHEN ('0x' || substr({h}, 13, 1))::INT % 2 = 0 "
+            "THEN 1.0 ELSE -1.0 END"
+        )
+        terms.append(f"CASE WHEN {idx} = i THEN {sign} ELSE 0.0 END")
+    body = " + ".join(terms)
+    # ::DOUBLE[]: DuckDB types the CASE literals DECIMAL, which its client
+    # returns as decimal.Decimal — value-equal but canon-string-different
+    return f"(list_transform(range(0, {dims}), i -> {body}))::DOUBLE[]"

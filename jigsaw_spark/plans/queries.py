@@ -1580,6 +1580,7 @@ _CERTIFICATION_PRIORITY = [
     "ann_mmr_select",
     "text_entropy",
     "fn_udtf_lateral",
+    "ml_hash_features",
     # judge-named round-2 targets
     "dedup_minhash_lsh",
     "dedup_components",

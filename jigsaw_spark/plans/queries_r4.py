@@ -301,3 +301,32 @@ def ml_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rows = [(-1, float(b))] + [(d, float(x)) for d, x in enumerate(w)]
     return spark.createDataFrame(rows, "dim int, weight double")
+
+
+@register(
+    "ml_hash_features",
+    None,  # filled below after import to keep the SQL twin adjacent
+    "feature hashing (hashing trick): md5-stream index+sign per "
+    "col=value token, pure map-side JVM transform — no vocabulary "
+    "table, no shuffle, unbounded categorical domains",
+)
+def ml_hash_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jigsaw_spark.operators.ml import hash_features
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return hash_features(docs, ["lang", "source"], dims=16).select(
+        "doc_id", "features"
+    )
+
+
+def _install_hash_features_oracle() -> None:
+    from jigsaw_spark.operators.ml import hash_features_sql
+    from jigsaw_spark.plans.queries import QUERIES
+
+    QUERIES["ml_hash_features"].oracle = f"""
+    SELECT doc_id, {hash_features_sql(['lang', 'source'], dims=16)} AS features
+    FROM documents
+    """
+
+
+_install_hash_features_oracle()

@@ -367,3 +367,77 @@ def test_logreg_train_matches_numpy_and_separates(spark):
         (r["prob"] >= 0.5) == bool(r["y"]) for r in scored
     ) / len(scored)
     assert acc > 0.85
+
+
+def test_jsonl_roundtrip_and_corrupt_capture(spark, tmp_path):
+    from jigsaw_spark.sources.jsonl import read_jsonl, write_jsonl
+
+    df = _docs(
+        spark,
+        [(1, 'plain'), (2, 'quotes " and \\ backslash'), (3, "unicode é")],
+    )
+    out = str(tmp_path / "corpus")
+    write_jsonl(df, out, n_shards=2)
+
+    good, corrupt = read_jsonl(spark, out, "doc_id long, text string")
+    assert corrupt.count() == 0
+    got = {r["doc_id"]: r["text"] for r in good.collect()}
+    assert got == {
+        1: "plain",
+        2: 'quotes " and \\ backslash',
+        3: "unicode é",
+    }
+    import glob
+
+    assert len(glob.glob(out + "/part-*")) == 2
+
+    # inject a broken line: it must land in the corrupt side, not vanish
+    broken = str(tmp_path / "broken")
+    import os
+
+    os.makedirs(broken)
+    with open(broken + "/a.jsonl", "w") as f:
+        f.write('{"doc_id": 1, "text": "ok"}\n')
+        f.write("{not json at all\n")
+        f.write('{"doc_id": 2, "text": "also ok"}\n')
+    good2, corrupt2 = read_jsonl(spark, broken, "doc_id long, text string")
+    assert good2.count() == 2
+    bad = corrupt2.collect()
+    assert len(bad) == 1 and bad[0]["raw_line"].startswith("{not json")
+
+
+def test_hash_features_deterministic_and_trainable(spark):
+    import numpy as np
+
+    from jigsaw_spark.operators.ml import hash_features, logreg_train
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 else "fr", f"s{i % 3}", i % 2) for i in range(60)],
+        "id long, lang string, source string, y int",
+    )
+    # dims=32: at dims<=16 "lang=en" and "lang=fr" genuinely collide into
+    # the same (index, sign) under the md5 stream — the hashing trick's
+    # documented failure mode, pinned below
+    feats = hash_features(df, ["lang", "source"], dims=32)
+    rows = feats.collect()
+    # exactly two non-zero entries of magnitude 1 unless both tokens
+    # collide into one dimension (then +-2 or 0)
+    for r in rows:
+        assert sum(abs(x) for x in r["features"]) in (0.0, 2.0)
+    # identical inputs hash identically
+    a = [r["features"] for r in rows if r["id"] == 1][0]
+    b = [r["features"] for r in rows if r["id"] == 7][0]
+    assert a == b
+    # the hashed features linearly separate the label they encode
+    w, bias, hist = logreg_train(feats, "y", "features", n_iters=15, lr=1.0)
+    assert hist[-1][1] < 0.2  # separable: well below ln 2 and falling
+    assert not np.isnan(w).any()
+
+    # collision case: at dims=8 the two lang tokens land on the same
+    # (index, sign), so lang carries zero signal and training plateaus at
+    # ln 2 — the known hashing-trick trade-off, verified not a code bug
+    feats8 = hash_features(df, ["lang"], dims=8)
+    import math
+
+    _w8, _b8, hist8 = logreg_train(feats8, "y", "features", n_iters=5, lr=1.0)
+    assert abs(hist8[-1][1] - math.log(2)) < 1e-6

@@ -34,6 +34,9 @@ SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 # against a tiny side (query set / band dim / IVF codebook / 1-row scalar)
 ALL_PAIRS_OK = {
     "ann_cosine_topk",
+    # RAG retrieval stage IS cosine_topk: broadcast query side crossed
+    # against the corpus — the documented brute-force baseline shape
+    "rag_pipeline",
     "j6_range_join",
     "ann_ivf_topk",
     "text_tfidf",
