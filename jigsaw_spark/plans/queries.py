@@ -1581,6 +1581,8 @@ _CERTIFICATION_PRIORITY = [
     "text_entropy",
     "fn_udtf_lateral",
     "ml_hash_features",
+    "dedup_lsh_recall",
+    "dedup_incremental",
     # judge-named round-2 targets
     "dedup_minhash_lsh",
     "dedup_components",

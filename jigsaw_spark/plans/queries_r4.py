@@ -330,3 +330,116 @@ def _install_hash_features_oracle() -> None:
 
 
 _install_hash_features_oracle()
+
+
+from jigsaw_spark.plans.queries_llm import _SHINGLES_CTE, _TOKS_CTE  # noqa: E402
+
+
+@register(
+    "dedup_lsh_recall",
+    f"""
+    WITH {_TOKS_CTE}, {_SHINGLES_CTE},
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    truth AS (
+      SELECT doc_a, doc_b FROM inter
+      JOIN sizes sa ON doc_a = sa.doc_id
+      JOIN sizes sb ON doc_b = sb.doc_id
+      WHERE inter / (sa.sz + sb.sz - inter) >= 0.5),
+    mh AS (
+      SELECT doc_id, seed,
+             min(md5(CAST(seed AS VARCHAR) || '|' || shingle)) AS mh
+      FROM sh CROSS JOIN (SELECT unnest(range(16)) AS seed) seeds
+      GROUP BY doc_id, seed),
+    bands AS (
+      SELECT doc_id, seed // 4 AS band,
+             string_agg(mh, ',' ORDER BY seed) AS sig
+      FROM mh GROUP BY doc_id, band),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.sig = b.sig
+                  AND a.doc_id < b.doc_id),
+    joined AS (
+      SELECT coalesce(t.in_t, 0) AS in_t, coalesce(c.in_c, 0) AS in_c
+      FROM (SELECT doc_a, doc_b, 1 AS in_t FROM truth) t
+      FULL OUTER JOIN (SELECT doc_a, doc_b, 1 AS in_c FROM cand) c
+      USING (doc_a, doc_b))
+    SELECT CAST(sum(in_t) AS BIGINT) AS n_truth,
+           CAST(sum(in_c) AS BIGINT) AS n_cand,
+           CAST(sum(in_t * in_c) AS BIGINT) AS n_hit,
+           round(CAST(sum(in_t * in_c) AS DOUBLE)
+                 / nullif(sum(in_t), 0), 4) AS recall,
+           round(CAST(sum(in_t * in_c) AS DOUBLE)
+                 / nullif(sum(in_c), 0), 4) AS precision
+    FROM joined
+    """,
+    "self-evaluating dedup: MinHash-LSH candidate recall/precision "
+    "against exact trigram-Jaccard>=0.5 ground truth — the tuning query "
+    "for (num_hashes, bands) at scale; both sides are the production "
+    "operators, joined full-outer and counted in one agg",
+)
+def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jigsaw_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    truth = ngram_jaccard_pairs(docs, "doc_id", threshold=0.5).select(
+        "doc_a", "doc_b", F.lit(1).alias("in_t")
+    )
+    cand = minhash_lsh_pairs(docs, "doc_id", num_hashes=16, bands=4).select(
+        "doc_a", "doc_b", F.lit(1).alias("in_c")
+    )
+    joined = truth.join(cand, ["doc_a", "doc_b"], "full").select(
+        F.coalesce("in_t", F.lit(0)).alias("in_t"),
+        F.coalesce("in_c", F.lit(0)).alias("in_c"),
+    )
+    hit = F.sum(F.col("in_t") * F.col("in_c"))
+    return joined.agg(
+        F.sum("in_t").cast("bigint").alias("n_truth"),
+        F.sum("in_c").cast("bigint").alias("n_cand"),
+        hit.cast("bigint").alias("n_hit"),
+        F.round(
+            hit.cast("double") / F.nullif(F.sum("in_t"), F.lit(0)), 4
+        ).alias("recall"),
+        F.round(
+            hit.cast("double") / F.nullif(F.sum("in_c"), F.lit(0)), 4
+        ).alias("precision"),
+    )
+
+
+@register(
+    "dedup_incremental",
+    f"""
+    WITH fp AS (
+      SELECT doc_id, source,
+             md5(array_to_string({tokens_sql('text')}, ' ')) AS fp
+      FROM documents),
+    corpus AS (SELECT DISTINCT fp FROM fp WHERE source <> 'src0')
+    SELECT f.doc_id, f.fp,
+           c.fp IS NULL AS is_new
+    FROM fp f LEFT JOIN corpus c USING (fp)
+    WHERE f.source = 'src0'
+    """,
+    "incremental crawl dedup (F8 at corpus granularity): the new batch "
+    "anti-checks its normalization fingerprints against the existing "
+    "corpus — one fp hash-agg + one fp-keyed join, the daily-ingest "
+    "shape; the corpus side never rescans payloads",
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jigsaw_spark.operators.text import fingerprint_expr, tokens_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id", "source", fingerprint_expr(tokens_expr("text")).alias("fp")
+    )
+    corpus = fp.filter(F.col("source") != "src0").select("fp").distinct()
+    new = fp.filter(F.col("source") == "src0")
+    return new.join(
+        corpus.withColumn("_hit", F.lit(1)), "fp", "left"
+    ).select("doc_id", "fp", F.col("_hit").isNull().alias("is_new"))

@@ -194,3 +194,60 @@ def test_decode_pixels_integration():
     out = _decode_pixels(encode_jpeg(img, 90), fake=False)
     assert out.shape == (24, 32, 3)
     assert _psnr(img, out) > 30.0
+
+
+def _reencode_with_restarts(img: np.ndarray, restart: int) -> bytes:
+    """Hand-build a grayscale stream with a DRI interval: RSTn markers
+    every `restart` MCUs, DC predictors reset at each (the spec path the
+    encoder itself never emits)."""
+    import struct
+
+    from jigsaw_spark.multimodal import jpeg_codec as J
+
+    h, w = img.shape
+    lum_q, _ = J._quality_tables(85)
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    plane = np.pad(
+        img.astype(np.float64), ((0, ph - h), (0, pw - w)), mode="edge"
+    )
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">HB", 67, 0)
+    out += bytes(int(x) for x in lum_q.flatten()[J.ZIGZAG])
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, h, w, 1)
+    out += bytes([1, 0x11, 0])
+    for tc_th, (bits, vals) in [(0x00, J.DC_LUM), (0x10, J.AC_LUM)]:
+        out += b"\xff\xc4" + struct.pack(">HB", 19 + len(vals), tc_th)
+        out += bytes(bits) + bytes(vals)
+    out += b"\xff\xdd" + struct.pack(">HH", 4, restart)  # DRI
+    out += b"\xff\xda" + struct.pack(">HB", 8, 1)
+    out += bytes([1, 0x00]) + b"\x00\x3f\x00"
+
+    dc_m, ac_m = J._huff_codes(*J.DC_LUM), J._huff_codes(*J.AC_LUM)
+    wtr = J._BitWriter()
+    pred = 0
+    mcu = 0
+    rst = 0
+    for by in range(0, ph, 8):
+        for bx in range(0, pw, 8):
+            if restart and mcu and mcu % restart == 0:
+                wtr.flush()
+                out += wtr.buf
+                wtr = J._BitWriter()
+                out += bytes([0xFF, 0xD0 + (rst % 8)])
+                rst += 1
+                pred = 0  # spec: predictors reset at RST
+            pred = J._encode_block(
+                wtr, plane[by : by + 8, bx : bx + 8], lum_q, pred, dc_m, ac_m
+            )
+            mcu += 1
+    wtr.flush()
+    out += wtr.buf + b"\xff\xd9"
+    return bytes(out)
+
+
+def test_restart_interval_stream_decodes():
+    img = _smooth(13, 40, 48, 1)
+    out = decode_jpeg(_reencode_with_restarts(img, restart=2))
+    assert out.shape == img.shape
+    assert _psnr(img, out) > 30.0

@@ -235,3 +235,70 @@ def test_tfexample_encode_decode_roundtrip(features):
             assert got == vals
         else:
             assert got == vals and kind == "int64"
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    parts=st.sampled_from([1, 3, 13]),
+    seed=st.integers(0, 10**6),
+)
+def test_round4_ops_partitioning_invariant(spark, parts, seed):
+    """dedup_lines / sq8_quantize / hash_features must produce identical
+    results under any input partitioning (the AQE/speculation-safety
+    contract every operator in this repo carries)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from jigsaw_spark.operators.dedup import dedup_lines
+    from jigsaw_spark.operators.ml import hash_features
+    from jigsaw_spark.operators.similarity import sq8_quantize
+
+    rng = random.Random(seed)
+    words = ["alpha", "beta", "gamma", "delta", "shared", "line"]
+    docs = [
+        (
+            i,
+            "\n".join(
+                " ".join(rng.choices(words, k=4))
+                for _ in range(rng.randint(1, 5))
+            ),
+        )
+        for i in range(24)
+    ]
+    df1 = spark.createDataFrame(docs, "doc_id long, text string")
+    dfp = df1.repartition(parts)
+
+    def lines_result(d):
+        return sorted(
+            (r["doc_id"], r["clean_text"], r["n_lines_kept"])
+            for r in dedup_lines(d, "doc_id", "text").collect()
+        )
+
+    assert lines_result(df1) == lines_result(dfp)
+
+    emb = spark.createDataFrame(
+        [
+            (i, [rng.uniform(-1, 1) for _ in range(6)])
+            for i in range(30)
+        ],
+        "vec_id long, embedding array<float>",
+    )
+
+    def sq8_result(d):
+        return sorted(
+            (r["vec_id"], tuple(r["codes"]), r["max_abs_err"])
+            for r in sq8_quantize(d).collect()
+        )
+
+    assert sq8_result(emb) == sq8_result(emb.repartition(parts))
+
+    cat = df1.select("doc_id", (F.col("doc_id") % 3).cast("string").alias("c"))
+
+    def fh_result(d):
+        return sorted(
+            (r["doc_id"], tuple(r["features"]))
+            for r in hash_features(d, ["c"], dims=8).collect()
+        )
+
+    assert fh_result(cat) == fh_result(cat.repartition(parts))
