@@ -187,3 +187,75 @@ def profile_columns(df, cols):
         for c in cols
     ]
     return agged.select(F.explode(F.array(*rows)).alias("p")).select("p.*")
+
+
+def countmin_table(
+    toks,
+    depth: int = 4,
+    width: int = 256,
+    seed: str = "cms",
+):
+    """Count-Min sketch as a relation: the (d, cell) count table — a
+    FIXED-SIZE corpus summary (depth x width rows regardless of
+    vocabulary), built with ONE map-side-combinable hash agg. Cells are
+    md5-stream indexed (functions/hashing.py), so the sketch is
+    bit-reproducible across engines and partitionings, and two sketches
+    merge by cell-wise addition (the mergeability HLL gives for distinct
+    counts, here for frequencies).
+
+    ``toks`` is a DataFrame with a ``term`` column (pre-exploded).
+    """
+    from pyspark.sql import functions as F
+
+    from jigsaw_spark.functions.hashing import md5_key
+
+    d = F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("d")
+    cells = toks.select(F.col("term"), d).select(
+        "d",
+        F.pmod(
+            F.conv(
+                F.substring(
+                    md5_key(F.concat_ws("|", F.col("d"), F.col("term")), seed=seed),
+                    1,
+                    12,
+                ),
+                16,
+                10,
+            ).cast("bigint"),
+            F.lit(width),
+        ).alias("cell"),
+    )
+    return cells.groupBy("d", "cell").agg(F.count(F.lit(1)).alias("n"))
+
+
+def countmin_estimate(candidates, cms, depth: int = 4, width: int = 256, seed: str = "cms"):
+    """Point-frequency estimates for ``candidates`` (a ``term`` column)
+    from a :func:`countmin_table` sketch: min over depths of the hashed
+    cell's count (the classic one-sided overestimate). The sketch side is
+    depth x width rows -> broadcast; the probe is a map-side join."""
+    from pyspark.sql import functions as F
+
+    from jigsaw_spark.functions.hashing import md5_key
+
+    d = F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("d")
+    probes = candidates.select(F.col("term"), d).select(
+        "term",
+        "d",
+        F.pmod(
+            F.conv(
+                F.substring(
+                    md5_key(F.concat_ws("|", F.col("d"), F.col("term")), seed=seed),
+                    1,
+                    12,
+                ),
+                16,
+                10,
+            ).cast("bigint"),
+            F.lit(width),
+        ).alias("cell"),
+    )
+    return (
+        probes.join(F.broadcast(cms), ["d", "cell"], "left")
+        .groupBy("term")
+        .agg(F.min(F.coalesce("n", F.lit(0))).alias("est_n"))
+    )

@@ -1583,6 +1583,7 @@ _CERTIFICATION_PRIORITY = [
     "ml_hash_features",
     "dedup_lsh_recall",
     "dedup_incremental",
+    "agg_countmin_hh",
     # judge-named round-2 targets
     "dedup_minhash_lsh",
     "dedup_components",

@@ -443,3 +443,59 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return new.join(
         corpus.withColumn("_hit", F.lit(1)), "fp", "left"
     ).select("doc_id", "fp", F.col("_hit").isNull().alias("is_new"))
+
+
+_CMS_HASH = (
+    "('0x' || substr(md5(concat_ws('|', 'cms', "
+    "concat_ws('|', d, term))), 1, 12))::UBIGINT % 256"
+)
+
+
+@register(
+    "agg_countmin_hh",
+    f"""
+    WITH {_TOKS_CTE},
+    tok AS (SELECT doc_id, unnest(t) AS term FROM toks),
+    exact AS (SELECT term, count(*) AS exact_n FROM tok GROUP BY term),
+    top AS (SELECT term, exact_n FROM exact
+            ORDER BY exact_n DESC, term LIMIT 10),
+    depths AS (SELECT unnest(range(4)) AS d),
+    cms AS (
+      SELECT d, {_CMS_HASH} AS cell, count(*) AS n
+      FROM tok CROSS JOIN depths GROUP BY d, cell),
+    est AS (
+      SELECT term, min(n) AS est_n
+      FROM (SELECT t.term, c.n
+            FROM (SELECT term, d, {_CMS_HASH} AS cell
+                  FROM top CROSS JOIN depths) t
+            JOIN cms c ON c.d = t.d AND c.cell = t.cell)
+      GROUP BY term)
+    SELECT top.term, top.exact_n, est.est_n,
+           est.est_n - top.exact_n AS overestimate
+    FROM top JOIN est USING (term)
+    """,
+    "Count-Min sketch heavy hitters: the sketch is ONE map-side-"
+    "combinable hash agg into depth x width = 1024 cells (fixed-size "
+    "summary, mergeable by cell-wise add — the frequency analog of "
+    "HLL); estimates = min over depths, overestimate bound checked "
+    "against exact counts",
+)
+def agg_countmin_hh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jigsaw_spark.operators.aggregates import (
+        countmin_estimate,
+        countmin_table,
+    )
+    from jigsaw_spark.operators.text import tokens_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens_expr("text")).alias("term"))
+    exact = toks.groupBy("term").agg(F.count(F.lit(1)).alias("exact_n"))
+    top = exact.orderBy(F.desc("exact_n"), "term").limit(10)
+    cms = countmin_table(toks)
+    est = countmin_estimate(top.select("term"), cms)
+    return top.join(est, "term").select(
+        "term",
+        "exact_n",
+        "est_n",
+        (F.col("est_n") - F.col("exact_n")).alias("overestimate"),
+    )

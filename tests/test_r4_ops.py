@@ -441,3 +441,42 @@ def test_hash_features_deterministic_and_trainable(spark):
 
     _w8, _b8, hist8 = logreg_train(feats8, "y", "features", n_iters=5, lr=1.0)
     assert abs(hist8[-1][1] - math.log(2)) < 1e-6
+
+
+def test_countmin_overestimates_only_and_merges(spark):
+    from jigsaw_spark.operators.aggregates import (
+        countmin_estimate,
+        countmin_table,
+    )
+
+    toks = spark.createDataFrame(
+        [(w,) for w in ["a"] * 50 + ["b"] * 30 + list("cdefghij") * 2],
+        "term string",
+    )
+    cms = countmin_table(toks, depth=4, width=64)
+    # fixed-size summary: at most depth x width rows
+    assert cms.count() <= 4 * 64
+    cand = spark.createDataFrame(
+        [("a",), ("b",), ("c",), ("zz_unseen",)], "term string"
+    )
+    est = {r["term"]: r["est_n"] for r in countmin_estimate(cand, cms, width=64).collect()}
+    # CMS never underestimates, and unseen terms can only collide upward
+    assert est["a"] >= 50 and est["b"] >= 30 and est["c"] >= 2
+    assert est["zz_unseen"] >= 0
+
+    # mergeability: sketch(A) + sketch(B) cell-wise == sketch(A union B)
+    from pyspark.sql import functions as F
+
+    half1 = spark.createDataFrame([(w,) for w in ["a"] * 25 + ["b"] * 30], "term string")
+    half2 = spark.createDataFrame([(w,) for w in ["a"] * 25 + list("cdefghij") * 2], "term string")
+    merged = (
+        countmin_table(half1, depth=4, width=64)
+        .unionByName(countmin_table(half2, depth=4, width=64))
+        .groupBy("d", "cell")
+        .agg(F.sum("n").alias("n"))
+    )
+    whole = countmin_table(toks, depth=4, width=64)
+    assert (
+        merged.exceptAll(whole).count() == 0
+        and whole.exceptAll(merged).count() == 0
+    )
