@@ -1584,6 +1584,8 @@ _CERTIFICATION_PRIORITY = [
     "dedup_lsh_recall",
     "dedup_incremental",
     "agg_countmin_hh",
+    "agg_equidepth",
+    "graph_triangles",
     # judge-named round-2 targets
     "dedup_minhash_lsh",
     "dedup_components",

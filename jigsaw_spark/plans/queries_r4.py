@@ -499,3 +499,108 @@ def agg_countmin_hh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "est_n",
         (F.col("est_n") - F.col("exact_n")).alias("overestimate"),
     )
+
+
+_EQUIDEPTH_FRACS = [i / 8 for i in range(1, 8)]
+
+
+@register(
+    "agg_equidepth",
+    f"""
+    WITH b AS (
+      SELECT list_transform(
+               quantile_cont(o_totalprice, {_EQUIDEPTH_FRACS}),
+               v -> round(v, 4)) AS q
+      FROM orders),
+    r AS (
+      SELECT o_totalprice AS x,
+             1 + len(list_filter(q, v -> x >= v)) AS bucket
+      FROM orders CROSS JOIN b)
+    SELECT bucket, count(*) AS n,
+           min(x) AS lo, max(x) AS hi,
+           CAST(round(sum(CAST(x AS DECIMAL(18,2))), 2) AS DOUBLE) AS total
+    FROM r GROUP BY bucket
+    """,
+    "equi-depth histogram the scale-correct way: ONE exact-percentile "
+    "agg yields 7 boundaries (KB collect), then a map-side bucket "
+    "assignment + ONE hash agg — no global sort, no ntile window over "
+    "the whole table (the naive formulation that serializes at 100 TB)",
+)
+def agg_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jigsaw_spark.plans.queries import dec2
+
+    orders = _t(spark, sf_dir, "orders")
+    bnds = orders.agg(
+        F.percentile("o_totalprice", _EQUIDEPTH_FRACS).alias("q")
+    ).collect()[0]["q"]
+    bl = [round(float(v), 4) for v in bnds]
+    bucket = (
+        F.lit(1)
+        + sum(
+            (F.col("o_totalprice") >= F.lit(v)).cast("int") for v in bl
+        )
+    ).alias("bucket")
+    return (
+        orders.select(F.col("o_totalprice").alias("x"), bucket)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("x").alias("lo"),
+            F.max("x").alias("hi"),
+            F.round(F.sum(dec2("x", 18)), 2).cast("double").alias("total"),
+        )
+    )
+
+
+@register(
+    "graph_triangles",
+    f"""
+    WITH {_TOKS_CTE}, {_SHINGLES_CTE},
+    mh AS (
+      SELECT doc_id, seed,
+             min(md5(CAST(seed AS VARCHAR) || '|' || shingle)) AS mh
+      FROM sh CROSS JOIN (SELECT unnest(range(16)) AS seed) seeds
+      GROUP BY doc_id, seed),
+    bands AS (
+      SELECT doc_id, seed // 4 AS band,
+             string_agg(mh, ',' ORDER BY seed) AS sig
+      FROM mh GROUP BY doc_id, band),
+    e AS (
+      SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.sig = b.sig
+                  AND a.doc_id < b.doc_id)
+    SELECT (SELECT count(*) FROM e) AS n_edges,
+           (SELECT count(*)
+            FROM e e1 JOIN e e2 ON e2.u = e1.v
+                      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+           ) AS n_triangles
+    """,
+    "triangle count over the near-dup candidate graph (cluster-density "
+    "signal): oriented edges (u<v) so each triangle joins exactly once "
+    "— the standard degree-bounded triple join; at 100 TB the edge list "
+    "is the LSH output, orders smaller than the corpus",
+)
+def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jigsaw_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    e = (
+        minhash_lsh_pairs(docs, "doc_id", num_hashes=16, bands=4)
+        .select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+        .localCheckpoint()
+    )
+    e1 = e.alias("e1")
+    e2 = e.alias("e2")
+    e3 = e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.u") == F.col("e1.v"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .count()
+    )
+    return spark.createDataFrame(
+        [(e.count(), tri)], "n_edges long, n_triangles long"
+    )
