@@ -301,3 +301,43 @@ def decode_example(data: bytes) -> dict[str, tuple[str, list]]:
             if key is not None:
                 out[key] = feat
     return out
+
+
+def upload_tfrecords(
+    spark,
+    local_dir: str,
+    dest_dir: str,
+    basename: str = "data",
+    delete_local: bool = False,
+) -> int:
+    """Finalize a locally-written TFRecord shard directory to any Hadoop
+    filesystem URI (``s3a://bucket/...``, ``hdfs://``, ``file:///``) via
+    the JVM FileSystem API — the lifecycle-upload stage SCALE.md §1.1
+    documents for this sink (executors write shards to local scratch with
+    plain ``open()``; the driver then moves them through whatever
+    committers/credentials the cluster's Hadoop conf provides, so the
+    same code path works on S3A with hadoop-aws present and on file://
+    in this container — tested on the latter).
+
+    Matches the reference's upload-after-export stage
+    (jigsaw/io_utils.py:388-431) without boto3: one round of
+    ``copyFromLocalFile`` per shard + the ``.numexamples`` sidecar.
+    Returns the number of files uploaded.
+    """
+    jvm = spark.sparkContext._jvm
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    Path = jvm.org.apache.hadoop.fs.Path
+    dst = Path(dest_dir)
+    fs = dst.getFileSystem(hconf)
+    fs.mkdirs(dst)
+    n = 0
+    for name in sorted(os.listdir(local_dir)):
+        if not (
+            name.startswith(basename)
+            and (name.endswith(".record") or name.endswith(".numexamples"))
+        ):
+            continue
+        src = Path("file://" + os.path.abspath(os.path.join(local_dir, name)))
+        fs.copyFromLocalFile(delete_local, True, src, Path(dest_dir + "/" + name))
+        n += 1
+    return n
