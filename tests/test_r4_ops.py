@@ -516,3 +516,47 @@ def test_upload_tfrecords_via_hadoop_fs(spark, tmp_path):
         dest_dir
     )
     assert back.count() == 20
+
+
+def test_synthetic_stream_datasource_deterministic(spark, tmp_path):
+    """Spark 4 Python streaming DataSource: two AvailableNow drains from
+    offset 0 produce identical batches (pure-function-of-offset contract),
+    and a windowed agg over the stream equals the batch answer."""
+    from jigsaw_spark.sources.synthetic_stream import (
+        _row,
+        register_synthetic_stream,
+    )
+
+    register_synthetic_stream(spark)
+
+    def drain(tag):
+        out = str(tmp_path / f"out_{tag}")
+        q = (
+            spark.readStream.format("synthetic_events")
+            .option("rows_per_batch", 50)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{tag}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(out)
+
+    a = drain("a")
+    rows_a = sorted(tuple(r) for r in a.collect())
+    rows_b = sorted(tuple(r) for r in drain("b").collect())
+    assert rows_a == rows_b and len(rows_a) == 50
+    assert rows_a[0] == _row(0)
+
+    got = {
+        r["event_type"]: r["n"]
+        for r in a.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    import collections
+
+    want = collections.Counter(_row(i)[3] for i in range(50))
+    assert got == dict(want)
