@@ -1586,6 +1586,7 @@ _CERTIFICATION_PRIORITY = [
     "agg_countmin_hh",
     "agg_equidepth",
     "graph_triangles",
+    "dq_expectations",
     # judge-named round-2 targets
     "dedup_minhash_lsh",
     "dedup_components",

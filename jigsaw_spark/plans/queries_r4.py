@@ -604,3 +604,42 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(e.count(), tri)], "n_edges long, n_triangles long"
     )
+
+
+def _dq_rules():
+    from jigsaw_spark.operators.dq import Rule
+
+    return [
+        Rule("not_null", "o_custkey"),
+        Rule("in_range", "o_totalprice", lo=0.0, hi=600000.0),
+        Rule("accepted_values", "o_orderstatus", values=("O", "F", "P")),
+        Rule("matches", "o_orderpriority", pattern="^[1-5]-"),
+        Rule("unique", "o_orderkey"),
+        # thresholded rule: most orders are terminal (O/F); P is rare
+        Rule("accepted_values", "o_orderstatus", values=("O", "F"),
+             min_fraction=0.8),
+    ]
+
+
+@register(
+    "dq_expectations",
+    None,  # installed below from the operator's adjacent SQL renderer
+    "deequ-lite expectations: six rules (not-null, range, accepted "
+    "values, regex, uniqueness, thresholded not-null) compiled into ONE "
+    "scan — shared hash-agg buffer + count-distinct in the same pass; "
+    "output is |rules| rows, lazily planned",
+)
+def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jigsaw_spark.operators.dq import dq_check
+
+    return dq_check(_t(spark, sf_dir, "orders"), _dq_rules())
+
+
+def _install_dq_oracle() -> None:
+    from jigsaw_spark.operators.dq import dq_oracle_sql
+    from jigsaw_spark.plans.queries import QUERIES
+
+    QUERIES["dq_expectations"].oracle = dq_oracle_sql("orders", _dq_rules())
+
+
+_install_dq_oracle()

@@ -560,3 +560,31 @@ def test_synthetic_stream_datasource_deterministic(spark, tmp_path):
 
     want = collections.Counter(_row(i)[3] for i in range(50))
     assert got == dict(want)
+
+
+def test_dq_check_rules_and_single_scan(spark):
+    from jigsaw_spark.operators.dq import Rule, dq_check
+
+    df = spark.createDataFrame(
+        [(1, "a", 5.0), (2, "b", 50.0), (3, None, 500.0), (3, "a", None)],
+        "id long, cat string, x double",
+    )
+    rules = [
+        Rule("not_null", "cat", min_fraction=0.7),
+        Rule("in_range", "x", lo=0.0, hi=100.0, min_fraction=0.5),
+        Rule("accepted_values", "cat", values=("a", "b")),
+        Rule("unique", "id"),
+        Rule("matches", "cat", pattern="^[ab]$", min_fraction=0.7),
+    ]
+    out = {r["rule"]: r for r in dq_check(df, rules).collect()}
+    assert out["not_null(cat)"]["passed"] and out["not_null(cat)"]["fraction"] == 0.75
+    assert out["in_range(x)"]["fraction"] == 0.5 and out["in_range(x)"]["passed"]
+    assert out["accepted_values(cat)"]["fraction"] == 0.75
+    assert not out["accepted_values(cat)"]["passed"]  # threshold 1.0
+    assert out["unique(id)"]["fraction"] == 0.75 and not out["unique(id)"]["passed"]
+    assert out["matches(cat)"]["passed"]
+
+    # the whole check is ONE aggregate over one scan (plus the Expand the
+    # exact count-distinct needs) — no per-rule jobs
+    plan = dq_check(df, rules)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan ") <= 1
