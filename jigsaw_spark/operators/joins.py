@@ -217,3 +217,81 @@ def merge_into(
         .filter((F.col("_rn") == 1) & ~F.col("_del"))
         .select(*cols)
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Change-data derivation between two table snapshots (the lake-diff
+    that feeds a MERGE when no CDC log exists): one full-outer join on
+    the key, change detection via an md5 row-hash over the compared
+    columns — one shuffle per side on the join key, the hash collapses
+    wide-row comparison to one string equality.
+
+    Returns key columns + ``change ∈ {added, removed, changed}`` —
+    unchanged rows are dropped (at 100 TB they are ~all the rows; never
+    materialize them).
+    """
+    cmp_cols = compare_cols or [c for c in new.columns if c not in keys]
+    def rh(df: DataFrame) -> F.Column:
+        return F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in cmp_cols]))
+
+    o = old.select(*keys, rh(old).alias("_oh"))
+    n = new.select(*keys, rh(new).alias("_nh"))
+    j = o.join(n, keys, "full")
+    change = (
+        F.when(F.col("_oh").isNull(), F.lit("added"))
+        .when(F.col("_nh").isNull(), F.lit("removed"))
+        .when(F.col("_oh") != F.col("_nh"), F.lit("changed"))
+    )
+    return (
+        j.select(*keys, change.alias("change"))
+        .filter(F.col("change").isNotNull())
+    )
+
+
+def scd2_intervals(
+    df: DataFrame,
+    key: str,
+    state_col: str,
+    ts_col: str = "ts",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 history from a change log: one
+    validity interval per (key, state run) — consecutive identical
+    states collapse (true SCD2, not one row per event). Island
+    detection via the lag-change running sum, intervals via lead() over
+    the collapsed runs; NULL valid_to marks the current state.
+
+    One shuffle on the key; both windows share the same partitioning,
+    so Catalyst plans a single Exchange."""
+    from pyspark.sql.window import Window
+
+    order = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
+    w = Window.partitionBy(key).orderBy(*order)
+    runs = (
+        df.select(key, state_col, *order)
+        .withColumn(
+            "_chg",
+            (
+                F.coalesce(
+                    F.lag(state_col).over(w) != F.col(state_col), F.lit(True)
+                )
+            ).cast("int"),
+        )
+        .withColumn("_run", F.sum("_chg").over(w))
+    )
+    collapsed = runs.groupBy(key, "_run").agg(
+        F.min_by(state_col, F.col(ts_col)).alias("state"),
+        F.min(ts_col).alias("valid_from"),
+    )
+    w2 = Window.partitionBy(key).orderBy("valid_from")
+    return collapsed.select(
+        F.col(key),
+        "state",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+    )

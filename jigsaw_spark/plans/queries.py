@@ -1587,6 +1587,8 @@ _CERTIFICATION_PRIORITY = [
     "agg_equidepth",
     "graph_triangles",
     "dq_expectations",
+    "rel_snapshot_diff",
+    "rel_scd2_intervals",
     # judge-named round-2 targets
     "dedup_minhash_lsh",
     "dedup_components",

@@ -643,3 +643,82 @@ def _install_dq_oracle() -> None:
 
 
 _install_dq_oracle()
+
+
+@register(
+    "rel_snapshot_diff",
+    """
+    WITH old AS (
+      SELECT o_orderkey,
+             md5(concat_ws(chr(31),
+                 CAST(o_orderstatus AS VARCHAR),
+                 CAST(o_totalprice AS VARCHAR))) AS _oh
+      FROM orders),
+    new AS (
+      SELECT o_orderkey,
+             md5(concat_ws(chr(31),
+                 CAST(CASE WHEN o_orderkey % 7 = 0 THEN 'F'
+                           ELSE o_orderstatus END AS VARCHAR),
+                 CAST(o_totalprice AS VARCHAR))) AS _nh
+      FROM orders WHERE o_orderkey % 11 <> 0)
+    SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN o._oh IS NULL THEN 'added'
+                WHEN n._nh IS NULL THEN 'removed'
+                WHEN o._oh <> n._nh THEN 'changed' END AS change
+    FROM old o FULL OUTER JOIN new n USING (o_orderkey)
+    WHERE CASE WHEN o._oh IS NULL THEN 'added'
+               WHEN n._nh IS NULL THEN 'removed'
+               WHEN o._oh <> n._nh THEN 'changed' END IS NOT NULL
+    """,
+    "snapshot diff (CDC derivation without a log): full-outer on the "
+    "key + md5 row-hash change detection — wide-row comparison collapses "
+    "to one string equality; unchanged rows (the 100 TB majority) are "
+    "never materialized. New snapshot simulated deterministically: "
+    "orderkey%7 status flip, orderkey%11 deletions",
+)
+def rel_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jigsaw_spark.operators.joins import snapshot_diff
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    new = orders.filter(F.col("o_orderkey") % 11 != 0).withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit("F")).otherwise(
+            F.col("o_orderstatus")
+        ),
+    )
+    return snapshot_diff(orders, new, ["o_orderkey"])
+
+
+@register(
+    "rel_scd2_intervals",
+    """
+    WITH runs AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    numbered AS (
+      SELECT user_id, event_type, ts,
+             sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS run
+      FROM runs),
+    collapsed AS (
+      SELECT user_id, run,
+             min_by(event_type, ts) AS state,
+             min(ts) AS valid_from
+      FROM numbered GROUP BY user_id, run)
+    SELECT user_id, state, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+             AS valid_to
+    FROM collapsed
+    """,
+    "SCD2 history from a change log: consecutive identical states "
+    "collapse into one validity interval (lag-change running sum -> run "
+    "groupBy -> lead); ONE key shuffle shared by both windows",
+)
+def rel_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jigsaw_spark.operators.joins import scd2_intervals
+
+    events = _t(spark, sf_dir, "events")
+    return scd2_intervals(events, "user_id", "event_type", tiebreak_col="event_id")
