@@ -1589,6 +1589,8 @@ _CERTIFICATION_PRIORITY = [
     "dq_expectations",
     "rel_snapshot_diff",
     "rel_scd2_intervals",
+    "agg_mad_outliers",
+    "ts_ewma",
     # judge-named round-2 targets
     "dedup_minhash_lsh",
     "dedup_components",

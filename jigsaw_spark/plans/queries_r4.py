@@ -722,3 +722,98 @@ def rel_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = _t(spark, sf_dir, "events")
     return scd2_intervals(events, "user_id", "event_type", tiebreak_col="event_id")
+
+
+@register(
+    "agg_mad_outliers",
+    """
+    WITH med AS (
+      SELECT round(quantile_cont(o_totalprice, 0.5), 4) AS med FROM orders),
+    dev AS (
+      SELECT o_orderstatus, o_totalprice,
+             abs(o_totalprice - med) AS adev
+      FROM orders CROSS JOIN med),
+    mad AS (
+      SELECT round(quantile_cont(adev, 0.5), 4) AS mad FROM dev)
+    SELECT o_orderstatus,
+           count(*) AS n,
+           sum(CASE WHEN adev > 3 * 1.4826 * mad THEN 1 ELSE 0 END)
+             AS n_outliers
+    FROM dev CROSS JOIN mad
+    GROUP BY o_orderstatus
+    """,
+    "robust outlier flagging via median/MAD (the skew-proof z-score): "
+    "two exact-percentile aggs, each a 1-row broadcast back into the "
+    "scan — never a sort, never a collect of the data column",
+)
+def agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    med = orders.agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("med")
+    )
+    dev = orders.crossJoin(F.broadcast(med)).select(
+        "o_orderstatus",
+        F.abs(F.col("o_totalprice") - F.col("med")).alias("adev"),
+    )
+    mad = dev.agg(F.round(F.percentile("adev", F.lit(0.5)), 4).alias("mad"))
+    return (
+        dev.crossJoin(F.broadcast(mad))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                (F.col("adev") > 3 * 1.4826 * F.col("mad")).cast("long")
+            ).alias("n_outliers"),
+        )
+    )
+
+
+_EWM_ALPHA = 0.3
+_EWM_WIN = 20
+
+
+@register(
+    "ts_ewma",
+    f"""
+    WITH arrs AS (
+      SELECT user_id, ts, event_id, value,
+             list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN {_EWM_WIN - 1} PRECEDING
+                               AND CURRENT ROW) AS w
+      FROM events)
+    SELECT user_id, event_id,
+           round(
+             list_sum(list_transform(list_reverse(w),
+                      (x, i) -> x * power({1 - _EWM_ALPHA}, i - 1)))
+             / list_sum(list_transform(list_reverse(w),
+                      (x, i) -> power({1 - _EWM_ALPHA}, i - 1))),
+             6) AS ewma
+    FROM arrs
+    """,
+    "window-truncated exponentially-weighted mean (pandas ewm "
+    "adjust=True semantics over a 20-row frame): the collected frame is "
+    "bounded, so per-row state is O(window) not O(history) — the "
+    "scale-safe EWMA form; ONE key shuffle",
+)
+def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    events = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(_EWM_WIN - 1), 0)
+    )
+    arr = F.reverse(F.collect_list("value").over(w))
+    decay = F.transform(
+        arr, lambda x, i: F.pow(F.lit(1 - _EWM_ALPHA), i.cast("double"))
+    )
+    num = F.aggregate(
+        F.zip_with(arr, decay, lambda x, d: x * d),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    den = F.aggregate(decay, F.lit(0.0), lambda a, x: a + x)
+    return events.select(
+        "user_id", "event_id", F.round(num / den, 6).alias("ewma")
+    )
