@@ -1591,6 +1591,7 @@ _CERTIFICATION_PRIORITY = [
     "rel_scd2_intervals",
     "agg_mad_outliers",
     "ts_ewma",
+    "curation_pipeline_v2",
     # judge-named round-2 targets
     "dedup_minhash_lsh",
     "dedup_components",

@@ -817,3 +817,70 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return events.select(
         "user_id", "event_id", F.round(num / den, 6).alias("ewma")
     )
+
+
+@register(
+    "curation_pipeline_v2",
+    f"""
+    WITH {_PRE_SQL},
+    lines AS (
+      SELECT doc_id,
+             generate_subscripts(string_split(ltext, chr(10)), 1) AS idx,
+             unnest(string_split(ltext, chr(10))) AS line
+      FROM pre
+    ), dup AS (
+      SELECT fp FROM (
+        SELECT DISTINCT doc_id, md5(trim(line)) AS fp FROM lines) t
+      GROUP BY fp HAVING count(*) >= 2
+    ), cleaned AS (
+      SELECT doc_id,
+             string_agg(line, chr(10) ORDER BY idx) AS clean_text
+      FROM lines
+      WHERE md5(trim(line)) NOT IN (SELECT fp FROM dup)
+      GROUP BY doc_id
+    ), ch AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, length(clean_text) + 1),
+                                   i -> clean_text[i])) AS ch
+      FROM cleaned
+    ), counts AS (
+      SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY doc_id, ch
+    ), ent AS (
+      SELECT doc_id,
+             round(ln(CAST(sum(c) AS DOUBLE))
+                   - sum(CAST(c AS DOUBLE) * ln(c)) / CAST(sum(c) AS DOUBLE),
+                   4) AS entropy
+      FROM counts GROUP BY doc_id
+    )
+    SELECT d.source,
+           count(*) AS n_docs_kept,
+           round(avg(e.entropy), 3) AS avg_entropy
+    FROM ent e JOIN documents d USING (doc_id)
+    WHERE e.entropy > 2.0
+    GROUP BY d.source
+    """,
+    "round-4 curation composite: line-level dedup -> char-entropy gate "
+    "-> per-source retention report; every stage is the production "
+    "operator, chained lazily — dedup's fp agg, entropy's two aggs, a "
+    "doc_id-keyed join back to source",
+)
+def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jigsaw_spark.operators.dedup import dedup_lines
+    from jigsaw_spark.operators.text import char_entropy
+
+    docs = _t(spark, sf_dir, "documents")
+    cleaned = dedup_lines(_pre_lines(docs), "doc_id", "ltext", "\n", 2)
+    ent = char_entropy(
+        cleaned.select("doc_id", F.col("clean_text").alias("text")), "doc_id"
+    ).select("doc_id", F.col("entropy_nats").alias("entropy"))
+    kept = ent.filter(F.col("entropy") > 2.0)
+    return (
+        # the (doc_id, source) side is corpus-sized — shuffle join on the
+        # key, NOT a broadcast (AQE may still choose one at small SF)
+        kept.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_kept"),
+            F.round(F.avg("entropy"), 3).alias("avg_entropy"),
+        )
+    )
