@@ -45,6 +45,9 @@ ALL_PAIRS_OK = {
     # O(n) at any scale — the intended physical shape
     "ts_gap_fill",
     "q22_idle_customers",
+    # median + MAD are each a 1-row exact-percentile dim crossed back
+    # into the scan — three degenerate O(n) NLJs by construction
+    "agg_mad_outliers",
     "agg_hll_mergeable",
     "q11_important_value",  # 0.001×total threshold: 1-row broadcast cross
     "text_unigram_logprob",  # 1-row total-tokens broadcast cross
