@@ -1592,6 +1592,7 @@ _CERTIFICATION_PRIORITY = [
     "agg_mad_outliers",
     "ts_ewma",
     "curation_pipeline_v2",
+    "ts_interval_union",
     # judge-named round-2 targets
     "dedup_minhash_lsh",
     "dedup_components",

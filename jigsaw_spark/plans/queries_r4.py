@@ -884,3 +884,77 @@ def curation_pipeline_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("entropy"), 3).alias("avg_entropy"),
         )
     )
+
+
+_IV_SPAN_US = 300_000_000  # each event opens a 5-minute activity interval
+
+
+@register(
+    "ts_interval_union",
+    f"""
+    WITH iv AS (
+      SELECT user_id, event_id,
+             epoch_us(ts) AS s, epoch_us(ts) + {_IV_SPAN_US} AS e
+      FROM events),
+    flagged AS (
+      SELECT user_id, s, e,
+             CASE WHEN max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) >= s
+                  THEN 0 ELSE 1 END AS new_grp
+      FROM iv),
+    grouped AS (
+      SELECT user_id, s, e,
+             sum(new_grp) OVER (PARTITION BY user_id ORDER BY s, e
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS grp
+      FROM flagged),
+    merged AS (
+      SELECT user_id, grp, min(s) AS ms, max(e) AS me
+      FROM grouped GROUP BY user_id, grp)
+    SELECT user_id,
+           count(*) AS n_intervals,
+           CAST(sum(me - ms) AS BIGINT) AS active_us
+    FROM merged GROUP BY user_id
+    """,
+    "interval-union (merged activity time): the distributed sweep-line "
+    "— running-max-end flags island starts, running sum numbers them, "
+    "ONE key shuffle shared by both windows and the merge agg; exact "
+    "integer-microsecond arithmetic",
+)
+def ts_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    events = _t(spark, sf_dir, "events")
+    iv = events.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("s"),
+        (F.unix_micros("ts") + F.lit(_IV_SPAN_US)).alias("e"),
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = iv.select(
+        "user_id",
+        "s",
+        "e",
+        F.when(F.max("e").over(w_prev) >= F.col("s"), F.lit(0))
+        .otherwise(F.lit(1))
+        .alias("new_grp"),
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    grouped = flagged.withColumn("grp", F.sum("new_grp").over(w_run))
+    merged = grouped.groupBy("user_id", "grp").agg(
+        F.min("s").alias("ms"), F.max("e").alias("me")
+    )
+    return merged.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum(F.col("me") - F.col("ms")).cast("bigint").alias("active_us"),
+    )

@@ -588,3 +588,45 @@ def test_dq_check_rules_and_single_scan(spark):
     # exact count-distinct needs) — no per-rule jobs
     plan = dq_check(df, rules)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan ") <= 1
+
+
+def test_round4_ops_empty_input_total(spark):
+    """Every round-4 operator must be TOTAL on empty input — no
+    sequence/element_at/first() crashes (the reorder-safety class the
+    shingles guard documents)."""
+    from jigsaw_spark.operators.dedup import dedup_lines
+    from jigsaw_spark.operators.dq import Rule, dq_check
+    from jigsaw_spark.operators.joins import scd2_intervals, snapshot_diff
+    from jigsaw_spark.operators.ml import hash_features
+    from jigsaw_spark.operators.similarity import sq8_quantize
+    from jigsaw_spark.operators.text import bpe_encode, char_entropy
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    assert dedup_lines(empty_docs, "doc_id", "text").count() == 0
+    assert char_entropy(empty_docs, "doc_id").count() == 0
+    assert bpe_encode(empty_docs, [("a", "b")], "doc_id").count() == 0
+
+    empty_emb = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert sq8_quantize(empty_emb).count() == 0
+
+    cat = spark.createDataFrame([], "id long, c string")
+    assert hash_features(cat, ["c"], dims=4).count() == 0
+
+    ev = spark.createDataFrame([], "user_id long, state string, ts timestamp")
+    assert scd2_intervals(ev, "user_id", "state").count() == 0
+
+    assert (
+        snapshot_diff(
+            spark.createDataFrame([], "k long, v string"),
+            spark.createDataFrame([], "k long, v string"),
+            ["k"],
+        ).count()
+        == 0
+    )
+
+    # dq over an empty table: fractions are NULL (0/0) -> passed is NULL,
+    # never a crash; rules still emit one row each
+    out = dq_check(
+        spark.createDataFrame([], "x long"), [Rule("not_null", "x")]
+    ).collect()
+    assert len(out) == 1 and out[0]["fraction"] is None
