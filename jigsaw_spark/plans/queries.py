@@ -1593,6 +1593,7 @@ _CERTIFICATION_PRIORITY = [
     "ts_ewma",
     "curation_pipeline_v2",
     "ts_interval_union",
+    "sql_scripting_threshold",
     # judge-named round-2 targets
     "dedup_minhash_lsh",
     "dedup_components",

@@ -958,3 +958,55 @@ def ts_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_intervals"),
         F.sum(F.col("me") - F.col("ms")).cast("bigint").alias("active_us"),
     )
+
+
+@register(
+    "sql_scripting_threshold",
+    """
+    WITH t AS (
+      SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total
+      FROM orders),
+    b AS (
+      SELECT CAST(ceil(o_totalprice / 50000) AS BIGINT) * 50000 AS bi,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s
+      FROM orders GROUP BY 1),
+    c AS (
+      SELECT bi, sum(s) OVER (ORDER BY bi) AS cum FROM b)
+    SELECT bi AS threshold, round(cum / total, 6) AS cum_frac
+    FROM c CROSS JOIN t
+    WHERE cum >= 0.5 * total
+    ORDER BY bi LIMIT 1
+    """,
+    "Spark 4 SQL scripting (BEGIN/DECLARE/WHILE): iterative revenue-"
+    "median threshold search — each round is one pushdown-filtered agg "
+    "scan; the oracle solves the same fixpoint in closed form "
+    "(bucketed cumulative sum), proving the loop's answer",
+)
+def sql_scripting_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    try:
+        spark.conf.set("spark.sql.scripting.enabled", "true")
+    except Exception:
+        pass
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE total DOUBLE;
+          DECLARE cum DOUBLE = 0.0;
+          DECLARE t BIGINT = 0;
+          SET total = (
+            SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+            FROM orders);
+          WHILE cum < 0.5 * total DO
+            SET t = t + 50000;
+            SET cum = (
+              SELECT coalesce(
+                CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE),
+                0.0)
+              FROM orders WHERE o_totalprice <= t);
+          END WHILE;
+          SELECT t AS threshold, round(cum / total, 6) AS cum_frac;
+        END
+        """
+    )
