@@ -1594,6 +1594,7 @@ _CERTIFICATION_PRIORITY = [
     "curation_pipeline_v2",
     "ts_interval_union",
     "sql_scripting_threshold",
+    "p_group_split",
     # judge-named round-2 targets
     "dedup_minhash_lsh",
     "dedup_components",

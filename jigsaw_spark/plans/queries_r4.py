@@ -1010,3 +1010,36 @@ def sql_scripting_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
         END
         """
     )
+
+
+@register(
+    "p_group_split",
+    f"""
+    SELECT doc_id, source,
+           CASE WHEN ('0x' || substr(md5(concat_ws('|', 'gsplit-42',
+                        CAST(source AS VARCHAR))), 1, 12))::UBIGINT
+                     % 1000 < 200
+                THEN 'test' ELSE 'train' END AS split
+    FROM documents
+    """,
+    "group-integrity split (GroupShuffleSplit): the md5 stream keys on "
+    "the GROUP (source), so every doc of a group lands in the same "
+    "split — no leakage between train and test; map-only, "
+    "partition-independent, ~20% of groups to test",
+)
+def p_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jigsaw_spark.functions.hashing import md5_key
+
+    docs = _t(spark, sf_dir, "documents")
+    bucket = F.pmod(
+        F.conv(F.substring(md5_key("source", seed="gsplit-42"), 1, 12), 16, 10)
+        .cast("bigint"),
+        F.lit(1000),
+    )
+    return docs.select(
+        "doc_id",
+        "source",
+        F.when(bucket < 200, F.lit("test")).otherwise(F.lit("train")).alias(
+            "split"
+        ),
+    )
