@@ -1595,6 +1595,8 @@ _CERTIFICATION_PRIORITY = [
     "ts_interval_union",
     "sql_scripting_threshold",
     "p_group_split",
+    "mine_assoc_pairs",
+    "agg_gini",
     # judge-named round-2 targets
     "dedup_minhash_lsh",
     "dedup_components",

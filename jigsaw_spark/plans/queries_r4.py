@@ -1043,3 +1043,119 @@ def p_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             "split"
         ),
     )
+
+
+@register(
+    "mine_assoc_pairs",
+    """
+    WITH b AS (SELECT DISTINCT user_id, event_type FROM events),
+    n AS (SELECT count(DISTINCT user_id) AS n_users FROM events),
+    sup AS (SELECT event_type, count(*) AS s FROM b GROUP BY event_type),
+    pair AS (
+      SELECT a.event_type AS lhs, c.event_type AS rhs, count(*) AS s_ab
+      FROM b a JOIN b c ON a.user_id = c.user_id
+                       AND a.event_type < c.event_type
+      GROUP BY 1, 2)
+    SELECT lhs, rhs, s_ab,
+           round(CAST(s_ab AS DOUBLE) / n_users, 6) AS support,
+           round(CAST(s_ab AS DOUBLE) / sa.s, 6) AS confidence,
+           round(CAST(s_ab AS DOUBLE) * n_users / (sa.s * sb.s), 6) AS lift
+    FROM pair
+    JOIN sup sa ON sa.event_type = lhs
+    JOIN sup sb ON sb.event_type = rhs
+    CROSS JOIN n
+    """,
+    "market-basket pair mining (frequent itemsets k=2): baskets = "
+    "distinct (user, type) — ONE dedup agg, a basket-keyed self-join "
+    "bounded by basket size (|types| small), support/confidence/lift "
+    "from broadcast 1-row total + item-support dims",
+)
+def mine_assoc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    b = events.select("user_id", "event_type").distinct()
+    n_users = b.select("user_id").distinct().count()
+    sup = b.groupBy("event_type").agg(F.count(F.lit(1)).alias("s"))
+    a, c = b.alias("a"), b.alias("c")
+    pair = (
+        a.join(
+            c,
+            (F.col("a.user_id") == F.col("c.user_id"))
+            & (F.col("a.event_type") < F.col("c.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("lhs"),
+            F.col("c.event_type").alias("rhs"),
+        )
+        .agg(F.count(F.lit(1)).alias("s_ab"))
+    )
+    sa = F.broadcast(sup.select(F.col("event_type").alias("lhs"), F.col("s").alias("sa")))
+    sb = F.broadcast(sup.select(F.col("event_type").alias("rhs"), F.col("s").alias("sb")))
+    return (
+        pair.join(sa, "lhs")
+        .join(sb, "rhs")
+        .select(
+            "lhs",
+            "rhs",
+            "s_ab",
+            F.round(F.col("s_ab").cast("double") / n_users, 6).alias("support"),
+            F.round(F.col("s_ab").cast("double") / F.col("sa"), 6).alias(
+                "confidence"
+            ),
+            F.round(
+                F.col("s_ab").cast("double") * n_users
+                / (F.col("sa") * F.col("sb")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+@register(
+    "agg_gini",
+    """
+    WITH x AS (
+      SELECT o_custkey,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS v
+      FROM orders GROUP BY o_custkey),
+    r AS (
+      SELECT v, row_number() OVER (ORDER BY v, o_custkey) AS i FROM x),
+    t AS (SELECT count(*) AS n, sum(v) AS tot FROM r)
+    SELECT round(2.0 * sum(i * v) / (n * tot) - (n + 1.0) / n, 6) AS gini,
+           CAST(n AS BIGINT) AS n_customers
+    FROM r CROSS JOIN t GROUP BY n, tot
+    """,
+    "Gini coefficient of per-customer revenue (concentration/inequality "
+    "report): exact-decimal per-key sums, then ONE global rank over the "
+    "customer AGGREGATE (not the fact table) + one agg. The 1-partition "
+    "window is the documented small-aggregate choice; past ~5M keys the "
+    "swap is samples._ranked's distributed zipWithIndex arm "
+    "(range-partition + per-partition offsets)",
+)
+def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from jigsaw_spark.plans.queries import dec2
+
+    orders = _t(spark, sf_dir, "orders")
+    x = orders.groupBy("o_custkey").agg(
+        F.sum(dec2("o_totalprice", 18)).cast("double").alias("v")
+    )
+    r = x.withColumn(
+        "i", F.row_number().over(Window.orderBy("v", "o_custkey"))
+    )
+    t = r.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("tot")
+    )
+    return (
+        r.crossJoin(F.broadcast(t))
+        .groupBy("n", "tot")
+        .agg(
+            F.round(
+                2.0 * F.sum(F.col("i") * F.col("v")) / (F.col("n") * F.col("tot"))
+                - (F.col("n") + 1.0) / F.col("n"),
+                6,
+            ).alias("gini"),
+            F.col("n").cast("bigint").alias("n_customers"),
+        )
+        .select("gini", "n_customers")
+    )
