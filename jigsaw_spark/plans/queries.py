@@ -1597,6 +1597,7 @@ _CERTIFICATION_PRIORITY = [
     "p_group_split",
     "mine_assoc_pairs",
     "agg_gini",
+    "text_bigram_logprob",
     # judge-named round-2 targets
     "dedup_minhash_lsh",
     "dedup_components",

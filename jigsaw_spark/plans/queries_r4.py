@@ -1159,3 +1159,73 @@ def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("gini", "n_customers")
     )
+
+
+@register(
+    "text_bigram_logprob",
+    f"""
+    WITH {_TOKS_CTE},
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t)),
+                                   i -> t[i] || ' ' || t[i+1])) AS bigram,
+             unnest(list_transform(range(1, len(t)), i -> t[i])) AS w1
+      FROM toks WHERE len(t) >= 2),
+    cb AS (SELECT bigram, count(*) AS cb FROM bg GROUP BY bigram),
+    cu AS (SELECT w1, count(*) AS cu FROM bg GROUP BY w1),
+    v AS (SELECT count(DISTINCT w) AS v
+          FROM (SELECT unnest(t) AS w FROM toks) q),
+    scored AS (
+      SELECT g.doc_id,
+             -ln((cb.cb + 0.5) / (cu.cu + 0.5 * v.v)) AS nll
+      FROM bg g JOIN cb USING (bigram) JOIN cu USING (w1) CROSS JOIN v)
+    SELECT doc_id, count(*) AS n_bigrams,
+           round(avg(nll), 4) AS neg_logprob
+    FROM scored GROUP BY doc_id
+    """,
+    "corpus bigram LM with add-0.5 smoothing: one bigram explode feeds "
+    "BOTH the LM aggregation and the scoring join (same key, exchange "
+    "reuse); vocabulary size is a 1-row broadcast; per-doc mean -ln p — "
+    "the next-order KenLM-lite curation signal above text_unigram_logprob",
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jigsaw_spark.operators.text import tokens_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens_expr("text").alias("t")).filter(
+        F.size("t") >= 2
+    )
+    bg = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 1),
+                lambda i: F.struct(
+                    F.concat_ws(
+                        " ", F.element_at("t", i), F.element_at("t", i + F.lit(1))
+                    ).alias("bigram"),
+                    F.element_at("t", i).alias("w1"),
+                ),
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.bigram", "p.w1")
+    cb = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("cb"))
+    cu = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("cu"))
+    v = (
+        docs.select(F.explode(tokens_expr("text")).alias("w"))
+        .agg(F.count_distinct("w").alias("v"))
+    )
+    nll = -F.log(
+        (F.col("cb") + 0.5) / (F.col("cu") + 0.5 * F.col("v"))
+    )
+    return (
+        bg.join(cb, "bigram")
+        .join(cu, "w1")
+        .crossJoin(F.broadcast(v))
+        .select("doc_id", nll.alias("nll"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg("nll"), 4).alias("neg_logprob"),
+        )
+    )
