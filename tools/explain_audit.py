@@ -48,6 +48,9 @@ ALL_PAIRS_OK = {
     # median + MAD are each a 1-row exact-percentile dim crossed back
     # into the scan — three degenerate O(n) NLJs by construction
     "agg_mad_outliers",
+    # 1-row (n, total) / vocabulary-size dims crossed into the aggregate
+    "agg_gini",
+    "text_bigram_logprob",
     "agg_hll_mergeable",
     "q11_important_value",  # 0.001×total threshold: 1-row broadcast cross
     "text_unigram_logprob",  # 1-row total-tokens broadcast cross
