@@ -1598,6 +1598,8 @@ _CERTIFICATION_PRIORITY = [
     "mine_assoc_pairs",
     "agg_gini",
     "text_bigram_logprob",
+    "fn_collation",
+    "ts_cusum_changepoints",
     # judge-named round-2 targets
     "dedup_minhash_lsh",
     "dedup_components",

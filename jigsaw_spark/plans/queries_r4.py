@@ -1229,3 +1229,77 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("nll"), 4).alias("neg_logprob"),
         )
     )
+
+
+@register(
+    "fn_collation",
+    """
+    SELECT o_orderpriority,
+           count(*) AS n,
+           count(DISTINCT lower(o_orderstatus)) AS n_status_ci,
+           min(lower(o_orderstatus)) AS first_status_ci
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    "Spark 4 collation surface: UTF8_LCASE comparison/grouping — "
+    "case-insensitive distinct and min push into the collated column "
+    "(no lower() wrapper on the engine side; the oracle replays with "
+    "lower() which is value-equivalent for ASCII data)",
+)
+def fn_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    ci = F.collate(F.col("o_orderstatus"), "UTF8_LCASE")
+    return orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(ci).alias("n_status_ci"),
+        F.lower(F.min(ci)).cast("string").alias("first_status_ci"),
+    )
+
+
+_CUSUM_K = 3.0
+
+
+@register(
+    "ts_cusum_changepoints",
+    """
+    WITH stats AS (
+      SELECT avg(value) AS mu, stddev_pop(value) AS sd FROM events),
+    c AS (
+      SELECT user_id, event_id, ts,
+             sum(value - mu) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS cusum,
+             sd
+      FROM events CROSS JOIN stats)
+    SELECT user_id,
+           count(*) AS n_events,
+           sum(CASE WHEN abs(cusum) > 3.0 * sd * sqrt(10) THEN 1 ELSE 0 END)
+             AS n_alarms,
+           round(max(abs(cusum)), 4) AS max_dev
+    FROM c GROUP BY user_id
+    """,
+    "CUSUM drift detection per user: global (mu, sigma) as a 1-row "
+    "broadcast, running deviation sum in ONE key-partitioned window, "
+    "alarms where |cusum| exceeds k·sigma·sqrt(n_window) — the "
+    "sequential change-detection primitive, one shuffle",
+)
+def ts_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    events = _t(spark, sf_dir, "events")
+    stats = events.agg(
+        F.avg("value").alias("mu"), F.stddev_pop("value").alias("sd")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = events.crossJoin(F.broadcast(stats)).withColumn(
+        "cusum", F.sum(F.col("value") - F.col("mu")).over(w)
+    )
+    thresh = F.lit(_CUSUM_K) * F.col("sd") * F.lit(10.0**0.5)
+    return c.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum((F.abs("cusum") > thresh).cast("long")).alias("n_alarms"),
+        F.round(F.max(F.abs("cusum")), 4).alias("max_dev"),
+    )

@@ -51,6 +51,7 @@ ALL_PAIRS_OK = {
     # 1-row (n, total) / vocabulary-size dims crossed into the aggregate
     "agg_gini",
     "text_bigram_logprob",
+    "ts_cusum_changepoints",
     "agg_hll_mergeable",
     "q11_important_value",  # 0.001×total threshold: 1-row broadcast cross
     "text_unigram_logprob",  # 1-row total-tokens broadcast cross
