@@ -35,3 +35,34 @@ class ChunkText:
 def register_udtfs(spark) -> None:
     """Make the UDTF surface addressable from SQL (`LATERAL chunk_text(...)`)."""
     spark.udtf.register("chunk_text", ChunkText)
+
+
+def fingerprint_arrow(df, key: str, toks_col: str = "toks"):
+    """`mapInArrow` fingerprint kernel: md5 over the canonical token
+    stream, operating on pyarrow RecordBatches directly (no pandas
+    conversion — the lowest-overhead Python boundary Spark offers).
+    Semantics identical to the pure-expression
+    ``text.fingerprint_expr`` (parity-tested); exists as the template
+    for kernels that need Python libs on byte payloads without paying
+    the Arrow→pandas→Arrow double conversion."""
+    import hashlib
+
+    import pyarrow as pa
+
+    key_field = df.schema[key]
+
+    def kernel(batches):
+        for batch in batches:
+            keys = batch.column(key)
+            toks = batch.column(toks_col)
+            fps = pa.array(
+                [
+                    hashlib.md5(" ".join(t.as_py()).encode()).hexdigest()
+                    for t in toks
+                ],
+                type=pa.string(),
+            )
+            yield pa.RecordBatch.from_arrays([keys, fps], names=[key, "fp"])
+
+    out_type = key_field.dataType.simpleString()
+    return df.mapInArrow(kernel, f"{key} {out_type}, fp string")

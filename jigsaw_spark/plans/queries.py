@@ -1600,6 +1600,7 @@ _CERTIFICATION_PRIORITY = [
     "text_bigram_logprob",
     "fn_collation",
     "ts_cusum_changepoints",
+    "graph_pagerank",
     # judge-named round-2 targets
     "dedup_minhash_lsh",
     "dedup_components",

@@ -1303,3 +1303,23 @@ def ts_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.abs("cusum") > thresh).cast("long")).alias("n_alarms"),
         F.round(F.max(F.abs("cusum")), 4).alias("max_dev"),
     )
+
+
+@register(
+    "graph_pagerank",
+    None,  # iterative power method; bit-parity vs numpy in
+    # tests/test_r4_ops.py::test_pagerank_matches_numpy_power_iteration
+    "PageRank over the near-dup candidate graph (canonical-doc ranking "
+    "inside clusters): per round ONE src-keyed join (exchange reused) + "
+    "ONE dst-keyed agg; ranks |V| rows, lineage checkpointed — the "
+    "iterative message-passing workload",
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jigsaw_spark.operators.dedup import minhash_lsh_pairs
+    from jigsaw_spark.operators.graph import pagerank
+
+    docs = _t(spark, sf_dir, "documents")
+    edges = minhash_lsh_pairs(docs, "doc_id", num_hashes=16, bands=4).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    return pagerank(edges, n_iters=10).orderBy(F.desc("rank"), "node").limit(50)

@@ -630,3 +630,62 @@ def test_round4_ops_empty_input_total(spark):
         spark.createDataFrame([], "x long"), [Rule("not_null", "x")]
     ).collect()
     assert len(out) == 1 and out[0]["fraction"] is None
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    import numpy as np
+
+    from jigsaw_spark.operators.graph import pagerank
+
+    # two triangles bridged by one edge + a pendant
+    E = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 5), (5, 3), (5, 6)]
+    edges = spark.createDataFrame(E, "src long, dst long")
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(edges, n_iters=20, undirected=True).collect()
+    }
+
+    # numpy reference: same undirected expansion, same iteration
+    und = set()
+    for a, b in E:
+        und.add((a, b))
+        und.add((b, a))
+    nodes = sorted({x for e in und for x in e})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    deg = np.zeros(n)
+    for a, _ in und:
+        deg[idx[a]] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(20):
+        c = np.zeros(n)
+        for a, b in und:
+            c[idx[b]] += r[idx[a]] / deg[idx[a]]
+        r = (1 - 0.85) / n + 0.85 * c
+    for v in nodes:
+        assert abs(got[v] - r[idx[v]]) < 1e-9
+    # ranks form a distribution and the bridge node outranks the pendant
+    assert abs(sum(got.values()) - 1.0) < 1e-6
+    assert got[5] > got[6]
+
+
+def test_map_in_arrow_fingerprint_matches_expression(spark):
+    from jigsaw_spark.functions.udtfs import fingerprint_arrow
+    from jigsaw_spark.operators.text import fingerprint_expr, tokens_expr
+
+    df = _docs(
+        spark,
+        [(1, "The CAT sat"), (2, "dog,  dog!  dog"), (3, "a-b-c 123")],
+    )
+    toks = df.select("doc_id", tokens_expr("text").alias("toks"))
+    via_arrow = {
+        r["doc_id"]: r["fp"]
+        for r in fingerprint_arrow(toks, "doc_id").collect()
+    }
+    via_expr = {
+        r["doc_id"]: r["fp"]
+        for r in df.select(
+            "doc_id", fingerprint_expr(tokens_expr("text")).alias("fp")
+        ).collect()
+    }
+    assert via_arrow == via_expr
