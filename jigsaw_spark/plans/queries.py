@@ -1601,6 +1601,8 @@ _CERTIFICATION_PRIORITY = [
     "fn_collation",
     "ts_cusum_changepoints",
     "graph_pagerank",
+    "dq_psi_drift",
+    "text_rake_keyphrase",
     # judge-named round-2 targets
     "dedup_minhash_lsh",
     "dedup_components",

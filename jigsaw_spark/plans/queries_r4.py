@@ -1323,3 +1323,162 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     )
     return pagerank(edges, n_iters=10).orderBy(F.desc("rank"), "node").limit(50)
+
+
+@register(
+    "dq_psi_drift",
+    """
+    WITH old AS (
+      SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS b
+      FROM orders WHERE o_orderkey % 2 = 0),
+    new AS (
+      SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS b
+      FROM orders WHERE o_orderkey % 2 = 1),
+    po AS (SELECT b, count(*) AS c FROM old GROUP BY b),
+    pn AS (SELECT b, count(*) AS c FROM new GROUP BY b),
+    no_ AS (SELECT sum(c) AS n FROM po),
+    nn AS (SELECT sum(c) AS n FROM pn),
+    j AS (
+      SELECT coalesce(po.b, pn.b) AS b,
+             (coalesce(po.c, 0) + 0.5) / (no_.n + 0.5) AS p,
+             (coalesce(pn.c, 0) + 0.5) / (nn.n + 0.5) AS q
+      FROM po FULL OUTER JOIN pn USING (b) CROSS JOIN no_ CROSS JOIN nn)
+    SELECT round(sum((p - q) * ln(p / q)), 6) AS psi,
+           count(*) AS n_buckets
+    FROM j
+    """,
+    "population-stability-index drift between two snapshots (even/odd "
+    "key halves as the deterministic split): two bucket hash-aggs, a "
+    "bucket-keyed full-outer join (buckets are bounded — KB), additive-"
+    "smoothed so empty buckets never divide by zero; the model-ops "
+    "drift gate",
+)
+def dq_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    b = F.floor(F.col("o_totalprice") / 50000).cast("bigint").alias("b")
+
+    def hist(pred):
+        return (
+            orders.filter(pred)
+            .select(b)
+            .groupBy("b")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+
+    po = hist(F.col("o_orderkey") % 2 == 0)
+    pn = hist(F.col("o_orderkey") % 2 == 1)
+    no = po.agg(F.sum("c").alias("n_old"))
+    nn = pn.agg(F.sum("c").alias("n_new"))
+    j = (
+        po.withColumnRenamed("c", "c_old")
+        .join(pn.withColumnRenamed("c", "c_new"), "b", "full")
+        .crossJoin(F.broadcast(no))
+        .crossJoin(F.broadcast(nn))
+        .select(
+            (
+                (F.coalesce("c_old", F.lit(0)) + 0.5)
+                / (F.col("n_old") + 0.5)
+            ).alias("p"),
+            (
+                (F.coalesce("c_new", F.lit(0)) + 0.5)
+                / (F.col("n_new") + 0.5)
+            ).alias("q"),
+        )
+    )
+    return j.agg(
+        F.round(
+            F.sum((F.col("p") - F.col("q")) * F.log(F.col("p") / F.col("q"))),
+            6,
+        ).alias("psi"),
+        F.count(F.lit(1)).alias("n_buckets"),
+    )
+
+
+_RAKE_STOPS = ("a", "the", "of", "and", "to", "in")
+_RAKE_STOPS_SQL = ", ".join(f"'{w}'" for w in _RAKE_STOPS)
+
+
+@register(
+    "text_rake_keyphrase",
+    f"""
+    WITH {_TOKS_CTE},
+    pos AS (
+      SELECT doc_id, generate_subscripts(t, 1) AS p, unnest(t) AS w
+      FROM toks),
+    flagged AS (
+      SELECT doc_id, p, w,
+             CASE WHEN w IN ({_RAKE_STOPS_SQL}) THEN 1 ELSE 0 END AS stop
+      FROM pos),
+    runs AS (
+      SELECT doc_id, p, w, stop,
+             sum(stop) OVER (PARTITION BY doc_id ORDER BY p) AS run
+      FROM flagged),
+    pw AS (
+      SELECT doc_id, run, w, p,
+             count(*) OVER (PARTITION BY doc_id, run) AS plen
+      FROM runs WHERE stop = 0),
+    stats AS (
+      SELECT w, count(*) AS freq, sum(plen) AS deg FROM pw GROUP BY w),
+    scored AS (
+      SELECT pw.doc_id, pw.run,
+             string_agg(pw.w, ' ' ORDER BY pw.p) AS phrase,
+             round(sum(CAST(s.deg AS DOUBLE) / s.freq), 6) AS score
+      FROM pw JOIN stats s USING (w)
+      GROUP BY pw.doc_id, pw.run),
+    ranked AS (
+      SELECT doc_id, phrase, score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, phrase) AS rn
+      FROM scored)
+    SELECT doc_id, phrase, score FROM ranked WHERE rn = 1
+    """,
+    "RAKE-lite keyphrase extraction: stopword islands (running-sum run "
+    "ids) -> phrase table, word degree/frequency stats in ONE agg, "
+    "phrase score = sum(deg/freq), top phrase per doc — explode + three "
+    "hash aggs + one word-keyed join, nothing quadratic",
+)
+def text_rake_keyphrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from jigsaw_spark.operators.text import tokens_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    pos = docs.select(
+        "doc_id", F.posexplode(tokens_expr("text")).alias("p0", "w")
+    ).select("doc_id", (F.col("p0") + 1).alias("p"), "w")
+    flagged = pos.withColumn(
+        "stop", F.col("w").isin(list(_RAKE_STOPS)).cast("int")
+    )
+    w_run = Window.partitionBy("doc_id").orderBy("p")
+    runs = flagged.withColumn("run", F.sum("stop").over(w_run))
+    pw = runs.filter(F.col("stop") == 0).withColumn(
+        "plen",
+        F.count(F.lit(1)).over(Window.partitionBy("doc_id", "run")),
+    )
+    stats = pw.groupBy("w").agg(
+        F.count(F.lit(1)).alias("freq"), F.sum("plen").alias("deg")
+    )
+    scored = (
+        pw.join(stats, "w")
+        .groupBy("doc_id", "run")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("p", "w"))),
+                    lambda s: s["w"],
+                ),
+                " ",
+            ).alias("phrase"),
+            F.round(
+                F.sum(F.col("deg").cast("double") / F.col("freq")), 6
+            ).alias("score"),
+        )
+    )
+    w_rank = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("phrase")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "phrase", "score")
+    )
