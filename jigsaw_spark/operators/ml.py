@@ -210,3 +210,59 @@ def hash_features_sql(cols: list[str], dims: int = 32, seed: str = "fh") -> str:
     # ::DOUBLE[]: DuckDB types the CASE literals DECIMAL, which its client
     # returns as decimal.Decimal — value-equal but canon-string-different
     return f"(list_transform(range(0, {dims}), i -> {body}))::DOUBLE[]"
+
+
+def power_iteration_pc1(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_iters: int = 15,
+) -> tuple[list[float], float]:
+    """Leading principal component by distributed power iteration on the
+    (centered) covariance: per round ONE scan — t = X·v is a JVM fold,
+    X^T·t reduces via posexplode + (dim)-keyed agg to d rows (the logreg
+    gradient shape); the matrix is never materialized. Returns
+    (unit eigenvector, eigenvalue estimate). Deterministic start
+    (all-ones/sqrt(d)); sign fixed so the largest-|component| is
+    positive."""
+    import math
+
+    dims = len(df.select(vec_col).first()[0])
+    base = df.select(F.col(vec_col).cast("array<double>").alias("_v"))
+    n = base.count()
+    mean_rows = (
+        base.select(F.posexplode("_v").alias("d", "x"))
+        .groupBy("d")
+        .agg((F.sum("x") / n).alias("m"))
+        .collect()
+    )
+    mu = [0.0] * dims
+    for r in mean_rows:
+        mu[r["d"]] = float(r["m"])
+
+    v = [1.0 / math.sqrt(dims)] * dims
+    lam = 0.0
+    for _ in range(n_iters):
+        v_lit = F.array(*[F.lit(x) for x in v])
+        mu_lit = F.array(*[F.lit(x) for x in mu])
+        centered = F.zip_with(F.col("_v"), mu_lit, lambda x, m: x - m)
+        t = F.aggregate(
+            F.zip_with(centered, v_lit, lambda x, w: x * w),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        w_rows = (
+            base.select(t.alias("_t"), F.posexplode(centered).alias("d", "x"))
+            .groupBy("d")
+            .agg((F.sum(F.col("_t") * F.col("x")) / n).alias("w"))
+            .collect()
+        )
+        w = [0.0] * dims
+        for r in w_rows:
+            w[r["d"]] = float(r["w"])
+        lam = math.sqrt(sum(x * x for x in w))
+        v = [x / lam for x in w] if lam > 0 else v
+    # sign convention: largest-|component| positive
+    k = max(range(dims), key=lambda i: abs(v[i]))
+    if v[k] < 0:
+        v = [-x for x in v]
+    return v, lam

@@ -1603,6 +1603,7 @@ _CERTIFICATION_PRIORITY = [
     "graph_pagerank",
     "dq_psi_drift",
     "text_rake_keyphrase",
+    "agg_moments_34",
     # judge-named round-2 targets
     "dedup_minhash_lsh",
     "dedup_components",

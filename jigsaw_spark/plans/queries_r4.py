@@ -1482,3 +1482,74 @@ def text_rake_keyphrase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("doc_id", "phrase", "score")
     )
+
+
+@register(
+    "ml_pca_pc1",
+    None,  # iterative power method; numpy eigendecomposition parity in
+    # tests/test_r4_ops.py::test_power_iteration_pc1_matches_numpy
+    "leading principal component by distributed power iteration: per "
+    "round ONE scan (JVM fold matvec + posexplode (dim)-agg back-"
+    "projection, d rows collected) — covariance never materialized; "
+    "the embedding-whitening primitive",
+)
+def ml_pca_pc1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jigsaw_spark.operators.ml import power_iteration_pc1
+
+    emb = _t(spark, sf_dir, "embeddings")
+    v, lam = power_iteration_pc1(emb, n_iters=12)
+    rows = [(-1, float(lam))] + [(d, float(x)) for d, x in enumerate(v)]
+    return spark.createDataFrame(rows, "dim int, component double")
+
+
+@register(
+    "agg_moments_34",
+    """
+    WITH m AS (
+      SELECT avg(value) AS m1,
+             avg(value * value) AS m2,
+             avg(value * value * value) AS m3,
+             avg(value * value * value * value) AS m4,
+             count(*) AS n
+      FROM events)
+    SELECT CAST(n AS BIGINT) AS n,
+           round(m2 - m1 * m1, 6) AS variance,
+           round((m3 - 3 * m1 * m2 + 2 * m1 * m1 * m1)
+                 / pow(m2 - m1 * m1, 1.5), 6) AS skewness_g1,
+           round((m4 - 4 * m1 * m3 + 6 * m1 * m1 * m2 - 3 * pow(m1, 4))
+                 / pow(m2 - m1 * m1, 2) - 3, 6) AS excess_kurtosis_g2
+    FROM m
+    """,
+    "3rd/4th standardized moments from raw power sums — ONE hash agg, "
+    "map-side combinable, the SAME closed-form on both engines (Spark's "
+    "skewness() and DuckDB's use different population/sample "
+    "conventions; deriving from raw moments sidesteps the mismatch)",
+)
+def agg_moments_34(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    v = F.col("value")
+    m = events.agg(
+        F.avg(v).alias("m1"),
+        F.avg(v * v).alias("m2"),
+        F.avg(v * v * v).alias("m3"),
+        F.avg(v * v * v * v).alias("m4"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    var = F.col("m2") - F.col("m1") * F.col("m1")
+    skew = (
+        F.col("m3")
+        - 3 * F.col("m1") * F.col("m2")
+        + 2 * F.col("m1") * F.col("m1") * F.col("m1")
+    ) / F.pow(var, 1.5)
+    kurt = (
+        F.col("m4")
+        - 4 * F.col("m1") * F.col("m3")
+        + 6 * F.col("m1") * F.col("m1") * F.col("m2")
+        - 3 * F.pow(F.col("m1"), 4)
+    ) / F.pow(var, 2) - 3
+    return m.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.round(var, 6).alias("variance"),
+        F.round(skew, 6).alias("skewness_g1"),
+        F.round(kurt, 6).alias("excess_kurtosis_g2"),
+    )

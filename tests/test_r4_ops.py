@@ -689,3 +689,27 @@ def test_map_in_arrow_fingerprint_matches_expression(spark):
         ).collect()
     }
     assert via_arrow == via_expr
+
+
+def test_power_iteration_pc1_matches_numpy(spark):
+    import numpy as np
+
+    from jigsaw_spark.operators.ml import power_iteration_pc1
+
+    rng = np.random.default_rng(5)
+    # anisotropic cloud: dominant direction along a known vector
+    d0 = np.array([3.0, 1.0, 0.0, -1.0])
+    X = rng.normal(size=(300, 4)) + rng.normal(size=(300, 1)) * d0
+    df = spark.createDataFrame(
+        [( [float(x) for x in row],) for row in X],
+        "embedding array<double>",
+    )
+    v, lam = power_iteration_pc1(df, n_iters=30)
+
+    C = np.cov(X.T, bias=True)
+    evals, evecs = np.linalg.eigh(C)
+    pc = evecs[:, -1]
+    if pc[np.argmax(np.abs(pc))] < 0:
+        pc = -pc
+    assert np.allclose(v, pc, atol=1e-4)
+    assert abs(lam - evals[-1]) / evals[-1] < 1e-4
