@@ -657,3 +657,47 @@ def char_entropy(df: DataFrame, key: str, text: str = "text") -> DataFrame:
         ).alias("entropy_nats"),
         F.count(F.lit(1)).alias("n_distinct_chars"),
     )
+
+
+def compression_ratio(df: DataFrame, key: str, text: str = "text") -> DataFrame:
+    """zlib compression-ratio quality signal (low ratio = templated or
+    repetitive text, very high = random noise — the cheap single-number
+    redundancy probe used alongside the Gopher repetition rules).
+
+    Runs as a `mapInArrow` kernel (RecordBatch-direct — no pandas
+    conversion for a bytes-in/floats-out op); zero shuffle, scales
+    linearly. Deterministic for a fixed zlib level; not SQL-expressible
+    (no oracle), parity-tested against local zlib."""
+    import zlib
+
+    import pyarrow as pa
+
+    key_type = df.schema[key].dataType.simpleString()
+
+    def kernel(batches):
+        for batch in batches:
+            keys = batch.column(key)
+            texts = batch.column(text)
+            ratios, raws, comps = [], [], []
+            for t in texts:
+                raw = (t.as_py() or "").encode()
+                comp = zlib.compress(raw, 6)
+                raws.append(len(raw))
+                comps.append(len(comp))
+                ratios.append(
+                    round(len(comp) / len(raw), 6) if raw else None
+                )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    keys,
+                    pa.array(raws, pa.int64()),
+                    pa.array(comps, pa.int64()),
+                    pa.array(ratios, pa.float64()),
+                ],
+                names=[key, "raw_bytes", "compressed_bytes", "ratio"],
+            )
+
+    return df.select(key, text).mapInArrow(
+        kernel,
+        f"{key} {key_type}, raw_bytes long, compressed_bytes long, ratio double",
+    )

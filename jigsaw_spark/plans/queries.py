@@ -1604,6 +1604,7 @@ _CERTIFICATION_PRIORITY = [
     "dq_psi_drift",
     "text_rake_keyphrase",
     "agg_moments_34",
+    "agg_bootstrap_means",
     # judge-named round-2 targets
     "dedup_minhash_lsh",
     "dedup_components",

@@ -1553,3 +1553,106 @@ def agg_moments_34(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(skew, 6).alias("skewness_g1"),
         F.round(kurt, 6).alias("excess_kurtosis_g2"),
     )
+
+
+@register(
+    "text_compression_ratio",
+    None,  # zlib output length is library-deterministic but not
+    # SQL-expressible; parity vs local zlib in tests/test_r4_ops.py
+    "zlib compression-ratio redundancy probe (Gopher-adjacent quality "
+    "signal): mapInArrow kernel, RecordBatch-direct, zero shuffle",
+)
+def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jigsaw_spark.operators.text import compression_ratio
+
+    return compression_ratio(_t(spark, sf_dir, "documents"), "doc_id")
+
+
+# Poisson(1) inverse-CDF ladder (cumulative probabilities, full double
+# precision so both engines compare against identical literals)
+_POIS_CDF = [
+    0.36787944117144233,
+    0.7357588823428846,
+    0.9196986029286058,
+    0.9810118431238462,
+    0.9963401531726563,
+    0.9994058151824183,
+    0.9999167588507119,
+]
+_BOOT_B = 20
+
+
+def _pois_case_sql(u: str) -> str:
+    parts = [
+        f"WHEN {u} < {c} THEN {k}" for k, c in enumerate(_POIS_CDF)
+    ]
+    return "CASE " + " ".join(parts) + " ELSE 7 END"
+
+
+@register(
+    "agg_bootstrap_means",
+    f"""
+    WITH rep AS (
+      SELECT o_orderkey, o_totalprice, unnest(range({_BOOT_B})) AS b
+      FROM orders),
+    w AS (
+      SELECT b, o_totalprice,
+             {_pois_case_sql("(('0x' || substr(md5(concat_ws('|', 'boot', "
+                             "CAST(b AS VARCHAR), CAST(o_orderkey AS VARCHAR)"
+                             ")), 1, 12))::UBIGINT / 281474976710656.0)")}
+               AS wt
+      FROM rep)
+    SELECT b,
+           round(CAST(sum(wt * CAST(o_totalprice AS DECIMAL(18,2)))
+                      AS DOUBLE) / sum(wt), 4) AS boot_mean,
+           CAST(sum(wt) AS BIGINT) AS n_drawn
+    FROM w GROUP BY b
+    """,
+    "deterministic Poisson bootstrap (the resampling-at-scale trick: "
+    "Poisson(1) weights approximate multinomial resampling without "
+    "coordination): weights come from the md5 stream so every replica "
+    "is reproducible and oracle-checkable; replica means use exact-"
+    "decimal weighted sums (order-independent). 20 replicas = one "
+    "explode + ONE hash agg",
+)
+def agg_bootstrap_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jigsaw_spark.functions.hashing import md5_key
+    from jigsaw_spark.plans.queries import dec2
+
+    orders = _t(spark, sf_dir, "orders")
+    rep = orders.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                md5_key(
+                    F.concat_ws(
+                        "|",
+                        F.lit("boot"),
+                        F.col("b").cast("string"),
+                        F.col("o_orderkey").cast("string"),
+                    )
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(16**12))
+    )
+    wt = F.lit(7)
+    for k in range(len(_POIS_CDF) - 1, -1, -1):
+        wt = F.when(u < F.lit(_POIS_CDF[k]), F.lit(k)).otherwise(wt)
+    w = rep.select("b", "o_totalprice", wt.alias("wt"))
+    return w.groupBy("b").agg(
+        F.round(
+            F.sum(F.col("wt") * dec2("o_totalprice", 18)).cast("double")
+            / F.sum("wt"),
+            4,
+        ).alias("boot_mean"),
+        F.sum("wt").cast("bigint").alias("n_drawn"),
+    )

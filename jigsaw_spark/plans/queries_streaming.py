@@ -193,3 +193,46 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F2.col("v_user").alias("user_id"))
         .agg(F2.count(F2.lit(1)).alias("n_pairs"))
     )
+
+
+@register(
+    "stream_synth_rollup",
+    None,  # rows are generated by the Python streaming DataSource, not a
+    # driver table — determinism is pinned by
+    # tests/test_r4_ops.py::test_synthetic_stream_datasource_deterministic
+    "Spark 4 Python streaming DataSource drain: 200 offset-derived "
+    "deterministic events -> AvailableNow -> per-type rollup (counts + "
+    "integer-cent sums); replays identically from any checkpoint",
+)
+def stream_synth_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from jigsaw_spark.sources.synthetic_stream import register_synthetic_stream
+
+    register_synthetic_stream(spark)
+    out = tempfile.mkdtemp(prefix="jigsaw_synth_out_")
+    ckpt = tempfile.mkdtemp(prefix="jigsaw_synth_ckpt_")
+    with _state_partitions(spark):
+        q = (
+            spark.readStream.format("synthetic_events")
+            .option("rows_per_batch", 200)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return (
+        spark.read.parquet(out)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.round(F.col("value") * 100, 0).cast("bigint")
+            ).alias("total_cents"),
+        )
+    )

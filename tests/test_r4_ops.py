@@ -713,3 +713,27 @@ def test_power_iteration_pc1_matches_numpy(spark):
         pc = -pc
     assert np.allclose(v, pc, atol=1e-4)
     assert abs(lam - evals[-1]) / evals[-1] < 1e-4
+
+
+def test_compression_ratio_matches_local_zlib(spark):
+    import zlib
+
+    from jigsaw_spark.operators.text import compression_ratio
+
+    texts = {
+        1: "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa",  # highly compressible
+        2: "the quick brown fox jumps over the lazy dog",
+        3: "",
+    }
+    df = _docs(spark, list(texts.items()))
+    got = {
+        r["doc_id"]: (r["raw_bytes"], r["compressed_bytes"], r["ratio"])
+        for r in compression_ratio(df, "doc_id").collect()
+    }
+    for k, t in texts.items():
+        raw = t.encode()
+        comp = zlib.compress(raw, 6)
+        want_ratio = round(len(comp) / len(raw), 6) if raw else None
+        assert got[k] == (len(raw), len(comp), want_ratio)
+    # repetitive text compresses far better than natural text
+    assert got[1][2] < got[2][2]
