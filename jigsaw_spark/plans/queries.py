@@ -1605,6 +1605,7 @@ _CERTIFICATION_PRIORITY = [
     "text_rake_keyphrase",
     "agg_moments_34",
     "agg_bootstrap_means",
+    "agg_weighted_percentile",
     # judge-named round-2 targets
     "dedup_minhash_lsh",
     "dedup_components",
