@@ -1600,7 +1600,6 @@ _CERTIFICATION_PRIORITY = [
     "text_bigram_logprob",
     "fn_collation",
     "ts_cusum_changepoints",
-    "graph_pagerank",
     "dq_psi_drift",
     "text_rake_keyphrase",
     "agg_moments_34",

