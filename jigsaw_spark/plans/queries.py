@@ -1605,6 +1605,8 @@ _CERTIFICATION_PRIORITY = [
     "agg_moments_34",
     "agg_bootstrap_means",
     "agg_weighted_percentile",
+    "rel_attribution_last_touch",
+    "ab_cuped_adjust",
     # judge-named round-2 targets
     "dedup_minhash_lsh",
     "dedup_components",

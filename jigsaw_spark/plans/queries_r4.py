@@ -1685,3 +1685,122 @@ def agg_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.percentile("l_extendedprice", F.lit(0.9), freq), 4
         ).alias("wp90"),
     )
+
+
+@register(
+    "rel_attribution_last_touch",
+    """
+    WITH t AS (
+      SELECT user_id, event_id, ts, event_type, value,
+             max(CASE WHEN event_type = 'click' THEN event_id END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS last_click
+      FROM events)
+    SELECT last_click AS click_event,
+           count(*) AS n_purchases,
+           sum(CAST(round(value * 100, 0) AS BIGINT)) AS revenue_cents
+    FROM t
+    WHERE event_type = 'purchase' AND last_click IS NOT NULL
+    GROUP BY last_click
+    """,
+    "last-touch attribution: each purchase credits the most recent "
+    "preceding click — ONE key-partitioned running-max window (no self-"
+    "join, no as-of shuffle pair), then a hash agg on the credited "
+    "click; revenue in exact integer cents",
+)
+def rel_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    events = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    t = events.withColumn(
+        "last_click",
+        F.max(
+            F.when(F.col("event_type") == "click", F.col("event_id"))
+        ).over(w),
+    )
+    return (
+        t.filter(
+            (F.col("event_type") == "purchase")
+            & F.col("last_click").isNotNull()
+        )
+        .groupBy(F.col("last_click").alias("click_event"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(
+                F.round(F.col("value") * 100, 0).cast("bigint")
+            ).alias("revenue_cents"),
+        )
+    )
+
+
+@register(
+    "ab_cuped_adjust",
+    """
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(sum(CASE WHEN ts <  TIMESTAMP '2024-01-04'
+                           THEN CAST(round(value*100,0) AS BIGINT)
+                           ELSE 0 END) AS DOUBLE) / 100 AS x,
+             CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-04'
+                           THEN CAST(round(value*100,0) AS BIGINT)
+                           ELSE 0 END) AS DOUBLE) / 100 AS y,
+             user_id % 2 AS arm
+      FROM events GROUP BY user_id),
+    theta AS (
+      SELECT covar_pop(x, y) / var_pop(x) AS th, avg(x) AS mx
+      FROM per_user)
+    SELECT arm,
+           count(*) AS n_users,
+           round(avg(y), 4) AS mean_y,
+           round(avg(y - th * (x - mx)), 4) AS mean_y_cuped,
+           round(1 - var_pop(y - th * (x - mx)) / var_pop(y), 4)
+             AS var_reduction
+    FROM per_user CROSS JOIN theta
+    GROUP BY arm
+    """,
+    "CUPED variance reduction (A/B-testing staple): pre-period covariate "
+    "x per user, theta = cov(x,y)/var(x) as a 1-row broadcast, adjusted "
+    "metric y - theta(x - mean_x) — per-user sums in exact cents, two "
+    "aggs + one broadcast; reports the realized variance reduction",
+)
+def ab_cuped_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    cutoff = F.lit("2024-01-04").cast("timestamp")
+    per_user = events.groupBy("user_id").agg(
+        (
+            F.sum(F.when(F.col("ts") < cutoff, cents).otherwise(0)).cast(
+                "double"
+            )
+            / 100
+        ).alias("x"),
+        (
+            F.sum(F.when(F.col("ts") >= cutoff, cents).otherwise(0)).cast(
+                "double"
+            )
+            / 100
+        ).alias("y"),
+    ).withColumn("arm", F.col("user_id") % 2)
+    theta = per_user.agg(
+        (F.covar_pop("x", "y") / F.var_pop("x")).alias("th"),
+        F.avg("x").alias("mx"),
+    )
+    adj = F.col("y") - F.col("th") * (F.col("x") - F.col("mx"))
+    return (
+        per_user.crossJoin(F.broadcast(theta))
+        .groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.round(F.avg("y"), 4).alias("mean_y"),
+            F.round(F.avg(adj), 4).alias("mean_y_cuped"),
+            F.round(
+                1 - F.var_pop(adj) / F.var_pop("y"), 4
+            ).alias("var_reduction"),
+        )
+    )
