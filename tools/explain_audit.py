@@ -54,6 +54,8 @@ ALL_PAIRS_OK = {
     "ts_cusum_changepoints",
     # two 1-row histogram-total dims crossed into the bounded bucket join
     "dq_psi_drift",
+    # 1-row (theta, mean_x) dim crossed into the per-user aggregate
+    "ab_cuped_adjust",
     "agg_hll_mergeable",
     "q11_important_value",  # 0.001×total threshold: 1-row broadcast cross
     "text_unigram_logprob",  # 1-row total-tokens broadcast cross
