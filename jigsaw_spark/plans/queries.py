@@ -1607,6 +1607,8 @@ _CERTIFICATION_PRIORITY = [
     "agg_weighted_percentile",
     "rel_attribution_last_touch",
     "ab_cuped_adjust",
+    "fn_url_suite",
+    "text_jsd_drift",
     # judge-named round-2 targets
     "dedup_minhash_lsh",
     "dedup_components",

@@ -1804,3 +1804,110 @@ def ab_cuped_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("var_reduction"),
         )
     )
+
+
+@register(
+    "fn_url_suite",
+    """
+    WITH u AS (
+      SELECT doc_id,
+             'https://' || source || '.example.com/docs/' ||
+             CAST(doc_id AS VARCHAR) || '?lang=' || lang || '#frag' AS url
+      FROM documents)
+    SELECT doc_id,
+           regexp_extract(url, '^([a-z]+)://', 1) AS proto,
+           regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+           regexp_extract(url, '^[a-z]+://[^/]+(/[^?#]*)', 1) AS path,
+           regexp_extract(url, '\\?([^#]*)', 1) AS query,
+           regexp_extract(url, 'lang=([^&#]*)', 1) AS lang_param
+    FROM u
+    """,
+    "URL parsing surface: Spark's parse_url (PROTOCOL/HOST/PATH/QUERY + "
+    "keyed QUERY extraction) over deterministically synthesized URLs; "
+    "the oracle replays with anchored regexes — map-only projection",
+)
+def fn_url_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+        F.lit("#frag"),
+    )
+    u = docs.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        F.parse_url("url", F.lit("PROTOCOL")).alias("proto"),
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.parse_url("url", F.lit("QUERY")).alias("query"),
+        F.parse_url("url", F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+    )
+
+
+@register(
+    "text_jsd_drift",
+    f"""
+    WITH {_TOKS_CTE},
+    tok AS (
+      SELECT doc_id % 2 AS half, unnest(t) AS w FROM toks),
+    c AS (SELECT half, w, count(*) AS c FROM tok GROUP BY half, w),
+    n AS (SELECT half, sum(c) AS n FROM c GROUP BY half),
+    p AS (
+      SELECT w,
+             max(CASE WHEN half = 0 THEN CAST(c AS DOUBLE)/n END) AS p0,
+             max(CASE WHEN half = 1 THEN CAST(c AS DOUBLE)/n END) AS p1
+      FROM c JOIN n USING (half) GROUP BY w),
+    f AS (
+      SELECT coalesce(p0, 0.0) AS p0, coalesce(p1, 0.0) AS p1,
+             (coalesce(p0, 0.0) + coalesce(p1, 0.0)) / 2 AS m
+      FROM p)
+    SELECT round(sum(CASE WHEN p0 > 0 THEN 0.5 * p0 * ln(p0 / m)
+                          ELSE 0 END)
+               + sum(CASE WHEN p1 > 0 THEN 0.5 * p1 * ln(p1 / m)
+                          ELSE 0 END), 6) AS jsd_nats,
+           count(*) AS vocab
+    FROM f
+    """,
+    "Jensen-Shannon divergence between the token distributions of two "
+    "corpus halves (text drift — PSI's distributional analog): one "
+    "explode + vocab-keyed aggs pivoted to (p0, p1) rows, vocab-bounded "
+    "work; exact zero-handling (missing terms contribute only from the "
+    "present side)",
+)
+def text_jsd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jigsaw_spark.operators.text import tokens_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        (F.col("doc_id") % 2).alias("half"),
+        F.explode(tokens_expr("text")).alias("w"),
+    )
+    c = tok.groupBy("half", "w").agg(F.count(F.lit(1)).alias("c"))
+    n = c.groupBy("half").agg(F.sum("c").alias("n"))
+    p = (
+        c.join(F.broadcast(n), "half")
+        .groupBy("w")
+        .agg(
+            F.max(
+                F.when(F.col("half") == 0, F.col("c").cast("double") / F.col("n"))
+            ).alias("p0"),
+            F.max(
+                F.when(F.col("half") == 1, F.col("c").cast("double") / F.col("n"))
+            ).alias("p1"),
+        )
+    )
+    f = p.select(
+        F.coalesce("p0", F.lit(0.0)).alias("p0"),
+        F.coalesce("p1", F.lit(0.0)).alias("p1"),
+        ((F.coalesce("p0", F.lit(0.0)) + F.coalesce("p1", F.lit(0.0))) / 2).alias("m"),
+    )
+    term0 = F.when(F.col("p0") > 0, 0.5 * F.col("p0") * F.log(F.col("p0") / F.col("m"))).otherwise(0.0)
+    term1 = F.when(F.col("p1") > 0, 0.5 * F.col("p1") * F.log(F.col("p1") / F.col("m"))).otherwise(0.0)
+    return f.agg(
+        F.round(F.sum(term0) + F.sum(term1), 6).alias("jsd_nats"),
+        F.count(F.lit(1)).alias("vocab"),
+    )
