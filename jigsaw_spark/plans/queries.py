@@ -1609,6 +1609,7 @@ _CERTIFICATION_PRIORITY = [
     "ab_cuped_adjust",
     "fn_url_suite",
     "text_jsd_drift",
+    "dedup_minhash_jaccard_est",
     # judge-named round-2 targets
     "dedup_minhash_lsh",
     "dedup_components",

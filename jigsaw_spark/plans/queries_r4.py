@@ -1911,3 +1911,80 @@ def text_jsd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(term0) + F.sum(term1), 6).alias("jsd_nats"),
         F.count(F.lit(1)).alias("vocab"),
     )
+
+
+@register(
+    "dedup_minhash_jaccard_est",
+    f"""
+    WITH {_TOKS_CTE}, {_SHINGLES_CTE},
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    truth AS (
+      SELECT doc_a, doc_b,
+             CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS j
+      FROM inter
+      JOIN sizes sa ON doc_a = sa.doc_id
+      JOIN sizes sb ON doc_b = sb.doc_id
+      WHERE inter / (sa.sz + sb.sz - inter) >= 0.3),
+    mh AS (
+      SELECT doc_id, seed,
+             min(md5(CAST(seed AS VARCHAR) || '|' || shingle)) AS mh
+      FROM sh CROSS JOIN (SELECT unnest(range(16)) AS seed) seeds
+      GROUP BY doc_id, seed),
+    est AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS DOUBLE)
+               / 16 AS j_est
+      FROM mh a JOIN mh b ON a.seed = b.seed AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT t.doc_a, t.doc_b,
+           round(t.j, 4) AS jaccard,
+           round(e.j_est, 4) AS minhash_est,
+           round(abs(round(e.j_est, 4) - round(t.j, 4)), 4) AS abs_err
+    FROM truth t JOIN est e USING (doc_a, doc_b)
+    """,
+    "sketch-accuracy evaluation: MinHash agreement fraction (16 seeded "
+    "hashes) vs exact trigram Jaccard on every pair with true J >= 0.3 "
+    "— the per-pair estimator error the LSH banding math builds on. "
+    "The signature join is seed-keyed (16 rows/doc); the truth side is "
+    "the bounded inverted-index join",
+)
+def dedup_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jigsaw_spark.operators.dedup import minhash_signatures, ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    truth = ngram_jaccard_pairs(docs, "doc_id", threshold=0.3).select(
+        "doc_a", "doc_b", (F.col("jaccard")).alias("j_exact")
+    )
+    sigs = minhash_signatures(docs, "doc_id", num_hashes=16)
+    a = sigs.select(
+        F.col("doc_id").alias("doc_a"), F.col("seed"), F.col("mh").alias("mh_a")
+    )
+    b = sigs.select(
+        F.col("doc_id").alias("doc_b"), F.col("seed"), F.col("mh").alias("mh_b")
+    )
+    est = (
+        a.join(b, "seed")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            (
+                F.sum((F.col("mh_a") == F.col("mh_b")).cast("int")).cast(
+                    "double"
+                )
+                / 16
+            ).alias("j_est")
+        )
+    )
+    return truth.join(est, ["doc_a", "doc_b"]).select(
+        "doc_a",
+        "doc_b",
+        F.round(F.col("j_exact"), 4).alias("jaccard"),
+        F.round("j_est", 4).alias("minhash_est"),
+        F.round(
+            F.abs(F.round("j_est", 4) - F.round("j_exact", 4)), 4
+        ).alias("abs_err"),
+    )
