@@ -1935,10 +1935,12 @@ def text_jsd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM sh CROSS JOIN (SELECT unnest(range(16)) AS seed) seeds
       GROUP BY doc_id, seed),
     est AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      SELECT t.doc_a, t.doc_b,
              CAST(sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS DOUBLE)
                / 16 AS j_est
-      FROM mh a JOIN mh b ON a.seed = b.seed AND a.doc_id < b.doc_id
+      FROM truth t
+      JOIN mh a ON a.doc_id = t.doc_a
+      JOIN mh b ON b.doc_id = t.doc_b AND b.seed = a.seed
       GROUP BY 1, 2)
     SELECT t.doc_a, t.doc_b,
            round(t.j, 4) AS jaccard,
@@ -1949,8 +1951,9 @@ def text_jsd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sketch-accuracy evaluation: MinHash agreement fraction (16 seeded "
     "hashes) vs exact trigram Jaccard on every pair with true J >= 0.3 "
     "— the per-pair estimator error the LSH banding math builds on. "
-    "The signature join is seed-keyed (16 rows/doc); the truth side is "
-    "the bounded inverted-index join",
+    "The signature comparison is anchored on the candidate pair list "
+    "(|pairs| x 16 rows — a bare seed-keyed self-join would be "
+    "all-pairs); the truth side is the bounded inverted-index join",
 )
 def dedup_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jigsaw_spark.operators.dedup import minhash_signatures, ngram_jaccard_pairs
@@ -1966,9 +1969,14 @@ def dedup_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = sigs.select(
         F.col("doc_id").alias("doc_b"), F.col("seed"), F.col("mh").alias("mh_b")
     )
+    # estimate ONLY on the candidate pairs: a bare seed-keyed self-join
+    # of signatures is all-pairs (measured 47s at sf0.1, quadratic at
+    # scale) — anchoring on the truth pair list bounds the work to
+    # |pairs| x 16 rows
     est = (
-        a.join(b, "seed")
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        truth.select("doc_a", "doc_b")
+        .join(a, "doc_a")
+        .join(b, ["doc_b", "seed"])
         .groupBy("doc_a", "doc_b")
         .agg(
             (
