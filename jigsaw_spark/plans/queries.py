@@ -1610,6 +1610,8 @@ _CERTIFICATION_PRIORITY = [
     "fn_url_suite",
     "text_jsd_drift",
     "dedup_minhash_jaccard_est",
+    "agg_winsorized_mean",
+    "ts_seasonal_naive_mape",
     # judge-named round-2 targets
     "dedup_minhash_lsh",
     "dedup_components",

@@ -1996,3 +1996,107 @@ def dedup_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.round("j_est", 4) - F.round("j_exact", 4)), 4
         ).alias("abs_err"),
     )
+
+
+@register(
+    "agg_winsorized_mean",
+    """
+    WITH q AS (
+      SELECT round(quantile_cont(o_totalprice, 0.01), 4) AS lo,
+             round(quantile_cont(o_totalprice, 0.99), 4) AS hi
+      FROM orders)
+    SELECT o_orderstatus,
+           count(*) AS n,
+           round(avg(o_totalprice), 4) AS mean_raw,
+           round(avg(CASE WHEN o_totalprice < lo THEN lo
+                          WHEN o_totalprice > hi THEN hi
+                          ELSE o_totalprice END), 4) AS mean_winsorized,
+           sum(CASE WHEN o_totalprice < lo OR o_totalprice > hi
+                    THEN 1 ELSE 0 END) AS n_clipped
+    FROM orders CROSS JOIN q
+    GROUP BY o_orderstatus
+    """,
+    "winsorized mean (p01/p99 clipping): ONE exact-percentile agg "
+    "broadcasts two bounds, then one conditional agg — the outlier-"
+    "robust mean without sorting or dropping rows",
+)
+def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    q = orders.agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.01)), 4).alias("lo"),
+        F.round(F.percentile("o_totalprice", F.lit(0.99)), 4).alias("hi"),
+    )
+    x = F.col("o_totalprice")
+    clipped = (
+        F.when(x < F.col("lo"), F.col("lo"))
+        .when(x > F.col("hi"), F.col("hi"))
+        .otherwise(x)
+    )
+    return (
+        orders.crossJoin(F.broadcast(q))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg(x), 4).alias("mean_raw"),
+            F.round(F.avg(clipped), 4).alias("mean_winsorized"),
+            F.sum(
+                ((x < F.col("lo")) | (x > F.col("hi"))).cast("long")
+            ).alias("n_clipped"),
+        )
+    )
+
+
+@register(
+    "ts_seasonal_naive_mape",
+    """
+    WITH hourly AS (
+      SELECT user_id, date_trunc('hour', ts) AS h,
+             sum(CAST(round(value * 100, 0) AS BIGINT)) AS cents
+      FROM events GROUP BY user_id, date_trunc('hour', ts)),
+    j AS (
+      SELECT a.user_id, a.h, a.cents AS actual, b.cents AS predicted
+      FROM hourly a
+      JOIN hourly b ON b.user_id = a.user_id
+                   AND b.h = a.h - INTERVAL 24 HOURS)
+    SELECT user_id,
+           count(*) AS n_hours,
+           round(avg(abs(actual - predicted)
+                     / CAST(actual AS DOUBLE)), 6) AS mape
+    FROM j WHERE actual <> 0
+    GROUP BY user_id
+    """,
+    "seasonal-naive forecast error (predict this hour = same hour "
+    "yesterday): hourly exact-cent rollup, ONE self-join on the shifted "
+    "key (equi-join, not a window over 24h of rows), per-user MAPE — "
+    "the baseline every forecasting pipeline must beat",
+)
+def ts_seasonal_naive_mape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    hourly = events.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("h")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias("cents")
+    )
+    a = hourly.alias("a")
+    b = hourly.select(
+        F.col("user_id"),
+        (F.col("h") + F.expr("INTERVAL 24 HOURS")).alias("h"),
+        F.col("cents").alias("predicted"),
+    ).alias("b")
+    j = a.join(b, ["user_id", "h"]).select(
+        "user_id", F.col("cents").alias("actual"), "predicted"
+    )
+    return (
+        j.filter(F.col("actual") != 0)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_hours"),
+            F.round(
+                F.avg(
+                    F.abs(F.col("actual") - F.col("predicted"))
+                    / F.col("actual").cast("double")
+                ),
+                6,
+            ).alias("mape"),
+        )
+    )

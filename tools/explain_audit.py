@@ -56,6 +56,8 @@ ALL_PAIRS_OK = {
     "dq_psi_drift",
     # 1-row (theta, mean_x) dim crossed into the per-user aggregate
     "ab_cuped_adjust",
+    # 1-row (p01, p99) bound dim crossed into the scan
+    "agg_winsorized_mean",
     "agg_hll_mergeable",
     "q11_important_value",  # 0.001×total threshold: 1-row broadcast cross
     "text_unigram_logprob",  # 1-row total-tokens broadcast cross
