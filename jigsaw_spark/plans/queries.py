@@ -1612,6 +1612,7 @@ _CERTIFICATION_PRIORITY = [
     "dedup_minhash_jaccard_est",
     "agg_winsorized_mean",
     "ts_seasonal_naive_mape",
+    "text_langid_confusion",
     # judge-named round-2 targets
     "dedup_minhash_lsh",
     "dedup_components",

@@ -2100,3 +2100,65 @@ def ts_seasonal_naive_mape(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mape"),
         )
     )
+
+
+@register(
+    "text_langid_confusion",
+    f"""
+    WITH {_TOKS_CTE.replace("SELECT doc_id,", "SELECT doc_id, lang,")},
+    hits AS (
+      SELECT doc_id, lang,
+             CAST({{en}} AS INT) AS en_hits,
+             CAST({{es}} AS INT) AS es_hits,
+             CAST({{fr}} AS INT) AS fr_hits
+      FROM toks)
+    SELECT lang AS actual,
+           {{pred}} AS predicted,
+           count(*) AS n
+    FROM hits GROUP BY lang, 2
+    """,
+    "language-ID self-evaluation: the heuristic's predictions cross-"
+    "tabulated against the ground-truth lang column (confusion matrix) "
+    "— one projection + one hash agg; the operator-quality report every "
+    "curation heuristic should ship with",
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jigsaw_spark.operators.text import (
+        lang_hits_expr,
+        lang_predict_expr,
+        tokens_expr,
+    )
+
+    docs = _t(spark, sf_dir, "documents").withColumn("t", tokens_expr("text"))
+    hits = docs.select(
+        "lang",
+        lang_hits_expr("t", "en").alias("en_hits"),
+        lang_hits_expr("t", "es").alias("es_hits"),
+        lang_hits_expr("t", "fr").alias("fr_hits"),
+    )
+    return (
+        hits.select(
+            F.col("lang").alias("actual"),
+            lang_predict_expr(
+                F.col("en_hits"), F.col("es_hits"), F.col("fr_hits")
+            ).alias("predicted"),
+        )
+        .groupBy("actual", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _install_langid_confusion_oracle() -> None:
+    from jigsaw_spark.operators.text import lang_hits_sql, lang_predict_sql
+    from jigsaw_spark.plans.queries import QUERIES
+
+    spec = QUERIES["text_langid_confusion"]
+    spec.oracle = spec.oracle.format(
+        en=lang_hits_sql("t", "en"),
+        es=lang_hits_sql("t", "es"),
+        fr=lang_hits_sql("t", "fr"),
+        pred=lang_predict_sql("en_hits", "es_hits", "fr_hits"),
+    )
+
+
+_install_langid_confusion_oracle()
