@@ -1613,6 +1613,7 @@ _CERTIFICATION_PRIORITY = [
     "agg_winsorized_mean",
     "ts_seasonal_naive_mape",
     "text_langid_confusion",
+    "w10_share_of_total",
     # judge-named round-2 targets
     "dedup_minhash_lsh",
     "dedup_components",

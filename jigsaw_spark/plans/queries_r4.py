@@ -2162,3 +2162,39 @@ def _install_langid_confusion_oracle() -> None:
 
 
 _install_langid_confusion_oracle()
+
+
+@register(
+    "w10_share_of_total",
+    """
+    WITH per_status AS (
+      SELECT o_orderstatus,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue
+      FROM orders GROUP BY o_orderstatus)
+    SELECT o_orderstatus,
+           round(revenue, 2) AS revenue,
+           round(revenue / sum(revenue) OVER (), 6) AS share,
+           round(revenue / max(revenue) OVER (), 6) AS vs_top
+    FROM per_status
+    """,
+    "share-of-total report (RATIO_TO_REPORT): exact-decimal group sums, "
+    "then empty-frame window aggregates over the tiny aggregate — the "
+    "window runs over |groups| rows, never the fact table",
+)
+def w10_share_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from jigsaw_spark.plans.queries import dec2
+
+    orders = _t(spark, sf_dir, "orders")
+    per = orders.groupBy("o_orderstatus").agg(
+        F.sum(dec2("o_totalprice", 18)).cast("double").alias("revenue")
+    )
+    w = Window.partitionBy()
+    return per.select(
+        "o_orderstatus",
+        F.round("revenue", 2).alias("revenue"),
+        F.round(F.col("revenue") / F.sum("revenue").over(w), 6).alias("share"),
+        F.round(F.col("revenue") / F.max("revenue").over(w), 6).alias("vs_top"),
+    )
