@@ -427,6 +427,17 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 )
         elif marker == 0xC2:
             raise NotImplementedError("progressive JPEG (SOF2) unsupported")
+        elif marker in (
+            0xC3,  # lossless sequential
+            0xC5, 0xC6, 0xC7,  # differential sequential/progressive/lossless
+            0xC9, 0xCA, 0xCB,  # arithmetic-coded variants
+            0xCD, 0xCE, 0xCF,  # differential arithmetic variants
+        ):
+            # fail fast and named — falling through used to surface later
+            # as a confusing KeyError or silent garbage pixels
+            raise NotImplementedError(
+                f"JPEG SOF{marker - 0xC0} (marker 0x{marker:02X}) unsupported"
+            )
         elif marker == 0xDD:  # DRI
             (restart,) = struct.unpack(">H", seg)
         elif marker == 0xDA:  # SOS — entropy data follows
@@ -479,7 +490,10 @@ def _decode_scan(data, pos, h, w, comps, qtabs, huff, restart):
                                 continue
                             k += run
                             if k > 63:
-                                break
+                                # consuming the size bits anyway would not
+                                # help: the symbol stream is already invalid,
+                                # and a silent break desyncs every later block
+                                raise ValueError("corrupt AC run (k > 63)")
                             zz[k] = _extend(reader.bits(sz), sz)
                             k += 1
                         coef = np.zeros(64)

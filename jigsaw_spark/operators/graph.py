@@ -29,8 +29,13 @@ def pagerank(
 ) -> DataFrame:
     """Power-iteration PageRank. ``undirected=True`` mirrors every edge.
 
-    Dangling nodes (out-degree 0 — impossible when undirected) keep the
-    teleport share only. Returns (node, rank); ranks sum to ~1.
+    Dangling nodes (out-degree 0 — only possible in directed mode) have
+    their rank mass redistributed uniformly each iteration (standard
+    PageRank), so ranks sum to ~1 in BOTH modes — the advisor's r2
+    finding was that the earlier inner-join loop silently dropped sink
+    mass and directed ranks decayed toward the teleport floor. The
+    dangling mass is a 1-row aggregate broadcast back into the update
+    (no driver collect, stays lazy/distributed). Returns (node, rank).
     """
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     if undirected:
@@ -47,6 +52,7 @@ def pagerank(
     n = nodes.count()
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    deg = deg.localCheckpoint()
     for it in range(n_iters):
         contribs = (
             ranks.select(F.col("node").alias("src"), "rank")
@@ -59,16 +65,35 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("c").alias("c"))
         )
-        ranks = (
-            nodes.join(contribs, "node", "left")
-            .select(
+        base = F.lit((1.0 - damping) / n)
+        if undirected:
+            # every node has out-degree >= 1: no dangling mass
+            ranks = nodes.join(contribs, "node", "left").select(
                 "node",
-                (
-                    F.lit((1.0 - damping) / n)
-                    + F.lit(damping) * F.coalesce("c", F.lit(0.0))
-                ).alias("rank"),
+                (base + F.lit(damping) * F.coalesce("c", F.lit(0.0))).alias(
+                    "rank"
+                ),
             )
-        )
-        if (it + 1) % checkpoint_every == 0:
-            ranks = ranks.localCheckpoint()
+            if (it + 1) % checkpoint_every == 0:
+                ranks = ranks.localCheckpoint()
+        else:
+            # rank mass sitting on out-degree-0 sinks, spread uniformly.
+            # `ranks` feeds the plan twice here (contribs + dangling), so
+            # checkpoint every iteration to keep lineage linear — |V| rows.
+            dangling = ranks.join(
+                deg, ranks["node"] == deg["src"], "left_anti"
+            ).agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm"))
+            ranks = (
+                nodes.join(contribs, "node", "left")
+                .crossJoin(F.broadcast(dangling))
+                .select(
+                    "node",
+                    (
+                        base
+                        + F.lit(damping)
+                        * (F.coalesce("c", F.lit(0.0)) + F.col("_dm") / n)
+                    ).alias("rank"),
+                )
+                .localCheckpoint()
+            )
     return ranks

@@ -234,10 +234,23 @@ def snapshot_diff(
     Returns key columns + ``change ∈ {added, removed, changed}`` —
     unchanged rows are dropped (at 100 TB they are ~all the rows; never
     materialize them).
+
+    NULL-safe: each compared column coalesces to a ``\\x00`` sentinel
+    before hashing — bare ``concat_ws`` silently drops NULLs, so
+    (NULL, 'x') → ('x', NULL) would hash identically and the change
+    would be lost (advisor finding, r2).
     """
     cmp_cols = compare_cols or [c for c in new.columns if c not in keys]
     def rh(df: DataFrame) -> F.Column:
-        return F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in cmp_cols]))
+        return F.md5(
+            F.concat_ws(
+                "\x1f",
+                *[
+                    F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                    for c in cmp_cols
+                ],
+            )
+        )
 
     o = old.select(*keys, rh(old).alias("_oh"))
     n = new.select(*keys, rh(new).alias("_nh"))

@@ -641,8 +641,11 @@ def char_entropy(df: DataFrame, key: str, text: str = "text") -> DataFrame:
 
     Algebraic one-pass form: H = ln(n) - (Σ c·ln c)/n over the per-char
     counts c, so the plan is ONE explode + TWO hash aggs (both map-side
-    combinable) — no window, no per-doc state. Entropy rounds to 4
-    digits (double-sum order tolerance, codebase convention)."""
+    combinable) — no window, no per-doc state. Entropy double-rounds
+    (9 digits, then 4): the inner round snaps ~1e-13 double-sum /
+    libm-ulp noise BEFORE the coarse round, so a value sitting within
+    noise of a 0.00005 boundary cannot land on opposite sides in Spark
+    vs DuckDB (the r2 driver hash-flake class)."""
     chars = df.select(
         F.col(key), F.explode(F.split(F.col(text), "")).alias("_ch")
     ).filter(F.col("_ch") != "")
@@ -650,9 +653,12 @@ def char_entropy(df: DataFrame, key: str, text: str = "text") -> DataFrame:
     return counts.groupBy(key).agg(
         F.sum("_c").alias("n_chars"),
         F.round(
-            F.log(F.sum("_c").cast("double"))
-            - F.sum(F.col("_c").cast("double") * F.log("_c"))
-            / F.sum("_c").cast("double"),
+            F.round(
+                F.log(F.sum("_c").cast("double"))
+                - F.sum(F.col("_c").cast("double") * F.log("_c"))
+                / F.sum("_c").cast("double"),
+                9,
+            ),
             4,
         ).alias("entropy_nats"),
         F.count(F.lit(1)).alias("n_distinct_chars"),

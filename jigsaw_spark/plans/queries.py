@@ -1541,70 +1541,24 @@ from jigsaw_spark.plans import queries_r4  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Registration order == driver certification order. The driver's correctness
-# gate walks QUERIES in insertion order with a bounded window (its r01 run
-# covered only the first 50 entries), so the families it never reached —
-# dedup / ANN / text / streaming / TPC-H analogs — are rotated to the front
-# here, right after the flagship smoke query and the re-fixed merge_upsert.
-# The entries the driver already certified green in CORRECTNESS_r01.json
-# rotate to the back; the remaining still-unchecked suites (fn3/fn4 scalar
-# surfaces, ts_*, w7/w8, set *_ALL, agg extras, mm_*) queue immediately
-# after this window for the round-3 rotation.
+# gate walks QUERIES in insertion order with a bounded window (~50 names per
+# round; r1 and r2 each sampled exactly the first 50). Round-3 rotation: the
+# five r2 driver-red rows (fixed this round) re-certify first, then every
+# query with an oracle that r1+r2 never sampled (99 names — fn suites, TPC-H
+# q2/q4-q22, dedup/ANN/text families, ts_*, w7/w8), then the rows-only
+# queries, and finally the 93 already-green rows rotate to the back.
 # ---------------------------------------------------------------------------
 
 _CERTIFICATION_PRIORITY = [
-    "flagship_pipeline",
-    "merge_upsert",
-    # new this round (oracle-backed)
-    "mm_png_mask_bboxes",
-    "mm_png_instance_bboxes",
-    "k6_bbox_norm",
-    "k6_feature_points",
-    "dedup_lsh_capped",
-    # new round-3 surface (oracle-backed)
-    "dedup_semantic",
-    "text_boilerplate",
-    "profile_table",
-    "rel_recursive_rollup",
-    "stream_static_join",
-    "text_topgram_coverage",
-    "ts_ohlc",
-    "agg_mode",
-    "j5_asof_forward_tol",
-    "w9_distinct_window",
-    "fn_variant",
-    "fn_hashes",
-    "rag_pipeline",
-    # new round-4 surface (oracle-backed)
-    "dedup_lines",
+    # r2 driver-red rows, fixed this round — must re-certify first
     "ann_sq8",
-    "ann_mmr_select",
-    "text_entropy",
-    "fn_udtf_lateral",
     "ml_hash_features",
-    "dedup_lsh_recall",
-    "dedup_incremental",
-    "agg_countmin_hh",
-    "agg_equidepth",
-    "graph_triangles",
-    "dq_expectations",
-    "rel_snapshot_diff",
-    "rel_scd2_intervals",
+    "text_entropy",
     "agg_mad_outliers",
-    "ts_ewma",
-    "curation_pipeline_v2",
-    "ts_interval_union",
-    "sql_scripting_threshold",
-    "p_group_split",
-    "mine_assoc_pairs",
-    "agg_gini",
-    "text_bigram_logprob",
-    "fn_collation",
     "ts_cusum_changepoints",
-    "dq_psi_drift",
-    "text_rake_keyphrase",
-    "agg_moments_34",
-    "agg_bootstrap_means",
-    "agg_weighted_percentile",
+    # never driver-certified, oracle-backed (the r3 gate window
+    # and the r4 overflow) — r1+r2 covered 98 distinct names;
+    # these fill the remaining sample slots
     "rel_attribution_last_touch",
     "ab_cuped_adjust",
     "fn_url_suite",
@@ -1614,13 +1568,11 @@ _CERTIFICATION_PRIORITY = [
     "ts_seasonal_naive_mape",
     "text_langid_confusion",
     "w10_share_of_total",
-    # judge-named round-2 targets
     "dedup_minhash_lsh",
     "dedup_components",
     "ann_ivf_topk",
     "q2_min_cost_supplier",
     "stream_stream_join",
-    # dedup family
     "dedup_exact",
     "dedup_exact_keep_best",
     "dedup_ngram_jaccard",
@@ -1630,11 +1582,9 @@ _CERTIFICATION_PRIORITY = [
     "dedup_url_canon",
     "dedup_end_to_end",
     "text_edit_distance",
-    # ANN family (oracle-backed members; pq/kmeans are rows-only → below)
     "ann_cosine_topk",
     "ann_ivf_assign",
     "ann_srp_buckets",
-    # text-analysis family
     "text_langid",
     "text_bpeish_tokens",
     "text_tfidf",
@@ -1643,7 +1593,6 @@ _CERTIFICATION_PRIORITY = [
     "text_pii_scrub",
     "text_quality_model",
     "curation_pipeline",
-    # TPC-H analog family (incl. the round-2 Q11/Q20/Q21 adaptations)
     "q4_priority_check",
     "q6_filter_revenue",
     "q7_nation_volume",
@@ -1659,11 +1608,9 @@ _CERTIFICATION_PRIORITY = [
     "q20_promo_suppliers",
     "q21_waiting_suppliers",
     "q22_idle_customers",
-    # streaming drains
     "stream_stateful_sessions",
     "stream_dedup_counts",
     "stream_hourly_rollup",
-    # --- window boundary (~50 if the driver cap is a count) ---
     "q14_promo_ratio",
     "fn_maps",
     "fn_structs",
@@ -1674,14 +1621,148 @@ _CERTIFICATION_PRIORITY = [
     "text_bm25_topk",
     "ann_ivfpq_topk",
     "j7_full_outer",
-    "k6_deeplab_export",
-    "ml_kmeans",
     "ann_pq_codes",
     "text_chunk",
     "text_pack",
     "text_bigrams",
     "q12_priority_lines",
     "q13_custdist",
+    "mm_decode_meta",
+    "mm_mask_bboxes",
+    "mm_extract_features",
+    "w7_rank_suite",
+    "set_intersect_all",
+    "set_except_all",
+    "fn_explode",
+    "p_bernoulli_sample",
+    "agg_histogram",
+    "ts_gap_fill",
+    "ts_deltas",
+    "agg_minmax_by",
+    "ts_funnel_steps",
+    "ts_cohort_retention",
+    "fn_strings",
+    "fn_arrays",
+    "fn_conditional",
+    "w8_value_windows",
+    "fn_regex",
+    "fn_null_order",
+    "fn_codec",
+    "agg_stats_suite",
+    "fn_math_bitwise",
+    "cogroup_fill_ratio",
+    "agg_grouping_sets",
+    "ts_locf",
+    "agg_bool_suite",
+    "agg_string_agg",
+    "ts_interp",
+    "agg_hll_mergeable",
+    "p_weighted_sample",
+    # never certified, rows-only (weaker driver check)
+    "k6_deeplab_export",
+    "ml_kmeans",
+    "mm_audio_pipeline",
+    "stream_synth_rollup",
+    "text_bpe_train",
+    "text_bpe_encode",
+    "ml_logreg",
+    "graph_pagerank",
+    "ml_pca_pc1",
+    "text_compression_ratio",
+    # driver-certified green in r1/r2 — rotate to the back
+    "flagship_pipeline",
+    "merge_upsert",
+    "mm_png_mask_bboxes",
+    "mm_png_instance_bboxes",
+    "k6_bbox_norm",
+    "k6_feature_points",
+    "dedup_lsh_capped",
+    "dedup_semantic",
+    "text_boilerplate",
+    "profile_table",
+    "rel_recursive_rollup",
+    "stream_static_join",
+    "text_topgram_coverage",
+    "ts_ohlc",
+    "agg_mode",
+    "j5_asof_forward_tol",
+    "w9_distinct_window",
+    "fn_variant",
+    "fn_hashes",
+    "rag_pipeline",
+    "dedup_lines",
+    "ann_mmr_select",
+    "fn_udtf_lateral",
+    "dedup_lsh_recall",
+    "dedup_incremental",
+    "agg_countmin_hh",
+    "agg_equidepth",
+    "graph_triangles",
+    "dq_expectations",
+    "rel_snapshot_diff",
+    "rel_scd2_intervals",
+    "ts_ewma",
+    "curation_pipeline_v2",
+    "ts_interval_union",
+    "sql_scripting_threshold",
+    "p_group_split",
+    "mine_assoc_pairs",
+    "agg_gini",
+    "text_bigram_logprob",
+    "fn_collation",
+    "dq_psi_drift",
+    "text_rake_keyphrase",
+    "agg_moments_34",
+    "agg_bootstrap_means",
+    "agg_weighted_percentile",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "f1_and_filter",
+    "f2_or_filter",
+    "f3_filter_chain",
+    "f9_untagged_default",
+    "p1_exact_sample",
+    "p2_split_test",
+    "p3_kfold_assign",
+    "p7_shard_assign",
+    "j1_construct_join",
+    "j2_semi_join",
+    "j2_anti_join",
+    "j3_union_distinct",
+    "set_intersect",
+    "set_except",
+    "a1_distinct_labels",
+    "a2_dense_label_map",
+    "a3_moments",
+    "a5_extent_merge",
+    "fn_scalar",
+    "w1_sessionize",
+    "w2_topk_per_group",
+    "w3_hourly_rollup",
+    "w4_session_window",
+    "agg_salted",
+    "agg_distinct_twophase",
+    "j5_asof_join",
+    "j6_range_join",
+    "agg_rollup",
+    "agg_cube",
+    "agg_count_distinct",
+    "p1_stratified_sample",
+    "a3_vector_moments",
+    "agg_percentiles",
+    "agg_pivot",
+    "agg_unpivot",
+    "fn_datetime",
+    "w5_moving_avg",
+    "fn_json",
+    "agg_approx_distinct",
+    "fn_higher_order",
+    "agg_zscore_pandas",
+    "w6_range_frame",
+    "fn_subquery",
+    "text_tokens",
+    "text_quality",
 ]
 
 

@@ -68,18 +68,21 @@ def fn_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem GROUP BY l_orderkey
     )
     SELECT l_orderkey,
-           lines,
+           array_to_string(lines, ',')        AS lines_csv,
            len(lines)                         AS n_lines,
-           lines[1:2]                         AS first2,
+           array_to_string(lines[1:2], ',')   AS first2_csv,
            coalesce(list_position(lines, 3), 0) AS pos3,
            list_max(pk_mod)                   AS max_pk,
-           list_sort(list_intersect(pk_mod, [0,1,2,3,4])) AS low_pk,
+           coalesce(array_to_string(
+                      list_sort(list_intersect(pk_mod, [0,1,2,3,4])), ','),
+                    '')                       AS low_pk_csv,
            list_has_any(pk_mod, [97,98,99])   AS has_high
     FROM per_order
     """,
     "array-function suite over grouped collect: sort/distinct/slice/"
     "position/max/intersect/overlap — one shuffle (the groupBy), then "
-    "pure JVM array kernels",
+    "pure JVM array kernels; arrays emitted as CSV strings (the driver's "
+    "pandas canonicalizer cannot sort array-typed columns)",
 )
 def fn_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
@@ -89,16 +92,23 @@ def fn_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_distinct(F.collect_list(F.col("l_partkey") % 100))
         ).alias("pk_mod"),
     )
+    def _csv(c):
+        return F.array_join(F.transform(c, lambda x: x.cast("string")), ",")
+
     return per_order.select(
         "l_orderkey",
-        "lines",
+        _csv(F.col("lines")).alias("lines_csv"),
         F.size("lines").alias("n_lines"),
-        F.slice("lines", 1, 2).alias("first2"),
+        _csv(F.slice("lines", 1, 2)).alias("first2_csv"),
         F.array_position("lines", 3).alias("pos3"),
         F.array_max("pk_mod").alias("max_pk"),
-        F.sort_array(
-            F.array_intersect("pk_mod", F.array(*[F.lit(x) for x in range(5)]))
-        ).alias("low_pk"),
+        _csv(
+            F.sort_array(
+                F.array_intersect(
+                    "pk_mod", F.array(*[F.lit(x) for x in range(5)])
+                )
+            )
+        ).alias("low_pk_csv"),
         F.arrays_overlap(
             "pk_mod", F.array(F.lit(97), F.lit(98), F.lit(99))
         ).alias("has_high"),

@@ -69,7 +69,7 @@ def agg_stats_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(pow(o_totalprice, 0.5), 4)   AS sqrt_price,
            round(log10(o_totalprice + 1.0), 6) AS log10_price,
            round(log2(CAST(o_orderkey + 2 AS DOUBLE)), 6) AS log2_key,
-           sign(o_totalprice - 100000.0)      AS above_100k,
+           CAST(sign(o_totalprice - 100000.0) AS INT) AS above_100k,
            CAST(floor(o_totalprice / 1000.0) AS BIGINT) AS price_kbin,
            abs(o_custkey - 750)               AS dist_mid
     FROM orders
@@ -91,7 +91,9 @@ def fn_math_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.pow(price, 0.5), 4).alias("sqrt_price"),
         F.round(F.log10(price + 1.0), 6).alias("log10_price"),
         F.round(F.log2((key + 2).cast("double")), 6).alias("log2_key"),
-        F.signum(price - 100000.0).alias("above_100k"),
+        # int cast on both sides: Spark signum is DOUBLE (-1.0) but DuckDB
+        # sign is INT (-1) — full-precision canon renders them differently
+        F.signum(price - 100000.0).cast("int").alias("above_100k"),
         F.floor(price / 1000.0).cast("bigint").alias("price_kbin"),
         F.abs(F.col("o_custkey") - 750).alias("dist_mid"),
     )

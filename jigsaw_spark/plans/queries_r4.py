@@ -102,12 +102,12 @@ def dedup_lines_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT d, min(x) AS mn, max(x) AS mx FROM dims GROUP BY d) t
     )
     SELECT vec_id,
-           list_transform(range(1, len(embedding) + 1), i ->
+           array_to_string(list_transform(range(1, len(embedding) + 1), i ->
              CAST(round(
                CASE WHEN mxs[i] > mns[i]
                     THEN round((embedding[i]::DOUBLE - mns[i])
                                / (mxs[i] - mns[i]), 9)
-                    ELSE 0.0 END * 255, 0) AS INT)) AS codes,
+                    ELSE 0.0 END * 255, 0) AS INT)), ',') AS codes_csv,
            round(list_max(list_transform(range(1, len(embedding) + 1), i ->
              abs(mns[i]
                  + CAST(round(
@@ -121,12 +121,19 @@ def dedup_lines_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     "SQ8 scalar quantization: ONE dim-keyed hash agg (64 rows, map-side "
     "combinable) collected KB-scale, then a map-only JVM transform — the "
-    "corpus never shuffles; error metric is max (order-independent)",
+    "corpus never shuffles; error metric is max (order-independent). "
+    "Codes emitted as a CSV string: the driver's pandas canonicalizer "
+    "cannot sort array-typed columns (r2 ERR), so no array column ever "
+    "reaches the result surface.",
 )
 def ann_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jigsaw_spark.operators.similarity import sq8_quantize
 
-    return sq8_quantize(_t(spark, sf_dir, "embeddings"))
+    return sq8_quantize(_t(spark, sf_dir, "embeddings")).select(
+        "vec_id",
+        F.array_join(F.col("codes"), ",").alias("codes_csv"),
+        "max_abs_err",
+    )
 
 
 @register(
@@ -233,15 +240,17 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            sum(c) AS n_chars,
-           round(ln(CAST(sum(c) AS DOUBLE))
+           round(round(ln(CAST(sum(c) AS DOUBLE))
                  - sum(CAST(c AS DOUBLE) * ln(c)) / CAST(sum(c) AS DOUBLE),
-                 4) AS entropy_nats,
+                 9), 4) AS entropy_nats,
            count(*) AS n_distinct_chars
     FROM counts GROUP BY doc_id
     """,
     "char-level Shannon entropy (gibberish/OCR-garbage signal) in the "
     "algebraic one-pass form H = ln n - (sum c ln c)/n: one explode + two "
-    "map-side-combinable hash aggs, no window, no per-doc state",
+    "map-side-combinable hash aggs, no window, no per-doc state; "
+    "double-round (9 then 4 digits) on BOTH sides snaps libm/sum-order "
+    "noise before the coarse round (r2 flake fix)",
 )
 def text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jigsaw_spark.operators.text import char_entropy
@@ -308,14 +317,20 @@ def ml_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     None,  # filled below after import to keep the SQL twin adjacent
     "feature hashing (hashing trick): md5-stream index+sign per "
     "col=value token, pure map-side JVM transform — no vocabulary "
-    "table, no shuffle, unbounded categorical domains",
+    "table, no shuffle, unbounded categorical domains. The ±1-sum "
+    "vector is emitted as an int CSV string (values are exact signed "
+    "counts): the driver's pandas canonicalizer cannot sort array "
+    "columns (r2 ERR).",
 )
 def ml_hash_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jigsaw_spark.operators.ml import hash_features
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
     return hash_features(docs, ["lang", "source"], dims=16).select(
-        "doc_id", "features"
+        "doc_id",
+        F.array_join(
+            F.transform(F.col("features"), lambda x: x.cast("int")), ","
+        ).alias("features_csv"),
     )
 
 
@@ -324,7 +339,11 @@ def _install_hash_features_oracle() -> None:
     from jigsaw_spark.plans.queries import QUERIES
 
     QUERIES["ml_hash_features"].oracle = f"""
-    SELECT doc_id, {hash_features_sql(['lang', 'source'], dims=16)} AS features
+    SELECT doc_id,
+           array_to_string(
+             list_transform({hash_features_sql(['lang', 'source'], dims=16)},
+                            x -> x::INT),
+             ',') AS features_csv
     FROM documents
     """
 
@@ -651,15 +670,15 @@ _install_dq_oracle()
     WITH old AS (
       SELECT o_orderkey,
              md5(concat_ws(chr(31),
-                 CAST(o_orderstatus AS VARCHAR),
-                 CAST(o_totalprice AS VARCHAR))) AS _oh
+                 coalesce(CAST(o_orderstatus AS VARCHAR), chr(0)),
+                 coalesce(CAST(o_totalprice AS VARCHAR), chr(0)))) AS _oh
       FROM orders),
     new AS (
       SELECT o_orderkey,
              md5(concat_ws(chr(31),
-                 CAST(CASE WHEN o_orderkey % 7 = 0 THEN 'F'
-                           ELSE o_orderstatus END AS VARCHAR),
-                 CAST(o_totalprice AS VARCHAR))) AS _nh
+                 coalesce(CAST(CASE WHEN o_orderkey % 7 = 0 THEN 'F'
+                           ELSE o_orderstatus END AS VARCHAR), chr(0)),
+                 coalesce(CAST(o_totalprice AS VARCHAR), chr(0)))) AS _nh
       FROM orders WHERE o_orderkey % 11 <> 0)
     SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
            CASE WHEN o._oh IS NULL THEN 'added'
@@ -727,42 +746,55 @@ def rel_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_mad_outliers",
     """
-    WITH med AS (
-      SELECT round(quantile_cont(o_totalprice, 0.5), 4) AS med FROM orders),
+    WITH c AS (
+      SELECT o_orderstatus,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS pc
+      FROM orders),
+    med AS (
+      SELECT CAST(2 * quantile_cont(pc, 0.5) AS BIGINT) AS med2 FROM c),
     dev AS (
-      SELECT o_orderstatus, o_totalprice,
-             abs(o_totalprice - med) AS adev
-      FROM orders CROSS JOIN med),
+      SELECT o_orderstatus, abs(2 * pc - med2) AS adev_h
+      FROM c CROSS JOIN med),
     mad AS (
-      SELECT round(quantile_cont(adev, 0.5), 4) AS mad FROM dev)
+      SELECT CAST(2 * quantile_cont(adev_h, 0.5) AS BIGINT) AS mad2 FROM dev)
     SELECT o_orderstatus,
            count(*) AS n,
-           sum(CASE WHEN adev > 3 * 1.4826 * mad THEN 1 ELSE 0 END)
+           sum(CASE WHEN 20000 * adev_h > 44478 * mad2 THEN 1 ELSE 0 END)
              AS n_outliers
     FROM dev CROSS JOIN mad
     GROUP BY o_orderstatus
     """,
     "robust outlier flagging via median/MAD (the skew-proof z-score): "
     "two exact-percentile aggs, each a 1-row broadcast back into the "
-    "scan — never a sort, never a collect of the data column",
+    "scan — never a sort, never a collect of the data column. The whole "
+    "chain runs in exact half-cent integers (prices are cent-valued; "
+    "median/MAD midpoints are exact half-cents, so 2x them is integral) "
+    "and the 3*1.4826 threshold compares scaled integers "
+    "(20000*adev_h > 44478*mad2) — no float boundary can flip a count "
+    "between engines (r2 hash-flake fix)",
 )
 def agg_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = _t(spark, sf_dir, "orders")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("pc"),
+    )
     med = orders.agg(
-        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("med")
+        (2 * F.percentile("pc", F.lit(0.5))).cast("bigint").alias("med2")
     )
     dev = orders.crossJoin(F.broadcast(med)).select(
         "o_orderstatus",
-        F.abs(F.col("o_totalprice") - F.col("med")).alias("adev"),
+        F.abs(2 * F.col("pc") - F.col("med2")).alias("adev_h"),
     )
-    mad = dev.agg(F.round(F.percentile("adev", F.lit(0.5)), 4).alias("mad"))
+    mad = dev.agg(
+        (2 * F.percentile("adev_h", F.lit(0.5))).cast("bigint").alias("mad2")
+    )
     return (
         dev.crossJoin(F.broadcast(mad))
         .groupBy("o_orderstatus")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(
-                (F.col("adev") > 3 * 1.4826 * F.col("mad")).cast("long")
+                (20000 * F.col("adev_h") > 44478 * F.col("mad2")).cast("long")
             ).alias("n_outliers"),
         )
     )
@@ -897,7 +929,7 @@ _IV_SPAN_US = 300_000_000  # each event opens a 5-minute activity interval
              epoch_us(ts) AS s, epoch_us(ts) + {_IV_SPAN_US} AS e
       FROM events),
     flagged AS (
-      SELECT user_id, s, e,
+      SELECT user_id, event_id, s, e,
              CASE WHEN max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
                                     ROWS BETWEEN UNBOUNDED PRECEDING
                                     AND 1 PRECEDING) >= s
@@ -905,7 +937,7 @@ _IV_SPAN_US = 300_000_000  # each event opens a 5-minute activity interval
       FROM iv),
     grouped AS (
       SELECT user_id, s, e,
-             sum(new_grp) OVER (PARTITION BY user_id ORDER BY s, e
+             sum(new_grp) OVER (PARTITION BY user_id ORDER BY s, event_id
                                 ROWS BETWEEN UNBOUNDED PRECEDING
                                 AND CURRENT ROW) AS grp
       FROM flagged),
@@ -920,7 +952,11 @@ _IV_SPAN_US = 300_000_000  # each event opens a 5-minute activity interval
     "interval-union (merged activity time): the distributed sweep-line "
     "— running-max-end flags island starts, running sum numbers them, "
     "ONE key shuffle shared by both windows and the merge agg; exact "
-    "integer-microsecond arithmetic",
+    "integer-microsecond arithmetic. Both windows order by the same "
+    "total key (s, event_id): ordering the running sum by (s, e) was "
+    "ambiguous on tied starts (e is s + a constant), so a tied row "
+    "could attach to the wrong island depending on partitioning "
+    "(advisor finding, r2)",
 )
 def ts_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
@@ -939,6 +975,7 @@ def ts_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     flagged = iv.select(
         "user_id",
+        "event_id",
         "s",
         "e",
         F.when(F.max("e").over(w_prev) >= F.col("s"), F.lit(0))
@@ -947,7 +984,7 @@ def ts_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w_run = (
         Window.partitionBy("user_id")
-        .orderBy("s", "e")
+        .orderBy("s", "event_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     grouped = flagged.withColumn("grp", F.sum("new_grp").over(w_run))
@@ -1262,46 +1299,78 @@ _CUSUM_K = 3.0
 @register(
     "ts_cusum_changepoints",
     """
-    WITH stats AS (
-      SELECT avg(value) AS mu, stddev_pop(value) AS sd FROM events),
+    WITH c0 AS (
+      SELECT user_id, ts, event_id,
+             CAST(round(value * 100) AS BIGINT) AS vi
+      FROM events),
+    stats AS (
+      SELECT count(*) AS n, sum(vi) AS t,
+             sum(CAST(vi AS HUGEINT) * vi) AS q
+      FROM c0),
     c AS (
-      SELECT user_id, event_id, ts,
-             sum(value - mu) OVER (PARTITION BY user_id
-                                   ORDER BY ts, event_id) AS cusum,
-             sd
-      FROM events CROSS JOIN stats)
+      SELECT user_id, n, t, q,
+             n * sum(vi) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW)
+             - count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) * t AS d
+      FROM c0 CROSS JOIN stats)
     SELECT user_id,
            count(*) AS n_events,
-           sum(CASE WHEN abs(cusum) > 3.0 * sd * sqrt(10) THEN 1 ELSE 0 END)
-             AS n_alarms,
-           round(max(abs(cusum)), 4) AS max_dev
+           sum(CASE WHEN CAST(d AS HUGEINT) * d
+                         > 90 * (n * q - CAST(t AS HUGEINT) * t)
+                    THEN 1 ELSE 0 END) AS n_alarms,
+           round(max(abs(d)) / (100.0 * max(n)), 4) AS max_dev
     FROM c GROUP BY user_id
     """,
-    "CUSUM drift detection per user: global (mu, sigma) as a 1-row "
-    "broadcast, running deviation sum in ONE key-partitioned window, "
-    "alarms where |cusum| exceeds k·sigma·sqrt(n_window) — the "
-    "sequential change-detection primitive, one shuffle",
+    "CUSUM drift detection per user: running deviation sum in ONE "
+    "key-partitioned window, alarms where |cusum| exceeds "
+    "k*sigma*sqrt(n_window). Entirely in exact integer cents: with "
+    "D_k = n*S_k - k*T (S_k running sum, T/n/Q global sums), "
+    "cusum_k = D_k/(100n) and the alarm test |cusum|>3*sd*sqrt(10) "
+    "is exactly D_k^2 > 90*(n*Q - T^2) — integer comparison, no float "
+    "boundary can flip between engines (r2 hash-flake fix); squares in "
+    "decimal/HUGEINT so nothing overflows at scale",
 )
 def ts_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    events = _t(spark, sf_dir, "events")
+    events = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("vi"),
+    )
     stats = events.agg(
-        F.avg("value").alias("mu"), F.stddev_pop("value").alias("sd")
+        F.count(F.lit(1)).alias("n"),
+        F.sum("vi").alias("t"),
+        F.sum(F.col("vi").cast("decimal(19,0)") * F.col("vi")).alias("q"),
     )
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    c = events.crossJoin(F.broadcast(stats)).withColumn(
-        "cusum", F.sum(F.col("value") - F.col("mu")).over(w)
+    c = events.crossJoin(F.broadcast(stats)).select(
+        "user_id",
+        "n",
+        (
+            F.col("n") * F.sum("vi").over(w)
+            - F.count(F.lit(1)).over(w) * F.col("t")
+        ).alias("d"),
+        (
+            F.col("n").cast("decimal(19,0)") * F.col("q")
+            - F.col("t").cast("decimal(19,0)") * F.col("t")
+        ).alias("v"),
     )
-    thresh = F.lit(_CUSUM_K) * F.col("sd") * F.lit(10.0**0.5)
+    alarm = F.col("d").cast("decimal(19,0)") * F.col("d") > 90 * F.col("v")
     return c.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.sum((F.abs("cusum") > thresh).cast("long")).alias("n_alarms"),
-        F.round(F.max(F.abs("cusum")), 4).alias("max_dev"),
+        F.sum(alarm.cast("long")).alias("n_alarms"),
+        F.round(
+            F.max(F.abs("d")) / (F.lit(100.0) * F.max("n")), 4
+        ).alias("max_dev"),
     )
 
 

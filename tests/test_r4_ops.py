@@ -669,6 +669,42 @@ def test_pagerank_matches_numpy_power_iteration(spark):
     assert got[5] > got[6]
 
 
+def test_pagerank_directed_conserves_dangling_mass(spark):
+    import numpy as np
+
+    from jigsaw_spark.operators.graph import pagerank
+
+    # node 3 is a sink (out-degree 0): its mass must be redistributed,
+    # not dropped (advisor finding, r2)
+    E = [(0, 1), (1, 2), (2, 0), (2, 3)]
+    edges = spark.createDataFrame(E, "src long, dst long")
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(edges, n_iters=20, undirected=False).collect()
+    }
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+    # numpy reference with uniform dangling redistribution
+    nodes = sorted({x for e in E for x in e})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    deg = np.zeros(n)
+    for a, _ in E:
+        deg[idx[a]] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(20):
+        c = np.zeros(n)
+        dm = 0.0
+        for i in range(n):
+            if deg[i] == 0:
+                dm += r[i]
+        for a, b in E:
+            c[idx[b]] += r[idx[a]] / deg[idx[a]]
+        r = (1 - 0.85) / n + 0.85 * (c + dm / n)
+    for v in nodes:
+        assert abs(got[v] - r[idx[v]]) < 1e-9
+
+
 def test_map_in_arrow_fingerprint_matches_expression(spark):
     from jigsaw_spark.functions.udtfs import fingerprint_arrow
     from jigsaw_spark.operators.text import fingerprint_expr, tokens_expr

@@ -2,8 +2,29 @@
 
 Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` on DuckDB at
 sf0.01, then compares row count, sorted column names, and an
-order-insensitive value hash (rows rendered to canonical strings, sorted,
-md5'd). Run before every commit:
+order-insensitive value hash.
+
+Faithful to the driver's canonicalizer (r2 lesson — the old replica was
+more permissive than the driver and let 5 reds escape):
+
+- **Array/map/struct-typed output cells are a hard FAIL.** The driver
+  canonicalizes through ``pandas.DataFrame.sort_values`` over every
+  column, which raises ``TypeError: unhashable type: 'list'`` on
+  list-valued cells (the r2 ``ann_sq8`` / ``ml_hash_features`` ERRs).
+  Queries must emit scalars only (CSV-join or explode vectors).
+- **Floats render at full repr precision** (17 significant digits), not
+  the old 9 — the driver keeps full precision, so every final double
+  column must be bit-identical across engines. The codebase convention
+  that makes this hold: round every final double (after a 9-digit inner
+  snap when the value feeds from order-dependent sums), keep threshold
+  comparisons in exact integer/decimal arithmetic.
+- ``--stability`` re-runs each Spark query under a second, deliberately
+  different shuffle-partition count and compares full-precision hashes:
+  catches partition-order-dependent float sums (the r2
+  ``text_entropy``-class flakes) even when Spark-vs-DuckDB happens to
+  agree in this environment.
+
+Run before every commit:
 
     python tools/verify_oracle.py [--sf /root/testdata/sf0.01] [names...]
 """
@@ -24,16 +45,22 @@ import duckdb
 from jigsaw_spark.session import TABLES, get_spark
 
 
+class UnsortableCell(Exception):
+    """A cell the driver's pandas canonicalizer cannot sort (list/dict/…)."""
+
+
 def canon(v) -> str:
     if v is None:
         return "NULL"
+    if isinstance(v, (list, tuple, set, dict, bytearray)):
+        raise UnsortableCell(type(v).__name__)
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        # canonical float rendering: kill -0.0 and 1e-13 noise
         if v == 0:
             v = 0.0
-        return f"{v:.9g}"
+        # full repr precision — the driver does NOT round for us
+        return repr(v)
     if isinstance(v, bool):
         return str(int(v))
     return str(v)
@@ -58,6 +85,13 @@ def main() -> int:
         "(default shuffle partitions / broadcast threshold / no engine "
         "confs) — catches config-dependent divergence the tuned session "
         "hides (the r01 merge_upsert flake class)",
+    )
+    ap.add_argument(
+        "--stability",
+        action="store_true",
+        help="run each Spark query a second time with "
+        "spark.sql.shuffle.partitions=7 and compare full-precision "
+        "hashes — catches partition-order-dependent float results",
     )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
@@ -113,8 +147,15 @@ def main() -> int:
         if not problems:
             s_order = [scols.index(c) for c in sorted(scols)]
             d_order = [dcols.index(c) for c in sorted(dcols)]
-            sh, dh = table_hash(srows, s_order), table_hash(drows, d_order)
-            if sh != dh:
+            try:
+                sh, dh = table_hash(srows, s_order), table_hash(drows, d_order)
+            except UnsortableCell as e:
+                problems.append(
+                    f"array-typed output cell ({e}) — driver ERR class; "
+                    "emit scalars only"
+                )
+                sh = dh = None
+            if sh is not None and sh != dh:
                 problems.append("value-hash mismatch")
                 # show first diverging canonical line for debugging
                 sl = sorted("\x1f".join(canon(r[i]) for i in s_order) for r in srows)
@@ -123,6 +164,18 @@ def main() -> int:
                     if a != b:
                         print(f"  spark: {a!r}\n  duck : {b!r}")
                         break
+            if sh is not None and not problems and args.stability:
+                old = spark.conf.get("spark.sql.shuffle.partitions")
+                try:
+                    spark.conf.set("spark.sql.shuffle.partitions", "7")
+                    srows2 = [tuple(r) for r in qs[name](spark, args.sf).collect()]
+                finally:
+                    spark.conf.set("spark.sql.shuffle.partitions", old)
+                if table_hash(srows2, s_order) != sh:
+                    problems.append(
+                        "UNSTABLE: result changes with shuffle partitioning "
+                        "(order-dependent float path)"
+                    )
         if problems:
             failures.append(name)
             print(f"FAIL {name}: {'; '.join(problems)}")
