@@ -19,8 +19,11 @@ Reference semantics re-expressed:
 Round 4: baseline JPEG decode is REAL too (jpeg_codec.py — pure-Python
 ITU-T T.81 baseline DCT + Annex K Huffman, PSNR-verified round-trips),
 covering the .jpg imagery the reference fetches (io_utils.py:15-41).
+Round 5: progressive JPEG (SOF2) decode is REAL as well — T.81 §G.1.2
+spectral-selection + successive-approximation scans, parity-tested
+against the baseline decode on synthesized progressive fixtures.
 
-STUB CONTRACT (beyond PNG + baseline JPEG): progressive JPEG, video and
+STUB CONTRACT (beyond PNG + JPEG): video and
 model-based extraction still need codec/model runtimes absent from this
 container. Pass
 `fake=True` to run a deterministic md5-derived fake (stable across

@@ -1,13 +1,20 @@
-"""Pure-Python baseline JPEG codec (numpy only — no cv2/PIL).
+"""Pure-Python JPEG codec (numpy only — no cv2/PIL).
 
-Implements the public ITU-T T.81 / JFIF spec: baseline sequential DCT,
-8-bit, Huffman entropy coding with the Annex K standard tables.
+Implements the public ITU-T T.81 / JFIF spec: baseline sequential DCT
+AND progressive DCT (SOF2), 8-bit, Huffman entropy coding with the
+Annex K standard tables.
 
 - ``encode_jpeg``: grayscale or RGB → 4:4:4 baseline JFIF bytes.
-- ``decode_jpeg``: baseline JFIF → uint8 ndarray; accepts 4:4:4, 4:2:2
-  and 4:2:0 sampling and restart intervals (progressive SOF2 raises —
-  it is a different entropy layout, out of scope for mask/thumbnail
-  pipelines).
+- ``encode_jpeg_progressive``: same input → SOF2 progressive JFIF with a
+  4-scan script exercising both spectral selection (DC scan + AC band
+  scan) and successive approximation (Al=1 first pass + Ah=1/Al=0
+  refinement passes) — primarily the parity fixture for the decoder.
+- ``decode_jpeg``: baseline OR progressive JFIF → uint8 ndarray;
+  accepts 4:4:4, 4:2:2 and 4:2:0 sampling and restart intervals.
+  Progressive scans (T.81 §G.1.2: DC first/refine, AC first/refine with
+  EOB-run coding) accumulate into per-component coefficient arrays and
+  reconstruct at EOI — wild ``.jpg`` imagery is very often progressive,
+  so the fetch path (S7) needs this, not just baseline.
 
 This un-stubs the non-PNG branch of ``binary_ops._decode_pixels`` for
 the JPEG payloads the reference fetches (jigsaw/io_utils.py:15-41 pulls
@@ -371,7 +378,7 @@ def _decode_huff(reader: _BitReader, table) -> int:
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Baseline JFIF → uint8 (h, w) or (h, w, 3)."""
+    """Baseline or progressive JFIF → uint8 (h, w) or (h, w, 3)."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -380,6 +387,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     comps: list[dict] = []
     h = w = 0
     restart = 0
+    progressive = False
+    coefs: list[np.ndarray] | None = None
     while pos < len(data):
         if data[pos] != 0xFF:
             pos += 1
@@ -416,7 +425,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 vals = list(seg[i + 17 : i + 17 + nvals])
                 huff[(tc, th)] = _huff_decode_map(bits, vals)
                 i += 17 + nvals
-        elif marker in (0xC0, 0xC1):  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
+            progressive = marker == 0xC2
             h, w = struct.unpack(">HH", seg[1:5])
             ncomp = seg[5]
             comps = []
@@ -425,8 +435,6 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 comps.append(
                     {"id": cid, "h": samp >> 4, "v": samp & 0xF, "tq": tq}
                 )
-        elif marker == 0xC2:
-            raise NotImplementedError("progressive JPEG (SOF2) unsupported")
         elif marker in (
             0xC3,  # lossless sequential
             0xC5, 0xC6, 0xC7,  # differential sequential/progressive/lossless
@@ -442,14 +450,38 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             (restart,) = struct.unpack(">H", seg)
         elif marker == 0xDA:  # SOS — entropy data follows
             ns = seg[0]
+            scan_cis = []
             for c in range(ns):
                 cid, tabs = seg[1 + 2 * c], seg[2 + 2 * c]
-                for comp in comps:
+                for ci, comp in enumerate(comps):
                     if comp["id"] == cid:
                         comp["td"], comp["ta"] = tabs >> 4, tabs & 0xF
+                        scan_cis.append(ci)
             pos += seglen
-            return _decode_scan(data, pos, h, w, comps, qtabs, huff, restart)
+            if not progressive:
+                return _decode_scan(
+                    data, pos, h, w, comps, qtabs, huff, restart
+                )
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 0xF
+            if coefs is None:
+                hmax = max(c["h"] for c in comps)
+                vmax = max(c["v"] for c in comps)
+                mcus_x, mcus_y = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+                coefs = [
+                    np.zeros(
+                        (mcus_y * c["v"], mcus_x * c["h"], 64), dtype=np.int32
+                    )
+                    for c in comps
+                ]
+            pos = _decode_progressive_scan(
+                data, pos, scan_cis, comps, coefs, huff, restart,
+                ss, se, ah, al, w, h,
+            )
+            continue  # next marker; seglen already consumed
         pos += seglen
+    if progressive and coefs is not None:
+        return _reconstruct_from_coefs(coefs, comps, qtabs, h, w)
     raise ValueError("no SOS marker found")
 
 
@@ -522,3 +554,368 @@ def _decode_scan(data, pos, h, w, comps, qtabs, huff, restart):
     return np.clip(np.round(np.stack([r, g, b], axis=2)), 0, 255).astype(
         np.uint8
     )
+
+
+def _decode_progressive_scan(
+    data, pos, scan_cis, comps, coefs, huff, restart, ss, se, ah, al, w, h
+):
+    """One progressive scan (T.81 §G.1.2) into the per-component
+    coefficient accumulators; returns the byte position of the marker
+    that ends the scan. Coefficients are kept in zigzag order.
+
+    Four scan kinds: DC first (ah=0, ss=0), DC refinement (ah>0, ss=0),
+    AC first (ah=0, ss>0) with EOB-run coding, AC refinement (ah>0,
+    ss>0) with the correction-bit state machine (the libjpeg
+    decode_mcu_AC_refine algorithm from the public spec)."""
+    reader = _BitReader(data, pos)
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcus_x, mcus_y = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    preds = {ci: 0 for ci in scan_cis}
+    eobrun = 0
+    p1, m1 = 1 << al, -1 << al
+
+    def dc_first(ci, by, bx):
+        size = _decode_huff(reader, huff[(0, comps[ci]["td"])])
+        preds[ci] += _extend(reader.bits(size), size)
+        coefs[ci][by, bx, 0] = preds[ci] << al
+
+    def dc_refine(ci, by, bx):
+        if reader.bit():
+            # two's-complement OR reconstructs bit `al` for any sign
+            coefs[ci][by, bx, 0] |= p1
+
+    def ac_first(ci, by, bx):
+        nonlocal eobrun
+        if eobrun > 0:
+            eobrun -= 1
+            return
+        blk = coefs[ci][by, bx]
+        tab = huff[(1, comps[ci]["ta"])]
+        k = ss
+        while k <= se:
+            rs = _decode_huff(reader, tab)
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r == 15:  # ZRL
+                    k += 16
+                    continue
+                eobrun = (1 << r) - 1  # EOBn: this block ends now
+                if r:
+                    eobrun += reader.bits(r)
+                return
+            k += r
+            if k > se:
+                raise ValueError("corrupt AC run (k > Se)")
+            blk[k] = _extend(reader.bits(s), s) << al
+            k += 1
+
+    def ac_refine(ci, by, bx):
+        nonlocal eobrun
+        blk = coefs[ci][by, bx]
+        tab = huff[(1, comps[ci]["ta"])]
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = _decode_huff(reader, tab)
+                r, s = rs >> 4, rs & 15
+                val = 0
+                if s:
+                    if s != 1:
+                        raise ValueError("bad refinement magnitude")
+                    val = p1 if reader.bit() else m1
+                elif r != 15:
+                    eobrun = 1 << r  # EOBn: includes this block's tail
+                    if r:
+                        eobrun += reader.bits(r)
+                    break
+                # advance over r zero-history slots, emitting correction
+                # bits at every nonzero-history coefficient passed
+                while k <= se:
+                    c = int(blk[k])
+                    if c != 0:
+                        if reader.bit() and (c & p1) == 0:
+                            blk[k] = c + (p1 if c >= 0 else m1)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if val and k <= se:
+                    blk[k] = val
+                k += 1
+        if eobrun > 0:
+            while k <= se:  # correction bits for the block's tail
+                c = int(blk[k])
+                if c != 0:
+                    if reader.bit() and (c & p1) == 0:
+                        blk[k] = c + (p1 if c >= 0 else m1)
+                k += 1
+            eobrun -= 1
+
+    if ss == 0:
+        if se != 0:
+            raise ValueError(
+                "invalid progressive scan header (DC scan must have Se=0 — "
+                "is this a baseline stream mislabeled SOF2?)"
+            )
+        decode_block = dc_refine if ah else dc_first
+    else:
+        if len(scan_cis) != 1:
+            raise ValueError("AC progressive scan must be single-component")
+        decode_block = ac_refine if ah else ac_first
+
+    def rst():
+        nonlocal eobrun
+        reader.sync_rst()
+        for ci in preds:
+            preds[ci] = 0
+        eobrun = 0
+
+    mcu = 0
+    if len(scan_cis) > 1:
+        # interleaved (DC scans only): MCU = sampling-factor block cluster
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if restart and mcu and mcu % restart == 0:
+                    rst()
+                for ci in scan_cis:
+                    c = comps[ci]
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            decode_block(
+                                ci, my * c["v"] + by, mx * c["h"] + bx
+                            )
+                mcu += 1
+    else:
+        # non-interleaved: MCU = one block, over the component's own grid
+        ci = scan_cis[0]
+        c = comps[ci]
+        comp_w = -(-w * c["h"] // hmax)  # ceil: component's sample width
+        comp_h = -(-h * c["v"] // vmax)
+        bw = -(-comp_w // 8)
+        bh = -(-comp_h // 8)
+        for by in range(bh):
+            for bx in range(bw):
+                if restart and mcu and mcu % restart == 0:
+                    rst()
+                decode_block(ci, by, bx)
+                mcu += 1
+    return reader.pos
+
+
+def _reconstruct_from_coefs(coefs, comps, qtabs, h, w):
+    """Dequantize + IDCT the accumulated progressive coefficients and
+    assemble the final image (same upsample/color path as baseline)."""
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    full = []
+    for ci, c in enumerate(comps):
+        arr = coefs[ci]
+        nby, nbx = arr.shape[:2]
+        qt = qtabs[c["tq"]]
+        nat = arr[:, :, UNZIGZAG].reshape(nby, nbx, 8, 8) * qt
+        blocks = np.einsum("ki,yxkl,lj->yxij", DCT_M, nat, DCT_M) + 128.0
+        p = blocks.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
+        if c["h"] < hmax or c["v"] < vmax:
+            p = np.repeat(
+                np.repeat(p, vmax // c["v"], axis=0), hmax // c["h"], axis=1
+            )
+        full.append(p[:h, :w])
+    if len(full) == 1:
+        return np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.round(np.stack([r, g, b], axis=2)), 0, 255).astype(
+        np.uint8
+    )
+
+
+def encode_jpeg_progressive(img: np.ndarray, quality: int = 85) -> bytes:
+    """uint8 (h, w) grayscale or (h, w, 3) RGB → SOF2 progressive 4:4:4
+    JFIF with a 4-stage scan script:
+
+      1. DC first scan, interleaved, Al=1 (successive approximation)
+      2. AC first scan per component, band 1-63, Al=1 (spectral selection)
+      3. DC refinement, Ah=1/Al=0 (raw bits, no Huffman)
+      4. AC refinement per component, Ah=1/Al=0 (correction-bit coding)
+
+    Every progressive decode path is exercised. EOB runs are flushed per
+    block (EOBRUN=1 via symbol 0x00), so the Annex K baseline AC tables
+    suffice — no EOBn>0 symbols are needed. Quantized coefficients are
+    identical to ``encode_jpeg`` at the same quality, so a progressive
+    decode must match the baseline decode bit-for-bit (the parity test).
+    """
+    img = np.asarray(img)
+    if img.ndim == 2:
+        planes = [img.astype(np.float64)]
+    elif img.ndim == 3 and img.shape[2] == 3:
+        r, g, b = (img[:, :, i].astype(np.float64) for i in range(3))
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+    else:
+        raise ValueError("expected (h,w) or (h,w,3) uint8")
+    h, w = planes[0].shape
+    lum_q, chrom_q = _quality_tables(quality)
+    qtabs = [lum_q] + [chrom_q] * (len(planes) - 1)
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    planes = [
+        np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge") for p in planes
+    ]
+    ncomp = len(planes)
+    nby, nbx = ph // 8, pw // 8
+
+    # quantize every block once (zigzag order), shared by all scans
+    q = []
+    for ci, plane in enumerate(planes):
+        arr = np.zeros((nby, nbx, 64), dtype=np.int64)
+        for by in range(nby):
+            for bx in range(nbx):
+                blk = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                coef = DCT_M @ (blk - 128.0) @ DCT_M.T
+                arr[by, bx] = np.round(coef / qtabs[ci]).astype(np.int64).flatten()[ZIGZAG]
+        q.append(arr)
+
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xe0" + struct.pack(
+        ">H", 16
+    ) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    for tid, tab in enumerate([lum_q] + ([chrom_q] if ncomp > 1 else [])):
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tid)
+        out += bytes(int(x) for x in tab.flatten()[ZIGZAG])
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
+    for cid in range(ncomp):
+        out += bytes([cid + 1, 0x11, 0 if cid == 0 else 1])
+    huffs = [(0x00, DC_LUM), (0x10, AC_LUM)]
+    if ncomp > 1:
+        huffs += [(0x01, DC_CHROM), (0x11, AC_CHROM)]
+    for tc_th, (bits, vals) in huffs:
+        out += b"\xff\xc4" + struct.pack(">HB", 19 + len(vals), tc_th)
+        out += bytes(bits) + bytes(vals)
+
+    dc_maps = [_huff_codes(*(DC_LUM if ci == 0 else DC_CHROM)) for ci in range(ncomp)]
+    ac_maps = [_huff_codes(*(AC_LUM if ci == 0 else AC_CHROM)) for ci in range(ncomp)]
+
+    def sos(cis, ss, se, ah, al):
+        out.extend(b"\xff\xda" + struct.pack(">HB", 6 + 2 * len(cis), len(cis)))
+        for ci in cis:
+            td = ci if ncomp > 1 and ci else 0
+            out.extend(bytes([ci + 1, (min(td, 1) << 4) | min(td, 1)]))
+        out.extend(bytes([ss, se, (ah << 4) | al]))
+
+    # --- scan 1: DC first, interleaved, Al=1 ------------------------------
+    sos(list(range(ncomp)), 0, 0, 0, 1)
+    wtr = _BitWriter()
+    preds = [0] * ncomp
+    for by in range(nby):
+        for bx in range(nbx):
+            for ci in range(ncomp):
+                dc = int(q[ci][by, bx, 0]) >> 1  # arithmetic point transform
+                size, bits = _magnitude(dc - preds[ci])
+                code, length = dc_maps[ci][size]
+                wtr.write(code, length)
+                if size:
+                    wtr.write(bits, size)
+                preds[ci] = dc
+    wtr.flush()
+    out += wtr.buf
+
+    def ac_point(v: int) -> int:
+        # AC point transform truncates toward zero (T.81 §G.1.2.2)
+        return v >> 1 if v >= 0 else -((-v) >> 1)
+
+    # --- scan 2: AC first per component, band 1-63, Al=1 ------------------
+    for ci in range(ncomp):
+        sos([ci], 1, 63, 0, 1)
+        wtr = _BitWriter()
+        ac_map = ac_maps[ci]
+        for by in range(nby):
+            for bx in range(nbx):
+                band = [ac_point(int(v)) for v in q[ci][by, bx, 1:64]]
+                nz = [i for i, v in enumerate(band) if v]
+                last = nz[-1] if nz else -1
+                run = 0
+                for i in range(last + 1):
+                    v = band[i]
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, length = ac_map[0xF0]
+                        wtr.write(code, length)
+                        run -= 16
+                    size, bits = _magnitude(v)
+                    code, length = ac_map[(run << 4) | size]
+                    wtr.write(code, length)
+                    wtr.write(bits, size)
+                    run = 0
+                if last < 62:
+                    code, length = ac_map[0x00]  # per-block EOB (EOBRUN=1)
+                    wtr.write(code, length)
+        wtr.flush()
+        out += wtr.buf
+
+    # --- scan 3: DC refinement, interleaved, Ah=1/Al=0 (raw bits) ---------
+    sos(list(range(ncomp)), 0, 0, 1, 0)
+    wtr = _BitWriter()
+    for by in range(nby):
+        for bx in range(nbx):
+            for ci in range(ncomp):
+                wtr.write(int(q[ci][by, bx, 0]) & 1, 1)
+    wtr.flush()
+    out += wtr.buf
+
+    # --- scan 4: AC refinement per component, Ah=1/Al=0 -------------------
+    # the jcphuff.c algorithm: ZRL check runs at EVERY nonzero slot before
+    # buffering its correction bit, so pending bits always lie within the
+    # 16-zero window the matching decoder walk consumes
+    for ci in range(ncomp):
+        sos([ci], 1, 63, 1, 0)
+        wtr = _BitWriter()
+        ac_map = ac_maps[ci]
+        for by in range(nby):
+            for bx in range(nbx):
+                band = [int(v) for v in q[ci][by, bx, 1:64]]
+                eob = -1
+                for i, v in enumerate(band):
+                    if abs(v) == 1:
+                        eob = i  # last newly-nonzero slot
+                br: list[int] = []
+                run = 0
+                for i, v in enumerate(band):
+                    av = abs(v)
+                    if av == 0:
+                        run += 1
+                        continue
+                    while run > 15 and i <= eob:
+                        code, length = ac_map[0xF0]
+                        wtr.write(code, length)
+                        run -= 16
+                        for bit in br:
+                            wtr.write(bit, 1)
+                        br = []
+                    if av > 1:  # history-nonzero: one correction bit
+                        br.append(av & 1)
+                        continue
+                    code, length = ac_map[(run << 4) | 1]
+                    wtr.write(code, length)
+                    wtr.write(1 if v > 0 else 0, 1)  # sign
+                    for bit in br:
+                        wtr.write(bit, 1)
+                    br = []
+                    run = 0
+                if run > 0 or br:
+                    code, length = ac_map[0x00]  # EOB, then pending bits
+                    wtr.write(code, length)
+                    for bit in br:
+                        wtr.write(bit, 1)
+        wtr.flush()
+        out += wtr.buf
+
+    out += b"\xff\xd9"
+    return bytes(out)

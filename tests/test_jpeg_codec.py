@@ -80,13 +80,46 @@ def test_byte_stuffing_survives_noise():
     assert out.shape == img.shape  # lossy, but must parse cleanly
 
 
-def test_progressive_rejected():
+def test_progressive_parity_with_baseline():
+    """Progressive (SOF2) decode must reproduce the baseline decode
+    bit-for-bit: both encoders quantize identically, so the only
+    difference is the entropy layout (T.81 §G.1.2 — DC first/refine,
+    AC first/refine with successive approximation Al=1→0)."""
+    from jigsaw_spark.multimodal.jpeg_codec import encode_jpeg_progressive
+
+    rng = np.random.default_rng(7)
+    cases = [
+        _smooth(1, 24, 40, 1),                                   # gray smooth
+        _smooth(2, 17, 23, 3),                                   # RGB odd dims
+        rng.integers(0, 256, (48, 48), dtype=np.int64).astype(np.uint8),
+        rng.integers(0, 256, (16, 16, 3), dtype=np.int64).astype(np.uint8),
+    ]
+    for img in cases:
+        for q in (30, 75, 95):  # sparse → dense coefficient regimes
+            base = decode_jpeg(encode_jpeg(img, q))
+            prog_bytes = encode_jpeg_progressive(img, q)
+            assert b"\xff\xc2" in prog_bytes  # really SOF2
+            assert prog_bytes.count(b"\xff\xda") >= 4  # multi-scan script
+            assert np.array_equal(decode_jpeg(prog_bytes), base)
+
+
+def test_baseline_mislabeled_as_progressive_fails_fast():
     img = _smooth(1, 16, 16, 1)
     data = bytearray(encode_jpeg(img, 85))
     i = data.find(b"\xff\xc0")
-    data[i + 1] = 0xC2  # relabel SOF0 as progressive SOF2
-    with pytest.raises(NotImplementedError):
+    data[i + 1] = 0xC2  # relabel SOF0 as SOF2: scan header is now invalid
+    with pytest.raises(ValueError):
         decode_jpeg(bytes(data))
+
+
+def test_unsupported_sof_markers_rejected():
+    img = _smooth(1, 16, 16, 1)
+    for sof in (0xC3, 0xC7, 0xCA, 0xCF):
+        data = bytearray(encode_jpeg(img, 85))
+        i = data.find(b"\xff\xc0")
+        data[i + 1] = sof
+        with pytest.raises(NotImplementedError):
+            decode_jpeg(bytes(data))
 
 
 def test_not_a_jpeg_rejected():
