@@ -95,7 +95,14 @@ def ngram_jaccard_pairs(
     """Pairs (a < b) with trigram-set Jaccard >= threshold.
 
     ``max_posting``: scale knob — shingles appearing in more than this many
-    docs are dropped before the self-join (None = exact)."""
+    docs are dropped before the self-join (None = exact). The uncapped
+    form is quadratic in the posting length of the most frequent shingle
+    (boilerplate text at corpus scale), so at 100 TB run this either on
+    a SAMPLED corpus (it is a tuning/evaluation query, not a production
+    dedup pass) or with a cap; the Jaccard is then computed over the
+    capped shingle universe — identical to exact whenever no posting
+    exceeds the cap (asserted on the test corpus in
+    tests/test_r4_ops.py::test_ngram_jaccard_cap_noop_when_not_binding)."""
     sh = doc_shingles(df, key, text, n)
     if max_posting is not None:
         rare = (

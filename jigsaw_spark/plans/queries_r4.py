@@ -408,9 +408,15 @@ def dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents")
-    truth = ngram_jaccard_pairs(docs, "doc_id", threshold=0.5).select(
-        "doc_a", "doc_b", F.lit(1).alias("in_t")
-    )
+    # max_posting caps the exact-truth inverted-index self-join — without
+    # it the truth side is quadratic on boilerplate shingles. 1000 never
+    # binds at sf0.01 (500 docs — SQL twin stays the uncapped form,
+    # asserted equal in tests/test_r4_ops.py), and at 100 TB this tuning
+    # query runs on a sample anyway; the cap makes it safe to point at
+    # the full corpus by mistake.
+    truth = ngram_jaccard_pairs(
+        docs, "doc_id", threshold=0.5, max_posting=1000
+    ).select("doc_a", "doc_b", F.lit(1).alias("in_t"))
     cand = minhash_lsh_pairs(docs, "doc_id", num_hashes=16, bands=4).select(
         "doc_a", "doc_b", F.lit(1).alias("in_c")
     )
@@ -2028,9 +2034,12 @@ def dedup_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jigsaw_spark.operators.dedup import minhash_signatures, ngram_jaccard_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    truth = ngram_jaccard_pairs(docs, "doc_id", threshold=0.3).select(
-        "doc_a", "doc_b", (F.col("jaccard")).alias("j_exact")
-    )
+    # capped truth side (see dedup_lsh_recall): never binds at sf0.01 so
+    # the SQL twin stays the uncapped form; bounds the inverted-index
+    # self-join on boilerplate shingles at scale
+    truth = ngram_jaccard_pairs(
+        docs, "doc_id", threshold=0.3, max_posting=1000
+    ).select("doc_a", "doc_b", (F.col("jaccard")).alias("j_exact"))
     sigs = minhash_signatures(docs, "doc_id", num_hashes=16)
     a = sigs.select(
         F.col("doc_id").alias("doc_a"), F.col("seed"), F.col("mh").alias("mh_a")

@@ -773,3 +773,39 @@ def test_compression_ratio_matches_local_zlib(spark):
         assert got[k] == (len(raw), len(comp), want_ratio)
     # repetitive text compresses far better than natural text
     assert got[1][2] < got[2][2]
+
+
+def test_ngram_jaccard_cap_noop_when_not_binding(spark):
+    """The truth-side cap in the LSH evaluation queries (max_posting=1000)
+    must be a no-op on the sf0.01 corpus (500 docs — no posting list can
+    exceed it), so the uncapped DuckDB oracle stays exact; and when the
+    cap DOES bind, pairs supported only by over-cap shingles disappear."""
+    from jigsaw_spark.operators.dedup import ngram_jaccard_pairs
+
+    sf = "/root/testdata/sf0.01"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    uncapped = set(
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in ngram_jaccard_pairs(docs, "doc_id", threshold=0.5).collect()
+    )
+    capped = set(
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", threshold=0.5, max_posting=1000
+        ).collect()
+    )
+    assert uncapped == capped and len(capped) > 0
+
+    # a binding cap: two docs share ONLY a boilerplate shingle that
+    # appears in >2 docs — capping at 2 removes the pair
+    rows = [(i, "common boiler plate words here") for i in range(5)]
+    rows += [(10, "alpha beta gamma delta"), (11, "alpha beta gamma delta")]
+    df = _docs(spark, rows)
+    loose = ngram_jaccard_pairs(df, "doc_id", threshold=0.9).collect()
+    tight = ngram_jaccard_pairs(
+        df, "doc_id", threshold=0.9, max_posting=2
+    ).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in loose} > {
+        (r["doc_a"], r["doc_b"]) for r in tight
+    }
+    assert {(r["doc_a"], r["doc_b"]) for r in tight} == {(10, 11)}
