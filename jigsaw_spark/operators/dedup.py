@@ -685,3 +685,110 @@ def dedup_lines(
             F.count(F.lit(1)).alias("n_lines_kept"),
         )
     )
+
+
+def substring_window_stats(
+    df: DataFrame,
+    key: str,
+    text: str = "text",
+    window: int = 8,
+) -> DataFrame:
+    """Exact-substring duplication stats at token-window granularity — the
+    distributed analog of suffix-array ExactSubstr dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): a
+    ``window``-token span appearing verbatim in >= 2 documents is a
+    duplicated substring; per doc we report what fraction of its distinct
+    windows are cross-document duplicates (the span-removal decision
+    feeds on exactly this relation).
+
+    Scale shape (the dedup_lines shape): ONE explode of sliding windows →
+    distinct (doc, window-fingerprint) → ONE fp-keyed hash agg counting
+    docs (map-side combinable) → fp-keyed join back (exchange reuse) →
+    ONE doc-keyed agg. Windows shuffle as md5 fingerprints, never as
+    strings; nothing quadratic, the duplicate span set is never
+    collected. All outputs are integer counts + a ratio of two integers
+    (engine-stable double).
+    """
+    from jigsaw_spark.operators.text import tokens_expr
+
+    toks = df.select(
+        F.col(key), tokens_expr(text).alias("_ws")
+    ).filter(F.size("_ws") >= window)
+    idx = F.sequence(F.lit(0), F.size("_ws") - window)
+    win = F.array_join(
+        F.slice(F.col("_ws"), F.col("_i") + 1, window), " "
+    )
+    wins = (
+        toks.select(F.col(key), F.explode(idx).alias("_i"), "_ws")
+        .select(F.col(key), F.md5(win).alias("fp"))
+        .distinct()
+    )
+    dup = (
+        wins.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("_nd"))
+        .filter(F.col("_nd") >= 2)
+        .select("fp", F.lit(1).alias("_dup"))
+    )
+    return (
+        wins.join(dup, "fp", "left")
+        .groupBy(key)
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(F.coalesce("_dup", F.lit(0))).cast("bigint").alias(
+                "n_dup_windows"
+            ),
+            F.round(
+                F.sum(F.coalesce("_dup", F.lit(0)))
+                / F.count(F.lit(1)).cast("double"),
+                4,
+            ).alias("dup_ratio"),
+        )
+    )
+
+
+def containment_pairs(
+    df: DataFrame,
+    key: str,
+    text: str = "text",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_posting: int | None = 1000,
+) -> DataFrame:
+    """Pairs (a < b) with shingle-set OVERLAP COEFFICIENT
+    |A∩B| / min(|A|,|B|) >= threshold — the asymmetric near-dup measure
+    Jaccard misses: a short document wholly contained in a long one has
+    low Jaccard but containment ~1 (quote farms, excerpt pages,
+    append-only revisions).
+
+    Same bounded inverted-index shape as :func:`ngram_jaccard_pairs`
+    (capped postings by default — this is a pair-surfacing query, frequent
+    boilerplate shingles carry no containment signal); the score is a
+    ratio of exact integers, engine-stable."""
+    sh = doc_shingles(df, key, text, n)
+    if max_posting is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .count()
+            .filter(F.col("count") <= max_posting)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle", "left_semi")
+    sizes = sh.groupBy(key).agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col(key).alias("doc_a"), "shingle")
+    b = sh.select(F.col(key).alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sz_a = sizes.select(F.col(key).alias("doc_a"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col(key).alias("doc_b"), F.col("sz").alias("sz_b"))
+    ovl = F.col("inter") / F.least("sz_a", "sz_b").cast("double")
+    return (
+        inter.join(sz_a, "doc_a")
+        .join(sz_b, "doc_b")
+        .withColumn("overlap", ovl)
+        .filter(F.col("overlap") >= threshold)
+        .select("doc_a", "doc_b", F.round("overlap", 4).alias("overlap"))
+    )

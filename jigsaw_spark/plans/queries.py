@@ -1537,6 +1537,7 @@ from jigsaw_spark.plans import queries_llm2  # noqa: E402,F401
 from jigsaw_spark.plans import queries_streaming  # noqa: E402,F401
 from jigsaw_spark.plans import queries_r3  # noqa: E402,F401
 from jigsaw_spark.plans import queries_r4  # noqa: E402,F401
+from jigsaw_spark.plans import queries_r5  # noqa: E402,F401
 
 
 # ---------------------------------------------------------------------------
@@ -1658,6 +1659,12 @@ _CERTIFICATION_PRIORITY = [
     "ts_interp",
     "agg_hll_mergeable",
     "p_weighted_sample",
+    # round-5 additions (oracle-backed, never certified)
+    "dedup_substr_windows",
+    "dedup_containment",
+    "ann_ivf_recall",
+    "ml_calibration_bins",
+    "p_mixture_reweight",
     # never certified, rows-only (weaker driver check)
     "k6_deeplab_export",
     "ml_kmeans",

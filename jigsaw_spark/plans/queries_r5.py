@@ -1,0 +1,301 @@
+"""Round-5 operators: exact-substring window dedup, containment pairs,
+ANN recall self-evaluation, model calibration, mixture reweighting.
+
+Reference parity: these extend the same training-data-pipeline surface as
+queries_llm/queries_r4 (the reference's dataset-construction mandate,
+jigsaw/dataset.py) with the next operators a 100 TB curation pipeline
+reaches for:
+
+- ``dedup_substr_windows``: ExactSubstr-style duplication stats (Lee et
+  al. 2022) at token-window granularity — the span-level complement to
+  line dedup (dedup_lines) and doc dedup (minhash).
+- ``dedup_containment``: overlap-coefficient pairs — asymmetric near-dup
+  (excerpt/quote containment) that Jaccard structurally misses.
+- ``ann_ivf_recall``: recall@10 of the IVF scale path against the exact
+  brute-force baseline — the tuning loop for (ncells, nprobe), same
+  self-evaluation family as dedup_lsh_recall.
+- ``ml_calibration_bins``: reliability-diagram bins for a fixed linear
+  scorer over embeddings — the model-ops check downstream of
+  ml_logreg; all bin stats are exact-integer derived.
+- ``p_mixture_reweight``: per-language resampling weights to hit a
+  target mixture — the deterministic ledger feeding weighted sampling
+  (p1_stratified/p_temperature_mixture run on its output at scale).
+
+Float discipline (see PLANS.md float-determinism audit): scores that feed
+bins/ranks snap through round(·,9) before any boundary decision; every
+reported double is either a ratio of exact integers or a round of an
+identically-derived value on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jigsaw_spark.plans.queries import _t, register
+from jigsaw_spark.plans.queries_llm import _SHINGLES_CTE, _TOKS_CTE
+from jigsaw_spark.operators.text import tokens_sql
+
+_W = 8  # substring window length (tokens)
+
+
+@register(
+    "dedup_substr_windows",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {tokens_sql('text')} AS ws FROM documents
+    ),
+    wins AS (
+      SELECT DISTINCT doc_id, array_to_string(ws[i+1:i+{_W}], ' ') AS w
+      FROM toks, LATERAL (
+        SELECT unnest(range(0, len(ws) - {_W} + 1)) AS i) t
+      WHERE len(ws) >= {_W}
+    ),
+    dup AS (
+      SELECT w, 1 AS is_dup FROM wins GROUP BY w HAVING count(*) >= 2
+    )
+    SELECT doc_id,
+           count(*) AS n_windows,
+           CAST(sum(coalesce(is_dup, 0)) AS BIGINT) AS n_dup_windows,
+           round(sum(coalesce(is_dup, 0)) / CAST(count(*) AS DOUBLE), 4)
+             AS dup_ratio
+    FROM wins LEFT JOIN dup USING (w)
+    GROUP BY doc_id
+    """,
+    "ExactSubstr-style window dedup stats (Lee et al. 2022 analog): one "
+    "sliding-window explode -> distinct (doc, md5-fingerprint) -> ONE "
+    "fp-keyed hash agg -> fp join back (exchange reuse) -> doc agg; "
+    "windows shuffle as fingerprints, dup set never collected; outputs "
+    "are integer counts + integer-ratio doubles (engine-stable)",
+)
+def dedup_substr_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jigsaw_spark.operators.dedup import substring_window_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    return substring_window_stats(docs, "doc_id", "text", window=_W)
+
+
+@register(
+    "dedup_containment",
+    f"""
+    WITH {_TOKS_CTE}, {_SHINGLES_CTE},
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           round(inter / CAST(least(sa.sz, sb.sz) AS DOUBLE), 4) AS overlap
+    FROM inter
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE inter / CAST(least(sa.sz, sb.sz) AS DOUBLE) >= 0.8
+    """,
+    "overlap-coefficient near-dup pairs |A∩B|/min(|A|,|B|): the "
+    "asymmetric containment Jaccard misses (excerpt inside a long doc); "
+    "bounded inverted-index self-join (max_posting cap, a no-op at "
+    "sf0.01 so the SQL twin stays uncapped), score = ratio of exact "
+    "integers",
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jigsaw_spark.operators.dedup import containment_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return containment_pairs(
+        docs, "doc_id", "text", threshold=0.8, max_posting=1000
+    )
+
+
+_IVF_COS_R5 = "round(list_cosine_similarity({a}.embedding::DOUBLE[], {b}.cvec), 9)"
+_COS_R5 = (
+    "list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[])"
+)
+
+
+@register(
+    "ann_ivf_recall",
+    f"""
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+      FROM embeddings WHERE vec_id < 8
+    ), assign AS (
+      SELECT vec_id, cid AS cell FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_IVF_COS_R5.format(a='e', b='c')} DESC, c.cid) AS rn
+        FROM embeddings e CROSS JOIN cent c) t
+      WHERE rn = 1
+    ), probes AS (
+      SELECT query_id, cell FROM (
+        SELECT q.vec_id AS query_id, c.cid AS cell,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY {_IVF_COS_R5.format(a='q', b='c')} DESC, c.cid) AS rn
+        FROM embeddings q CROSS JOIN cent c
+        WHERE q.vec_id < 5) t
+      WHERE rn <= 2
+    ), ivf AS (
+      SELECT query_id, vec_id FROM (
+        SELECT p.query_id, a.vec_id,
+               row_number() OVER (PARTITION BY p.query_id
+                 ORDER BY round({_COS_R5}, 9) DESC, a.vec_id) AS rank
+        FROM probes p
+        JOIN assign a ON a.cell = p.cell
+        JOIN embeddings q ON q.vec_id = p.query_id
+        JOIN embeddings e ON e.vec_id = a.vec_id
+        WHERE a.vec_id <> p.query_id) t
+      WHERE rank <= 10
+    ), brute AS (
+      SELECT query_id, vec_id FROM (
+        SELECT q.vec_id AS query_id, e.vec_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY round({_COS_R5}, 9) DESC, e.vec_id) AS rank
+        FROM embeddings q JOIN embeddings e ON q.vec_id <> e.vec_id
+        WHERE q.vec_id < 5) t
+      WHERE rank <= 10
+    )
+    SELECT b.query_id,
+           CAST(count(i.vec_id) AS BIGINT) AS n_hit,
+           round(count(i.vec_id) / 10.0, 4) AS recall_at_10
+    FROM brute b
+    LEFT JOIN ivf i ON b.query_id = i.query_id AND b.vec_id = i.vec_id
+    GROUP BY b.query_id
+    """,
+    "ANN self-evaluation: recall@10 of the IVF scale path (8 cells, "
+    "nprobe=2) against exact brute-force cosine — the (ncells, nprobe) "
+    "tuning loop, same family as dedup_lsh_recall; both sides reuse the "
+    "production operators, recall is a ratio of exact integers",
+)
+def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jigsaw_spark.operators.similarity import cosine_topk, ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in emb.filter(F.col("vec_id") < 8).collect()
+    ]
+    queries = emb.filter(F.col("vec_id") < 5)
+    brute = cosine_topk(emb, queries, k=10).select("query_id", "vec_id")
+    ivf = ivf_topk(emb, queries, centroids, k=10, nprobe=2).select(
+        "query_id", F.col("vec_id").alias("ivf_id")
+    )
+    joined = brute.join(
+        ivf,
+        (brute["query_id"] == ivf["query_id"])
+        & (brute["vec_id"] == ivf["ivf_id"]),
+        "left",
+    ).select(brute["query_id"], "ivf_id")
+    return joined.groupBy("query_id").agg(
+        F.count("ivf_id").alias("n_hit"),
+        F.round(F.count("ivf_id") / 10.0, 4).alias("recall_at_10"),
+    )
+
+
+# fixed linear scorer: exact rational weights, deterministic on both
+# engines (products/sums run in identical array order)
+_CAL_DIMS = 64
+_CAL_W = [((i * 7) % 13 - 6) / 10.0 for i in range(_CAL_DIMS)]
+
+
+@register(
+    "ml_calibration_bins",
+    f"""
+    WITH w AS (SELECT {_CAL_W} ::DOUBLE[] AS wv),
+    scored AS (
+      SELECT CASE WHEN label >= 2 THEN 1 ELSE 0 END AS y,
+             1.0 / (1.0 + exp(-list_sum(list_transform(
+               range(1, {_CAL_DIMS} + 1),
+               i -> embedding[i]::DOUBLE * wv[i])))) AS p
+      FROM embeddings CROSS JOIN w),
+    binned AS (
+      SELECT y,
+             CAST(least(floor(round(p, 9) * 10), 9) AS BIGINT) AS bin,
+             CAST(round(round(p, 9) * 1000000) AS BIGINT) AS p_micro
+      FROM scored)
+    SELECT bin,
+           count(*) AS n,
+           CAST(sum(y) AS BIGINT) AS n_pos,
+           round(sum(p_micro) / (1000000.0 * count(*)), 4) AS mean_p,
+           round(sum(y) / CAST(count(*) AS DOUBLE), 4) AS frac_pos
+    FROM binned GROUP BY bin
+    """,
+    "reliability-diagram calibration bins for a fixed linear scorer "
+    "over embeddings (the model-ops check downstream of ml_logreg): "
+    "sigmoid score snapped via round(.,9) before binning AND before "
+    "micro-unit conversion, so bin membership and mean_p are exact-"
+    "integer derived — no float boundary can move a row between bins; "
+    "one map-only projection + ONE 10-row hash agg",
+)
+def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    wv = F.array(*[F.lit(x) for x in _CAL_W])
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("embedding").cast("array<double>"),
+            wv,
+            lambda x, w: x * w,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    p = F.round(1.0 / (1.0 + F.exp(-dot)), 9)
+    scored = emb.select(
+        (F.col("label") >= 2).cast("int").alias("y"),
+        F.least(F.floor(p * 10), F.lit(9)).cast("bigint").alias("bin"),
+        F.round(p * 1000000).cast("bigint").alias("p_micro"),
+    )
+    return scored.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").cast("bigint").alias("n_pos"),
+        F.round(
+            F.sum("p_micro") / (F.lit(1000000.0) * F.count(F.lit(1))), 4
+        ).alias("mean_p"),
+        F.round(
+            F.sum("y") / F.count(F.lit(1)).cast("double"), 4
+        ).alias("frac_pos"),
+    )
+
+
+@register(
+    "p_mixture_reweight",
+    """
+    WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+    tot AS (SELECT sum(n) AS total, count(*) AS n_langs FROM c)
+    SELECT lang,
+           n AS n_docs,
+           round(n / CAST(total AS DOUBLE), 6) AS share,
+           round(total / (CAST(n_langs AS DOUBLE) * n), 6) AS weight,
+           round(total / CAST(n_langs AS DOUBLE), 2) AS target_docs
+    FROM c CROSS JOIN tot
+    ORDER BY lang
+    """,
+    "mixture-reweighting ledger: per-language resampling weight to hit "
+    "a uniform target mix (weight = target_share/current_share) — the "
+    "deterministic input to weighted sampling at scale; ONE lang-keyed "
+    "hash agg + a 1-row total broadcast, every column a ratio of exact "
+    "integers",
+)
+def p_mixture_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    c = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    tot = c.agg(
+        F.sum("n").alias("total"), F.count(F.lit(1)).alias("n_langs")
+    )
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            F.col("n").alias("n_docs"),
+            F.round(F.col("n") / F.col("total").cast("double"), 6).alias(
+                "share"
+            ),
+            F.round(
+                F.col("total")
+                / (F.col("n_langs").cast("double") * F.col("n")),
+                6,
+            ).alias("weight"),
+            F.round(
+                F.col("total") / F.col("n_langs").cast("double"), 2
+            ).alias("target_docs"),
+        )
+        .orderBy("lang")
+    )
