@@ -771,15 +771,9 @@ def encode_jpeg_progressive(img: np.ndarray, quality: int = 85) -> bytes:
     nby, nbx = ph // 8, pw // 8
 
     # quantize every block once (zigzag order), shared by all scans
-    q = []
-    for ci, plane in enumerate(planes):
-        arr = np.zeros((nby, nbx, 64), dtype=np.int64)
-        for by in range(nby):
-            for bx in range(nbx):
-                blk = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
-                coef = DCT_M @ (blk - 128.0) @ DCT_M.T
-                arr[by, bx] = np.round(coef / qtabs[ci]).astype(np.int64).flatten()[ZIGZAG]
-        q.append(arr)
+    q = [
+        _quantize_plane(plane, qtabs[ci]) for ci, plane in enumerate(planes)
+    ]
 
     out = bytearray(b"\xff\xd8")
     out += b"\xff\xe0" + struct.pack(
@@ -825,38 +819,13 @@ def encode_jpeg_progressive(img: np.ndarray, quality: int = 85) -> bytes:
     wtr.flush()
     out += wtr.buf
 
-    def ac_point(v: int) -> int:
-        # AC point transform truncates toward zero (T.81 §G.1.2.2)
-        return v >> 1 if v >= 0 else -((-v) >> 1)
-
     # --- scan 2: AC first per component, band 1-63, Al=1 ------------------
     for ci in range(ncomp):
         sos([ci], 1, 63, 0, 1)
         wtr = _BitWriter()
-        ac_map = ac_maps[ci]
         for by in range(nby):
             for bx in range(nbx):
-                band = [ac_point(int(v)) for v in q[ci][by, bx, 1:64]]
-                nz = [i for i, v in enumerate(band) if v]
-                last = nz[-1] if nz else -1
-                run = 0
-                for i in range(last + 1):
-                    v = band[i]
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        code, length = ac_map[0xF0]
-                        wtr.write(code, length)
-                        run -= 16
-                    size, bits = _magnitude(v)
-                    code, length = ac_map[(run << 4) | size]
-                    wtr.write(code, length)
-                    wtr.write(bits, size)
-                    run = 0
-                if last < 62:
-                    code, length = ac_map[0x00]  # per-block EOB (EOBRUN=1)
-                    wtr.write(code, length)
+                _emit_ac_first_block(wtr, q[ci][by, bx], ac_maps[ci], al=1)
         wtr.flush()
         out += wtr.buf
 
@@ -871,51 +840,100 @@ def encode_jpeg_progressive(img: np.ndarray, quality: int = 85) -> bytes:
     out += wtr.buf
 
     # --- scan 4: AC refinement per component, Ah=1/Al=0 -------------------
-    # the jcphuff.c algorithm: ZRL check runs at EVERY nonzero slot before
-    # buffering its correction bit, so pending bits always lie within the
-    # 16-zero window the matching decoder walk consumes
     for ci in range(ncomp):
         sos([ci], 1, 63, 1, 0)
         wtr = _BitWriter()
-        ac_map = ac_maps[ci]
         for by in range(nby):
             for bx in range(nbx):
-                band = [int(v) for v in q[ci][by, bx, 1:64]]
-                eob = -1
-                for i, v in enumerate(band):
-                    if abs(v) == 1:
-                        eob = i  # last newly-nonzero slot
-                br: list[int] = []
-                run = 0
-                for i, v in enumerate(band):
-                    av = abs(v)
-                    if av == 0:
-                        run += 1
-                        continue
-                    while run > 15 and i <= eob:
-                        code, length = ac_map[0xF0]
-                        wtr.write(code, length)
-                        run -= 16
-                        for bit in br:
-                            wtr.write(bit, 1)
-                        br = []
-                    if av > 1:  # history-nonzero: one correction bit
-                        br.append(av & 1)
-                        continue
-                    code, length = ac_map[(run << 4) | 1]
-                    wtr.write(code, length)
-                    wtr.write(1 if v > 0 else 0, 1)  # sign
-                    for bit in br:
-                        wtr.write(bit, 1)
-                    br = []
-                    run = 0
-                if run > 0 or br:
-                    code, length = ac_map[0x00]  # EOB, then pending bits
-                    wtr.write(code, length)
-                    for bit in br:
-                        wtr.write(bit, 1)
+                _emit_ac_refine_block(wtr, q[ci][by, bx], ac_maps[ci])
         wtr.flush()
         out += wtr.buf
 
     out += b"\xff\xd9"
     return bytes(out)
+
+
+def _ac_point(v: int, al: int) -> int:
+    """AC point transform truncates toward zero (T.81 §G.1.2.2)."""
+    return v >> al if v >= 0 else -((-v) >> al)
+
+
+def _emit_ac_first_block(wtr, zz, ac_map, al: int) -> None:
+    """AC first scan (Ah=0) for one block's band 1-63 at point transform
+    ``al``; EOB flushed per block (EOBRUN=1, symbol 0x00) so baseline
+    Annex K tables suffice."""
+    band = [_ac_point(int(v), al) for v in zz[1:64]]
+    nz = [i for i, v in enumerate(band) if v]
+    last = nz[-1] if nz else -1
+    run = 0
+    for i in range(last + 1):
+        v = band[i]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_map[0xF0]
+            wtr.write(code, length)
+            run -= 16
+        size, bits = _magnitude(v)
+        code, length = ac_map[(run << 4) | size]
+        wtr.write(code, length)
+        wtr.write(bits, size)
+        run = 0
+    if last < 62:
+        code, length = ac_map[0x00]  # per-block EOB (EOBRUN=1)
+        wtr.write(code, length)
+
+
+def _emit_ac_refine_block(wtr, zz, ac_map) -> None:
+    """AC refinement scan (Ah=1, Al=0) for one block — the jcphuff.c
+    algorithm: the ZRL check runs at EVERY nonzero slot before buffering
+    its correction bit, so pending bits always lie within the 16-zero
+    window the matching decoder walk consumes."""
+    band = [int(v) for v in zz[1:64]]
+    eob = -1
+    for i, v in enumerate(band):
+        if abs(v) == 1:
+            eob = i  # last newly-nonzero slot
+    br: list[int] = []
+    run = 0
+    for i, v in enumerate(band):
+        av = abs(v)
+        if av == 0:
+            run += 1
+            continue
+        while run > 15 and i <= eob:
+            code, length = ac_map[0xF0]
+            wtr.write(code, length)
+            run -= 16
+            for bit in br:
+                wtr.write(bit, 1)
+            br = []
+        if av > 1:  # history-nonzero: one correction bit
+            br.append(av & 1)
+            continue
+        code, length = ac_map[(run << 4) | 1]
+        wtr.write(code, length)
+        wtr.write(1 if v > 0 else 0, 1)  # sign
+        for bit in br:
+            wtr.write(bit, 1)
+        br = []
+        run = 0
+    if run > 0 or br:
+        code, length = ac_map[0x00]  # EOB, then pending bits
+        wtr.write(code, length)
+        for bit in br:
+            wtr.write(bit, 1)
+
+
+def _quantize_plane(plane: np.ndarray, qt: np.ndarray) -> np.ndarray:
+    """(8k, 8m) sample plane → (k, m, 64) quantized zigzag coefficients —
+    shared by the progressive encoder and test fixture builders."""
+    nby, nbx = plane.shape[0] // 8, plane.shape[1] // 8
+    arr = np.zeros((nby, nbx, 64), dtype=np.int64)
+    for by in range(nby):
+        for bx in range(nbx):
+            blk = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+            coef = DCT_M @ (blk - 128.0) @ DCT_M.T
+            arr[by, bx] = np.round(coef / qt).astype(np.int64).flatten()[ZIGZAG]
+    return arr

@@ -1665,6 +1665,9 @@ _CERTIFICATION_PRIORITY = [
     "ann_ivf_recall",
     "ml_calibration_bins",
     "p_mixture_reweight",
+    "text_ngram_diversity",
+    "text_zipf_slope",
+    "dedup_impact_ledger",
     # never certified, rows-only (weaker driver check)
     "k6_deeplab_export",
     "ml_kmeans",

@@ -299,3 +299,174 @@ def p_mixture_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "text_ngram_diversity",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, source, {tokens_sql('text')} AS t FROM documents
+    ),
+    tri AS (
+      SELECT source,
+             unnest(list_transform(range(1, len(t) - 1),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+      FROM toks WHERE len(t) >= 3
+    )
+    SELECT source,
+           count(*) AS n_trigrams,
+           count(DISTINCT g) AS n_distinct,
+           round(count(DISTINCT g) / CAST(count(*) AS DOUBLE), 4)
+             AS diversity
+    FROM tri GROUP BY source ORDER BY source
+    """,
+    "corpus diversity per source: distinct-trigram ratio (low = "
+    "templated/boilerplate-heavy slice, the self-BLEU-style diversity "
+    "proxy): one shingle explode + a two-phase distinct agg (partial "
+    "per-partition distinct before the shuffle), all counts exact "
+    "integers",
+)
+def text_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jigsaw_spark.operators.text import shingles_expr, tokens_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    tri = docs.select(
+        "source",
+        F.explode(shingles_expr(tokens_expr("text"), 3)).alias("g"),
+    )
+    return (
+        tri.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            F.count_distinct("g").alias("n_distinct"),
+            F.round(
+                F.count_distinct("g") / F.count(F.lit(1)).cast("double"), 4
+            ).alias("diversity"),
+        )
+        .orderBy("source")
+    )
+
+
+_ZIPF_TOP = 500
+
+
+@register(
+    "text_zipf_slope",
+    f"""
+    WITH toks AS (
+      SELECT {tokens_sql('text')} AS t FROM documents
+    ),
+    freq AS (
+      SELECT tok, count(*) AS f
+      FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY tok
+    ),
+    ranked AS (
+      SELECT f, row_number() OVER (ORDER BY f DESC, tok) AS r
+      FROM freq
+    ),
+    pts AS (
+      SELECT CAST(round(ln(CAST(r AS DOUBLE)) * 1000000) AS BIGINT) AS x,
+             CAST(round(ln(CAST(f AS DOUBLE)) * 1000000) AS BIGINT) AS y
+      FROM ranked WHERE r <= {_ZIPF_TOP}
+    )
+    SELECT count(*) AS n_terms,
+           round(
+             (count(*) * sum(x * y) - sum(x) * sum(y))
+             / CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS DOUBLE),
+             6) AS zipf_slope
+    FROM pts
+    """,
+    "Zipf-law slope of the term-frequency distribution (log-log OLS "
+    "over the top-500 terms; natural text sits near -1, templated or "
+    "synthetic slices drift): term hash-agg -> one 500-row ranked "
+    "window -> OLS from EXACT integer sums (log coords snapped to "
+    "micro-units first), so the slope is bit-identical across engines",
+)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from jigsaw_spark.operators.text import tokens_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(tokens_expr("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    ranked = freq.withColumn(
+        "r", F.row_number().over(Window.orderBy(F.desc("f"), "tok"))
+    ).filter(F.col("r") <= _ZIPF_TOP)
+    pts = ranked.select(
+        F.round(F.log(F.col("r").cast("double")) * 1000000)
+        .cast("bigint")
+        .alias("x"),
+        F.round(F.log(F.col("f").cast("double")) * 1000000)
+        .cast("bigint")
+        .alias("y"),
+    )
+    n = F.count(F.lit(1))
+    return pts.agg(
+        n.alias("n_terms"),
+        F.round(
+            (n * F.sum(F.col("x") * F.col("y")) - F.sum("x") * F.sum("y"))
+            / (
+                n * F.sum(F.col("x") * F.col("x"))
+                - F.sum("x") * F.sum("x")
+            ).cast("double"),
+            6,
+        ).alias("zipf_slope"),
+    )
+
+
+@register(
+    "dedup_impact_ledger",
+    None,  # filled below: reuses fingerprint_sql adjacent to the operator
+    "before/after dedup ledger per source (the dataset-card number a "
+    "curation run reports): exact-dedup keeper assignment -> per-source "
+    "kept/dropped doc and char counts + retention — ONE fp window + ONE "
+    "source-keyed agg, all outputs exact integers or integer ratios",
+)
+def dedup_impact_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jigsaw_spark.operators.dedup import exact_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    d = exact_dedup(docs, "doc_id")
+    kept = (~F.col("is_dup")).cast("long")
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(kept).alias("n_kept"),
+            F.sum(kept * F.col("n_chars")).alias("chars_kept"),
+            F.round(
+                F.sum(kept) / F.count(F.lit(1)).cast("double"), 4
+            ).alias("retention"),
+        )
+        .orderBy("source")
+    )
+
+
+def _install_dedup_impact_oracle() -> None:
+    from jigsaw_spark.operators.text import fingerprint_sql
+    from jigsaw_spark.plans.queries import QUERIES
+
+    QUERIES["dedup_impact_ledger"].oracle = f"""
+    WITH {_TOKS_CTE},
+    fp AS (
+      SELECT d.doc_id, d.source, d.n_chars, {fingerprint_sql('t')} AS fp
+      FROM toks JOIN documents d USING (doc_id)),
+    marked AS (
+      SELECT source, n_chars,
+             CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY fp)
+                  THEN 1 ELSE 0 END AS kept
+      FROM fp)
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(kept) AS BIGINT) AS n_kept,
+           CAST(sum(kept * n_chars) AS BIGINT) AS chars_kept,
+           round(sum(kept) / CAST(count(*) AS DOUBLE), 4) AS retention
+    FROM marked GROUP BY source ORDER BY source
+    """
+
+
+_install_dedup_impact_oracle()

@@ -1,6 +1,7 @@
-"""Pure-Python baseline JPEG codec: encode/decode round-trips (lossy →
+"""Pure-Python JPEG codec: encode/decode round-trips (lossy →
 PSNR-verified), spec-path coverage (4:2:0 decode, restart markers,
-progressive rejection), and the binary_ops integration."""
+progressive 4:4:4 AND 4:2:0 decode parity against baseline, fail-fast on
+mislabeled/unsupported SOFn), and the binary_ops integration."""
 
 from __future__ import annotations
 
@@ -284,3 +285,145 @@ def test_restart_interval_stream_decodes():
     out = decode_jpeg(_reencode_with_restarts(img, restart=2))
     assert out.shape == img.shape
     assert _psnr(img, out) > 30.0
+
+
+def _progressive_420(img: np.ndarray) -> bytes:
+    """Hand-build a PROGRESSIVE (SOF2) 4:2:0 stream from the same planes
+    and quantizers as `_reencode_420`: interleaved DC scans walk the MCU
+    grid (4 Y + 1 Cb + 1 Cr), AC scans walk each component's own natural
+    block grid (T.81 non-interleaved rule) — the layout wild progressive
+    photos use."""
+    import struct
+
+    from jigsaw_spark.multimodal import jpeg_codec as J
+
+    r, g, b = (img[:, :, i].astype(np.float64) for i in range(3))
+    Y = 0.299 * r + 0.587 * g + 0.114 * b
+    Cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    Cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    h, w = Y.shape
+
+    def sub(p):
+        ph, pw = -(-h // 2) * 2, -(-w // 2) * 2
+        p = np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge")
+        return (p[0::2, 0::2] + p[1::2, 0::2] + p[0::2, 1::2] + p[1::2, 1::2]) / 4
+
+    Cb_s, Cr_s = sub(Cb), sub(Cr)
+    lum_q, chrom_q = J._quality_tables(85)
+    mcu_h, mcu_w = -(-h // 16), -(-w // 16)
+
+    def padto(p, bh, bw):
+        return np.pad(
+            p, ((0, bh - p.shape[0]), (0, bw - p.shape[1])), mode="edge"
+        )
+
+    qY = J._quantize_plane(padto(Y, mcu_h * 16, mcu_w * 16), lum_q)
+    qCb = J._quantize_plane(padto(Cb_s, mcu_h * 8, mcu_w * 8), chrom_q)
+    qCr = J._quantize_plane(padto(Cr_s, mcu_h * 8, mcu_w * 8), chrom_q)
+
+    out = bytearray(b"\xff\xd8")
+    for tid, tab in enumerate([lum_q, chrom_q]):
+        out += b"\xff\xdb" + struct.pack(">HB", 67, tid)
+        out += bytes(int(x) for x in tab.flatten()[J.ZIGZAG])
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 17, 8, h, w, 3)  # SOF2
+    out += bytes([1, 0x22, 0]) + bytes([2, 0x11, 1]) + bytes([3, 0x11, 1])
+    for tc_th, (bits, vals) in [
+        (0x00, J.DC_LUM),
+        (0x10, J.AC_LUM),
+        (0x01, J.DC_CHROM),
+        (0x11, J.AC_CHROM),
+    ]:
+        out += b"\xff\xc4" + struct.pack(">HB", 19 + len(vals), tc_th)
+        out += bytes(bits) + bytes(vals)
+
+    dc_lum, ac_lum = J._huff_codes(*J.DC_LUM), J._huff_codes(*J.AC_LUM)
+    dc_chr, ac_chr = J._huff_codes(*J.DC_CHROM), J._huff_codes(*J.AC_CHROM)
+    comps = [
+        (1, qY, 2, 2, dc_lum, ac_lum, 0),
+        (2, qCb, 1, 1, dc_chr, ac_chr, 1),
+        (3, qCr, 1, 1, dc_chr, ac_chr, 1),
+    ]
+    # natural (non-interleaved) grids per component
+    nat = {
+        1: (-(-h // 8), -(-w // 8)),
+        2: (-(-(-(-h // 2)) // 8), -(-(-(-w // 2)) // 8)),
+        3: (-(-(-(-h // 2)) // 8), -(-(-(-w // 2)) // 8)),
+    }
+
+    def sos(ids_tabs, ss, se, ah, al):
+        out.extend(
+            b"\xff\xda" + struct.pack(">HB", 6 + 2 * len(ids_tabs), len(ids_tabs))
+        )
+        for cid, tt in ids_tabs:
+            out.extend(bytes([cid, tt]))
+        out.extend(bytes([ss, se, (ah << 4) | al]))
+
+    # scan 1: DC first, interleaved, Al=1
+    sos([(1, 0x00), (2, 0x11), (3, 0x11)], 0, 0, 0, 1)
+    wtr = J._BitWriter()
+    preds = {1: 0, 2: 0, 3: 0}
+    for my in range(mcu_h):
+        for mx in range(mcu_w):
+            for cid, q, hs, vs, dcm, _acm, _ in comps:
+                for by in range(vs):
+                    for bx in range(hs):
+                        dc = int(q[my * vs + by, mx * hs + bx, 0]) >> 1
+                        size, bits = J._magnitude(dc - preds[cid])
+                        code, length = dcm[size]
+                        wtr.write(code, length)
+                        if size:
+                            wtr.write(bits, size)
+                        preds[cid] = dc
+    wtr.flush()
+    out += wtr.buf
+
+    # scans 2-4: AC first per component over its natural grid, Al=1
+    for cid, q, _hs, _vs, _dcm, acm, ta in comps:
+        sos([(cid, ta << 0 | (ta << 4))], 1, 63, 0, 1)
+        wtr = J._BitWriter()
+        bh, bw = nat[cid]
+        for by in range(bh):
+            for bx in range(bw):
+                J._emit_ac_first_block(wtr, q[by, bx], acm, al=1)
+        wtr.flush()
+        out += wtr.buf
+
+    # scan 5: DC refinement, interleaved, raw bits
+    sos([(1, 0x00), (2, 0x11), (3, 0x11)], 0, 0, 1, 0)
+    wtr = J._BitWriter()
+    for my in range(mcu_h):
+        for mx in range(mcu_w):
+            for cid, q, hs, vs, _dcm, _acm, _ in comps:
+                for by in range(vs):
+                    for bx in range(hs):
+                        wtr.write(int(q[my * vs + by, mx * hs + bx, 0]) & 1, 1)
+    wtr.flush()
+    out += wtr.buf
+
+    # scans 6-8: AC refinement per component over its natural grid
+    for cid, q, _hs, _vs, _dcm, acm, ta in comps:
+        sos([(cid, ta << 0 | (ta << 4))], 1, 63, 1, 0)
+        wtr = J._BitWriter()
+        bh, bw = nat[cid]
+        for by in range(bh):
+            for bx in range(bw):
+                J._emit_ac_refine_block(wtr, q[by, bx], acm)
+        wtr.flush()
+        out += wtr.buf
+
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_progressive_420_parity_with_baseline_420():
+    """Progressive 4:2:0 (interleaved DC over the MCU grid, AC scans over
+    each component's NATURAL grid) must reproduce the baseline 4:2:0
+    decode on all visible pixels — same planes, same quantizers; only
+    MCU-padding blocks (cropped out) can differ."""
+    for seed, (h, w) in [(5, (40, 56)), (11, (34, 50))]:
+        img = _smooth(seed, h, w, 3)
+        base = decode_jpeg(_reencode_420(img))
+        prog = decode_jpeg(_progressive_420(img))
+        assert prog.shape == base.shape
+        assert np.array_equal(prog, base)
+        assert _psnr(img, prog) > 26.0

@@ -809,3 +809,55 @@ def test_ngram_jaccard_cap_noop_when_not_binding(spark):
         (r["doc_a"], r["doc_b"]) for r in tight
     }
     assert {(r["doc_a"], r["doc_b"]) for r in tight} == {(10, 11)}
+
+
+def test_substring_window_stats_flags_cross_doc_spans(spark):
+    from jigsaw_spark.operators.dedup import substring_window_stats
+
+    shared = "one two three four five six seven eight"  # exactly 8 tokens
+    df = _docs(
+        spark,
+        [
+            (1, shared + " unique tail here alpha beta gamma delta"),
+            (2, "prefix words for doc two " + shared),
+            (3, "completely different text with no overlap at all keeps"),
+        ],
+    )
+    out = {
+        r["doc_id"]: (r["n_windows"], r["n_dup_windows"], r["dup_ratio"])
+        for r in substring_window_stats(df, "doc_id", "text", window=8).collect()
+    }
+    # the shared 8-token run appears verbatim in docs 1 and 2
+    assert out[1][1] >= 1 and out[2][1] >= 1
+    assert out[3][1] == 0 and out[3][2] == 0.0
+    # intra-doc-only windows are not duplicates; ratios in [0, 1]
+    for n, nd, ratio in out.values():
+        assert 0 <= nd <= n and 0.0 <= ratio <= 1.0
+
+
+def test_containment_pairs_catches_asymmetric_excerpt(spark):
+    from jigsaw_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    short = "alpha beta gamma delta epsilon zeta"
+    long = (
+        short
+        + " plus a very long continuation that keeps going with many more"
+        " words so the jaccard similarity of the pair drops well below"
+        " any sensible duplicate threshold while containment stays one"
+    )
+    df = _docs(spark, [(1, short), (2, long), (3, "totally unrelated words")])
+    cont = {
+        (r["doc_a"], r["doc_b"]): r["overlap"]
+        for r in containment_pairs(df, "doc_id", threshold=0.8).collect()
+    }
+    # every trigram of the short doc is inside the long one
+    assert cont[(1, 2)] == 1.0
+    # Jaccard at the same threshold misses the excerpt pair
+    jac = {
+        (r["doc_a"], r["doc_b"])
+        for r in ngram_jaccard_pairs(df, "doc_id", threshold=0.8).collect()
+    }
+    assert (1, 2) not in jac

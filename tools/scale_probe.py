@@ -54,6 +54,12 @@ PROBES = [
     "dedup_lines",
     "ann_sq8",
     "text_bpe_train",
+    # round 5: window-fingerprint explode (linear in tokens), capped
+    # containment join (cap binds under replication — sublinear by
+    # design), fixed-scorer calibration (pure map + 10-row agg)
+    "dedup_substr_windows",
+    "dedup_containment",
+    "ml_calibration_bins",
 ]
 
 TABLES = [
@@ -202,6 +208,17 @@ def main() -> None:
         "posting length (`max_posting`, SCALE.md §3.4). `dedup_semantic`",
         "holds the cell count fixed here; at a real scale-up k grows with N",
         "(k ∝ N/c) keeping in-cell pair work linear.",
+        "",
+        "## Bench-regression policy (r3 finding)",
+        "",
+        "The per-round bench runs each query ONCE inside a multi-hundred-",
+        "query session, so a query's time depends on which queries warmed",
+        "the page cache before it — and the certification-priority reorder",
+        "changes that warm-up set every round. r2's flagged regressions",
+        "(`dedup_url_canon` 2.9x, `q9_profit_by_nation` 1.65x) re-measured",
+        "min-of-3 at 0.68s / 1.55s with unchanged plans: first-run cache",
+        "noise. Judge flagged queries min-of-3 before concluding a plan",
+        "regression.",
     ]
     Path(Path(__file__).resolve().parent.parent / "SCALING.md").write_text(
         "\n".join(lines) + "\n"
