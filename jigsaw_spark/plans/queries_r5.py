@@ -378,9 +378,11 @@ _ZIPF_TOP = 500
     """,
     "Zipf-law slope of the term-frequency distribution (log-log OLS "
     "over the top-500 terms; natural text sits near -1, templated or "
-    "synthetic slices drift): term hash-agg -> one 500-row ranked "
-    "window -> OLS from EXACT integer sums (log coords snapped to "
-    "micro-units first), so the slope is bit-identical across engines",
+    "synthetic slices drift): term hash-agg -> distributed TakeOrdered "
+    "(orderBy+limit, never a global single-partition window over the "
+    "full vocabulary) -> rank window on the 500 survivors -> OLS from "
+    "EXACT integer sums (log coords snapped to micro-units first), so "
+    "the slope is bit-identical across engines",
 )
 def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
@@ -393,9 +395,12 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("f"))
     )
-    ranked = freq.withColumn(
+    # TakeOrderedAndProject bounds the sort to per-partition top-500 +
+    # a 500-row merge; the rank window then runs on 500 rows, not |vocab|
+    top = freq.orderBy(F.desc("f"), "tok").limit(_ZIPF_TOP)
+    ranked = top.withColumn(
         "r", F.row_number().over(Window.orderBy(F.desc("f"), "tok"))
-    ).filter(F.col("r") <= _ZIPF_TOP)
+    )
     pts = ranked.select(
         F.round(F.log(F.col("r").cast("double")) * 1000000)
         .cast("bigint")

@@ -56,6 +56,12 @@ ALL_PAIRS_OK = {
     "dq_psi_drift",
     # 1-row (theta, mean_x) dim crossed into the per-user aggregate
     "ab_cuped_adjust",
+    # recall eval composes cosine_topk (the documented broadcast
+    # all-pairs brute-force baseline) with ivf_topk — the NLJ is the
+    # baseline side, present by definition of the evaluation
+    "ann_ivf_recall",
+    # 1-row (total, n_langs) dim crossed into the per-lang aggregate
+    "p_mixture_reweight",
     # 1-row (p01, p99) bound dim crossed into the scan
     "agg_winsorized_mean",
     "agg_hll_mergeable",
