@@ -186,3 +186,80 @@ def read_voc_bboxes(spark: SparkSession, path: str) -> DataFrame:
             )
 
     return bin_df.mapInPandas(parse, schema)
+
+
+def read_voc_bboxes_xml(spark: SparkSession, path: str) -> DataFrame:
+    """S12 via Spark 4's NATIVE XML datasource (`format("xml")`, the
+    spark-xml lineage merged into core) — the JVM-side alternative to
+    :func:`read_voc_bboxes`'s ElementTree kernel, same output schema.
+    Parity between the two is pinned in
+    tests/test_sources_sinks.py::test_read_voc_bboxes_xml_parity.
+
+    At scale the native reader wins: parsing stays in the JVM (no Python
+    boundary), the explicit schema prevents the double scan schema
+    inference costs, and `object` declared as array<struct> makes the
+    single-object-vs-repeated-element XML ambiguity explicit."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    bnd = StructType(
+        [
+            StructField("xmin", IntegerType()),
+            StructField("xmax", IntegerType()),
+            StructField("ymin", IntegerType()),
+            StructField("ymax", IntegerType()),
+        ]
+    )
+    schema = StructType(
+        [
+            StructField(
+                "size",
+                StructType(
+                    [
+                        StructField("width", IntegerType()),
+                        StructField("height", IntegerType()),
+                    ]
+                ),
+            ),
+            StructField(
+                "object",
+                ArrayType(
+                    StructType(
+                        [
+                            StructField("name", StringType()),
+                            StructField("bndbox", bnd),
+                        ]
+                    )
+                ),
+            ),
+        ]
+    )
+    df = (
+        spark.read.format("xml")
+        .option("rowTag", "annotation")
+        .schema(schema)
+        .load(f"{path}/*_labels.xml")
+        .withColumn(
+            "image_id",
+            F.regexp_extract(
+                F.col("_metadata.file_path"), r"([^/]+)_labels\.xml$", 1
+            ),
+        )
+    )
+    obj = F.explode("object").alias("o")
+    return df.select("image_id", "size", obj).select(
+        "image_id",
+        F.col("o.name").alias("label"),
+        F.col("o.bndbox.xmin").alias("xmin"),
+        F.col("o.bndbox.xmax").alias("xmax"),
+        F.col("o.bndbox.ymin").alias("ymin"),
+        F.col("o.bndbox.ymax").alias("ymax"),
+        F.col("size.width").alias("width"),
+        F.col("size.height").alias("height"),
+    )

@@ -751,3 +751,18 @@ def test_tfrecord_datasource_roundtrip(spark, tmp_path):
         "pair": "array<bigint>",
     }
     assert inferred.count() == 250
+
+
+def test_read_voc_bboxes_xml_parity(spark, jigsaw_tree):
+    """The native-XML datasource path (JVM, explicit schema) must agree
+    row-for-row with the ElementTree mapInPandas parser."""
+    from jigsaw_spark.sources.registry import read_voc_bboxes_xml
+
+    path, _ = jigsaw_tree
+    et_rows = {
+        tuple(r) for r in read_voc_bboxes(spark, path).collect()
+    }
+    xml_rows = {
+        tuple(r) for r in read_voc_bboxes_xml(spark, path).collect()
+    }
+    assert xml_rows == et_rows and len(xml_rows) > 0
