@@ -322,25 +322,29 @@ def p_mixture_reweight(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     "corpus diversity per source: distinct-trigram ratio (low = "
     "templated/boilerplate-heavy slice, the self-BLEU-style diversity "
-    "proxy): one shingle explode + a two-phase distinct agg (partial "
-    "per-partition distinct before the shuffle), all counts exact "
+    "proxy). Plan shape (the text_entropy shape): tokens materialized "
+    "BEFORE the explode (a composed tokenize+shingle generator child "
+    "would re-evaluate per output row — SCALE.md §9.1, measured 65x), "
+    "then TWO map-side-combinable hash aggs instead of an Expand-based "
+    "count_distinct (measured 15s -> ~2s at sf0.1); all counts exact "
     "integers",
 )
 def text_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jigsaw_spark.operators.text import shingles_expr, tokens_expr
 
     docs = _t(spark, sf_dir, "documents")
-    tri = docs.select(
-        "source",
-        F.explode(shingles_expr(tokens_expr("text"), 3)).alias("g"),
+    toks = docs.select("source", tokens_expr("text").alias("_t"))
+    tri = toks.select(
+        "source", F.explode(shingles_expr("_t", 3)).alias("g")
     )
+    per_gram = tri.groupBy("source", "g").agg(F.count(F.lit(1)).alias("_c"))
     return (
-        tri.groupBy("source")
+        per_gram.groupBy("source")
         .agg(
-            F.count(F.lit(1)).alias("n_trigrams"),
-            F.count_distinct("g").alias("n_distinct"),
+            F.sum("_c").alias("n_trigrams"),
+            F.count(F.lit(1)).alias("n_distinct"),
             F.round(
-                F.count_distinct("g") / F.count(F.lit(1)).cast("double"), 4
+                F.count(F.lit(1)) / F.sum("_c").cast("double"), 4
             ).alias("diversity"),
         )
         .orderBy("source")
