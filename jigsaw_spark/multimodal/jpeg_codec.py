@@ -733,7 +733,9 @@ def _reconstruct_from_coefs(coefs, comps, qtabs, h, w):
     )
 
 
-def encode_jpeg_progressive(img: np.ndarray, quality: int = 85) -> bytes:
+def encode_jpeg_progressive(
+    img: np.ndarray, quality: int = 85, coalesce_eob: bool = False
+) -> bytes:
     """uint8 (h, w) grayscale or (h, w, 3) RGB → SOF2 progressive 4:4:4
     JFIF with a 4-stage scan script:
 
@@ -742,11 +744,17 @@ def encode_jpeg_progressive(img: np.ndarray, quality: int = 85) -> bytes:
       3. DC refinement, Ah=1/Al=0 (raw bits, no Huffman)
       4. AC refinement per component, Ah=1/Al=0 (correction-bit coding)
 
-    Every progressive decode path is exercised. EOB runs are flushed per
-    block (EOBRUN=1 via symbol 0x00), so the Annex K baseline AC tables
-    suffice — no EOBn>0 symbols are needed. Quantized coefficients are
-    identical to ``encode_jpeg`` at the same quality, so a progressive
-    decode must match the baseline decode bit-for-bit (the parity test).
+    Every progressive decode path is exercised. With the default
+    ``coalesce_eob=False``, EOB runs are flushed per block (EOBRUN=1 via
+    symbol 0x00) so the Annex K baseline AC tables suffice. With
+    ``coalesce_eob=True``, end-of-band runs span blocks as EOBn symbols
+    (up to 32767) with per-scan optimal Huffman tables emitted before
+    each AC SOS — the layout wild libjpeg-encoded progressive files use
+    heavily, exercising the decoder's multi-block eobrun-skip (AC first)
+    and cross-block correction-bit tail (AC refine) paths. Quantized
+    coefficients are identical to ``encode_jpeg`` at the same quality,
+    so every variant's decode must match the baseline decode
+    bit-for-bit (the parity tests).
     """
     img = np.asarray(img)
     if img.ndim == 2:
@@ -819,13 +827,31 @@ def encode_jpeg_progressive(img: np.ndarray, quality: int = 85) -> bytes:
     wtr.flush()
     out += wtr.buf
 
+    max_run = 0x7FFF if coalesce_eob else 1
+
+    def blocks_of(ci):
+        return (q[ci][by, bx] for by in range(nby) for bx in range(nbx))
+
+    def ac_table_for(ci, emit_scan):
+        """Coalescing scans need EOBn codes the Annex K tables lack:
+        build a per-scan optimal table and emit its DHT (overwriting the
+        component's AC table id, as libjpeg's optimized scans do)."""
+        if not coalesce_eob:
+            return ac_maps[ci]
+        th = 0 if ci == 0 else 1
+        bits, vals, ac_map = _optimal_scan_table(emit_scan)
+        out.extend(b"\xff\xc4" + struct.pack(">HB", 19 + len(vals), 0x10 | th))
+        out.extend(bytes(bits) + bytes(vals))
+        return ac_map
+
     # --- scan 2: AC first per component, band 1-63, Al=1 ------------------
     for ci in range(ncomp):
+        ac_map = ac_table_for(
+            ci, lambda em, ci=ci: _ac_first_scan(blocks_of(ci), em, 1, max_run)
+        )
         sos([ci], 1, 63, 0, 1)
         wtr = _BitWriter()
-        for by in range(nby):
-            for bx in range(nbx):
-                _emit_ac_first_block(wtr, q[ci][by, bx], ac_maps[ci], al=1)
+        _ac_first_scan(blocks_of(ci), _writer_emitters(wtr, ac_map), 1, max_run)
         wtr.flush()
         out += wtr.buf
 
@@ -841,11 +867,12 @@ def encode_jpeg_progressive(img: np.ndarray, quality: int = 85) -> bytes:
 
     # --- scan 4: AC refinement per component, Ah=1/Al=0 -------------------
     for ci in range(ncomp):
+        ac_map = ac_table_for(
+            ci, lambda em, ci=ci: _ac_refine_scan(blocks_of(ci), em, max_run)
+        )
         sos([ci], 1, 63, 1, 0)
         wtr = _BitWriter()
-        for by in range(nby):
-            for bx in range(nbx):
-                _emit_ac_refine_block(wtr, q[ci][by, bx], ac_maps[ci])
+        _ac_refine_scan(blocks_of(ci), _writer_emitters(wtr, ac_map), max_run)
         wtr.flush()
         out += wtr.buf
 
@@ -858,72 +885,168 @@ def _ac_point(v: int, al: int) -> int:
     return v >> al if v >= 0 else -((-v) >> al)
 
 
-def _emit_ac_first_block(wtr, zz, ac_map, al: int) -> None:
-    """AC first scan (Ah=0) for one block's band 1-63 at point transform
-    ``al``; EOB flushed per block (EOBRUN=1, symbol 0x00) so baseline
-    Annex K tables suffice."""
-    band = [_ac_point(int(v), al) for v in zz[1:64]]
-    nz = [i for i, v in enumerate(band) if v]
-    last = nz[-1] if nz else -1
-    run = 0
-    for i in range(last + 1):
-        v = band[i]
-        if v == 0:
-            run += 1
-            continue
-        while run > 15:
-            code, length = ac_map[0xF0]
-            wtr.write(code, length)
-            run -= 16
-        size, bits = _magnitude(v)
-        code, length = ac_map[(run << 4) | size]
+def _writer_emitters(wtr: _BitWriter, ac_map):
+    """(emit_sym, emit_bits) callbacks writing through a Huffman map."""
+
+    def emit_sym(sym: int) -> None:
+        code, length = ac_map[sym]
         wtr.write(code, length)
-        wtr.write(bits, size)
+
+    def emit_bits(value: int, n: int) -> None:
+        if n:
+            wtr.write(value, n)
+
+    return emit_sym, emit_bits
+
+
+def _emit_eobn(emit_sym, emit_bits, n: int) -> None:
+    """EOBn symbol for an end-of-band run of ``n`` blocks (T.81
+    §G.1.2.2): symbol (r<<4) with r = floor(log2 n), then the low r bits
+    of n. n=1 is the plain EOB (symbol 0x00); n up to 32767 (r=14)."""
+    r = n.bit_length() - 1
+    emit_sym(r << 4)
+    emit_bits(n - (1 << r), r)
+
+
+def _ac_first_scan(blocks, emitters, al: int, max_run: int = 1) -> None:
+    """AC first scan (Ah=0) over one component's blocks in scan order.
+
+    ``max_run=1`` flushes EOB per block (EOBRUN=1, symbol 0x00) so the
+    baseline Annex K tables suffice — byte-identical to the historic
+    per-block emitter. ``max_run>1`` coalesces end-of-band runs across
+    blocks into EOBn symbols (the layout wild libjpeg-progressive files
+    use heavily), which requires an AC table carrying the (r<<4) EOBn
+    symbols — see ``_optimal_scan_table``."""
+    emit_sym, emit_bits = emitters
+    eobrun = 0
+
+    def flush() -> None:
+        nonlocal eobrun
+        if eobrun:
+            _emit_eobn(emit_sym, emit_bits, eobrun)
+            eobrun = 0
+
+    for zz in blocks:
+        band = [_ac_point(int(v), al) for v in zz[1:64]]
+        nz = [i for i, v in enumerate(band) if v]
+        if not nz:  # whole band zero: block joins the EOB run
+            eobrun += 1
+            if eobrun >= max_run:
+                flush()
+            continue
+        flush()  # EOBn lands at the first covered block's position
+        last = nz[-1]
         run = 0
-    if last < 62:
-        code, length = ac_map[0x00]  # per-block EOB (EOBRUN=1)
-        wtr.write(code, length)
+        for i in range(last + 1):
+            v = band[i]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                emit_sym(0xF0)
+                run -= 16
+            size, bits = _magnitude(v)
+            emit_sym((run << 4) | size)
+            emit_bits(bits, size)
+            run = 0
+        if last < 62:  # zero tail: this block's EOB joins the run
+            eobrun += 1
+            if eobrun >= max_run:
+                flush()
+    flush()
 
 
-def _emit_ac_refine_block(wtr, zz, ac_map) -> None:
-    """AC refinement scan (Ah=1, Al=0) for one block — the jcphuff.c
-    algorithm: the ZRL check runs at EVERY nonzero slot before buffering
-    its correction bit, so pending bits always lie within the 16-zero
-    window the matching decoder walk consumes."""
-    band = [int(v) for v in zz[1:64]]
-    eob = -1
-    for i, v in enumerate(band):
-        if abs(v) == 1:
-            eob = i  # last newly-nonzero slot
-    br: list[int] = []
-    run = 0
-    for i, v in enumerate(band):
-        av = abs(v)
-        if av == 0:
-            run += 1
+def _ac_refine_scan(blocks, emitters, max_run: int = 1) -> None:
+    """AC refinement scan (Ah=1, Al=0) over one component's blocks —
+    the jcphuff.c algorithm: the ZRL check runs at EVERY nonzero slot
+    before buffering its correction bit, so pending bits always lie
+    within the 16-zero window the matching decoder walk consumes.
+
+    With ``max_run>1``, blocks whose band holds no newly-nonzero
+    coefficient join a cross-block EOB run; their history-coefficient
+    correction bits are buffered and emitted right after the EOBn
+    symbol, in block order — exactly the stream the decoder's
+    ``eobrun > 0`` tail walk consumes (jdphuff.c decode_mcu_AC_refine)."""
+    emit_sym, emit_bits = emitters
+    eobrun = 0
+    pend: list[int] = []
+
+    def flush() -> None:
+        nonlocal eobrun, pend
+        if eobrun:
+            _emit_eobn(emit_sym, emit_bits, eobrun)
+            for bit in pend:
+                emit_bits(bit, 1)
+            eobrun = 0
+        pend = []
+
+    for zz in blocks:
+        band = [int(v) for v in zz[1:64]]
+        eob = -1
+        for i, v in enumerate(band):
+            if abs(v) == 1:
+                eob = i  # last newly-nonzero slot
+        if eob < 0:  # no new nonzeros: whole block joins the run
+            eobrun += 1
+            pend.extend(abs(v) & 1 for v in band if v)
+            if eobrun >= max_run:
+                flush()
             continue
-        while run > 15 and i <= eob:
-            code, length = ac_map[0xF0]
-            wtr.write(code, length)
-            run -= 16
+        flush()
+        br: list[int] = []
+        run = 0
+        for i in range(eob + 1):
+            v = band[i]
+            av = abs(v)
+            if av == 0:
+                run += 1
+                continue
+            while run > 15:
+                emit_sym(0xF0)
+                run -= 16
+                for bit in br:
+                    emit_bits(bit, 1)
+                br = []
+            if av > 1:  # history-nonzero: one correction bit
+                br.append(av & 1)
+                continue
+            emit_sym((run << 4) | 1)
+            emit_bits(1 if v > 0 else 0, 1)  # sign
             for bit in br:
-                wtr.write(bit, 1)
+                emit_bits(bit, 1)
             br = []
-        if av > 1:  # history-nonzero: one correction bit
-            br.append(av & 1)
-            continue
-        code, length = ac_map[(run << 4) | 1]
-        wtr.write(code, length)
-        wtr.write(1 if v > 0 else 0, 1)  # sign
-        for bit in br:
-            wtr.write(bit, 1)
-        br = []
-        run = 0
-    if run > 0 or br:
-        code, length = ac_map[0x00]  # EOB, then pending bits
-        wtr.write(code, length)
-        for bit in br:
-            wtr.write(bit, 1)
+            run = 0
+        if eob < 62:  # band tail: EOB joins the run, tail bits buffered
+            eobrun += 1
+            pend.extend(abs(v) & 1 for v in band[eob + 1 :] if v)
+            if eobrun >= max_run:
+                flush()
+    flush()
+
+
+def _optimal_scan_table(emit_scan) -> tuple[list[int], list[int], dict]:
+    """Build a per-scan AC Huffman table covering exactly the symbols the
+    scan emits (EOBn symbols included — the Annex K baseline tables have
+    no codes for (r<<4), r in 1..14). Counting pass runs ``emit_scan``
+    with recording callbacks; all symbols get equal-length codes with
+    the all-ones codeword left unused (JPEG convention, keeps the 1-bit
+    flush padding undecodable). Returns (BITS[16], VALS, code map)."""
+    seen: dict[int, int] = {}
+
+    def count_sym(sym: int) -> None:
+        seen[sym] = seen.get(sym, 0) + 1
+
+    def drop_bits(value: int, n: int) -> None:
+        pass
+
+    emit_scan((count_sym, drop_bits))
+    vals = sorted(seen)
+    length = 1
+    while (1 << length) < len(vals) + 1:
+        length += 1
+    bits = [0] * 16
+    bits[length - 1] = len(vals)
+    return bits, vals, _huff_codes(bits, vals)
 
 
 def _quantize_plane(plane: np.ndarray, qt: np.ndarray) -> np.ndarray:

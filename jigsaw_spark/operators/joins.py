@@ -235,22 +235,24 @@ def snapshot_diff(
     unchanged rows are dropped (at 100 TB they are ~all the rows; never
     materialize them).
 
-    NULL-safe: each compared column coalesces to a ``\\x00`` sentinel
-    before hashing — bare ``concat_ws`` silently drops NULLs, so
-    (NULL, 'x') → ('x', NULL) would hash identically and the change
-    would be lost (advisor finding, r2).
+    NULL-safe AND injective: each compared column serializes as a
+    self-delimiting token — ``N`` for NULL, ``V<len>:<value>`` for a
+    value — so no string value can alias NULL (the r2 ``\\x00``
+    sentinel collided with a genuine ``'\\x00'`` value) and no value
+    containing the separator can alias a column boundary (the length
+    prefix makes the concatenation uniquely parseable; advisor
+    findings, r2+r3).
     """
     cmp_cols = compare_cols or [c for c in new.columns if c not in keys]
-    def rh(df: DataFrame) -> F.Column:
-        return F.md5(
-            F.concat_ws(
-                "\x1f",
-                *[
-                    F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
-                    for c in cmp_cols
-                ],
-            )
+
+    def tok(c: str) -> F.Column:
+        s = F.col(c).cast("string")
+        return F.when(s.isNull(), F.lit("N")).otherwise(
+            F.concat(F.lit("V"), F.length(s).cast("string"), F.lit(":"), s)
         )
+
+    def rh(df: DataFrame) -> F.Column:
+        return F.md5(F.concat(*[tok(c) for c in cmp_cols]))
 
     o = old.select(*keys, rh(old).alias("_oh"))
     n = new.select(*keys, rh(new).alias("_nh"))

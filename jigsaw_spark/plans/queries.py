@@ -1551,60 +1551,15 @@ from jigsaw_spark.plans import queries_r5  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 
 _CERTIFICATION_PRIORITY = [
-    # r2 driver-red rows, fixed this round — must re-certify first
-    "ann_sq8",
-    "ml_hash_features",
+    # r3 driver-red rows (pandas-canon HUGEINT/float dtype class,
+    # fixed r4: CAST(sum AS BIGINT) in the oracle) — re-certify first
     "text_entropy",
     "agg_mad_outliers",
     "ts_cusum_changepoints",
-    # never driver-certified, oracle-backed (the r3 gate window
-    # and the r4 overflow) — r1+r2 covered 98 distinct names;
-    # these fill the remaining sample slots
     "rel_attribution_last_touch",
-    "ab_cuped_adjust",
-    "fn_url_suite",
-    "text_jsd_drift",
-    "dedup_minhash_jaccard_est",
     "agg_winsorized_mean",
-    "ts_seasonal_naive_mape",
-    "text_langid_confusion",
-    "w10_share_of_total",
-    "dedup_minhash_lsh",
-    "dedup_components",
-    "ann_ivf_topk",
-    "q2_min_cost_supplier",
-    "stream_stream_join",
-    "dedup_exact",
-    "dedup_exact_keep_best",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "emb_cosine_near_dup",
-    "dedup_url_canon",
-    "dedup_end_to_end",
-    "text_edit_distance",
-    "ann_cosine_topk",
-    "ann_ivf_assign",
-    "ann_srp_buckets",
-    "text_langid",
-    "text_bpeish_tokens",
-    "text_tfidf",
-    "text_repetition",
-    "text_contamination",
-    "text_pii_scrub",
-    "text_quality_model",
-    "curation_pipeline",
-    "q4_priority_check",
-    "q6_filter_revenue",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_profit_by_nation",
-    "q10_returned_items",
-    "q11_important_value",
-    "q15_top_supplier",
-    "q16_supplier_cnt",
-    "q17_small_quantity",
-    "q18_large_orders",
+    # never driver-certified, oracle-backed (62; the r4 window
+    # fills with these — all pass the pandas-faithful replica)
     "q19_disjunctive_join",
     "q20_promo_suppliers",
     "q21_waiting_suppliers",
@@ -1659,7 +1614,6 @@ _CERTIFICATION_PRIORITY = [
     "ts_interp",
     "agg_hll_mergeable",
     "p_weighted_sample",
-    # round-5 additions (oracle-backed, never certified)
     "dedup_substr_windows",
     "dedup_containment",
     "ann_ivf_recall",
@@ -1679,7 +1633,52 @@ _CERTIFICATION_PRIORITY = [
     "graph_pagerank",
     "ml_pca_pc1",
     "text_compression_ratio",
-    # driver-certified green in r1/r2 — rotate to the back
+    # driver-certified green in r1-r3 — rotate to the back
+    "ann_sq8",
+    "ml_hash_features",
+    "ab_cuped_adjust",
+    "fn_url_suite",
+    "text_jsd_drift",
+    "dedup_minhash_jaccard_est",
+    "ts_seasonal_naive_mape",
+    "text_langid_confusion",
+    "w10_share_of_total",
+    "dedup_minhash_lsh",
+    "dedup_components",
+    "ann_ivf_topk",
+    "q2_min_cost_supplier",
+    "stream_stream_join",
+    "dedup_exact",
+    "dedup_exact_keep_best",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "emb_cosine_near_dup",
+    "dedup_url_canon",
+    "dedup_end_to_end",
+    "text_edit_distance",
+    "ann_cosine_topk",
+    "ann_ivf_assign",
+    "ann_srp_buckets",
+    "text_langid",
+    "text_bpeish_tokens",
+    "text_tfidf",
+    "text_repetition",
+    "text_contamination",
+    "text_pii_scrub",
+    "text_quality_model",
+    "curation_pipeline",
+    "q4_priority_check",
+    "q6_filter_revenue",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_profit_by_nation",
+    "q10_returned_items",
+    "q11_important_value",
+    "q15_top_supplier",
+    "q16_supplier_cnt",
+    "q17_small_quantity",
+    "q18_large_orders",
     "flagship_pipeline",
     "merge_upsert",
     "mm_png_mask_bboxes",

@@ -256,10 +256,10 @@ def ts_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_bool_suite",
     """
     SELECT l_returnflag,
-           count_if(l_discount > 0.05)       AS n_discounted,
+           CAST(count_if(l_discount > 0.05) AS BIGINT) AS n_discounted,
            bool_and(l_quantity >= 1)         AS all_positive,
            bool_or(l_tax > 0.07)             AS any_high_tax,
-           count(*) - count_if(l_discount > 0.05) AS n_rest
+           CAST(count(*) - count_if(l_discount > 0.05) AS BIGINT) AS n_rest
     FROM lineitem
     GROUP BY l_returnflag
     ORDER BY l_returnflag

@@ -599,9 +599,10 @@ def text_chunk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH sized AS (
       SELECT doc_id, source, n_chars,
-             coalesce(sum(n_chars) OVER (
+             CAST(coalesce(sum(n_chars) OVER (
                PARTITION BY source ORDER BY doc_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pack_offset
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS pack_offset
       FROM documents)
     SELECT doc_id, source, n_chars, pack_offset,
            CAST(pack_offset // 4096 AS INT) AS pack_bin

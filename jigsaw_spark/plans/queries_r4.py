@@ -239,7 +239,7 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, ch, count(*) AS c FROM ch GROUP BY doc_id, ch
     )
     SELECT doc_id,
-           sum(c) AS n_chars,
+           CAST(sum(c) AS BIGINT) AS n_chars,
            round(round(ln(CAST(sum(c) AS DOUBLE))
                  - sum(CAST(c AS DOUBLE) * ln(c)) / CAST(sum(c) AS DOUBLE),
                  9), 4) AS entropy_nats,
@@ -675,17 +675,28 @@ _install_dq_oracle()
     """
     WITH old AS (
       SELECT o_orderkey,
-             md5(concat_ws(chr(31),
-                 coalesce(CAST(o_orderstatus AS VARCHAR), chr(0)),
-                 coalesce(CAST(o_totalprice AS VARCHAR), chr(0)))) AS _oh
+             md5(concat(
+                 CASE WHEN o_orderstatus IS NULL THEN 'N'
+                      ELSE 'V' || length(o_orderstatus) || ':'
+                           || o_orderstatus END,
+                 CASE WHEN o_totalprice IS NULL THEN 'N'
+                      ELSE 'V' || length(CAST(o_totalprice AS VARCHAR))
+                           || ':' || CAST(o_totalprice AS VARCHAR) END
+             )) AS _oh
       FROM orders),
     new AS (
       SELECT o_orderkey,
-             md5(concat_ws(chr(31),
-                 coalesce(CAST(CASE WHEN o_orderkey % 7 = 0 THEN 'F'
-                           ELSE o_orderstatus END AS VARCHAR), chr(0)),
-                 coalesce(CAST(o_totalprice AS VARCHAR), chr(0)))) AS _nh
-      FROM orders WHERE o_orderkey % 11 <> 0)
+             md5(concat(
+                 CASE WHEN s IS NULL THEN 'N'
+                      ELSE 'V' || length(s) || ':' || s END,
+                 CASE WHEN o_totalprice IS NULL THEN 'N'
+                      ELSE 'V' || length(CAST(o_totalprice AS VARCHAR))
+                           || ':' || CAST(o_totalprice AS VARCHAR) END
+             )) AS _nh
+      FROM (SELECT o_orderkey, o_totalprice,
+                   CASE WHEN o_orderkey % 7 = 0 THEN 'F'
+                        ELSE o_orderstatus END AS s
+            FROM orders WHERE o_orderkey % 11 <> 0))
     SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
            CASE WHEN o._oh IS NULL THEN 'added'
                 WHEN n._nh IS NULL THEN 'removed'
@@ -765,8 +776,8 @@ def rel_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT CAST(2 * quantile_cont(adev_h, 0.5) AS BIGINT) AS mad2 FROM dev)
     SELECT o_orderstatus,
            count(*) AS n,
-           sum(CASE WHEN 20000 * adev_h > 44478 * mad2 THEN 1 ELSE 0 END)
-             AS n_outliers
+           CAST(sum(CASE WHEN 20000 * adev_h > 44478 * mad2
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
     FROM dev CROSS JOIN mad
     GROUP BY o_orderstatus
     """,
@@ -1324,9 +1335,9 @@ _CUSUM_K = 3.0
       FROM c0 CROSS JOIN stats)
     SELECT user_id,
            count(*) AS n_events,
-           sum(CASE WHEN CAST(d AS HUGEINT) * d
-                         > 90 * (n * q - CAST(t AS HUGEINT) * t)
-                    THEN 1 ELSE 0 END) AS n_alarms,
+           CAST(sum(CASE WHEN CAST(d AS HUGEINT) * d
+                              > 90 * (n * q - CAST(t AS HUGEINT) * t)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_alarms,
            round(max(abs(d)) / (100.0 * max(n)), 4) AS max_dev
     FROM c GROUP BY user_id
     """,
@@ -1336,8 +1347,9 @@ _CUSUM_K = 3.0
     "D_k = n*S_k - k*T (S_k running sum, T/n/Q global sums), "
     "cusum_k = D_k/(100n) and the alarm test |cusum|>3*sd*sqrt(10) "
     "is exactly D_k^2 > 90*(n*Q - T^2) — integer comparison, no float "
-    "boundary can flip between engines (r2 hash-flake fix); squares in "
-    "decimal/HUGEINT so nothing overflows at scale",
+    "boundary can flip between engines (r2 hash-flake fix); D_k itself "
+    "AND the squares are formed in decimal(38,0)/HUGEINT so neither the "
+    "running term n*S_k nor D_k^2 can wrap int64 at scale",
 )
 def ts_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
@@ -1358,19 +1370,27 @@ def ts_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
+    # d = n*S_k - k*T formed in decimal(38,0): n*S_k alone exceeds int64
+    # at scale (n ~ 1e9 rows x cent sums ~ 1e11 wraps silently in
+    # non-ANSI Spark while DuckDB's window sum is HUGEINT-exact) —
+    # mirror of the q/v decimal handling below.
     c = events.crossJoin(F.broadcast(stats)).select(
         "user_id",
         "n",
         (
-            F.col("n") * F.sum("vi").over(w)
-            - F.count(F.lit(1)).over(w) * F.col("t")
+            F.col("n").cast("decimal(38,0)")
+            * F.sum("vi").over(w).cast("decimal(38,0)")
+            - F.count(F.lit(1)).over(w).cast("decimal(38,0)")
+            * F.col("t").cast("decimal(38,0)")
         ).alias("d"),
         (
             F.col("n").cast("decimal(19,0)") * F.col("q")
             - F.col("t").cast("decimal(19,0)") * F.col("t")
         ).alias("v"),
     )
-    alarm = F.col("d").cast("decimal(19,0)") * F.col("d") > 90 * F.col("v")
+    alarm = F.col("d") * F.col("d") > F.lit(90).cast("decimal(19,0)") * F.col(
+        "v"
+    )
     return c.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.sum(alarm.cast("long")).alias("n_alarms"),
@@ -1774,7 +1794,8 @@ def agg_weighted_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events)
     SELECT last_click AS click_event,
            count(*) AS n_purchases,
-           sum(CAST(round(value * 100, 0) AS BIGINT)) AS revenue_cents
+           CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
     FROM t
     WHERE event_type = 'purchase' AND last_click IS NOT NULL
     GROUP BY last_click
@@ -2089,8 +2110,8 @@ def dedup_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(avg(CASE WHEN o_totalprice < lo THEN lo
                           WHEN o_totalprice > hi THEN hi
                           ELSE o_totalprice END), 4) AS mean_winsorized,
-           sum(CASE WHEN o_totalprice < lo OR o_totalprice > hi
-                    THEN 1 ELSE 0 END) AS n_clipped
+           CAST(sum(CASE WHEN o_totalprice < lo OR o_totalprice > hi
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
     FROM orders CROSS JOIN q
     GROUP BY o_orderstatus
     """,

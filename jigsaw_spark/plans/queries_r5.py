@@ -385,8 +385,10 @@ _ZIPF_TOP = 500
     "synthetic slices drift): term hash-agg -> distributed TakeOrdered "
     "(orderBy+limit, never a global single-partition window over the "
     "full vocabulary) -> rank window on the 500 survivors -> OLS from "
-    "EXACT integer sums (log coords snapped to micro-units first), so "
-    "the slope is bit-identical across engines",
+    "EXACT sums (log coords snapped to integer micro-units, sums "
+    "combined in decimal(38,0) — n*sum(xy) exceeds int64 at realistic "
+    "corpus sizes; DuckDB's sum() is HUGEINT-exact already), so the "
+    "slope is bit-identical across engines at any scale",
 )
 def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
@@ -413,15 +415,22 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("y"),
     )
+    # OLS in decimal(38,0): n*sum(xy) and sum(x)*sum(y) exceed int64
+    # once avg term freq passes ~1200 (ln(f)*1e6 micro-units) — Spark
+    # bigint would wrap silently while DuckDB's sum() is already
+    # HUGEINT-exact, so the sums are combined in decimal on this side
+    # to stay bit-identical at any corpus size.
     n = F.count(F.lit(1))
+    nd = n.cast("decimal(38,0)")
+    sx = F.sum("x").cast("decimal(38,0)")
+    sy = F.sum("y").cast("decimal(38,0)")
+    sxy = F.sum(F.col("x") * F.col("y")).cast("decimal(38,0)")
+    sxx = F.sum(F.col("x") * F.col("x")).cast("decimal(38,0)")
     return pts.agg(
         n.alias("n_terms"),
         F.round(
-            (n * F.sum(F.col("x") * F.col("y")) - F.sum("x") * F.sum("y"))
-            / (
-                n * F.sum(F.col("x") * F.col("x"))
-                - F.sum("x") * F.sum("x")
-            ).cast("double"),
+            (nd * sxy - sx * sy).cast("double")
+            / (nd * sxx - sx * sx).cast("double"),
             6,
         ).alias("zipf_slope"),
     )

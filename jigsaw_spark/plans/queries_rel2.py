@@ -302,7 +302,7 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE l_shipdate >= TIMESTAMP '1997-01-01'
         AND l_shipdate <  TIMESTAMP '1997-02-01'
       GROUP BY 1)
-    SELECT COALESCE(o.day, s.day) AS day,
+    SELECT CAST(COALESCE(o.day, s.day) AS VARCHAR) AS day,
            COALESCE(n_orders, 0) AS n_orders,
            COALESCE(order_total, 0.0) AS order_total,
            COALESCE(n_ships, 0) AS n_ships,
@@ -339,7 +339,10 @@ def j7_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         o.join(s, "day", "full_outer")
         .select(
-            "day",
+            # ISO string, not DATE: pandas renders DuckDB DATE as a
+            # midnight Timestamp but Spark DATE as datetime.date — a
+            # guaranteed canon mismatch at the driver (r4 sweep find)
+            F.col("day").cast("string").alias("day"),
             F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
             F.coalesce("order_total", F.lit(0.0)).alias("order_total"),
             F.coalesce("n_ships", F.lit(0)).alias("n_ships"),

@@ -40,9 +40,12 @@ WITH per_user AS (
   GROUP BY c.user_id, c.t_view, c.t_click
 )
 SELECT count(*) AS n_users,
-       sum(CASE WHEN t_view  IS NOT NULL THEN 1 ELSE 0 END) AS step_view,
-       sum(CASE WHEN t_click IS NOT NULL THEN 1 ELSE 0 END) AS step_click,
-       sum(CASE WHEN t_buy   IS NOT NULL THEN 1 ELSE 0 END) AS step_purchase
+       CAST(sum(CASE WHEN t_view  IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS step_view,
+       CAST(sum(CASE WHEN t_click IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS step_click,
+       CAST(sum(CASE WHEN t_buy   IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS step_purchase
 FROM with_buy
 """
 
@@ -114,7 +117,7 @@ def ts_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, CAST(min(ts) AS DATE) AS cohort_day
       FROM events GROUP BY user_id
     )
-    SELECT f.cohort_day,
+    SELECT CAST(f.cohort_day AS VARCHAR) AS cohort_day,
            date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) AS day_offset,
            count(DISTINCT e.user_id) AS active_users
     FROM events e JOIN firstday f ON e.user_id = f.user_id
@@ -130,7 +133,8 @@ def ts_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         events.join(firstday, "user_id")
         .select(
-            "cohort_day",
+            # ISO string, not DATE — pandas dtype parity (r4 sweep find)
+            F.col("cohort_day").cast("string").alias("cohort_day"),
             F.datediff(F.to_date(F.col("ts")), F.col("cohort_day")).alias(
                 "day_offset"
             ),

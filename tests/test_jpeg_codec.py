@@ -382,9 +382,8 @@ def _progressive_420(img: np.ndarray) -> bytes:
         sos([(cid, ta << 0 | (ta << 4))], 1, 63, 0, 1)
         wtr = J._BitWriter()
         bh, bw = nat[cid]
-        for by in range(bh):
-            for bx in range(bw):
-                J._emit_ac_first_block(wtr, q[by, bx], acm, al=1)
+        blocks = [q[by, bx] for by in range(bh) for bx in range(bw)]
+        J._ac_first_scan(blocks, J._writer_emitters(wtr, acm), 1)
         wtr.flush()
         out += wtr.buf
 
@@ -405,9 +404,8 @@ def _progressive_420(img: np.ndarray) -> bytes:
         sos([(cid, ta << 0 | (ta << 4))], 1, 63, 1, 0)
         wtr = J._BitWriter()
         bh, bw = nat[cid]
-        for by in range(bh):
-            for bx in range(bw):
-                J._emit_ac_refine_block(wtr, q[by, bx], acm)
+        blocks = [q[by, bx] for by in range(bh) for bx in range(bw)]
+        J._ac_refine_scan(blocks, J._writer_emitters(wtr, acm))
         wtr.flush()
         out += wtr.buf
 
@@ -427,3 +425,137 @@ def test_progressive_420_parity_with_baseline_420():
         assert prog.shape == base.shape
         assert np.array_equal(prog, base)
         assert _psnr(img, prog) > 26.0
+
+
+# ---------------------------------------------------------------------------
+# Cross-block EOBn runs (coalesce_eob=True): the layout wild libjpeg
+# progressive files use heavily — multi-block eobrun-skip in AC-first and
+# cross-block correction-bit tails in AC-refine (advisor finding r3: those
+# decoder branches previously matched jdphuff.c by inspection only).
+# ---------------------------------------------------------------------------
+
+
+def _block_img(coef_blocks: list[np.ndarray], qt: np.ndarray) -> np.ndarray:
+    """8x(8n) grayscale image whose quantized coefficients reproduce the
+    given per-block zigzag coefficient arrays (idct of dequantized
+    coefficients; smooth single-basis content keeps pixel-rounding noise
+    below half a quant step, so the encoder's forward path recovers the
+    intended quantized values)."""
+    from jigsaw_spark.multimodal.jpeg_codec import ZIGZAG
+
+    cols = []
+    for zz in coef_blocks:
+        nat = np.zeros(64)
+        nat[ZIGZAG] = zz * qt.flatten()[ZIGZAG]
+        blk = DCT_M.T @ nat.reshape(8, 8) @ DCT_M + 128.0
+        cols.append(np.clip(np.round(blk), 0, 255).astype(np.uint8))
+    return np.concatenate(cols, axis=1)
+
+
+def _scan_symbol_log(blocks, scan_fn, *args):
+    """Run a scan emitter with recording callbacks → [('S', sym) | ('B', n)]."""
+    log: list[tuple[str, int]] = []
+    em = (
+        lambda sym: log.append(("S", sym)),
+        lambda value, n: log.append(("B", n)) if n else None,
+    )
+    scan_fn(blocks, em, *args)
+    return log
+
+
+def test_progressive_coalesced_eob_parity_and_runs():
+    """coalesce_eob=True must decode identically to baseline AND actually
+    emit EOBn (r>0) runs spanning several blocks in both AC scans."""
+    from jigsaw_spark.multimodal.jpeg_codec import (
+        _ac_first_scan,
+        _ac_refine_scan,
+        _quality_tables,
+        _quantize_plane,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(11)
+    # textured first block, a long flat run, textured, flat tail — guarantees
+    # multi-block EOB runs in the middle AND at scan end
+    img = np.full((8, 8 * 12), 128, dtype=np.uint8)
+    img[:, :8] = rng.integers(0, 256, (8, 8))
+    img[:, 8 * 7 : 8 * 8] = rng.integers(0, 256, (8, 8))
+    for q in (30, 85):
+        base = decode_jpeg(encode_jpeg(img, q))
+        data = encode_jpeg_progressive(img, q, coalesce_eob=True)
+        assert b"\xff\xc2" in data
+        assert np.array_equal(decode_jpeg(data), base)
+
+    # the stream really contains EOBn with r>0 in the AC-first scan
+    lum_q, _ = _quality_tables(85)
+    qblocks = _quantize_plane(np.pad(img, ((0, 0), (0, 0)), mode="edge").astype(np.float64), lum_q)
+    blocks = [qblocks[0, bx] for bx in range(qblocks.shape[1])]
+    first_log = _scan_symbol_log(blocks, _ac_first_scan, 1, 0x7FFF)
+    eobn = [s for k, s in first_log if k == "S" and s & 0x0F == 0 and s != 0xF0 and s >> 4 > 0]
+    assert eobn, "no EOBn (r>0) symbol in coalesced AC-first scan"
+
+
+def test_progressive_refine_eobn_with_cross_block_corrections():
+    """AC-refine EOBn runs whose covered blocks carry history coefficients:
+    the correction bits buffered across blocks must decode bit-exactly
+    (the jdphuff.c tail-walk path)."""
+    from jigsaw_spark.multimodal.jpeg_codec import (
+        _ac_refine_scan,
+        _quality_tables,
+        encode_jpeg_progressive,
+    )
+
+    lum_q, _ = _quality_tables(85)
+    z = np.zeros(64, dtype=np.int64)
+
+    def zz(**kw):
+        out = z.copy()
+        for slot, v in kw.items():
+            out[int(slot[1:])] = v
+        return out
+
+    # scan-order blocks: [new-nonzero content] [history-only (av=6,4 →
+    # correction bits, no new |v|=1)] [all-zero] [history-only] [content]
+    # [all-zero tail] — the middle run covers 3 blocks with pend bits
+    coef_blocks = [
+        zz(s1=3, s2=1),          # content: |1| present → emits symbols
+        zz(s1=6, s3=4),          # joins run, 2 correction bits
+        zz(),                    # joins run, no bits
+        zz(s2=5),                # joins run, 1 correction bit
+        zz(s1=2, s4=1, s5=1),    # content again → run flushes before this
+        zz(s1=8),                # tail run with a correction bit
+    ]
+    img = _block_img(coef_blocks, lum_q)
+    base = decode_jpeg(encode_jpeg(img, 85))
+    data = encode_jpeg_progressive(img, 85, coalesce_eob=True)
+    assert np.array_equal(decode_jpeg(data), base)
+
+    # emitter-level: the refine scan really produces an EOBn r>0 symbol
+    # followed by buffered correction bits (cross-block pend path)
+    from jigsaw_spark.multimodal.jpeg_codec import _quantize_plane
+
+    qb = _quantize_plane(img.astype(np.float64), lum_q)
+    blocks = [qb[0, bx] for bx in range(qb.shape[1])]
+    log = _scan_symbol_log(blocks, _ac_refine_scan, 0x7FFF)
+    for i, (k, s) in enumerate(log):
+        if k == "S" and s != 0xF0 and s & 0x0F == 0 and s >> 4 > 0:
+            tail = log[i + 1 :]
+            nbits = 0
+            for kk, _ in tail:
+                if kk != "B":
+                    break
+                nbits += 1
+            assert nbits >= 2, "EOBn not followed by buffered correction bits"
+            break
+    else:
+        raise AssertionError("no EOBn (r>0) in coalesced AC-refine scan")
+
+
+def test_progressive_per_block_output_unchanged_by_refactor():
+    """max_run=1 (the default) must still produce streams the baseline
+    tables decode — regression guard for the scan-emitter refactor."""
+    from jigsaw_spark.multimodal.jpeg_codec import encode_jpeg_progressive
+
+    img = _smooth(5, 24, 32, 3)
+    base = decode_jpeg(encode_jpeg(img, 75))
+    assert np.array_equal(decode_jpeg(encode_jpeg_progressive(img, 75)), base)

@@ -861,3 +861,29 @@ def test_containment_pairs_catches_asymmetric_excerpt(spark):
         for r in ngram_jaccard_pairs(df, "doc_id", threshold=0.8).collect()
     }
     assert (1, 2) not in jac
+
+
+def test_snapshot_diff_null_vs_sentinel_and_boundary_aliasing(spark):
+    """NULL→'\\x00' edits and separator-shifting edits must be detected.
+
+    The r2 row-hash used a '\\x00' NULL sentinel and a '\\x1f' column
+    separator: a genuine '\\x00' string hashed identically to NULL, and
+    values containing '\\x1f' could alias a column boundary (advisor
+    finding, r3). The length-prefixed token serialization is injective,
+    so both edit classes now surface as 'changed'.
+    """
+    from jigsaw_spark.operators.joins import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, None, "x"), (2, "a\x1f", "b"), (3, "same", "same")],
+        "k int, c1 string, c2 string",
+    )
+    new = spark.createDataFrame(
+        [(1, "\x00", "x"), (2, "a", "\x1fb"), (3, "same", "same")],
+        "k int, c1 string, c2 string",
+    )
+    out = {
+        r["k"]: r["change"]
+        for r in snapshot_diff(old, new, ["k"]).collect()
+    }
+    assert out == {1: "changed", 2: "changed"}

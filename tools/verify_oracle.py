@@ -4,20 +4,34 @@ Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` on DuckDB at
 sf0.01, then compares row count, sorted column names, and an
 order-insensitive value hash.
 
-Faithful to the driver's canonicalizer (r2 lesson — the old replica was
-more permissive than the driver and let 5 reds escape):
+Faithful to the driver's canonicalizer (r2 + r3 lessons — each round the
+replica was more permissive than the driver in one specific way and let
+reds escape):
 
+- **Both sides are converted to pandas DataFrames first** — Spark via
+  ``DataFrame.toPandas()``, DuckDB via ``relation.df()`` — because that
+  is what the driver does.  This is the r3 lesson: DuckDB ``sum(int)``
+  returns HUGEINT, which ``.df()`` converts to **float64** (``6.0``)
+  while Spark's BIGINT stays int64 (``6``) → hash mismatch on
+  value-equal results.  ``fetchall()`` (Python ints) hid it and 5
+  "exact-integer" queries went driver-red.  Rule: every final integer
+  aggregate in the oracle must be ``CAST(sum(...) AS BIGINT)``;
+  the replica now reproduces the mismatch if it isn't.
 - **Array/map/struct-typed output cells are a hard FAIL.** The driver
   canonicalizes through ``pandas.DataFrame.sort_values`` over every
   column, which raises ``TypeError: unhashable type: 'list'`` on
   list-valued cells (the r2 ``ann_sq8`` / ``ml_hash_features`` ERRs).
   Queries must emit scalars only (CSV-join or explode vectors).
-- **Floats render at full repr precision** (17 significant digits), not
-  the old 9 — the driver keeps full precision, so every final double
-  column must be bit-identical across engines. The codebase convention
-  that makes this hold: round every final double (after a 9-digit inner
-  snap when the value feeds from order-dependent sums), keep threshold
-  comparisons in exact integer/decimal arithmetic.
+- **Floats render at full repr precision** (17 significant digits) —
+  every final double column must be bit-identical across engines.  The
+  codebase convention that makes this hold: round every final double
+  (after a 9-digit inner snap when the value feeds from order-dependent
+  sums), keep threshold comparisons in exact integer/decimal arithmetic.
+- **Dtype class is part of the canon**: an int64 ``6`` and a float64
+  ``6.0`` are different; a Decimal ``1.2300`` and a float ``1.23`` are
+  different.  Final columns must land on the same pandas dtype on both
+  sides (practically: BIGINT ints, rounded DOUBLE floats, strings —
+  never DECIMAL, never nullable ints that pandas promotes to float).
 - ``--stability`` re-runs each Spark query under a second, deliberately
   different shuffle-partition count and compares full-precision hashes:
   catches partition-order-dependent float sums (the r2
@@ -50,20 +64,38 @@ class UnsortableCell(Exception):
 
 
 def canon(v) -> str:
+    import numpy as np
+
+    # numpy scalars → Python scalars first (pandas cells arrive as
+    # np.int64 / np.float64 / np.bool_); keeps rendering identical to
+    # what the driver's str/repr of the pandas cell produces.
+    if isinstance(v, np.generic):
+        v = v.item()
     if v is None:
         return "NULL"
-    if isinstance(v, (list, tuple, set, dict, bytearray)):
-        raise UnsortableCell(type(v).__name__)
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
         if v == 0:
             v = 0.0
-        # full repr precision — the driver does NOT round for us
+        # full repr precision — the driver does NOT round for us.
+        # NOTE: float64 6.0 renders "6.0", int64 6 renders "6" —
+        # dtype divergence IS a mismatch, exactly like the driver.
         return repr(v)
+    if isinstance(v, (list, tuple, set, dict, bytearray, np.ndarray)):
+        raise UnsortableCell(type(v).__name__)
     if isinstance(v, bool):
         return str(int(v))
     return str(v)
+
+
+def to_pandas_rows(pdf) -> list[tuple]:
+    """Cell tuples from a pandas DataFrame, preserving dtypes.
+
+    itertuples keeps numpy scalar types (int64 vs float64 vs object),
+    which is the whole point — the driver compares post-pandas values.
+    """
+    return [tuple(r) for r in pdf.itertuples(index=False, name=None)]
 
 
 def table_hash(rows: list[tuple], col_order: list[int]) -> str:
@@ -122,7 +154,8 @@ def main() -> int:
         try:
             sdf = qs[name](spark, args.sf)
             scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            spdf = sdf.toPandas()
+            srows = to_pandas_rows(spdf)
         except Exception as e:
             failures.append(name)
             print(f"FAIL {name}: spark error: {e}")
@@ -131,9 +164,9 @@ def main() -> int:
             print(f"SKIP {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
             continue
         try:
-            res = con.execute(oracles[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            dpdf = con.execute(oracles[name]).df()
+            dcols = list(dpdf.columns)
+            drows = to_pandas_rows(dpdf)
         except Exception as e:
             failures.append(name)
             print(f"FAIL {name}: duckdb error: {e}")
@@ -168,7 +201,7 @@ def main() -> int:
                 old = spark.conf.get("spark.sql.shuffle.partitions")
                 try:
                     spark.conf.set("spark.sql.shuffle.partitions", "7")
-                    srows2 = [tuple(r) for r in qs[name](spark, args.sf).collect()]
+                    srows2 = to_pandas_rows(qs[name](spark, args.sf).toPandas())
                 finally:
                     spark.conf.set("spark.sql.shuffle.partitions", old)
                 if table_hash(srows2, s_order) != sh:
