@@ -259,3 +259,43 @@ def countmin_estimate(candidates, cms, depth: int = 4, width: int = 256, seed: s
         .groupBy("term")
         .agg(F.min(F.coalesce("n", F.lit(0))).alias("est_n"))
     )
+
+
+def sessionize(
+    df: DataFrame,
+    key: str,
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Gap-based batch sessionization: a new session starts whenever the
+    time since the key's previous event exceeds ``gap_minutes`` (the
+    batch twin of the streaming ``stream_stateful_sessions`` operator).
+
+    Returns one row per event with ``session_id`` (1-based per key, in
+    time order). Classic two-window island detection: lag() flags
+    session starts, a running sum numbers them. Both windows share the
+    same (key) partitioning and ordering, so Catalyst plans ONE
+    Exchange + ONE Sort — per-key state never leaves its reducer, no
+    driver-side anything, linear at any key cardinality. Hot keys are
+    bounded by a single user's event volume (human-scale, not
+    corpus-scale), so the per-key window is not a skew surface.
+    """
+    from pyspark.sql.window import Window
+
+    order = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
+    w = Window.partitionBy(key).orderBy(*order)
+    prev = F.lag(ts_col).over(w)
+    new_sess = (
+        prev.isNull()
+        | (
+            F.col(ts_col).cast("long") - prev.cast("long")
+            > gap_minutes * 60
+        )
+    ).cast("int")
+    return df.withColumn(
+        "session_id",
+        F.sum(new_sess).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).cast("int"),
+    )

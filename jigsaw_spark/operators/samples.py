@@ -276,3 +276,89 @@ def shard_assign(
     return ranked.withColumn(
         "shard", ((F.col("_rn") - 1) % num_shards).cast("int")
     ).drop("_rn", "_n")
+
+
+def dsir_weights(
+    df: DataFrame,
+    key: str,
+    target_pred: Column,
+    text: str = "text",
+    buckets: int = 4096,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every raw document
+    by how much its hashed-n-gram profile looks like a target corpus.
+
+    Features are unigrams + word-bigrams hashed into ``buckets`` buckets
+    (the hashing trick keeps the feature space fixed-size at any corpus
+    scale). Bucket distributions: p = target (rows matching
+    ``target_pred``), q = full raw corpus, both Laplace-smoothed
+    (+1 / +buckets). Per-doc log importance weight:
+
+        log w(doc) = sum_b c_b(doc) * (ln p_b - ln q_b)
+
+    Determinism across engines: the per-bucket log-ratio snaps to integer
+    MICRO-units (round(x*1e6) — one libm call per bucket, identical
+    derivation in Spark and DuckDB), so the per-doc weight is an EXACT
+    integer sum — no float accumulation order anywhere.
+
+    Plan shape (100 TB): one gram explode -> (key, bucket) hash agg; the
+    two bucket distributions aggregate to ``buckets`` rows and come back
+    as ONE broadcast dim; final (key) hash agg. All linear, no self-join,
+    dims KB-sized. Returns (key, n_grams, logw_micro).
+    """
+    from jigsaw_spark.operators.text import shingles_expr, tokens_expr
+
+    toks = df.select(
+        F.col(key),
+        target_pred.cast("int").alias("_is_target"),
+        tokens_expr(text).alias("_t"),
+    )
+    grams = toks.select(
+        key,
+        "_is_target",
+        F.explode(
+            F.concat(F.col("_t"), shingles_expr("_t", 2))
+        ).alias("gram"),
+    ).select(
+        key,
+        "_is_target",
+        F.pmod(
+            F.conv(F.substring(F.md5("gram"), 1, 12), 16, 10).cast("bigint"),
+            F.lit(buckets),
+        ).alias("bucket"),
+    )
+    per_doc = grams.groupBy(key, "bucket").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.max("_is_target").alias("_is_target"),
+    )
+    # bucket distributions from the SAME (key,bucket) partials (tiny table)
+    dist = per_doc.groupBy("bucket").agg(
+        F.sum(F.when(F.col("_is_target") == 1, F.col("c")).otherwise(0)).alias("tgt"),
+        F.sum("c").alias("raw"),
+    )
+    tot = dist.agg(
+        F.sum("tgt").alias("T"), F.sum("raw").alias("R")
+    )
+    ratio = dist.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.round(
+            (
+                F.log((F.col("tgt") + 1).cast("double") / (F.col("T") + buckets))
+                - F.log((F.col("raw") + 1).cast("double") / (F.col("R") + buckets))
+            )
+            * 1e6
+        )
+        .cast("bigint")
+        .alias("r_micro"),
+    )
+    return (
+        per_doc.join(F.broadcast(ratio), "bucket")
+        .groupBy(key)
+        .agg(
+            F.sum("c").cast("bigint").alias("n_grams"),
+            F.sum(F.col("c") * F.col("r_micro")).cast("bigint").alias(
+                "logw_micro"
+            ),
+        )
+    )

@@ -1538,6 +1538,7 @@ from jigsaw_spark.plans import queries_streaming  # noqa: E402,F401
 from jigsaw_spark.plans import queries_r3  # noqa: E402,F401
 from jigsaw_spark.plans import queries_r4  # noqa: E402,F401
 from jigsaw_spark.plans import queries_r5  # noqa: E402,F401
+from jigsaw_spark.plans import queries_r6  # noqa: E402,F401
 
 
 # ---------------------------------------------------------------------------
@@ -1622,6 +1623,13 @@ _CERTIFICATION_PRIORITY = [
     "text_ngram_diversity",
     "text_zipf_slope",
     "dedup_impact_ledger",
+    # round-4 additions (oracle-backed, never certified)
+    "curation_dsir_weights",
+    "p_dsir_resample",
+    "ts_sessionize",
+    "agg_incremental_merge",
+    "layout_zorder",
+    "stream_lsh_dedup",
     # never certified, rows-only (weaker driver check)
     "k6_deeplab_export",
     "ml_kmeans",

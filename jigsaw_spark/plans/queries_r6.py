@@ -1,0 +1,459 @@
+"""Round-6 operators: DSIR importance resampling, batch sessionization,
+incremental rollup maintenance, Z-order layout keys, streaming LSH dedup.
+
+Reference parity: the reference's dataset-construction mandate
+(jigsaw/dataset.py, jigsaw/write_dataset.py) is a batch selection +
+export pipeline; these extend the same training-data surface with the
+next operators a 100 TB curation deployment reaches for:
+
+- ``curation_dsir_weights`` / ``p_dsir_resample``: Data Selection via
+  Importance Resampling (Xie et al. 2023) — score raw docs by hashed
+  n-gram similarity to a target corpus, then seeded Gumbel-top-k
+  resampling. The published scalable alternative to training a quality
+  classifier per target domain.
+- ``ts_sessionize``: gap-based batch sessionization — the batch twin of
+  ``stream_stateful_sessions`` (same 30-min gap semantics), the
+  canonical event-log preprocessing step.
+- ``agg_incremental_merge``: algebraic aggregate-state maintenance —
+  merge per-batch partial states instead of recomputing the corpus
+  rollup (the incremental-materialized-view pattern; at 100 TB the
+  nightly batch touches GBs, not the full corpus).
+- ``layout_zorder``: Morton (Z-order) interleaving of two dimension
+  keys into one clustering key — the lakehouse data-layout technique
+  that makes multi-dimensional min/max file skipping work.
+- ``stream_lsh_dedup``: streaming near-dup ADMISSION — new documents
+  arrive as a stream, MinHash band signatures are computed in the same
+  map-only Arrow kernel as the batch path, and a stream-static anti-join
+  against the historical bucket index drops near-dups before ingest.
+
+Float discipline (PLANS.md audit): DSIR log-ratios snap to integer
+micro-units per BUCKET (one libm call each, identical derivation both
+engines) so per-doc weights are exact integer sums; session/rollup
+outputs are exact integers or timestamps; the z-order key is pure bit
+arithmetic from one shared SQL expression string.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jigsaw_spark.operators.text import tokens_sql
+from jigsaw_spark.plans.queries import _t, register
+
+_DSIR_B = 4096  # hashed-feature buckets
+
+
+# DuckDB twin of the Spark-side gram->bucket pipeline (unigrams + word
+# bigrams, md5-hashed into _DSIR_B buckets). Shared by both DSIR queries.
+_DSIR_CTE = f"""
+    toks AS (
+      SELECT doc_id, CAST(lang = 'en' AS INT) AS is_target,
+             {tokens_sql('text')} AS t
+      FROM documents),
+    grams AS (
+      SELECT doc_id, is_target, unnest(t) AS gram FROM toks
+      UNION ALL
+      SELECT doc_id, is_target, t[i] || ' ' || t[i+1] AS gram
+      FROM toks, LATERAL (
+        SELECT unnest(range(1, len(t))) AS i) ii
+      WHERE len(t) >= 2),
+    bucketed AS (
+      SELECT doc_id, is_target,
+             ('0x' || substr(md5(gram), 1, 12))::UBIGINT % {_DSIR_B} AS bucket
+      FROM grams),
+    per_doc AS (
+      SELECT doc_id, bucket, count(*) AS c, max(is_target) AS is_target
+      FROM bucketed GROUP BY doc_id, bucket),
+    dist AS (
+      SELECT bucket,
+             sum(CASE WHEN is_target = 1 THEN c ELSE 0 END) AS tgt,
+             sum(c) AS raw
+      FROM per_doc GROUP BY bucket),
+    tot AS (SELECT sum(tgt) AS T, sum(raw) AS R FROM dist),
+    ratio AS (
+      SELECT bucket,
+             CAST(round((ln(CAST(tgt + 1 AS DOUBLE) / (T + {_DSIR_B}))
+                       - ln(CAST(raw + 1 AS DOUBLE) / (R + {_DSIR_B})))
+                        * 1e6) AS BIGINT) AS r_micro
+      FROM dist CROSS JOIN tot),
+    weights AS (
+      SELECT doc_id,
+             CAST(sum(c) AS BIGINT) AS n_grams,
+             CAST(sum(c * r_micro) AS BIGINT) AS logw_micro
+      FROM per_doc JOIN ratio USING (bucket)
+      GROUP BY doc_id)
+"""
+
+
+@register(
+    "curation_dsir_weights",
+    f"""
+    WITH {_DSIR_CTE}
+    SELECT doc_id, n_grams, logw_micro,
+           round(logw_micro / 1e6, 6) AS logw
+    FROM weights
+    """,
+    "DSIR importance weights (Xie et al. 2023): hashed unigram+bigram "
+    "bucket counts, target(lang=en)-vs-raw Laplace-smoothed log-ratio "
+    "per bucket snapped to integer micro-units (one libm call per "
+    "bucket, never per doc), per-doc weight an EXACT integer sum. ONE "
+    "gram explode + (doc,bucket) hash agg; the bucket distribution "
+    "aggregates from the SAME partials into a 4096-row broadcast dim — "
+    "no second corpus scan, no self-join, linear at any scale",
+)
+def curation_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jigsaw_spark.operators.samples import dsir_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    w = dsir_weights(docs, "doc_id", F.col("lang") == "en", buckets=_DSIR_B)
+    return w.select(
+        "doc_id",
+        "n_grams",
+        "logw_micro",
+        F.round(F.col("logw_micro") / 1e6, 6).alias("logw"),
+    )
+
+
+_DSIR_K = 100
+
+
+@register(
+    "p_dsir_resample",
+    f"""
+    WITH {_DSIR_CTE},
+    keyed AS (
+      SELECT doc_id, logw_micro,
+             logw_micro + CAST(round(-ln(-ln(
+               (('0x' || substr(md5('dsir-resample|' || CAST(doc_id AS VARCHAR)), 1, 12))::UBIGINT + 1)
+               / (281474976710656.0 + 1))) * 1e6) AS BIGINT) AS key_micro
+      FROM weights)
+    SELECT CAST(row_number() OVER (ORDER BY key_micro DESC, doc_id) AS INT)
+             AS rank,
+           doc_id, logw_micro, key_micro
+    FROM keyed
+    ORDER BY key_micro DESC, doc_id LIMIT {_DSIR_K}
+    """,
+    "DSIR resampling step: Gumbel-top-k over the importance weights "
+    "(equivalent to sampling w/o replacement proportional to w) — the "
+    "Gumbel noise is md5-seeded per doc and snapped to the same integer "
+    "micro-units as the weight, so selection and ranking are exact "
+    "integer comparisons. TakeOrdered (orderBy+limit) keeps the top-k "
+    "distributed — per-partition partial top-100 + driver merge of "
+    "100*n_partitions rows; the rank window runs on 100 survivors only",
+)
+def p_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from jigsaw_spark.operators.samples import dsir_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    w = dsir_weights(docs, "doc_id", F.col("lang") == "en", buckets=_DSIR_B)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("dsir-resample|"), F.col("doc_id").cast("string"))),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        + 1
+    ) / (281474976710656.0 + 1)  # (0,1] from 48 md5 bits
+    gumbel_micro = F.round(-F.log(-F.log(u)) * 1e6).cast("bigint")
+    keyed = w.select(
+        "doc_id",
+        "logw_micro",
+        (F.col("logw_micro") + gumbel_micro).alias("key_micro"),
+    )
+    top = keyed.orderBy(F.desc("key_micro"), "doc_id").limit(_DSIR_K)
+    return top.select(
+        F.row_number()
+        .over(Window.orderBy(F.desc("key_micro"), "doc_id"))
+        .cast("int")
+        .alias("rank"),
+        "doc_id",
+        "logw_micro",
+        "key_micro",
+    )
+
+
+_GAP_MIN = 30
+
+
+@register(
+    "ts_sessionize",
+    f"""
+    WITH ev AS (
+      SELECT user_id, event_id, event_type, ts,
+             CAST(floor(epoch(ts)) AS BIGINT) AS es
+      FROM events),
+    flagged AS (
+      SELECT user_id, event_id, event_type, ts, es,
+             CASE WHEN lag(es) OVER w IS NULL
+                       OR es - lag(es) OVER w > {_GAP_MIN * 60}
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sess AS (
+      SELECT user_id, event_id, event_type, es,
+             CAST(sum(new_sess) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS INT) AS session_id
+      FROM flagged)
+    SELECT user_id, session_id,
+           count(*) AS n_events,
+           CAST(max(es) - min(es) AS BIGINT) AS duration_sec,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_purchases
+    FROM sess GROUP BY user_id, session_id
+    """,
+    "gap-based batch sessionization (30-min inactivity boundary, the "
+    "batch twin of stream_stateful_sessions): lag-flag + running-sum "
+    "island numbering in two windows sharing ONE (user) Exchange+Sort, "
+    "then a (user,session) hash agg. Gap tests on floor-second epochs — "
+    "exact integer comparisons on both engines",
+)
+def ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jigsaw_spark.operators.aggregates import sessionize
+
+    events = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    s = sessionize(
+        events, "user_id", "ts", gap_minutes=_GAP_MIN, tiebreak_col="event_id"
+    )
+    es = F.col("ts").cast("long")
+    return s.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max(es) - F.min(es)).cast("bigint").alias("duration_sec"),
+        F.sum((F.col("event_type") == "purchase").cast("int"))
+        .cast("bigint")
+        .alias("n_purchases"),
+    )
+
+
+@register(
+    "agg_incremental_merge",
+    """
+    WITH a AS (
+      SELECT user_id, count(*) AS n,
+             sum(CAST(round(value * 100) AS BIGINT)) AS cents,
+             min(ts) AS first_ts, max(ts) AS last_ts
+      FROM events WHERE event_id % 3 <> 0 GROUP BY user_id),
+    b AS (
+      SELECT user_id, count(*) AS n,
+             sum(CAST(round(value * 100) AS BIGINT)) AS cents,
+             min(ts) AS first_ts, max(ts) AS last_ts
+      FROM events WHERE event_id % 3 = 0 GROUP BY user_id)
+    SELECT coalesce(a.user_id, b.user_id) AS user_id,
+           CAST(coalesce(a.n, 0) + coalesce(b.n, 0) AS BIGINT) AS n_events,
+           CAST(coalesce(a.cents, 0) + coalesce(b.cents, 0) AS BIGINT)
+             AS value_cents,
+           least(coalesce(a.first_ts, b.first_ts),
+                 coalesce(b.first_ts, a.first_ts)) AS first_ts,
+           greatest(coalesce(a.last_ts, b.last_ts),
+                    coalesce(b.last_ts, a.last_ts)) AS last_ts
+    FROM a FULL OUTER JOIN b ON a.user_id = b.user_id
+    """,
+    "incremental aggregate-state maintenance (the materialized-view "
+    "pattern): per-batch algebraic partials (count/sum/min/max) merged "
+    "by a full-outer combine instead of recomputing the corpus rollup — "
+    "at 100 TB the nightly increment touches the new batch only; both "
+    "partials here pre-aggregate BEFORE the join so the outer join "
+    "shuffles key-state rows, never raw events. Equal by construction "
+    "to the single-pass aggregate (the oracle shows the merge form; the "
+    "algebraic-merge law makes them identical)",
+)
+def agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+
+    def partial(pred: Column) -> DataFrame:
+        return (
+            events.filter(pred)
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(cents).alias("cents"),
+                F.min("ts").alias("first_ts"),
+                F.max("ts").alias("last_ts"),
+            )
+        )
+
+    a = partial(F.col("event_id") % 3 != 0)
+    b = partial(F.col("event_id") % 3 == 0)
+    ab = a.alias("a").join(
+        b.alias("b"), F.col("a.user_id") == F.col("b.user_id"), "full_outer"
+    )
+    return ab.select(
+        F.coalesce("a.user_id", "b.user_id").alias("user_id"),
+        (
+            F.coalesce("a.n", F.lit(0)) + F.coalesce("b.n", F.lit(0))
+        ).cast("bigint").alias("n_events"),
+        (
+            F.coalesce("a.cents", F.lit(0)) + F.coalesce("b.cents", F.lit(0))
+        ).cast("bigint").alias("value_cents"),
+        F.least(
+            F.coalesce("a.first_ts", "b.first_ts"),
+            F.coalesce("b.first_ts", "a.first_ts"),
+        ).alias("first_ts"),
+        F.greatest(
+            F.coalesce("a.last_ts", "b.last_ts"),
+            F.coalesce("b.last_ts", "a.last_ts"),
+        ).alias("last_ts"),
+    )
+
+
+def _morton_sql(x: str, y: str, nbits: int = 16) -> str:
+    """Bit-interleave SQL shared verbatim by Spark and DuckDB: even bits
+    from ``x``, odd bits from ``y`` — one pure-integer expression, no
+    engine-specific functions."""
+    terms = []
+    for i in range(nbits):
+        terms.append(f"((({x} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({y} >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " | ".join(terms) + ")"
+
+
+@register(
+    "layout_zorder",
+    f"""
+    WITH keys AS (
+      SELECT o_orderkey,
+             CAST(o_custkey % 65536 AS BIGINT) AS xk,
+             CAST(CAST(round(o_totalprice * 100) AS BIGINT) % 65536 AS BIGINT)
+               AS yk
+      FROM orders),
+    z AS (
+      SELECT o_orderkey, {_morton_sql('xk', 'yk')} AS zkey FROM keys)
+    SELECT CAST(zkey >> 22 AS BIGINT) AS file_bucket,
+           count(*) AS n_rows,
+           CAST(min(zkey) AS BIGINT) AS zmin,
+           CAST(max(zkey) AS BIGINT) AS zmax
+    FROM z GROUP BY 1
+    """,
+    "Z-order (Morton) clustering key over (custkey, price-cents): bit "
+    "interleaving from ONE SQL expression string shared verbatim by "
+    "both engines — the lakehouse layout technique that makes min/max "
+    "file skipping prune on BOTH dimensions after a repartitionByRange "
+    "on zkey. Emits the per-file-bucket row counts + zkey extents (the "
+    "skipping index a writer would persist); pure integer bit math, "
+    "map-only + one hash agg",
+)
+def layout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_custkey") % 65536).cast("bigint").alias("xk"),
+        (F.round(F.col("o_totalprice") * 100).cast("bigint") % 65536)
+        .cast("bigint")
+        .alias("yk"),
+    )
+    z = orders.select(
+        "o_orderkey", F.expr(_morton_sql("xk", "yk")).alias("zkey")
+    )
+    return z.groupBy(
+        F.shiftright("zkey", 22).cast("bigint").alias("file_bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("zkey").cast("bigint").alias("zmin"),
+        F.max("zkey").cast("bigint").alias("zmax"),
+    )
+
+
+@register(
+    "stream_lsh_dedup",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {tokens_sql('text')} AS t FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(t) - 1),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+      FROM toks WHERE len(t) >= 3),
+    mh AS (
+      SELECT doc_id, seed,
+             min(md5(CAST(seed AS VARCHAR) || '|' || shingle)) AS mh
+      FROM sh CROSS JOIN (SELECT unnest(range(16)) AS seed) seeds
+      GROUP BY doc_id, seed),
+    bands AS (
+      SELECT doc_id, seed // 4 AS band,
+             string_agg(mh, ',' ORDER BY seed) AS sig
+      FROM mh GROUP BY doc_id, band),
+    idx AS (
+      SELECT DISTINCT band, sig FROM bands WHERE doc_id % 2 = 0),
+    hits AS (
+      SELECT b.doc_id, count(*) AS n_hit_bands
+      FROM bands b JOIN idx USING (band, sig)
+      WHERE b.doc_id % 2 = 1
+      GROUP BY b.doc_id)
+    SELECT d.source,
+           count(*) AS n_streamed,
+           CAST(sum(CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_blocked,
+           CAST(sum(CASE WHEN h.doc_id IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_admitted
+    FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+    WHERE d.doc_id % 2 = 1
+    GROUP BY d.source
+    """,
+    "streaming near-dup ADMISSION: new documents arrive as a file-source "
+    "stream, MinHash band signatures run in the SAME map-only Arrow "
+    "kernel as the batch path (minhash_band_sigs on a streaming frame), "
+    "and a stream-static semi-join probes the historical bucket index "
+    "(built from the even-doc 'corpus so far', broadcast at this size) — "
+    "near-dups are flagged BEFORE ingest, per-batch, with no stream-side "
+    "state beyond the drain agg. The admission ledger per source is "
+    "assembled batch-side from the drained hit table",
+)
+def stream_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from jigsaw_spark.operators.dedup import minhash_band_sigs
+    from jigsaw_spark.plans.queries_streaming import _state_partitions
+    from jigsaw_spark.streaming.ingest import read_document_stream
+
+    docs = _t(spark, sf_dir, "documents")
+    index = (
+        minhash_band_sigs(docs.filter(F.col("doc_id") % 2 == 0), "doc_id")
+        .select("band", "sig")
+        .distinct()
+    )
+    stream = read_document_stream(spark, sf_dir).filter(
+        F.col("doc_id") % 2 == 1
+    )
+    hits = (
+        minhash_band_sigs(stream, "doc_id")
+        .join(index, ["band", "sig"], "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit_bands"))
+    )
+    name = f"stream_lsh_{uuid.uuid4().hex[:8]}"
+    with _state_partitions(spark):
+        q = (
+            hits.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    blocked = spark.table(name)
+    new_docs = docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "source"
+    )
+    return (
+        new_docs.join(blocked, "doc_id", "left_outer")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_streamed"),
+            F.sum(F.col("n_hit_bands").isNotNull().cast("int"))
+            .cast("bigint")
+            .alias("n_blocked"),
+            F.sum(F.col("n_hit_bands").isNull().cast("int"))
+            .cast("bigint")
+            .alias("n_admitted"),
+        )
+    )

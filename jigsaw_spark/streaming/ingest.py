@@ -249,3 +249,28 @@ def enriched_event_counts(
             "total_value",
         )
     )
+
+
+DOCUMENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def read_document_stream(
+    spark: SparkSession, path: str, glob: str = "documents.parquet"
+) -> DataFrame:
+    """File-source stream over the documents table — the ingest shape of a
+    continuously-arriving crawl: each new parquet drop becomes a
+    micro-batch. Map-only text kernels (minhash_band_sigs, tokens_expr)
+    run on this stream unchanged."""
+    return (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .option("pathGlobFilter", glob)
+        .parquet(path)
+    )

@@ -1,0 +1,180 @@
+"""Round-6 operators: DSIR importance weights/resampling, batch
+sessionization, incremental aggregate merge, Z-order keys, streaming LSH
+admission."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+
+def _ts(s: str) -> datetime.datetime:
+    return datetime.datetime.fromisoformat(s)
+
+
+def test_sessionize_gap_boundaries(spark):
+    """Sessions split strictly AFTER the gap (gap == threshold stays in
+    the session); ordering ties break on the tiebreak column."""
+    from jigsaw_spark.operators.aggregates import sessionize
+
+    rows = [
+        # user 1: 3 events, second exactly 30 min after first (same
+        # session), third 30 min + 1 s after second (new session)
+        (1, 1, _ts("2024-01-01T10:00:00")),
+        (1, 2, _ts("2024-01-01T10:30:00")),
+        (1, 3, _ts("2024-01-01T11:00:01")),
+        # user 2: single event
+        (2, 4, _ts("2024-01-01T09:00:00")),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, event_id int, ts timestamp")
+    out = {
+        (r["user_id"], r["event_id"]): r["session_id"]
+        for r in sessionize(
+            df, "user_id", "ts", gap_minutes=30, tiebreak_col="event_id"
+        ).collect()
+    }
+    assert out == {(1, 1): 1, (1, 2): 1, (1, 3): 2, (2, 4): 1}
+
+
+def test_dsir_weights_prefer_target_like_docs(spark):
+    """Docs sharing vocabulary with the target slice must outweigh docs
+    from a disjoint vocabulary, and weights are exact integers."""
+    from jigsaw_spark.operators.samples import dsir_weights
+
+    target_text = "the quick brown fox jumps over the lazy dog"
+    rows = [
+        (1, target_text, "en"),
+        (2, "quick brown fox and lazy dog again", "en"),
+        (3, "quick brown fox jumps high", "xx"),      # target-like raw doc
+        (4, "zzz qqq www eee rrr ttt yyy uuu", "xx"),  # disjoint vocab
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    w = {
+        r["doc_id"]: r["logw_micro"]
+        for r in dsir_weights(
+            df, "doc_id", F.col("lang") == "en", buckets=256
+        ).collect()
+    }
+    assert set(w) == {1, 2, 3, 4}
+    assert all(isinstance(v, int) for v in w.values())
+    # per-gram normalization isn't applied (DSIR uses raw counts), but the
+    # disjoint-vocab doc must score strictly below the target-like doc
+    assert w[3] > w[4]
+
+
+def test_incremental_merge_equals_single_pass(spark):
+    """The algebraic-merge law: merged per-batch partials == one-pass agg."""
+    from jigsaw_spark.plans.queries_r6 import agg_incremental_merge
+
+    sf = "/root/testdata/sf0.001"
+    merged = {
+        r["user_id"]: (
+            r["n_events"],
+            r["value_cents"],
+            r["first_ts"],
+            r["last_ts"],
+        )
+        for r in agg_incremental_merge(spark, sf).collect()
+    }
+    events = spark.read.parquet(f"{sf}/events.parquet")
+    direct = {
+        r["user_id"]: (
+            r["n_events"],
+            r["value_cents"],
+            r["first_ts"],
+            r["last_ts"],
+        )
+        for r in events.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("value_cents"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+        .collect()
+    }
+    assert merged == direct
+
+
+def test_zorder_interleaves_bits(spark):
+    """Morton key: low x bits land on even positions, y bits on odd."""
+    from jigsaw_spark.plans.queries_r6 import _morton_sql
+
+    df = spark.createDataFrame(
+        [(0, 0), (1, 0), (0, 1), (3, 5), (65535, 65535)], "xk long, yk long"
+    )
+    out = [
+        r["z"]
+        for r in df.select(F.expr(_morton_sql("xk", "yk")).alias("z"))
+        .orderBy("xk", "yk")
+        .collect()
+    ]
+
+    def morton(x: int, y: int) -> int:
+        z = 0
+        for i in range(16):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    expected = sorted(
+        morton(x, y) for x, y in [(0, 0), (1, 0), (0, 1), (3, 5), (65535, 65535)]
+    )
+    assert sorted(out) == expected
+    assert max(out) == (1 << 32) - 1  # full 16+16 bits
+
+
+def test_zorder_improves_two_dim_locality(spark):
+    """Range-bucketing by zkey must bound BOTH dimensions per bucket
+    better than bucketing by x alone bounds y — the file-skipping win."""
+    import itertools
+
+    from jigsaw_spark.plans.queries_r6 import _morton_sql
+
+    pts = [(x, y) for x, y in itertools.product(range(64), range(64))]
+    df = spark.createDataFrame(pts, "xk long, yk long").select(
+        "xk", "yk", F.expr(_morton_sql("xk", "yk")).alias("z")
+    )
+    # 16 equal buckets by z -> per-bucket y-extent is 16 (4096/16/16 grid
+    # cells are 16x16 squares); bucketing by x alone leaves y-extent 64
+    by_z = (
+        df.withColumn("bucket", F.floor(F.col("z") / (4096 / 16)))
+        .groupBy("bucket")
+        .agg((F.max("yk") - F.min("yk")).alias("yext"))
+        .agg(F.max("yext"))
+        .collect()[0][0]
+    )
+    assert by_z <= 16
+
+
+def test_stream_lsh_dedup_blocks_known_near_dups(spark):
+    """End-to-end streaming admission at sf0.001: every streamed doc is
+    accounted for, and blocked docs really share a band signature with
+    the historical index."""
+    from jigsaw_spark.operators.dedup import minhash_band_sigs
+    from jigsaw_spark.plans.queries_r6 import stream_lsh_dedup
+
+    sf = "/root/testdata/sf0.001"
+    out = stream_lsh_dedup(spark, sf).collect()
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    n_odd = docs.filter(F.col("doc_id") % 2 == 1).count()
+    assert sum(r["n_streamed"] for r in out) == n_odd
+    for r in out:
+        assert r["n_blocked"] + r["n_admitted"] == r["n_streamed"]
+
+    # batch replica of the probe agrees with the streamed verdicts
+    bands = minhash_band_sigs(docs, "doc_id")
+    idx = (
+        bands.filter(F.col("doc_id") % 2 == 0).select("band", "sig").distinct()
+    )
+    blocked_batch = (
+        bands.filter(F.col("doc_id") % 2 == 1)
+        .join(idx, ["band", "sig"], "left_semi")
+        .select("doc_id")
+        .distinct()
+        .count()
+    )
+    assert sum(r["n_blocked"] for r in out) == blocked_batch
