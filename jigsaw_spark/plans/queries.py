@@ -1630,6 +1630,9 @@ _CERTIFICATION_PRIORITY = [
     "agg_incremental_merge",
     "layout_zorder",
     "stream_lsh_dedup",
+    "privacy_kanon_release",
+    "text_token_fertility",
+    "p_temporal_holdout",
     # never certified, rows-only (weaker driver check)
     "k6_deeplab_export",
     "ml_kmeans",

@@ -457,3 +457,164 @@ def stream_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_admitted"),
         )
     )
+
+
+_KANON = 5
+
+
+@register(
+    "privacy_kanon_release",
+    f"""
+    WITH cells AS (
+      SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY 1, 2),
+    marked AS (
+      SELECT *, n >= {_KANON} AS released FROM cells)
+    SELECT CASE WHEN released THEN o_orderstatus ELSE '*' END AS o_orderstatus,
+           CASE WHEN released THEN o_orderpriority ELSE '*' END
+             AS o_orderpriority,
+           CAST(sum(n) AS BIGINT) AS n,
+           CAST(sum(cents) AS BIGINT) AS cents,
+           CAST(count(*) AS BIGINT) AS n_cells_merged
+    FROM marked GROUP BY 1, 2
+    """,
+    "k-anonymity release (k=5): quasi-identifier cells smaller than k "
+    "collapse into ONE suppressed '*' cell instead of leaking small "
+    "groups — the aggregate-publishing privacy gate. Two hash aggs (the "
+    "second over the cell table, which is |distinct QI combos| rows, "
+    "never corpus-sized); all outputs exact integers",
+)
+def privacy_kanon_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    cells = orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    released = F.col("n") >= _KANON
+    star = lambda c: F.when(released, F.col(c)).otherwise(F.lit("*"))  # noqa: E731
+    return (
+        cells.select(
+            star("o_orderstatus").alias("o_orderstatus"),
+            star("o_orderpriority").alias("o_orderpriority"),
+            "n",
+            "cents",
+        )
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.sum("n").cast("bigint").alias("n"),
+            F.sum("cents").cast("bigint").alias("cents"),
+            F.count(F.lit(1)).cast("bigint").alias("n_cells_merged"),
+        )
+    )
+
+
+@register(
+    "text_token_fertility",
+    f"""
+    WITH t AS (
+      SELECT lang,
+             len({tokens_sql('text')}) AS n_words,
+             len(regexp_extract_all(lower(text), '''[a-z]+| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s'']+')) AS n_pieces
+      FROM documents)
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(n_words) AS BIGINT) AS n_words,
+           CAST(sum(n_pieces) AS BIGINT) AS n_pieces,
+           round(sum(n_pieces) / CAST(sum(n_words) AS DOUBLE), 4)
+             AS fertility
+    FROM t WHERE n_words > 0 GROUP BY lang
+    """,
+    "tokenizer fertility per language (BPE-ish pieces per whitespace "
+    "word): the per-language token-budget/equity diagnostic every "
+    "multilingual corpus report carries — high fertility means the "
+    "tokenizer fragments that language. Map-only piece counting + one "
+    "tiny hash agg; fertility is a ratio of exact integer sums",
+)
+def text_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jigsaw_spark.operators.text import bpeish_tokens_expr, tokens_expr
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "lang",
+        F.size(tokens_expr("text")).alias("n_words"),
+        F.size(bpeish_tokens_expr("text")).alias("n_pieces"),
+    )
+    return (
+        docs.filter(F.col("n_words") > 0)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").cast("bigint").alias("n_words"),
+            F.sum("n_pieces").cast("bigint").alias("n_pieces"),
+            F.round(
+                F.sum("n_pieces") / F.sum("n_words").cast("double"), 4
+            ).alias("fertility"),
+        )
+    )
+
+
+_HOLDOUT_TS = "2024-01-24 00:00:00"
+
+
+@register(
+    "p_temporal_holdout",
+    f"""
+    WITH split AS (
+      SELECT user_id, event_id,
+             CASE WHEN ts < TIMESTAMP '{_HOLDOUT_TS}' THEN 'train'
+                  ELSE 'test' END AS split
+      FROM events),
+    users AS (
+      SELECT user_id,
+             max(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS in_train,
+             max(CASE WHEN split = 'test'  THEN 1 ELSE 0 END) AS in_test
+      FROM split GROUP BY user_id)
+    SELECT s.split,
+           count(*) AS n_events,
+           count(DISTINCT s.user_id) AS n_users,
+           CAST(sum(CASE WHEN u.in_train = 1 AND u.in_test = 1
+                         THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_events_leaky_users
+    FROM split s JOIN users u ON s.user_id = u.user_id
+    GROUP BY s.split
+    """,
+    "temporal train/test holdout with LEAKAGE accounting: split at a "
+    "cutoff timestamp (never random — random splits leak future events "
+    "into training), plus the count of events belonging to users that "
+    "straddle the boundary (the group-leakage surface a user-level "
+    "model must handle). One (user) agg joined back on the same key — "
+    "exchange reused, no second corpus shuffle",
+)
+def p_temporal_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    split = events.select(
+        "user_id",
+        "event_id",
+        F.when(
+            F.col("ts") < F.lit(_HOLDOUT_TS).cast("timestamp"), "train"
+        )
+        .otherwise("test")
+        .alias("split"),
+    )
+    users = split.groupBy("user_id").agg(
+        F.max((F.col("split") == "train").cast("int")).alias("in_train"),
+        F.max((F.col("split") == "test").cast("int")).alias("in_test"),
+    )
+    return (
+        split.join(users, "user_id")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+            F.sum(
+                ((F.col("in_train") == 1) & (F.col("in_test") == 1)).cast(
+                    "int"
+                )
+            )
+            .cast("bigint")
+            .alias("n_events_leaky_users"),
+        )
+    )

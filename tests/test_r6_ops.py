@@ -178,3 +178,32 @@ def test_stream_lsh_dedup_blocks_known_near_dups(spark):
         .count()
     )
     assert sum(r["n_blocked"] for r in out) == blocked_batch
+
+
+def test_kanon_release_suppresses_small_cells(spark):
+    """No released cell may be smaller than k; the '*' cell absorbs the
+    rest and totals are conserved."""
+    from jigsaw_spark.plans.queries_r6 import _KANON, privacy_kanon_release
+
+    sf = "/root/testdata/sf0.001"
+    rows = privacy_kanon_release(spark, sf).collect()
+    released = [
+        r for r in rows if r["o_orderstatus"] != "*" or r["o_orderpriority"] != "*"
+    ]
+    assert all(r["n"] >= _KANON for r in released)
+    total = sum(r["n"] for r in rows)
+    assert total == spark.read.parquet(f"{sf}/orders.parquet").count()
+
+
+def test_temporal_holdout_counts_leaky_users(spark):
+    """Every event is in exactly one split; leaky-event counts are
+    bounded by the split sizes and agree with a direct computation."""
+    from jigsaw_spark.plans.queries_r6 import p_temporal_holdout
+
+    sf = "/root/testdata/sf0.001"
+    out = {r["split"]: r for r in p_temporal_holdout(spark, sf).collect()}
+    assert set(out) == {"train", "test"}
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    assert out["train"]["n_events"] + out["test"]["n_events"] == ev.count()
+    for r in out.values():
+        assert 0 <= r["n_events_leaky_users"] <= r["n_events"]
