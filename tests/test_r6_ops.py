@@ -207,3 +207,109 @@ def test_temporal_holdout_counts_leaky_users(spark):
     assert out["train"]["n_events"] + out["test"]["n_events"] == ev.count()
     for r in out.values():
         assert 0 <= r["n_events_leaky_users"] <= r["n_events"]
+
+
+def test_sessionize_matches_python_reference(spark):
+    """Property: session assignment equals a sequential pure-Python pass
+    over randomized event streams (gap boundaries, ties, singletons)."""
+    import random
+
+    rng = random.Random(42)
+    rows = []
+    eid = 0
+    for user in range(1, 9):
+        t = 1_700_000_000 + rng.randrange(0, 3600)
+        for _ in range(rng.randrange(1, 30)):
+            # mix sub-gap, exactly-gap, and super-gap deltas
+            t += rng.choice([1, 59, 1800, 1801, 7200, 0])
+            eid += 1
+            rows.append((user, eid, datetime.datetime.fromtimestamp(t, datetime.timezone.utc).replace(tzinfo=None)))
+    df = spark.createDataFrame(rows, "user_id int, event_id int, ts timestamp")
+
+    from jigsaw_spark.operators.aggregates import sessionize
+
+    got = {
+        (r["user_id"], r["event_id"]): r["session_id"]
+        for r in sessionize(
+            df, "user_id", "ts", gap_minutes=30, tiebreak_col="event_id"
+        ).collect()
+    }
+
+    expected = {}
+    by_user: dict[int, list] = {}
+    for user, eid_, ts in rows:
+        by_user.setdefault(user, []).append((ts, eid_))
+    for user, evs in by_user.items():
+        evs.sort()
+        sid, prev = 0, None
+        for ts, eid_ in evs:
+            es = int(ts.replace(tzinfo=datetime.timezone.utc).timestamp())
+            if prev is None or es - prev > 1800:
+                sid += 1
+            prev = es
+            expected[(user, eid_)] = sid
+    assert got == expected
+
+
+def test_dsir_weights_match_python_reference(spark):
+    """Property: logw_micro equals an exact pure-Python replica (same md5
+    bucketing, same Laplace smoothing, same micro-unit snap)."""
+    import hashlib
+    import math
+    import re
+
+    docs = [
+        (1, "alpha beta gamma alpha", "en"),
+        (2, "beta gamma delta", "en"),
+        (3, "alpha beta unknown words here", "xx"),
+        (4, "gamma gamma gamma epsilon", "xx"),
+    ]
+    B = 64
+
+    def toks(text):
+        return [w for w in re.split(r"[^a-z0-9]+", text.lower()) if w]
+
+    def grams(text):
+        t = toks(text)
+        return t + [f"{a} {b}" for a, b in zip(t, t[1:])]
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:12], 16) % B
+
+    per_doc: dict[int, dict[int, int]] = {}
+    for doc_id, text, _ in docs:
+        d = per_doc.setdefault(doc_id, {})
+        for g in grams(text):
+            b = bucket(g)
+            d[b] = d.get(b, 0) + 1
+    tgt: dict[int, int] = {}
+    raw: dict[int, int] = {}
+    for doc_id, _, lang in docs:
+        for b, c in per_doc[doc_id].items():
+            raw[b] = raw.get(b, 0) + c
+            if lang == "en":
+                tgt[b] = tgt.get(b, 0) + c
+    T, R = sum(tgt.values()), sum(raw.values())
+    r_micro = {
+        b: round(
+            (
+                math.log((tgt.get(b, 0) + 1) / (T + B))
+                - math.log((raw[b] + 1) / (R + B))
+            )
+            * 1e6
+        )
+        for b in raw
+    }
+    expected = {
+        doc_id: sum(c * r_micro[b] for b, c in d.items())
+        for doc_id, d in per_doc.items()
+    }
+
+    from jigsaw_spark.operators.samples import dsir_weights
+
+    df = spark.createDataFrame(docs, "doc_id long, text string, lang string")
+    got = {
+        r["doc_id"]: r["logw_micro"]
+        for r in dsir_weights(df, "doc_id", F.col("lang") == "en", buckets=B).collect()
+    }
+    assert got == expected

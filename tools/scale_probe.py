@@ -60,6 +60,12 @@ PROBES = [
     "dedup_substr_windows",
     "dedup_containment",
     "ml_calibration_bins",
+    # round 6: DSIR gram explode (linear in grams; the 4096-bucket dim is
+    # constant under replication) and per-user session windows (user_id is
+    # NOT shifted, so each user's window grows ×F — the hard direction
+    # for key-partitioned windows)
+    "curation_dsir_weights",
+    "ts_sessionize",
 ]
 
 TABLES = [
