@@ -97,3 +97,67 @@ def pagerank(
                 .localCheckpoint()
             )
     return ranks
+
+
+def pagerank_exact(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iters: int = 10,
+    scale: int = 10**15,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """PageRank with the iteration DEFINED in integer micro-units — the
+    exact-arithmetic twin of ``pagerank``.
+
+    Ranks live as BIGINT multiples of 1/``scale``; damping 0.85 and
+    teleport 0.15 enter as the exact rationals 17/20 and 3/20 with FLOOR
+    division:
+
+        r0(v)      = scale div n
+        contrib(u) = (17 * r(u)) div (20 * deg(u))     per out-edge
+        r'(v)      = (3 * scale) div (20 * n) + sum(contribs into v)
+
+    Every quantity is an integer, so the fixpoint trajectory is
+    bit-identical across engines, partitionings, retries, and cluster
+    sizes — an ITERATIVE algorithm with an exact SQL oracle (the float
+    variant is certifiable only rows-only). The per-step floor loses at
+    most 1/scale per edge: with scale=1e15 and 1e9 nodes the
+    quantization error is ~1e-6 of a node's rank — far below ranking
+    resolution. 17*scale < 2^63 keeps everything inside BIGINT.
+
+    Input edges are treated as UNDIRECTED (mirrored + distinct), so
+    every node has out-degree >= 1 and no dangling-mass term is needed.
+    Plan shape per iteration matches ``pagerank``: one src-keyed join
+    (exchange reused) + one dst-keyed agg over |E| rows.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    e = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct().localCheckpoint()
+    nodes = (
+        e.select(F.col("src").alias("node")).distinct().localCheckpoint()
+    )  # undirected: src set == node set
+    n = nodes.count()
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint()
+    base = (3 * scale) // (20 * n)
+    ranks = nodes.select("node", F.lit(scale // n).cast("bigint").alias("r"))
+    for it in range(n_iters):
+        contribs = (
+            ranks.select(F.col("node").alias("src"), "r")
+            .join(deg, "src")
+            .join(e, "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("(17 * r) div (20 * deg)").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").cast("bigint").alias("c"))
+        )
+        ranks = nodes.join(contribs, "node", "left").select(
+            "node",
+            (F.lit(base) + F.coalesce("c", F.lit(0))).cast("bigint").alias("r"),
+        )
+        if (it + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint()
+    return ranks.select("node", F.col("r").alias("rank_micro"))

@@ -1633,6 +1633,7 @@ _CERTIFICATION_PRIORITY = [
     "privacy_kanon_release",
     "text_token_fertility",
     "p_temporal_holdout",
+    "graph_pagerank_exact",
     # never certified, rows-only (weaker driver check)
     "k6_deeplab_export",
     "ml_kmeans",

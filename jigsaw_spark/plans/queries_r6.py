@@ -618,3 +618,104 @@ def p_temporal_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_events_leaky_users"),
         )
     )
+
+
+_PR_SCALE = 10**15
+_PR_ITERS = 10
+
+
+def _pagerank_exact_sql() -> str:
+    """Unroll the integer PageRank fixpoint to _PR_ITERS CTE stages over
+    the minhash-LSH candidate graph — an ITERATIVE algorithm with an
+    exact SQL oracle, possible only because every iteration step is
+    integer floor arithmetic (see operators.graph.pagerank_exact)."""
+    from jigsaw_spark.operators.text import tokens_sql
+
+    head = f"""
+    WITH toks AS (
+      SELECT doc_id, {tokens_sql('text')} AS t FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(t) - 1),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+      FROM toks WHERE len(t) >= 3),
+    mh AS (
+      SELECT doc_id, seed,
+             min(md5(CAST(seed AS VARCHAR) || '|' || shingle)) AS mh
+      FROM sh CROSS JOIN (SELECT unnest(range(16)) AS seed) seeds
+      GROUP BY doc_id, seed),
+    bands AS (
+      SELECT doc_id, seed // 4 AS band,
+             string_agg(mh, ',' ORDER BY seed) AS sig
+      FROM mh GROUP BY doc_id, band),
+    pairs AS (
+      SELECT DISTINCT x_a.doc_id AS a, x_b.doc_id AS b
+      FROM bands x_a
+      JOIN bands x_b ON x_a.band = x_b.band AND x_a.sig = x_b.sig
+                    AND x_a.doc_id < x_b.doc_id),
+    pr_edges AS (
+      SELECT a AS src, b AS dst FROM pairs
+      UNION
+      SELECT b AS src, a AS dst FROM pairs),
+    pr_nodes AS (SELECT DISTINCT src AS node FROM pr_edges),
+    pr_deg AS (SELECT src, count(*) AS deg FROM pr_edges GROUP BY src),
+    pr_consts AS (
+      SELECT count(*) AS n,
+             {_PR_SCALE} // count(*) AS r_init,
+             (3 * {_PR_SCALE}) // (20 * count(*)) AS base
+      FROM pr_nodes),
+    r0 AS (
+      SELECT node, r_init AS r FROM pr_nodes CROSS JOIN pr_consts)"""
+    iters = []
+    for i in range(1, _PR_ITERS + 1):
+        iters.append(f"""
+    c{i} AS (
+      SELECT e.dst AS node, sum((17 * p.r) // (20 * d.deg)) AS c
+      FROM r{i - 1} p
+      JOIN pr_deg d ON p.node = d.src
+      JOIN pr_edges e ON p.node = e.src
+      GROUP BY e.dst),
+    r{i} AS (
+      SELECT n.node, cc.base + coalesce(c{i}.c, 0) AS r
+      FROM pr_nodes n
+      CROSS JOIN pr_consts cc
+      LEFT JOIN c{i} ON n.node = c{i}.node)""")
+    tail = f"""
+    SELECT CAST(row_number() OVER (ORDER BY r DESC, node) AS INT) AS pos,
+           node, CAST(r AS BIGINT) AS rank_micro
+    FROM r{_PR_ITERS}
+    ORDER BY r DESC, node LIMIT 50"""
+    return head + "," + ",".join(iters) + tail
+
+
+@register(
+    "graph_pagerank_exact",
+    _pagerank_exact_sql(),
+    "PageRank over the near-dup candidate graph with the fixpoint "
+    "DEFINED in integer micro-units (17/20 damping, floor division, "
+    "scale 1e15): the iteration trajectory is bit-identical across "
+    "engines/partitionings/retries, which upgrades the iterative "
+    "message-passing class from rows-only to EXACT-oracle (the float "
+    "variant stays as the classic form). Per round ONE src-keyed join "
+    "(exchange reused) + ONE dst-keyed agg; lineage checkpointed",
+)
+def graph_pagerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from jigsaw_spark.operators.dedup import minhash_lsh_pairs
+    from jigsaw_spark.operators.graph import pagerank_exact
+
+    docs = _t(spark, sf_dir, "documents")
+    edges = minhash_lsh_pairs(docs, "doc_id", num_hashes=16, bands=4).select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    pr = pagerank_exact(edges, n_iters=_PR_ITERS, scale=_PR_SCALE)
+    top = pr.orderBy(F.desc("rank_micro"), "node").limit(50)
+    return top.select(
+        F.row_number()
+        .over(Window.orderBy(F.desc("rank_micro"), "node"))
+        .cast("int")
+        .alias("pos"),
+        "node",
+        "rank_micro",
+    )

@@ -313,3 +313,34 @@ def test_dsir_weights_match_python_reference(spark):
         for r in dsir_weights(df, "doc_id", F.col("lang") == "en", buckets=B).collect()
     }
     assert got == expected
+
+
+def test_pagerank_exact_tracks_float_pagerank(spark):
+    """The integer micro-unit fixpoint must agree with the float power
+    iteration to quantization precision (~|E|/scale per node), and ranks
+    must conserve total mass."""
+    from jigsaw_spark.operators.graph import pagerank, pagerank_exact
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (6, 7)],
+        "src long, dst long",
+    )
+    exact = {
+        r["node"]: r["rank_micro"]
+        for r in pagerank_exact(edges, n_iters=10, scale=10**15).collect()
+    }
+    approx = {
+        r["node"]: r["rank"]
+        for r in pagerank(edges, n_iters=10, undirected=True).collect()
+    }
+    assert set(exact) == set(approx)
+    scale = 10**15
+    assert abs(sum(exact.values()) / scale - 1.0) < 1e-6  # mass conserved
+    for node, rm in exact.items():
+        assert abs(rm / scale - approx[node]) < 1e-9
+    # determinism: a second run is bit-identical
+    again = {
+        r["node"]: r["rank_micro"]
+        for r in pagerank_exact(edges, n_iters=10, scale=10**15).collect()
+    }
+    assert again == exact
