@@ -68,6 +68,10 @@ ALL_PAIRS_OK = {
     "q11_important_value",  # 0.001×total threshold: 1-row broadcast cross
     "text_unigram_logprob",  # 1-row total-tokens broadcast cross
     "text_bm25_topk",  # 1-row corpus-stats broadcast cross
+    # 1-row (T, R) smoothing-total dim crossed into the 4096-bucket
+    # distribution — O(buckets), corpus never touches the NLJ
+    "curation_dsir_weights",
+    "p_dsir_resample",
 }
 # queries expected to push a filter into the parquet scan
 EXPECT_PUSHDOWN = {
