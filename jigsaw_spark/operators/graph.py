@@ -50,6 +50,8 @@ def pagerank(
         .localCheckpoint()
     )
     n = nodes.count()
+    if n == 0:  # empty graph: empty rank table, not a ZeroDivisionError
+        return nodes.select("node", F.lit(0.0).alias("rank"))
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     deg = deg.localCheckpoint()
@@ -139,6 +141,10 @@ def pagerank_exact(
         e.select(F.col("src").alias("node")).distinct().localCheckpoint()
     )  # undirected: src set == node set
     n = nodes.count()
+    if n == 0:  # empty graph: empty rank table, not a ZeroDivisionError
+        return nodes.select(
+            "node", F.lit(0).cast("bigint").alias("rank_micro")
+        )
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).localCheckpoint()
     base = (3 * scale) // (20 * n)
     ranks = nodes.select("node", F.lit(scale // n).cast("bigint").alias("r"))

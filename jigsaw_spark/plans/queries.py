@@ -1634,6 +1634,7 @@ _CERTIFICATION_PRIORITY = [
     "text_token_fertility",
     "p_temporal_holdout",
     "graph_pagerank_exact",
+    "stream_session_window",
     # never certified, rows-only (weaker driver check)
     "k6_deeplab_export",
     "ml_kmeans",

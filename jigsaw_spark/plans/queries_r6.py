@@ -719,3 +719,67 @@ def graph_pagerank_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "node",
         "rank_micro",
     )
+
+
+@register(
+    "stream_session_window",
+    """
+    WITH o AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), g AS (
+      SELECT user_id, ts, value,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o
+    )
+    SELECT user_id, CAST(min(ts) AS TIMESTAMP) AS session_start,
+           count(*) AS n,
+           CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS total_value
+    FROM g GROUP BY user_id, sid
+    """,
+    "STREAMING native session_window: the state-store session-merge path "
+    "(distinct from both the batch session_window agg [w4] and the "
+    "applyInPandasWithState sessionizer) — sessions merge incrementally "
+    "in the streaming state store, complete-mode AvailableNow drain "
+    "equals the batch island formulation. Exact decimal value sums, "
+    "same 30-min gap as every session operator in the engine",
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from jigsaw_spark.plans.queries import dec2, dsum
+    from jigsaw_spark.plans.queries_streaming import _state_partitions
+    from jigsaw_spark.streaming.ingest import read_event_stream
+
+    stream = read_event_stream(spark, sf_dir, glob="events.parquet")
+    agg = (
+        stream.groupBy(
+            F.session_window("ts", "30 minutes").alias("sw"), "user_id"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(dec2("value")).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            "n",
+            "total_value",
+        )
+    )
+    name = f"stream_sw_{uuid.uuid4().hex[:8]}"
+    with _state_partitions(spark):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name)

@@ -344,3 +344,36 @@ def test_pagerank_exact_tracks_float_pagerank(spark):
         for r in pagerank_exact(edges, n_iters=10, scale=10**15).collect()
     }
     assert again == exact
+
+
+def test_r6_operators_total_on_empty_inputs(spark):
+    """Totality: every round-6 operator yields an empty/identity result on
+    empty input instead of crashing (the reorder-safety class)."""
+    from jigsaw_spark.operators.aggregates import sessionize
+    from jigsaw_spark.operators.graph import pagerank_exact
+    from jigsaw_spark.operators.samples import dsir_weights
+
+    empty_docs = spark.createDataFrame(
+        [], "doc_id long, text string, lang string"
+    )
+    assert (
+        dsir_weights(empty_docs, "doc_id", F.col("lang") == "en", buckets=64)
+        .count()
+        == 0
+    )
+
+    empty_ev = spark.createDataFrame(
+        [], "user_id long, event_id long, ts timestamp"
+    )
+    assert sessionize(empty_ev, "user_id", "ts").count() == 0
+
+    # pagerank_exact: n == 0 must not divide by zero — empty edges yield
+    # an empty rank table
+    empty_edges = spark.createDataFrame([], "src long, dst long")
+    import pytest as _pytest
+
+    try:
+        out = pagerank_exact(empty_edges, n_iters=2)
+        assert out.count() == 0
+    except ZeroDivisionError:
+        _pytest.fail("pagerank_exact crashes on an empty edge list")
