@@ -266,3 +266,86 @@ def power_iteration_pc1(
     if v[k] < 0:
         v = [-x for x in v]
     return v, lam
+
+
+def _tdiv(a: int, b: int) -> int:
+    """Integer division truncated toward zero — the one division form
+    that Spark `div`, DuckDB `CASE`-guarded `//`, and Python share
+    exactly (Python's bare ``//`` floors, which differs on negatives)."""
+    return -((-a) // b) if a < 0 else a // b
+
+
+def pca_pc1_exact(
+    df: DataFrame,
+    key_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_iters: int = 10,
+    scale: int = 10**6,
+) -> list[tuple[int, int]]:
+    """Leading principal component with EXACT integer arithmetic — the
+    oracle-certifiable twin of ``power_iteration_pc1``.
+
+    Pipeline: quantize coordinates to ``scale`` micro-units
+    (``round(x * 1e6)`` — one correctly-rounded double op per cell,
+    identical in every engine), then compute the n²-scaled covariance
+    from ONE corpus pass:
+
+        C'[i][j] = n * sum(xq_i * xq_j) - sum(xq_i) * sum(xq_j)
+        C''      = C' tdiv n²     (truncation toward zero)
+
+    and run the power iteration on C'' in EXACT integers, renormalizing
+    each round to max-|component| = ``scale`` by truncated division.
+    Every step is integer-defined, so the trajectory is bit-identical
+    across engines, partitionings, and retries — an exact SQL oracle
+    can replay it (10 unrolled CTE stages over the d² matrix).
+
+    Scale shape: ONE corpus scan (the float variant re-scans per
+    iteration — n_iters× the IO at 100 TB); the (vec, i, j) product agg
+    is linear with d² fan-out, sums carried in decimal(38,0) so 1e9-row
+    corpora cannot wrap; C'' is d×d = KB-scale driver metadata (the
+    codebook pattern), and the O(d²·iters) fixpoint runs on exact
+    Python ints. Sign fixed so the largest-|component| (lowest dim on
+    ties) is positive. Returns [(dim, pc1_micro)] with components in
+    [-scale, scale].
+    """
+    exploded = df.select(
+        F.col(key_col).alias("_rid"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("d", "x"),
+    ).select(
+        "_rid", "d", F.round(F.col("x") * scale).cast("long").alias("xq")
+    )
+    n = df.count()
+    if n == 0:
+        return []
+    s_rows = exploded.groupBy("d").agg(F.sum("xq").alias("s")).collect()
+    dims = max(r["d"] for r in s_rows) + 1
+    s = [0] * dims
+    for r in s_rows:
+        s[r["d"]] = int(r["s"])
+    a = exploded.select("_rid", F.col("d").alias("i"), F.col("xq").alias("xi"))
+    b = exploded.select("_rid", F.col("d").alias("j"), F.col("xq").alias("xj"))
+    p_rows = (
+        a.join(b, "_rid")
+        .groupBy("i", "j")
+        .agg(
+            F.sum(
+                (F.col("xi") * F.col("xj")).cast("decimal(38,0)")
+            ).alias("p")
+        )
+        .collect()
+    )
+    c = [[0] * dims for _ in range(dims)]
+    nn = n * n
+    for r in p_rows:
+        i, j = r["i"], r["j"]
+        c[i][j] = _tdiv(n * int(r["p"]) - s[i] * s[j], nn)
+
+    v = [scale] * dims
+    for _ in range(n_iters):
+        w = [sum(c[i][j] * v[j] for j in range(dims)) for i in range(dims)]
+        m = max(abs(x) for x in w) or 1
+        v = [_tdiv(x * scale, m) for x in w]
+    k = max(range(dims), key=lambda i: (abs(v[i]), -i))
+    if v[k] < 0:
+        v = [-x for x in v]
+    return [(i, v[i]) for i in range(dims)]

@@ -1635,6 +1635,7 @@ _CERTIFICATION_PRIORITY = [
     "p_temporal_holdout",
     "graph_pagerank_exact",
     "stream_session_window",
+    "ml_pca_pc1_exact",
     # never certified, rows-only (weaker driver check)
     "k6_deeplab_export",
     "ml_kmeans",

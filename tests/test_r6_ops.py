@@ -377,3 +377,32 @@ def test_r6_operators_total_on_empty_inputs(spark):
         assert out.count() == 0
     except ZeroDivisionError:
         _pytest.fail("pagerank_exact crashes on an empty edge list")
+
+
+def test_pca_exact_matches_float_direction(spark):
+    """The integer power iteration must land on the same PC1 direction as
+    the float variant (cosine ~ 1 after normalization) and be
+    bit-deterministic across runs."""
+    import math
+
+    from jigsaw_spark.operators.ml import pca_pc1_exact, power_iteration_pc1
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = pca_pc1_exact(emb, "vec_id", "embedding", n_iters=10)
+    v_int = [x for _, x in exact]
+    nrm = math.sqrt(sum(x * x for x in v_int))
+    v_unit = [x / nrm for x in v_int]
+    # SAME iteration count: the two variants normalize differently (L2
+    # vs max-component) but scalar normalization never changes direction,
+    # so after k identical steps the directions must track to truncation
+    # error. (This corpus is near-isotropic — gap ratio ~0.93 — so
+    # different iteration counts legitimately land on different mixtures
+    # of the top eigenvectors; convergence itself is not the contract.)
+    v_float, lam = power_iteration_pc1(emb, "embedding", n_iters=10)
+    cos = abs(sum(a * b for a, b in zip(v_unit, v_float)))
+    assert cos > 0.9999, f"direction mismatch: cos={cos}"
+    assert lam > 0
+    assert pca_pc1_exact(emb, "vec_id", "embedding", n_iters=10) == exact
+    # empty input is total
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert pca_pc1_exact(empty) == []
