@@ -722,3 +722,104 @@ def mmr_select(
     return spark.createDataFrame(
         picks, f"rank int, {id_col} {corpus.schema[id_col].dataType.simpleString()}, relevance double, mmr_score double"
     )
+
+
+def kmeans_lloyd_exact(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 10**6,
+) -> tuple[DataFrame, list[tuple[int, int, int]], dict[int, int]]:
+    """Euclidean Lloyd k-means with the WHOLE trajectory in exact integer
+    arithmetic — the third iterative operator with a replayable SQL
+    oracle (after pagerank_exact and pca_pc1_exact).
+
+    Coordinates quantize to ``scale`` micro-units once; each round the
+    assignment minimizes the exact integer squared distance
+    ``sum((xq - cq)^2)`` with (dist, cid) lexicographic tie-break, and
+    the new centroids are ``tdiv(sum(xq), n)`` — truncated division, so
+    centroids stay integers and the next round's distances stay exact.
+    No float enters the loop anywhere, hence bit-identical assignments
+    and codebooks across engines, partitionings, and retries (the float
+    ``kmeans_lloyd`` is bit-exact only under a fixed partitioning — its
+    docstring says so).
+
+    Scale shape per round: ONE broadcastable (k x dim) centroid dim
+    joined into the exploded coordinates (per-vec work k*dim), a
+    row_number argmin per vec, and ONE (cid, dim) hash agg; the corpus
+    re-scans from parquet each round (no lineage growth), sums carried
+    in decimal(38,0) so 1e9-row clusters cannot wrap. Seeds are the
+    first k ids in md5 order (engine-portable, partition-independent).
+    Empty clusters keep their previous centroid.
+
+    Returns (final assignment DataFrame, centroid triples
+    (cid, dim, c_micro), cluster sizes {cid: n}).
+    """
+    from pyspark.sql.window import Window
+
+    from jigsaw_spark.functions.hashing import det_order
+    from jigsaw_spark.operators.ml import _tdiv
+
+    exploded = df.select(
+        F.col(id_col),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("d", "x"),
+    ).select(
+        id_col, "d", F.round(F.col("x") * scale).cast("long").alias("xq")
+    )
+    seed_ids = [
+        r[id_col]
+        for r in df.select(id_col)
+        .orderBy(*det_order(id_col, seed="kmeans-exact-init"))
+        .limit(k)
+        .collect()
+    ]
+    cent_rows = (
+        exploded.filter(F.col(id_col).isin(seed_ids))
+        .collect()
+    )
+    order = {v: i for i, v in enumerate(seed_ids)}
+    cents = {(order[r[id_col]], r["d"]): int(r["xq"]) for r in cent_rows}
+
+    spark = df.sparkSession
+    dims = max(d for _, d in cents) + 1
+    assigned = None
+    sizes: dict[int, int] = {}
+    for _ in range(iters):
+        cdf = spark.createDataFrame(
+            [(cid, d, cq) for (cid, d), cq in cents.items()],
+            "cid int, d int, cq long",
+        )
+        dist = (
+            exploded.join(F.broadcast(cdf), "d")
+            .groupBy(id_col, "cid")
+            .agg(
+                F.sum(
+                    (F.col("xq") - F.col("cq")) * (F.col("xq") - F.col("cq"))
+                ).alias("dist")
+            )
+        )
+        w = Window.partitionBy(id_col).orderBy("dist", "cid")
+        assigned = (
+            dist.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(id_col, "cid")
+        )
+        agg_rows = (
+            assigned.join(exploded, id_col)
+            .groupBy("cid", "d")
+            .agg(
+                F.sum(F.col("xq").cast("decimal(38,0)")).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        sizes = {}
+        new_cents = dict(cents)  # empty clusters keep previous centroid
+        for r in agg_rows:
+            new_cents[(r["cid"], r["d"])] = _tdiv(int(r["s"]), int(r["n"]))
+            sizes[r["cid"]] = int(r["n"])
+        cents = new_cents
+    triples = sorted((cid, d, cq) for (cid, d), cq in cents.items())
+    return assigned, triples, sizes

@@ -1636,6 +1636,7 @@ _CERTIFICATION_PRIORITY = [
     "graph_pagerank_exact",
     "stream_session_window",
     "ml_pca_pc1_exact",
+    "ml_kmeans_exact",
     # never certified, rows-only (weaker driver check)
     "k6_deeplab_export",
     "ml_kmeans",

@@ -859,3 +859,90 @@ def ml_pca_pc1_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     rows = pca_pc1_exact(emb, "vec_id", "embedding", n_iters=_PCA_ITERS)
     return spark.createDataFrame(rows, "dim int, pc1_micro long")
+
+
+_KM_K = 8
+_KM_ITERS = 5
+
+
+def _kmeans_exact_sql() -> str:
+    """Replay the exact-integer Lloyd trajectory as SQL: md5-ordered
+    seeds, then _KM_ITERS unrolled (assign -> update) CTE stage pairs.
+    MATERIALIZED throughout — DuckDB would otherwise re-inline the whole
+    upstream chain at every stage."""
+    head = f"""
+    WITH ex AS MATERIALIZED (
+      SELECT vec_id, d,
+             CAST(round(embedding[d + 1]::DOUBLE * 1000000) AS BIGINT) AS xq
+      FROM embeddings, LATERAL (SELECT unnest(range(64)) AS d) dd),
+    seeds AS MATERIALIZED (
+      SELECT vec_id,
+             row_number() OVER (
+               ORDER BY md5(concat_ws('|', 'kmeans-exact-init',
+                                      CAST(vec_id AS VARCHAR))), vec_id)
+               - 1 AS cid
+      FROM embeddings),
+    c0 AS MATERIALIZED (
+      SELECT s.cid, e.d, e.xq AS cq
+      FROM seeds s JOIN ex e USING (vec_id) WHERE s.cid < {_KM_K})"""
+    iters = []
+    for t in range(1, _KM_ITERS + 1):
+        iters.append(f"""
+    dist{t} AS MATERIALIZED (
+      SELECT e.vec_id, c.cid,
+             sum((e.xq - c.cq) * (e.xq - c.cq)) AS dist
+      FROM ex e JOIN c{t - 1} c ON e.d = c.d
+      GROUP BY 1, 2),
+    asg{t} AS MATERIALIZED (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, cid) AS rn
+        FROM dist{t}) WHERE rn = 1),
+    agg{t} AS MATERIALIZED (
+      SELECT a.cid, e.d, sum(e.xq) AS s, count(*) AS n
+      FROM asg{t} a JOIN ex e USING (vec_id)
+      GROUP BY 1, 2),
+    c{t} AS MATERIALIZED (
+      SELECT p.cid, p.d,
+             CASE WHEN g.n IS NULL THEN p.cq
+                  WHEN g.s >= 0 THEN g.s // g.n
+                  ELSE -((-g.s) // g.n) END AS cq
+      FROM c{t - 1} p
+      LEFT JOIN agg{t} g ON p.cid = g.cid AND p.d = g.d)""")
+    tail = f"""
+    , sizes AS MATERIALIZED (
+      SELECT cid, count(*) AS n FROM asg{_KM_ITERS} GROUP BY cid)
+    SELECT c.cid, CAST(c.d AS INT) AS dim,
+           CAST(c.cq AS BIGINT) AS c_micro,
+           CAST(coalesce(z.n, 0) AS BIGINT) AS cluster_n
+    FROM c{_KM_ITERS} c LEFT JOIN sizes z USING (cid)"""
+    return head + "," + ",".join(iters) + tail
+
+
+@register(
+    "ml_kmeans_exact",
+    _kmeans_exact_sql(),
+    "Euclidean Lloyd k-means (k=8, 5 rounds) with the whole trajectory "
+    "in exact integer arithmetic: micro-unit coordinates, integer "
+    "squared-distance argmin with (dist, cid) tie-break, truncated-"
+    "division centroid updates — bit-identical assignments/codebook "
+    "across engines and partitionings (the float kmeans_lloyd is only "
+    "fixed-partitioning-stable), replayed by 5 unrolled SQL stage "
+    "pairs. The third iterative algorithm upgraded to EXACT-oracle. "
+    "Per round: ONE broadcast (k x d) centroid dim + argmin window + "
+    "ONE (cid,dim) agg; corpus re-scans, no lineage growth",
+)
+def ml_kmeans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jigsaw_spark.operators.similarity import kmeans_lloyd_exact
+
+    emb = _t(spark, sf_dir, "embeddings")
+    _assigned, triples, sizes = kmeans_lloyd_exact(
+        emb, k=_KM_K, iters=_KM_ITERS
+    )
+    rows = [
+        (cid, d, cq, sizes.get(cid, 0)) for cid, d, cq in triples
+    ]
+    return spark.createDataFrame(
+        rows, "cid int, dim int, c_micro long, cluster_n long"
+    )
