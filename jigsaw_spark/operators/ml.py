@@ -277,7 +277,6 @@ def _tdiv(a: int, b: int) -> int:
 
 def pca_pc1_exact(
     df: DataFrame,
-    key_col: str = "vec_id",
     vec_col: str = "embedding",
     n_iters: int = 10,
     scale: int = 10**6,
@@ -308,36 +307,61 @@ def pca_pc1_exact(
     ties) is positive. Returns [(dim, pc1_micro)] with components in
     [-scale, scale].
     """
-    exploded = df.select(
-        F.col(key_col).alias("_rid"),
-        F.posexplode(F.col(vec_col).cast("array<double>")).alias("d", "x"),
-    ).select(
-        "_rid", "d", F.round(F.col("x") * scale).cast("long").alias("xq")
-    )
     n = df.count()
     if n == 0:
         return []
-    s_rows = exploded.groupBy("d").agg(F.sum("xq").alias("s")).collect()
+    xq_arr = F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda x: F.round(x * scale).cast("long"),
+    )
+    base = df.select(xq_arr.alias("_xq"))
+    s_rows = (
+        base.select(F.posexplode("_xq").alias("d", "xq"))
+        .groupBy("d")
+        .agg(F.sum("xq").alias("s"))
+        .collect()
+    )
     dims = max(r["d"] for r in s_rows) + 1
     s = [0] * dims
     for r in s_rows:
         s[r["d"]] = int(r["s"])
-    a = exploded.select("_rid", F.col("d").alias("i"), F.col("xq").alias("xi"))
-    b = exploded.select("_rid", F.col("d").alias("j"), F.col("xq").alias("xj"))
+    # outer product in a map-only Arrow kernel (the sanctioned Python
+    # boundary: vector math too wide for F.aggregate): per batch ONE
+    # numpy int64 X^T X — 4096 partial sums per batch instead of
+    # n*4096 exploded rows. Exactness holds: products are < 1.2e11 and
+    # a batch is < 1e6 rows, so batch partials stay < 1.2e17 << 2^63
+    # (no silent int64 wrap); cross-batch merging happens in
+    # decimal(38,0), so 1e9-row corpora cannot wrap either. Integer
+    # addition commutes — any batch/partition order gives identical
+    # sums, keeping the bit-identical contract.
+    dcount = dims
+
+    def outer_partials(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            X = np.array(list(pdf["_xq"]), dtype=np.int64)
+            if len(X) == 0:
+                continue
+            C = X.T @ X  # exact: |x|<=1.2e11 partials per <=1e6-row batch
+            yield pd.DataFrame(
+                {
+                    "idx": np.arange(dcount * dcount, dtype=np.int64),
+                    "prod": C.reshape(-1),
+                }
+            )
+
     p_rows = (
-        a.join(b, "_rid")
-        .groupBy("i", "j")
-        .agg(
-            F.sum(
-                (F.col("xi") * F.col("xj")).cast("decimal(38,0)")
-            ).alias("p")
-        )
+        base.mapInPandas(outer_partials, "idx long, prod long")
+        .groupBy("idx")
+        .agg(F.sum(F.col("prod").cast("decimal(38,0)")).alias("p"))
         .collect()
     )
     c = [[0] * dims for _ in range(dims)]
     nn = n * n
     for r in p_rows:
-        i, j = r["i"], r["j"]
+        i, j = divmod(r["idx"], dims)
         c[i][j] = _tdiv(n * int(r["p"]) - s[i] * s[j], nn)
 
     v = [scale] * dims

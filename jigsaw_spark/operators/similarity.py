@@ -757,17 +757,14 @@ def kmeans_lloyd_exact(
     Returns (final assignment DataFrame, centroid triples
     (cid, dim, c_micro), cluster sizes {cid: n}).
     """
-    from pyspark.sql.window import Window
-
     from jigsaw_spark.functions.hashing import det_order
     from jigsaw_spark.operators.ml import _tdiv
 
-    exploded = df.select(
-        F.col(id_col),
-        F.posexplode(F.col(vec_col).cast("array<double>")).alias("d", "x"),
-    ).select(
-        id_col, "d", F.round(F.col("x") * scale).cast("long").alias("xq")
+    xq_arr = F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda x: F.round(x * scale).cast("long"),
     )
+    base = df.select(F.col(id_col), xq_arr.alias("_xq"))
     seed_ids = [
         r[id_col]
         for r in df.select(id_col)
@@ -775,39 +772,53 @@ def kmeans_lloyd_exact(
         .limit(k)
         .collect()
     ]
-    cent_rows = (
-        exploded.filter(F.col(id_col).isin(seed_ids))
-        .collect()
-    )
-    order = {v: i for i, v in enumerate(seed_ids)}
-    cents = {(order[r[id_col]], r["d"]): int(r["xq"]) for r in cent_rows}
+    seed_rows = {
+        r[id_col]: list(r["_xq"])
+        for r in base.filter(F.col(id_col).isin(seed_ids)).collect()
+    }
+    cents = {
+        (cid, d): int(x)
+        for cid, vid in enumerate(seed_ids)
+        for d, x in enumerate(seed_rows[vid])
+    }
 
-    spark = df.sparkSession
     dims = max(d for _, d in cents) + 1
     assigned = None
     sizes: dict[int, int] = {}
     for _ in range(iters):
-        cdf = spark.createDataFrame(
-            [(cid, d, cq) for (cid, d), cq in cents.items()],
-            "cid int, d int, cq long",
+        # centroids ride as literal nested arrays (the codebook-literal
+        # pattern): assignment is a MAP-ONLY integer argmin — per row,
+        # transform over k centroid arrays folds the exact squared
+        # distance, array_position(min) takes the first (= lowest-cid)
+        # minimum. Zero shuffle; the one exchange per round is the
+        # (cid, dim) update agg below, map-side combined to k*d partials.
+        cent_lit = F.array(
+            *[
+                F.array(
+                    *[F.lit(cents[(cid, d)]) for d in range(dims)]
+                )
+                for cid in range(k)
+            ]
         )
-        dist = (
-            exploded.join(F.broadcast(cdf), "d")
-            .groupBy(id_col, "cid")
-            .agg(
-                F.sum(
-                    (F.col("xq") - F.col("cq")) * (F.col("xq") - F.col("cq"))
-                ).alias("dist")
-            )
+        dists = F.transform(
+            cent_lit,
+            lambda c: F.aggregate(
+                F.zip_with(
+                    F.col("_xq"), c, lambda x, cq: (x - cq) * (x - cq)
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            ),
         )
-        w = Window.partitionBy(id_col).orderBy("dist", "cid")
-        assigned = (
-            dist.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .select(id_col, "cid")
+        assigned = base.select(
+            id_col,
+            "_xq",
+            (F.array_position(dists, F.array_min(dists)) - 1)
+            .cast("int")
+            .alias("cid"),
         )
         agg_rows = (
-            assigned.join(exploded, id_col)
+            assigned.select("cid", F.posexplode("_xq").alias("d", "xq"))
             .groupBy("cid", "d")
             .agg(
                 F.sum(F.col("xq").cast("decimal(38,0)")).alias("s"),
@@ -821,5 +832,6 @@ def kmeans_lloyd_exact(
             new_cents[(r["cid"], r["d"])] = _tdiv(int(r["s"]), int(r["n"]))
             sizes[r["cid"]] = int(r["n"])
         cents = new_cents
+        assigned = assigned.select(id_col, "cid")
     triples = sorted((cid, d, cq) for (cid, d), cq in cents.items())
     return assigned, triples, sizes

@@ -857,7 +857,7 @@ def ml_pca_pc1_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jigsaw_spark.operators.ml import pca_pc1_exact
 
     emb = _t(spark, sf_dir, "embeddings")
-    rows = pca_pc1_exact(emb, "vec_id", "embedding", n_iters=_PCA_ITERS)
+    rows = pca_pc1_exact(emb, "embedding", n_iters=_PCA_ITERS)
     return spark.createDataFrame(rows, "dim int, pc1_micro long")
 
 

@@ -388,7 +388,7 @@ def test_pca_exact_matches_float_direction(spark):
     from jigsaw_spark.operators.ml import pca_pc1_exact, power_iteration_pc1
 
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
-    exact = pca_pc1_exact(emb, "vec_id", "embedding", n_iters=10)
+    exact = pca_pc1_exact(emb, "embedding", n_iters=10)
     v_int = [x for _, x in exact]
     nrm = math.sqrt(sum(x * x for x in v_int))
     v_unit = [x / nrm for x in v_int]
@@ -402,7 +402,7 @@ def test_pca_exact_matches_float_direction(spark):
     cos = abs(sum(a * b for a, b in zip(v_unit, v_float)))
     assert cos > 0.9999, f"direction mismatch: cos={cos}"
     assert lam > 0
-    assert pca_pc1_exact(emb, "vec_id", "embedding", n_iters=10) == exact
+    assert pca_pc1_exact(emb, "embedding", n_iters=10) == exact
     # empty input is total
     empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
     assert pca_pc1_exact(empty) == []
