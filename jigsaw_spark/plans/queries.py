@@ -1637,6 +1637,7 @@ _CERTIFICATION_PRIORITY = [
     "stream_session_window",
     "ml_pca_pc1_exact",
     "ml_kmeans_exact",
+    "agg_kmv_intersect",
     # never certified, rows-only (weaker driver check)
     "k6_deeplab_export",
     "ml_kmeans",

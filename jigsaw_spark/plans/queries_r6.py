@@ -946,3 +946,112 @@ def ml_kmeans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "cid int, dim int, c_micro long, cluster_n long"
     )
+
+
+_KMV_K = 64
+
+
+@register(
+    "agg_kmv_intersect",
+    f"""
+    WITH toks AS (
+      SELECT DISTINCT source, unnest({tokens_sql('text')}) AS tok
+      FROM documents),
+    hashed AS (
+      SELECT DISTINCT source,
+             CAST(('0x' || substr(md5(tok), 1, 12))::UBIGINT AS BIGINT) AS h
+      FROM toks),
+    kmv AS MATERIALIZED (
+      SELECT source, h FROM (
+        SELECT source, h,
+               row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+        FROM hashed) WHERE rn <= {_KMV_K}),
+    kstat AS MATERIALIZED (
+      SELECT source, max(h) AS kth FROM kmv GROUP BY source),
+    pairs AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             least(a.kth, b.kth) AS tau
+      FROM kstat a JOIN kstat b ON a.source < b.source),
+    uni AS (
+      SELECT p.src_a, p.src_b, p.tau, k.h,
+             max(CASE WHEN k.source = p.src_a THEN 1 ELSE 0 END) AS in_a,
+             max(CASE WHEN k.source = p.src_b THEN 1 ELSE 0 END) AS in_b
+      FROM pairs p
+      JOIN kmv k ON (k.source = p.src_a OR k.source = p.src_b)
+                 AND k.h <= p.tau
+      GROUP BY 1, 2, 3, 4)
+    SELECT src_a, src_b, CAST(tau AS BIGINT) AS tau,
+           count(*) AS n_union_tau,
+           CAST(sum(CASE WHEN in_a + in_b = 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_common,
+           round(sum(CASE WHEN in_a + in_b = 2 THEN 1 ELSE 0 END)
+                 / CAST(count(*) AS DOUBLE), 6) AS est_jaccard
+    FROM uni GROUP BY src_a, src_b, tau
+    """,
+    "KMV (k-minimum-values) theta-style sketches with SET-INTERSECTION "
+    "estimates — the capability HLL lacks: per source keep the 64 "
+    "smallest md5 token hashes (ONE corpus pass, sketch is KB and "
+    "DETERMINISTIC — k smallest is a well-defined set, so unlike "
+    "probabilistic sketches the estimate has an exact oracle); pairwise "
+    "Jaccard estimated below the combined threshold tau = min(kth_a, "
+    "kth_b). All pair work runs on the k-row sketches, never the "
+    "corpus — 190 source pairs x 128 rows at any corpus size",
+)
+def agg_kmv_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from jigsaw_spark.operators.text import tokens_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    hashed = (
+        docs.select("source", F.explode(tokens_expr("text")).alias("tok"))
+        .distinct()
+        .select(
+            "source",
+            F.conv(F.substring(F.md5("tok"), 1, 12), 16, 10)
+            .cast("bigint")
+            .alias("h"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("source").orderBy("h")
+    kmv = (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _KMV_K)
+        .select("source", "h")
+    )
+    kstat = kmv.groupBy("source").agg(F.max("h").alias("kth"))
+    a, b = kstat.alias("a"), kstat.alias("b")
+    pairs = a.join(b, F.col("a.source") < F.col("b.source")).select(
+        F.col("a.source").alias("src_a"),
+        F.col("b.source").alias("src_b"),
+        F.least("a.kth", "b.kth").alias("tau"),
+    )
+    uni = (
+        F.broadcast(pairs)
+        .join(
+            kmv,
+            (
+                (F.col("source") == F.col("src_a"))
+                | (F.col("source") == F.col("src_b"))
+            )
+            & (F.col("h") <= F.col("tau")),
+        )
+        .groupBy("src_a", "src_b", "tau", "h")
+        .agg(
+            F.max((F.col("source") == F.col("src_a")).cast("int")).alias(
+                "in_a"
+            ),
+            F.max((F.col("source") == F.col("src_b")).cast("int")).alias(
+                "in_b"
+            ),
+        )
+    )
+    both = (F.col("in_a") + F.col("in_b") == 2).cast("int")
+    return uni.groupBy("src_a", "src_b", "tau").agg(
+        F.count(F.lit(1)).alias("n_union_tau"),
+        F.sum(both).cast("bigint").alias("n_common"),
+        F.round(F.sum(both) / F.count(F.lit(1)).cast("double"), 6).alias(
+            "est_jaccard"
+        ),
+    )

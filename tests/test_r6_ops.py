@@ -432,3 +432,33 @@ def test_kmeans_exact_is_valid_and_deterministic(spark):
     assert sizes2 == sizes
     assert sorted(assigned2.collect()) == a1
     assert {r["cid"] for r in a1} <= set(range(4))
+
+
+def test_kmv_intersect_estimates_jaccard(spark):
+    """KMV pairwise Jaccard estimates must track the exact token-set
+    Jaccard within the sketch's standard error (~1/sqrt(k))."""
+    import math
+
+    from jigsaw_spark.plans.queries_r6 import _KMV_K, agg_kmv_intersect
+    from jigsaw_spark.operators.text import tokens_expr
+
+    sf = "/root/testdata/sf0.001"
+    est = {
+        (r["src_a"], r["src_b"]): r["est_jaccard"]
+        for r in agg_kmv_intersect(spark, sf).collect()
+    }
+    assert est, "no source pairs"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    toks = {
+        r["source"]: set(r["ts"])
+        for r in docs.select(
+            "source", F.explode(tokens_expr("text")).alias("tok")
+        )
+        .groupBy("source")
+        .agg(F.collect_set("tok").alias("ts"))
+        .collect()
+    }
+    tol = 3.0 / math.sqrt(_KMV_K)  # ~3 sigma
+    for (a, b), e in est.items():
+        exact = len(toks[a] & toks[b]) / len(toks[a] | toks[b])
+        assert abs(e - exact) < tol, (a, b, e, exact)
