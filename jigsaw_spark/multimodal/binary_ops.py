@@ -493,3 +493,57 @@ def mask_to_instance_bboxes(df: DataFrame, fake: bool = False) -> DataFrame:
             )
 
     return df.mapInPandas(op, schema)
+
+
+def phash_dhash(df: DataFrame) -> DataFrame:
+    """(image_id, content) → (image_id, byte_idx, byte_val): difference
+    hash (dHash) in LONG FORM — one row per hash byte.
+
+    Pipeline per image, all integer arithmetic (engine-replayable):
+    decode PNG (real pixels, png_codec) → integer luma
+    ``(299r + 587g + 114b) // 1000`` → nearest-neighbor resize to 9x8
+    (``src = dst * src_dim // dst_dim``, same math as resize_nearest) →
+    bit(y, x) = 1 iff px[y][x] < px[y][x+1] → byte y = sum(bit << x).
+
+    The long form is deliberate: each of the 8 bytes is an LSH band for
+    Hamming near-dup search — two hashes within Hamming distance 6 must
+    agree on at least two full bytes (pigeonhole: 8 bands, ≤6 differing
+    bits), so a (byte_idx, byte_val) equi-join finds every ≤6-bit pair
+    without an all-pairs scan. It also keeps cells scalar for the
+    correctness canon (a 64-bit hash with bit 63 set would not fit a
+    signed BIGINT).
+
+    Map-only Arrow kernel; ~8 output rows per image.
+    """
+    import numpy as np
+
+    from jigsaw_spark.multimodal.png_codec import decode_png, resize_nearest
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[str] = []
+            bidx: list[int] = []
+            bval: list[int] = []
+            for iid, content in zip(pdf["image_id"], pdf["content"]):
+                arr = decode_png(bytes(content))
+                a = np.asarray(arr, dtype=np.int64)
+                if a.ndim == 3:
+                    g = (
+                        299 * a[..., 0] + 587 * a[..., 1] + 114 * a[..., 2]
+                    ) // 1000
+                else:
+                    g = a
+                small = resize_nearest(g, 9, 8)
+                for y in range(8):
+                    v = 0
+                    for x in range(8):
+                        if small[y, x] < small[y, x + 1]:
+                            v |= 1 << x
+                    ids.append(iid)
+                    bidx.append(y)
+                    bval.append(v)
+            yield pd.DataFrame(
+                {"image_id": ids, "byte_idx": bidx, "byte_val": bval}
+            )
+
+    return df.mapInPandas(op, "image_id string, byte_idx int, byte_val int")

@@ -1638,6 +1638,8 @@ _CERTIFICATION_PRIORITY = [
     "ml_pca_pc1_exact",
     "ml_kmeans_exact",
     "agg_kmv_intersect",
+    "mm_image_phash",
+    "mm_phash_near_dup",
     # never certified, rows-only (weaker driver check)
     "k6_deeplab_export",
     "ml_kmeans",

@@ -1055,3 +1055,183 @@ def agg_kmv_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
             "est_jaccard"
         ),
     )
+
+
+# Shared DuckDB replay of the deterministic pHash fixture: 16x16 gray
+# gradient PNGs parameterized by doc_id (twin docs at %40==20 reuse their
+# %40==0 sibling's parameters with a +40 top-band perturbation), nearest-
+# resized to 9x8 (src = dst * 16 // dim), dHash bytes. Pure integer
+# arithmetic end to end — the whole encode->decode->luma->resize->hash
+# kernel chain is value-checked.
+_PHASH_BYTES_CTE = """
+    d AS (SELECT doc_id AS i FROM documents WHERE doc_id % 10 = 0),
+    par AS (
+      SELECT i,
+        CASE WHEN i % 20 = 0 THEN 17 + 3 * ((i // 40) % 97)
+             ELSE 17 + 3 * (i % 101) END AS a,
+        CASE WHEN i % 20 = 0 THEN 31 + 5 * ((i // 40) % 89)
+             ELSE 31 + 5 * (i % 103) END AS b,
+        CASE WHEN i % 20 = 0 THEN 11 + 7 * ((i // 40) % 83)
+             ELSE 11 + 7 * (i % 107) END AS c,
+        (i % 40 = 20) AS twin
+      FROM d),
+    pix AS MATERIALIZED (
+      SELECT i, y, x,
+             CASE WHEN twin AND y < 2
+                  THEN ((a * ((x * 16) // 9) + b * (2 * y)
+                         + c * ((((x * 16) // 9) * 2 * y) % 7)) % 256
+                        + 40) % 256
+                  ELSE (a * ((x * 16) // 9) + b * (2 * y)
+                        + c * ((((x * 16) // 9) * 2 * y) % 7)) % 256 END AS v
+      FROM par,
+           LATERAL (SELECT unnest(range(8)) AS y) yy,
+           LATERAL (SELECT unnest(range(9)) AS x) xx),
+    ph_bytes AS MATERIALIZED (
+      SELECT p.i, p.y AS byte_idx,
+             CAST(sum(CASE WHEN p.v < q.v THEN 1 << p.x ELSE 0 END) AS INT)
+               AS byte_val
+      FROM pix p
+      JOIN pix q ON q.i = p.i AND q.y = p.y AND q.x = p.x + 1
+      WHERE p.x < 8
+      GROUP BY p.i, p.y)
+"""
+
+
+def _phash_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 16x16 gradient PNGs (real pure-Python encode) —
+    the python twin of _PHASH_BYTES_CTE's `par`/`pix` arithmetic."""
+    from jigsaw_spark.session import widen
+
+    docs = widen(
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 10 == 0)
+        .select("doc_id")
+    )
+
+    def synth(batches):
+        import numpy as np
+        import pandas as pd
+
+        from jigsaw_spark.multimodal.png_codec import encode_png
+
+        for pdf in batches:
+            ids, blobs = [], []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                if i % 20 == 0:
+                    seed = i // 40
+                    a, b, c = (
+                        17 + 3 * (seed % 97),
+                        31 + 5 * (seed % 89),
+                        11 + 7 * (seed % 83),
+                    )
+                    twin = i % 40 == 20
+                else:
+                    a, b, c = (
+                        17 + 3 * (i % 101),
+                        31 + 5 * (i % 103),
+                        11 + 7 * (i % 107),
+                    )
+                    twin = False
+                y16, x16 = np.mgrid[0:16, 0:16]
+                v = (a * x16 + b * y16 + c * ((x16 * y16) % 7)) % 256
+                if twin:
+                    v[:4, :] = (v[:4, :] + 40) % 256
+                rgb = np.repeat(
+                    v[:, :, None].astype(np.uint8), 3, axis=2
+                )
+                ids.append(str(i))
+                blobs.append(encode_png(rgb))
+            yield pd.DataFrame({"image_id": ids, "content": blobs})
+
+    return docs.mapInPandas(synth, "image_id string, content binary")
+
+
+@register(
+    "mm_image_phash",
+    f"""
+    WITH {_PHASH_BYTES_CTE}
+    SELECT CAST(i AS VARCHAR) AS image_id, CAST(byte_idx AS INT) AS byte_idx,
+           byte_val
+    FROM ph_bytes
+    """,
+    "perceptual image hash (dHash) over REAL PNG pixels: decode -> "
+    "integer luma -> 9x8 nearest resize -> adjacent-pixel comparison "
+    "bits, emitted as 8 one-byte LSH bands per image (long form — a "
+    "64-bit hash would overflow signed BIGINT and arrays are banned by "
+    "the canon). Every step is integer arithmetic, so the oracle "
+    "replays the full encode->decode->hash chain exactly. Map-only "
+    "Arrow kernel, ~8 rows per image",
+)
+def mm_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jigsaw_spark.multimodal.binary_ops import phash_dhash
+
+    return phash_dhash(_phash_images(spark, sf_dir))
+
+
+@register(
+    "mm_phash_near_dup",
+    f"""
+    WITH {_PHASH_BYTES_CTE},
+    cand AS (
+      SELECT DISTINCT x.i AS ia, y.i AS ib
+      FROM ph_bytes x
+      JOIN ph_bytes y ON x.byte_idx = y.byte_idx
+                     AND x.byte_val = y.byte_val AND x.i < y.i),
+    ham AS (
+      SELECT c.ia, c.ib,
+             CAST(sum(bit_count(xor(x.byte_val, y.byte_val))) AS BIGINT)
+               AS hamming
+      FROM cand c
+      JOIN ph_bytes x ON x.i = c.ia
+      JOIN ph_bytes y ON y.i = c.ib AND y.byte_idx = x.byte_idx
+      GROUP BY 1, 2)
+    SELECT CAST(ia AS VARCHAR) AS img_a, CAST(ib AS VARCHAR) AS img_b,
+           hamming
+    FROM ham WHERE hamming <= 6
+    """,
+    "image near-dup via dHash Hamming banding: candidates must share one "
+    "FULL hash byte (pigeonhole: 8 bands, so any pair within Hamming 6 "
+    "shares at least two) — a (byte_idx, byte_val) equi-join replaces "
+    "the all-pairs scan, then the exact Hamming distance verifies "
+    "candidates. The image analog of MinHash-LSH: linear banding join "
+    "+ per-candidate verify, no quadratic surface at any corpus size",
+)
+def mm_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jigsaw_spark.multimodal.binary_ops import phash_dhash
+
+    ph = phash_dhash(_phash_images(spark, sf_dir))
+    x, y = ph.alias("x"), ph.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.byte_idx") == F.col("y.byte_idx"))
+            & (F.col("x.byte_val") == F.col("y.byte_val"))
+            & (
+                F.col("x.image_id").cast("long")
+                < F.col("y.image_id").cast("long")
+            ),
+        )
+        .select(
+            F.col("x.image_id").alias("img_a"),
+            F.col("y.image_id").alias("img_b"),
+        )
+        .distinct()
+    )
+    ham = (
+        cand.join(x, F.col("x.image_id") == F.col("img_a"))
+        .join(
+            y,
+            (F.col("y.image_id") == F.col("img_b"))
+            & (F.col("y.byte_idx") == F.col("x.byte_idx")),
+        )
+        .groupBy("img_a", "img_b")
+        .agg(
+            F.sum(
+                F.bit_count(F.expr("x.byte_val ^ y.byte_val"))
+            )
+            .cast("bigint")
+            .alias("hamming")
+        )
+    )
+    return ham.filter(F.col("hamming") <= 6)

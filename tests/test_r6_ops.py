@@ -462,3 +462,24 @@ def test_kmv_intersect_estimates_jaccard(spark):
     for (a, b), e in est.items():
         exact = len(toks[a] & toks[b]) / len(toks[a] | toks[b])
         assert abs(e - exact) < tol, (a, b, e, exact)
+
+
+def test_phash_near_dup_finds_perturbed_twins(spark):
+    """Every perturbed twin pair (doc %40==20 vs its %40==0 sibling) must
+    surface as a Hamming<=6 near-dup; identical-parameter pairs do not
+    exist by construction, so hamming > 0 for twins."""
+    from jigsaw_spark.plans.queries_r6 import mm_phash_near_dup
+
+    sf = "/root/testdata/sf0.001"
+    pairs = {
+        (int(r["img_a"]), int(r["img_b"])): r["hamming"]
+        for r in mm_phash_near_dup(spark, sf).collect()
+    }
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    ids = {
+        r["doc_id"] for r in docs.filter(F.col("doc_id") % 10 == 0).collect()
+    }
+    twins = {(i, i + 20) for i in ids if i % 40 == 0 and i + 20 in ids}
+    assert twins, "fixture produced no twin pairs"
+    for t in twins:
+        assert t in pairs, f"twin {t} not found as near-dup"
