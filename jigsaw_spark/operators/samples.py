@@ -307,40 +307,82 @@ def dsir_weights(
     as ONE broadcast dim; final (key) hash agg. All linear, no self-join,
     dims KB-sized. Returns (key, n_grams, logw_micro).
     """
-    from jigsaw_spark.operators.text import shingles_expr, tokens_expr
-
-    toks = df.select(
-        F.col(key),
-        target_pred.cast("int").alias("_is_target"),
-        tokens_expr(text).alias("_t"),
-    )
-    grams = toks.select(
-        key,
-        "_is_target",
-        F.explode(
-            F.concat(F.col("_t"), shingles_expr("_t", 2))
-        ).alias("gram"),
-    ).select(
-        key,
-        "_is_target",
-        F.pmod(
-            F.conv(F.substring(F.md5("gram"), 1, 12), 16, 10).cast("bigint"),
-            F.lit(buckets),
-        ).alias("bucket"),
-    )
-    per_doc = grams.groupBy(key, "bucket").agg(
-        F.count(F.lit(1)).alias("c"),
-        F.max("_is_target").alias("_is_target"),
-    )
+    per_doc = dsir_doc_buckets(df, key, text, buckets, target_pred)
     # bucket distributions from the SAME (key,bucket) partials (tiny table)
     dist = per_doc.groupBy("bucket").agg(
         F.sum(F.when(F.col("_is_target") == 1, F.col("c")).otherwise(0)).alias("tgt"),
         F.sum("c").alias("raw"),
     )
-    tot = dist.agg(
-        F.sum("tgt").alias("T"), F.sum("raw").alias("R")
+    ratio = dsir_ratio_from_dist(dist, buckets)
+    return (
+        per_doc.join(F.broadcast(ratio), "bucket")
+        .groupBy(key)
+        .agg(
+            F.sum("c").cast("bigint").alias("n_grams"),
+            F.sum(F.col("c") * F.col("r_micro")).cast("bigint").alias(
+                "logw_micro"
+            ),
+        )
     )
-    ratio = dist.crossJoin(F.broadcast(tot)).select(
+
+
+def dsir_gram_buckets(
+    df: DataFrame,
+    key: str,
+    text: str = "text",
+    buckets: int = 4096,
+    target_pred: Column | None = None,
+) -> DataFrame:
+    """(key, bucket[, _is_target]) — ONE ROW PER GRAM, map-only (explode
+    + hash, no aggregation): the shared front half of every DSIR
+    pipeline. Streaming scorers use this form directly so the per-doc
+    aggregate stays the query's single stateful operator (a pre-agg here
+    would chain two stateful aggs without a watermark, which Spark's
+    streaming correctness check rejects)."""
+    from jigsaw_spark.operators.text import shingles_expr, tokens_expr
+
+    cols = [F.col(key), tokens_expr(text).alias("_t")]
+    if target_pred is not None:
+        cols.insert(1, target_pred.cast("int").alias("_is_target"))
+    toks = df.select(*cols)
+    keep = [key] + (["_is_target"] if target_pred is not None else [])
+    return toks.select(
+        *keep,
+        F.explode(
+            F.concat(F.col("_t"), shingles_expr("_t", 2))
+        ).alias("gram"),
+    ).select(
+        *keep,
+        F.pmod(
+            F.conv(F.substring(F.md5("gram"), 1, 12), 16, 10).cast("bigint"),
+            F.lit(buckets),
+        ).alias("bucket"),
+    )
+
+
+def dsir_doc_buckets(
+    df: DataFrame,
+    key: str,
+    text: str = "text",
+    buckets: int = 4096,
+    target_pred: Column | None = None,
+) -> DataFrame:
+    """(key, bucket, c[, _is_target]): per-doc hashed unigram+bigram
+    bucket counts — ``dsir_gram_buckets`` + ONE (key, bucket) hash agg
+    (batch form)."""
+    grams = dsir_gram_buckets(df, key, text, buckets, target_pred)
+    aggs = [F.count(F.lit(1)).alias("c")]
+    if target_pred is not None:
+        aggs.append(F.max("_is_target").alias("_is_target"))
+    return grams.groupBy(key, "bucket").agg(*aggs)
+
+
+def dsir_ratio_from_dist(dist: DataFrame, buckets: int) -> DataFrame:
+    """(bucket, r_micro): Laplace-smoothed target/raw log-ratio snapped
+    to integer micro-units — the broadcastable scoring dim. ``dist``
+    must carry (bucket, tgt, raw)."""
+    tot = dist.agg(F.sum("tgt").alias("T"), F.sum("raw").alias("R"))
+    return dist.crossJoin(F.broadcast(tot)).select(
         "bucket",
         F.round(
             (
@@ -351,14 +393,4 @@ def dsir_weights(
         )
         .cast("bigint")
         .alias("r_micro"),
-    )
-    return (
-        per_doc.join(F.broadcast(ratio), "bucket")
-        .groupBy(key)
-        .agg(
-            F.sum("c").cast("bigint").alias("n_grams"),
-            F.sum(F.col("c") * F.col("r_micro")).cast("bigint").alias(
-                "logw_micro"
-            ),
-        )
     )

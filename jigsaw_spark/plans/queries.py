@@ -1640,6 +1640,7 @@ _CERTIFICATION_PRIORITY = [
     "agg_kmv_intersect",
     "mm_image_phash",
     "mm_phash_near_dup",
+    "stream_dsir_score",
     # never certified, rows-only (weaker driver check)
     "k6_deeplab_export",
     "ml_kmeans",

@@ -1235,3 +1235,122 @@ def mm_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return ham.filter(F.col("hamming") <= 6)
+
+
+@register(
+    "stream_dsir_score",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, CAST(lang = 'en' AS INT) AS is_target,
+             {tokens_sql('text')} AS t
+      FROM documents WHERE doc_id % 2 = 0),
+    grams AS (
+      SELECT doc_id, is_target, unnest(t) AS gram FROM toks
+      UNION ALL
+      SELECT doc_id, is_target, t[i] || ' ' || t[i+1] AS gram
+      FROM toks, LATERAL (
+        SELECT unnest(range(1, len(t))) AS i) ii
+      WHERE len(t) >= 2),
+    bucketed AS (
+      SELECT doc_id, is_target,
+             ('0x' || substr(md5(gram), 1, 12))::UBIGINT % {_DSIR_B} AS bucket
+      FROM grams),
+    dist AS (
+      SELECT bucket,
+             sum(CASE WHEN is_target = 1 THEN 1 ELSE 0 END) AS tgt,
+             count(*) AS raw
+      FROM bucketed GROUP BY bucket),
+    tot AS (SELECT sum(tgt) AS T, sum(raw) AS R FROM dist),
+    ratio AS MATERIALIZED (
+      SELECT bucket,
+             CAST(round((ln(CAST(tgt + 1 AS DOUBLE) / (T + {_DSIR_B}))
+                       - ln(CAST(raw + 1 AS DOUBLE) / (R + {_DSIR_B})))
+                        * 1e6) AS BIGINT) AS r_micro
+      FROM dist CROSS JOIN tot),
+    stream_toks AS (
+      SELECT doc_id, {tokens_sql('text')} AS t
+      FROM documents WHERE doc_id % 2 = 1),
+    stream_grams AS (
+      SELECT doc_id, unnest(t) AS gram FROM stream_toks
+      UNION ALL
+      SELECT doc_id, t[i] || ' ' || t[i+1] AS gram
+      FROM stream_toks, LATERAL (
+        SELECT unnest(range(1, len(t))) AS i) ii
+      WHERE len(t) >= 2),
+    sb AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(gram), 1, 12))::UBIGINT % {_DSIR_B} AS bucket
+      FROM stream_grams)
+    SELECT s.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(coalesce(r.r_micro, 0)) AS BIGINT) AS logw_micro
+    FROM sb s LEFT JOIN ratio r USING (bucket)
+    GROUP BY s.doc_id
+    """,
+    "fit-offline / score-online DSIR: the bucket log-ratio dim is FIT on "
+    "the historical corpus (even docs) as a batch job, then new "
+    "documents arriving as a stream are scored by a stream-static "
+    "BROADCAST join against that 4096-row dim + one stateful per-doc "
+    "agg (complete-mode AvailableNow drain) — the deployment shape for "
+    "continuous curation: the expensive global fit is periodic, "
+    "admission scoring is per-batch with KB state. Exact integer "
+    "weights as in the batch operator",
+)
+def stream_dsir_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from jigsaw_spark.operators.samples import (
+        dsir_doc_buckets,
+        dsir_gram_buckets,
+        dsir_ratio_from_dist,
+    )
+    from jigsaw_spark.plans.queries_streaming import _state_partitions
+    from jigsaw_spark.streaming.ingest import read_document_stream
+
+    docs = _t(spark, sf_dir, "documents")
+    # FIT (batch): the shared bucket pipeline on the historical half,
+    # reduced to the broadcastable 4096-row ratio dim
+    hist_buckets = dsir_doc_buckets(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        "doc_id",
+        buckets=_DSIR_B,
+        target_pred=F.col("lang") == "en",
+    )
+    dist = hist_buckets.groupBy("bucket").agg(
+        F.sum(
+            F.when(F.col("_is_target") == 1, F.col("c")).otherwise(0)
+        ).alias("tgt"),
+        F.sum("c").alias("raw"),
+    )
+    ratio = dsir_ratio_from_dist(dist, _DSIR_B)
+
+    # SCORE (stream): the SAME bucket pipeline on the arriving docs,
+    # broadcast-joined to the static dim, per-doc agg drained
+    # complete/AvailableNow
+    stream = read_document_stream(spark, sf_dir).filter(
+        F.col("doc_id") % 2 == 1
+    )
+    # gram-level (no pre-agg): keeps the per-doc aggregate the ONLY
+    # stateful operator in the streaming query
+    sbuckets = dsir_gram_buckets(stream, "doc_id", buckets=_DSIR_B)
+    scored = (
+        sbuckets.join(F.broadcast(ratio), "bucket", "left_outer")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum(F.coalesce("r_micro", F.lit(0)))
+            .cast("bigint")
+            .alias("logw_micro"),
+        )
+    )
+    name = f"stream_dsir_{uuid.uuid4().hex[:8]}"
+    with _state_partitions(spark):
+        q = (
+            scored.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name)
