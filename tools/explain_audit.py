@@ -72,6 +72,9 @@ ALL_PAIRS_OK = {
     # distribution — O(buckets), corpus never touches the NLJ
     "curation_dsir_weights",
     "p_dsir_resample",
+    # source-pair enumeration: non-equi (a < b) self-join of the
+    # |sources|-row sketch-stat dim — all pair work runs on KB sketches
+    "agg_kmv_intersect",
 }
 # queries expected to push a filter into the parquet scan
 EXPECT_PUSHDOWN = {
