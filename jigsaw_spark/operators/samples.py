@@ -394,3 +394,72 @@ def dsir_ratio_from_dist(dist: DataFrame, buckets: int) -> DataFrame:
         .cast("bigint")
         .alias("r_micro"),
     )
+
+
+def kcenter_coreset(
+    df: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 10**6,
+) -> list[tuple[int, int, int]]:
+    """Greedy k-center coreset (farthest-point traversal) — the classic
+    2-approximation diverse-subset selector for training-data curation,
+    with the whole trajectory in exact integer arithmetic.
+
+    Coordinates quantize to ``scale`` micro-units; each round every
+    point's distance-to-selected-set is the integer
+    ``min_c sum((xq - cq)^2)`` and the farthest point (tie-break lowest
+    id) joins the set. Deterministic seed: smallest md5('kcenter|'||id).
+    Integer distances + total ordering make the selection bit-identical
+    across engines/partitionings — SQL-replayable as k unrolled stages
+    with an incremental least(mind, dist-to-new-point) recurrence.
+
+    Scale shape per round: selected coordinates ride as LITERAL nested
+    arrays (k x dim ints, KBs), so the min-distance pass is MAP-ONLY
+    followed by a distributed TakeOrdered(1) — no join, no lineage
+    growth (each round's plan starts at the parquet scan). k corpus
+    scans total; for k beyond ~100 switch to batched selection
+    (gonzalez-with-batches) — documented, not needed at coreset sizes.
+
+    Returns [(round, id, dist2_at_selection)] — round 0 is the seed.
+    """
+    from jigsaw_spark.functions.hashing import det_order
+
+    xq_arr = F.transform(
+        F.col(vec_col).cast("array<double>"),
+        lambda x: F.round(x * scale).cast("long"),
+    )
+    base = df.select(F.col(id_col), xq_arr.alias("_xq"))
+    seed = base.orderBy(
+        *det_order(id_col, seed="kcenter")
+    ).limit(1).collect()[0]
+    selected: list[tuple[int, int, int]] = [(0, seed[id_col], 0)]
+    sel_coords = [list(map(int, seed["_xq"]))]
+    for rnd in range(1, k):
+        sel_lit = F.array(
+            *[F.array(*[F.lit(v) for v in c]) for c in sel_coords]
+        )
+        mind = F.array_min(
+            F.transform(
+                sel_lit,
+                lambda c: F.aggregate(
+                    F.zip_with(
+                        F.col("_xq"), c, lambda x, cq: (x - cq) * (x - cq)
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, v: acc + v,
+                ),
+            )
+        )
+        sel_ids = [s[1] for s in selected]
+        far = (
+            base.filter(~F.col(id_col).isin(sel_ids))
+            .select(id_col, "_xq", mind.alias("mind"))
+            .orderBy(F.desc("mind"), id_col)
+            .limit(1)
+            .collect()[0]
+        )
+        selected.append((rnd, far[id_col], int(far["mind"])))
+        sel_coords.append(list(map(int, far["_xq"])))
+    return selected

@@ -1641,6 +1641,7 @@ _CERTIFICATION_PRIORITY = [
     "mm_image_phash",
     "mm_phash_near_dup",
     "stream_dsir_score",
+    "p_kcenter_coreset",
     # never certified, rows-only (weaker driver check)
     "k6_deeplab_export",
     "ml_kmeans",

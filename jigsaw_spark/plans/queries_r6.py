@@ -1354,3 +1354,81 @@ def stream_dsir_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         q.awaitTermination()
     return spark.table(name)
+
+
+_KC_K = 8
+
+
+def _kcenter_sql() -> str:
+    """Replay the greedy k-center trajectory: md5-seeded start, then
+    k-1 unrolled stages of the incremental least(mind, dist-to-new)
+    recurrence with explicit already-selected exclusion."""
+    head = f"""
+    WITH ex AS MATERIALIZED (
+      SELECT vec_id, d,
+             CAST(round(embedding[d + 1]::DOUBLE * 1000000) AS BIGINT) AS xq
+      FROM embeddings, LATERAL (SELECT unnest(range(64)) AS d) dd),
+    p0 AS MATERIALIZED (
+      SELECT vec_id FROM (
+        SELECT vec_id,
+               row_number() OVER (
+                 ORDER BY md5(concat_ws('|', 'kcenter',
+                                        CAST(vec_id AS VARCHAR))), vec_id)
+                 AS rn
+        FROM embeddings) WHERE rn = 1),
+    sel0 AS MATERIALIZED (SELECT vec_id FROM p0),
+    m0 AS MATERIALIZED (
+      SELECT e.vec_id, sum((e.xq - s.xq) * (e.xq - s.xq)) AS mind
+      FROM ex e
+      JOIN (SELECT e2.d, e2.xq FROM ex e2 JOIN p0 USING (vec_id)) s
+        ON e.d = s.d
+      GROUP BY e.vec_id)"""
+    stages = []
+    for t in range(1, _KC_K):
+        stages.append(f"""
+    p{t} AS MATERIALIZED (
+      SELECT vec_id, mind FROM m{t - 1}
+      WHERE vec_id NOT IN (SELECT vec_id FROM sel{t - 1})
+      ORDER BY mind DESC, vec_id LIMIT 1),
+    sel{t} AS MATERIALIZED (
+      SELECT vec_id FROM sel{t - 1}
+      UNION ALL SELECT vec_id FROM p{t}),
+    dd{t} AS MATERIALIZED (
+      SELECT e.vec_id, sum((e.xq - c.xq) * (e.xq - c.xq)) AS dist
+      FROM ex e
+      JOIN (SELECT e2.d, e2.xq FROM ex e2
+            JOIN p{t} ON e2.vec_id = p{t}.vec_id) c
+        ON e.d = c.d
+      GROUP BY e.vec_id),
+    m{t} AS MATERIALIZED (
+      SELECT m.vec_id, least(m.mind, d.dist) AS mind
+      FROM m{t - 1} m JOIN dd{t} d ON m.vec_id = d.vec_id)""")
+    unions = ["SELECT 0 AS round, vec_id, CAST(0 AS BIGINT) AS dist2 FROM p0"]
+    for t in range(1, _KC_K):
+        unions.append(
+            f"SELECT {t} AS round, vec_id, CAST(mind AS BIGINT) AS dist2"
+            f" FROM p{t}"
+        )
+    return head + "," + ",".join(stages) + "\n    " + "\n    UNION ALL ".join(
+        unions
+    )
+
+
+@register(
+    "p_kcenter_coreset",
+    _kcenter_sql(),
+    "greedy k-center coreset (farthest-point traversal, the classic "
+    "2-approx diverse-subset selector for curation): exact integer "
+    "squared distances + md5-seeded start + lowest-id tie-break make "
+    "the selection trajectory bit-identical across engines — the "
+    "FOURTH iterative algorithm with a replayable SQL oracle. Per "
+    "round: selected coords ride as literal arrays, the min-distance "
+    "pass is MAP-ONLY + distributed TakeOrdered(1); k corpus scans "
+    "total, no joins, no lineage growth",
+)
+def p_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jigsaw_spark.operators.samples import kcenter_coreset
+
+    emb = _t(spark, sf_dir, "embeddings")
+    rows = kcenter_coreset(emb, k=_KC_K)
+    return spark.createDataFrame(rows, "round int, vec_id long, dist2 long")

@@ -483,3 +483,34 @@ def test_phash_near_dup_finds_perturbed_twins(spark):
     assert twins, "fixture produced no twin pairs"
     for t in twins:
         assert t in pairs, f"twin {t} not found as near-dup"
+
+
+def test_kcenter_coreset_is_greedy_and_deterministic(spark):
+    """Each selected point must be the true farthest from the prior set
+    (checked against a pure-Python integer replay), and re-runs are
+    bit-identical."""
+    from jigsaw_spark.operators.samples import kcenter_coreset
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    got = kcenter_coreset(emb, k=5)
+    assert got == kcenter_coreset(emb, k=5)
+
+    pts = {
+        r["vec_id"]: [round(float(x) * 10**6) for x in r["embedding"]]
+        for r in emb.collect()
+    }
+
+    def d2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    sel = [got[0][1]]
+    for rnd, vid, dist2 in got[1:]:
+        best = max(
+            (
+                (min(d2(pts[v], pts[s]) for s in sel), -v, v)
+                for v in pts
+                if v not in sel
+            ),
+        )
+        assert best[2] == vid and best[0] == dist2, (rnd, vid, best)
+        sel.append(vid)
