@@ -1642,6 +1642,8 @@ _CERTIFICATION_PRIORITY = [
     "mm_phash_near_dup",
     "stream_dsir_score",
     "p_kcenter_coreset",
+    "agg_bitmap_distinct",
+    "ab_ttest_welch",
     # never certified, rows-only (weaker driver check)
     "k6_deeplab_export",
     "ml_kmeans",

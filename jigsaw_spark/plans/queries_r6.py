@@ -1432,3 +1432,161 @@ def p_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     rows = kcenter_coreset(emb, k=_KC_K)
     return spark.createDataFrame(rows, "round int, vec_id long, dist2 long")
+
+
+@register(
+    "agg_bitmap_distinct",
+    """
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_users,
+           count(DISTINCT user_id) AS n_users_bitmap
+    FROM events GROUP BY event_type
+    """,
+    "Spark 4 bitmap aggregate surface (bitmap_bucket_number / "
+    "bitmap_construct_agg / bitmap_count): EXACT distinct counting via "
+    "fixed-size per-bucket bitmaps — the scale path for exact "
+    "count-distinct: the (key, bucket) pre-agg spreads hot keys across "
+    "reducers (each bucket covers 32768 ids) and the merge is a "
+    "byte-OR, mergeable across partitions/batches like a sketch but "
+    "with NO approximation. Emitted next to plain count(DISTINCT) — "
+    "the oracle checks both paths agree exactly",
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events")
+    exact = events.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_users")
+    )
+    bitmap = (
+        events.groupBy(
+            "event_type",
+            F.expr("bitmap_bucket_number(user_id)").alias("_bucket"),
+        )
+        .agg(
+            F.expr(
+                "bitmap_construct_agg(bitmap_bit_position(user_id))"
+            ).alias("_bm")
+        )
+        .groupBy("event_type")
+        .agg(F.expr("sum(bitmap_count(_bm))").cast("bigint").alias(
+            "n_users_bitmap"
+        ))
+    )
+    return exact.join(bitmap, "event_type")
+
+
+@register(
+    "ab_ttest_welch",
+    """
+    WITH assigned AS (
+      SELECT CASE WHEN ('0x' || substr(md5('ab-arm|' || CAST(user_id AS VARCHAR)), 1, 12))::UBIGINT % 2 = 0
+                  THEN 'control' ELSE 'treatment' END AS arm,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'),
+    stats AS (
+      SELECT arm, count(*) AS n,
+             sum(cents) AS s,
+             sum(CAST(cents AS HUGEINT) * cents) AS q
+      FROM assigned GROUP BY arm),
+    wide AS (
+      SELECT max(CASE WHEN arm = 'control' THEN n END) AS n1,
+             max(CASE WHEN arm = 'control' THEN s END) AS s1,
+             max(CASE WHEN arm = 'control' THEN q END) AS q1,
+             max(CASE WHEN arm = 'treatment' THEN n END) AS n2,
+             max(CASE WHEN arm = 'treatment' THEN s END) AS s2,
+             max(CASE WHEN arm = 'treatment' THEN q END) AS q2
+      FROM stats)
+    SELECT CAST(n1 AS BIGINT) AS n_control,
+           CAST(n2 AS BIGINT) AS n_treatment,
+           round(s1 / (100.0 * n1), 4) AS mean_control,
+           round(s2 / (100.0 * n2), 4) AS mean_treatment,
+           round((s2 / (100.0 * n2)) - (s1 / (100.0 * n1)), 4) AS lift,
+           round(
+             ((s2 / (100.0 * n2)) - (s1 / (100.0 * n1)))
+             / sqrt(
+                 ((q1 - CAST(s1 AS HUGEINT) * s1 / CAST(n1 AS DOUBLE))
+                  / (n1 - 1.0)) / 10000.0 / n1
+                 + ((q2 - CAST(s2 AS HUGEINT) * s2 / CAST(n2 AS DOUBLE))
+                    / (n2 - 1.0)) / 10000.0 / n2
+               ),
+             4) AS t_welch
+    FROM wide
+    """,
+    "Welch two-sample t statistic over an md5-hash-assigned A/B split "
+    "(the deterministic arm assignment every hash-bucketed experiment "
+    "uses): ONE conditional agg carries exact integer cent sums and "
+    "HUGEINT/decimal squared sums, so means/variances derive from "
+    "exact integers and the final t is one identically-ordered double "
+    "expression on both engines. Completes the experimentation family "
+    "next to ab_cuped_adjust",
+)
+def ab_ttest_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = _t(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    arm = F.when(
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("ab-arm|"), F.col("user_id").cast("string")
+                        )
+                    ),
+                    1,
+                    12,
+                ),
+                16,
+                10,
+            ).cast("bigint"),
+            F.lit(2),
+        )
+        == 0,
+        "control",
+    ).otherwise("treatment")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    assigned = events.select(arm.alias("arm"), cents.alias("cents"))
+    stats = assigned.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("s"),
+        F.sum(F.col("cents").cast("decimal(19,0)") * F.col("cents")).alias(
+            "q"
+        ),
+    )
+    w = stats.agg(
+        F.max(F.when(F.col("arm") == "control", F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("arm") == "control", F.col("s"))).alias("s1"),
+        F.max(F.when(F.col("arm") == "control", F.col("q"))).alias("q1"),
+        F.max(F.when(F.col("arm") == "treatment", F.col("n"))).alias("n2"),
+        F.max(F.when(F.col("arm") == "treatment", F.col("s"))).alias("s2"),
+        F.max(F.when(F.col("arm") == "treatment", F.col("q"))).alias("q2"),
+    )
+    m1 = F.col("s1") / (100.0 * F.col("n1"))
+    m2 = F.col("s2") / (100.0 * F.col("n2"))
+    v1 = (
+        (
+            F.col("q1")
+            - F.col("s1").cast("decimal(19,0)") * F.col("s1")
+            / F.col("n1").cast("double")
+        )
+        / (F.col("n1") - 1.0)
+    ) / 10000.0
+    v2 = (
+        (
+            F.col("q2")
+            - F.col("s2").cast("decimal(19,0)") * F.col("s2")
+            / F.col("n2").cast("double")
+        )
+        / (F.col("n2") - 1.0)
+    ) / 10000.0
+    return w.select(
+        F.col("n1").cast("bigint").alias("n_control"),
+        F.col("n2").cast("bigint").alias("n_treatment"),
+        F.round(m1, 4).alias("mean_control"),
+        F.round(m2, 4).alias("mean_treatment"),
+        F.round(m2 - m1, 4).alias("lift"),
+        F.round(
+            (m2 - m1)
+            / F.sqrt(v1 / F.col("n1") + v2 / F.col("n2")),
+            4,
+        ).alias("t_welch"),
+    )
