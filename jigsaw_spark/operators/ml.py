@@ -326,15 +326,19 @@ def pca_pc1_exact(
     for r in s_rows:
         s[r["d"]] = int(r["s"])
     # outer product in a map-only Arrow kernel (the sanctioned Python
-    # boundary: vector math too wide for F.aggregate): per batch ONE
-    # numpy int64 X^T X — 4096 partial sums per batch instead of
-    # n*4096 exploded rows. Exactness holds: products are < 1.2e11 and
-    # a batch is < 1e6 rows, so batch partials stay < 1.2e17 << 2^63
-    # (no silent int64 wrap); cross-batch merging happens in
+    # boundary: vector math too wide for F.aggregate): per chunk ONE
+    # numpy int64 X^T X — d² partial sums per chunk instead of n*d²
+    # exploded rows. Exactness does NOT lean on Arrow's batch size
+    # (spark.sql.execution.arrow.maxRecordsPerBatch is a config, not an
+    # invariant): the kernel re-chunks each Arrow batch to a fixed row
+    # bound and asserts rows * max(|xq|)² < 2^63 per chunk, so a config
+    # raise or an out-of-range embedding fails loudly instead of
+    # silently wrapping np.int64. Cross-chunk merging happens in
     # decimal(38,0), so 1e9-row corpora cannot wrap either. Integer
-    # addition commutes — any batch/partition order gives identical
-    # sums, keeping the bit-identical contract.
+    # addition commutes — any batch/partition/chunk order gives
+    # identical sums, keeping the bit-identical contract.
     dcount = dims
+    chunk_rows = 4096
 
     def outer_partials(batches):
         import numpy as np
@@ -344,13 +348,20 @@ def pca_pc1_exact(
             X = np.array(list(pdf["_xq"]), dtype=np.int64)
             if len(X) == 0:
                 continue
-            C = X.T @ X  # exact: |x|<=1.2e11 partials per <=1e6-row batch
-            yield pd.DataFrame(
-                {
-                    "idx": np.arange(dcount * dcount, dtype=np.int64),
-                    "prod": C.reshape(-1),
-                }
-            )
+            for lo in range(0, len(X), chunk_rows):
+                Xc = X[lo : lo + chunk_rows]
+                m = int(np.abs(Xc).max())
+                assert len(Xc) * m * m < 2**63, (
+                    f"int64 X^T X partial would overflow: "
+                    f"{len(Xc)} rows with max |xq| = {m}"
+                )
+                C = Xc.T @ Xc
+                yield pd.DataFrame(
+                    {
+                        "idx": np.arange(dcount * dcount, dtype=np.int64),
+                        "prod": C.reshape(-1),
+                    }
+                )
 
     p_rows = (
         base.mapInPandas(outer_partials, "idx long, prod long")

@@ -431,9 +431,12 @@ def kcenter_coreset(
         lambda x: F.round(x * scale).cast("long"),
     )
     base = df.select(F.col(id_col), xq_arr.alias("_xq"))
-    seed = base.orderBy(
+    seed_rows = base.orderBy(
         *det_order(id_col, seed="kcenter")
-    ).limit(1).collect()[0]
+    ).limit(1).collect()
+    if not seed_rows:  # totality guard: empty corpus -> empty coreset
+        return []
+    seed = seed_rows[0]
     selected: list[tuple[int, int, int]] = [(0, seed[id_col], 0)]
     sel_coords = [list(map(int, seed["_xq"]))]
     for rnd in range(1, k):
@@ -453,13 +456,16 @@ def kcenter_coreset(
             )
         )
         sel_ids = [s[1] for s in selected]
-        far = (
+        far_rows = (
             base.filter(~F.col(id_col).isin(sel_ids))
             .select(id_col, "_xq", mind.alias("mind"))
             .orderBy(F.desc("mind"), id_col)
             .limit(1)
-            .collect()[0]
+            .collect()
         )
+        if not far_rows:  # k > n: every point is already selected
+            break
+        far = far_rows[0]
         selected.append((rnd, far[id_col], int(far["mind"])))
         sel_coords.append(list(map(int, far["_xq"])))
     return selected

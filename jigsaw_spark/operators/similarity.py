@@ -772,6 +772,12 @@ def kmeans_lloyd_exact(
         .limit(k)
         .collect()
     ]
+    # Totality guard (mirrors pagerank_exact): a corpus with fewer than k
+    # rows degrades to k = n clusters; an empty corpus returns an empty
+    # assignment rather than KeyError-ing on a missing seed centroid.
+    k = min(k, len(seed_ids))
+    if k == 0:
+        return base.select(id_col, F.lit(0).alias("cid")).limit(0), [], {}
     seed_rows = {
         r[id_col]: list(r["_xq"])
         for r in base.filter(F.col(id_col).isin(seed_ids)).collect()

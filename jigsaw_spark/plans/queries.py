@@ -1544,23 +1544,76 @@ from jigsaw_spark.plans import queries_r6  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 # Registration order == driver certification order. The driver's correctness
 # gate walks QUERIES in insertion order with a bounded window (~50 names per
-# round; r1 and r2 each sampled exactly the first 50). Round-3 rotation: the
-# five r2 driver-red rows (fixed this round) re-certify first, then every
-# query with an oracle that r1+r2 never sampled (99 names — fn suites, TPC-H
-# q2/q4-q22, dedup/ANN/text families, ts_*, w7/w8), then the rows-only
-# queries, and finally the 93 already-green rows rotate to the back.
+# round; every round so far sampled exactly the first 50). Round-5 rotation:
+# ALL 47 queries with no driver row across CORRECTNESS_r01-r04 go first (37
+# oracle-backed, then 10 rows-only — this is the round the rows-only entries
+# enter the window, since after it every oracle-backed query has a driver
+# row), and the 188 already-certified queries rotate to the back. NOTE: the
+# batch registered in queries_r6.py (curation_dsir_weights ... ab_ttest_welch)
+# was BUILT in round 4 — "r6" in that filename is a historical misnomer kept
+# to avoid churning git history; treat file round-suffixes as batch labels,
+# not build rounds.
 # ---------------------------------------------------------------------------
 
 _CERTIFICATION_PRIORITY = [
-    # r3 driver-red rows (pandas-canon HUGEINT/float dtype class,
-    # fixed r4: CAST(sum AS BIGINT) in the oracle) — re-certify first
+    # --- r5 window: every never-driver-certified query (47 total). ---
+    # 37 oracle-backed first (exact hash check), then the 10 rows-only
+    # entries (weaker rows-only driver check); all pass the local
+    # driver-faithful replica (tools/verify_oracle.py --vanilla --stability).
+    "fn_math_bitwise",
+    "cogroup_fill_ratio",
+    "agg_grouping_sets",
+    "ts_locf",
+    "agg_bool_suite",
+    "agg_string_agg",
+    "ts_interp",
+    "agg_hll_mergeable",
+    "p_weighted_sample",
+    "dedup_substr_windows",
+    "dedup_containment",
+    "ann_ivf_recall",
+    "ml_calibration_bins",
+    "p_mixture_reweight",
+    "text_ngram_diversity",
+    "text_zipf_slope",
+    "dedup_impact_ledger",
+    "curation_dsir_weights",
+    "p_dsir_resample",
+    "ts_sessionize",
+    "agg_incremental_merge",
+    "layout_zorder",
+    "stream_lsh_dedup",
+    "privacy_kanon_release",
+    "text_token_fertility",
+    "p_temporal_holdout",
+    "graph_pagerank_exact",
+    "stream_session_window",
+    "ml_pca_pc1_exact",
+    "ml_kmeans_exact",
+    "agg_kmv_intersect",
+    "mm_image_phash",
+    "mm_phash_near_dup",
+    "stream_dsir_score",
+    "p_kcenter_coreset",
+    "agg_bitmap_distinct",
+    "ab_ttest_welch",
+    # never certified, rows-only (no DuckDB-expressible oracle)
+    "k6_deeplab_export",
+    "ml_kmeans",
+    "mm_audio_pipeline",
+    "stream_synth_rollup",
+    "text_bpe_train",
+    "text_bpe_encode",
+    "ml_logreg",
+    "graph_pagerank",
+    "ml_pca_pc1",
+    "text_compression_ratio",
+    # driver-certified green in r1-r4 (187 rows) — rotate to the back
     "text_entropy",
     "agg_mad_outliers",
     "ts_cusum_changepoints",
     "rel_attribution_last_touch",
     "agg_winsorized_mean",
-    # never driver-certified, oracle-backed (62; the r4 window
-    # fills with these — all pass the pandas-faithful replica)
     "q19_disjunctive_join",
     "q20_promo_suppliers",
     "q21_waiting_suppliers",
@@ -1606,56 +1659,6 @@ _CERTIFICATION_PRIORITY = [
     "fn_null_order",
     "fn_codec",
     "agg_stats_suite",
-    "fn_math_bitwise",
-    "cogroup_fill_ratio",
-    "agg_grouping_sets",
-    "ts_locf",
-    "agg_bool_suite",
-    "agg_string_agg",
-    "ts_interp",
-    "agg_hll_mergeable",
-    "p_weighted_sample",
-    "dedup_substr_windows",
-    "dedup_containment",
-    "ann_ivf_recall",
-    "ml_calibration_bins",
-    "p_mixture_reweight",
-    "text_ngram_diversity",
-    "text_zipf_slope",
-    "dedup_impact_ledger",
-    # round-4 additions (oracle-backed, never certified)
-    "curation_dsir_weights",
-    "p_dsir_resample",
-    "ts_sessionize",
-    "agg_incremental_merge",
-    "layout_zorder",
-    "stream_lsh_dedup",
-    "privacy_kanon_release",
-    "text_token_fertility",
-    "p_temporal_holdout",
-    "graph_pagerank_exact",
-    "stream_session_window",
-    "ml_pca_pc1_exact",
-    "ml_kmeans_exact",
-    "agg_kmv_intersect",
-    "mm_image_phash",
-    "mm_phash_near_dup",
-    "stream_dsir_score",
-    "p_kcenter_coreset",
-    "agg_bitmap_distinct",
-    "ab_ttest_welch",
-    # never certified, rows-only (weaker driver check)
-    "k6_deeplab_export",
-    "ml_kmeans",
-    "mm_audio_pipeline",
-    "stream_synth_rollup",
-    "text_bpe_train",
-    "text_bpe_encode",
-    "ml_logreg",
-    "graph_pagerank",
-    "ml_pca_pc1",
-    "text_compression_ratio",
-    # driver-certified green in r1-r3 — rotate to the back
     "ann_sq8",
     "ml_hash_features",
     "ab_cuped_adjust",

@@ -1714,7 +1714,11 @@ def _pois_case_sql(u: str) -> str:
     "coordination): weights come from the md5 stream so every replica "
     "is reproducible and oracle-checkable; replica means use exact-"
     "decimal weighted sums (order-independent). 16 replicas (one 2-hex "
-    "digest slice each — ONE md5 per row) = one explode + ONE hash agg",
+    "digest slice each — ONE md5 per row), computed FLAT: 16x2 agg "
+    "expressions in ONE global hash agg (rows never explode; each "
+    "partition emits one 32-value partial), then stack() reshapes the "
+    "single result row to 16 — the oracle replays the naive x16 "
+    "expansion the flat form avoids",
 )
 def agg_bootstrap_means(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jigsaw_spark.functions.hashing import md5_key
@@ -1724,30 +1728,32 @@ def agg_bootstrap_means(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE md5 per row; each replica reads its own 2-hex slice of the
     # digest (256 quantization levels are plenty for the CDF ladder and
     # cut the hash work x20)
-    rep = orders.select(
-        "o_totalprice",
+    base = orders.select(
+        dec2("o_totalprice", 18).alias("p"),
         md5_key(
             F.concat_ws("|", F.lit("boot"), F.col("o_orderkey").cast("string"))
         ).alias("h"),
-        F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("b"),
     )
-    u = (
-        F.conv(
-            F.substring(F.col("h"), F.col("b") * 2 + 1, 2), 16, 10
-        ).cast("double")
-        / F.lit(256.0)
-    )
-    wt = F.lit(7)
-    for k in range(len(_POIS_CDF) - 1, -1, -1):
-        wt = F.when(u < F.lit(_POIS_CDF[k]), F.lit(k)).otherwise(wt)
-    w = rep.select("b", "o_totalprice", wt.alias("wt"))
-    return w.groupBy("b").agg(
-        F.round(
-            F.sum(F.col("wt") * dec2("o_totalprice", 18)).cast("double")
-            / F.sum("wt"),
-            4,
-        ).alias("boot_mean"),
-        F.sum("wt").cast("bigint").alias("n_drawn"),
+    aggs = []
+    for b in range(_BOOT_B):
+        u = (
+            F.conv(F.substring(F.col("h"), 2 * b + 1, 2), 16, 10)
+            .cast("double")
+            / F.lit(256.0)
+        )
+        wt = F.lit(7)
+        for k in range(len(_POIS_CDF) - 1, -1, -1):
+            wt = F.when(u < F.lit(_POIS_CDF[k]), F.lit(k)).otherwise(wt)
+        aggs.append(F.sum(wt * F.col("p")).alias(f"s{b}"))
+        aggs.append(F.sum(wt).alias(f"n{b}"))
+    row = base.agg(*aggs)
+    pairs = ", ".join(f"{b}, s{b}, n{b}" for b in range(_BOOT_B))
+    return row.selectExpr(
+        f"stack({_BOOT_B}, {pairs}) AS (b, s, n)"
+    ).select(
+        F.col("b"),
+        F.round(F.col("s").cast("double") / F.col("n"), 4).alias("boot_mean"),
+        F.col("n").cast("bigint").alias("n_drawn"),
     )
 
 

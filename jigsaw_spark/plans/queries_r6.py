@@ -1294,7 +1294,13 @@ def mm_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg (complete-mode AvailableNow drain) — the deployment shape for "
     "continuous curation: the expensive global fit is periodic, "
     "admission scoring is per-batch with KB state. Exact integer "
-    "weights as in the batch operator",
+    "weights as in the batch operator. OOV convention: buckets never "
+    "seen at fit time contribute log-ratio 0 (coalesce on the left "
+    "join), NOT the Laplace-smoothed ln((R+B)/(T+B)) a full DSIR "
+    "formulation would assign — neutral-on-novel is the admission-"
+    "scoring convention here (the oracle mirrors it), so stream scores "
+    "are comparable to batch dsir_weights only on docs whose buckets "
+    "all appeared at fit time",
 )
 def stream_dsir_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid

@@ -27,12 +27,31 @@ def test_every_query_runs_at_smoke_sf(spark):
         df.limit(1).collect()
 
 
-def test_certification_window_is_oracle_backed():
+def test_certification_window_covers_never_certified():
     """The driver's correctness gate walks the registry in order with a
-    bounded window (~50): every entry inside the window must carry an
-    exact oracle so window slots are never spent on rows-only checks."""
+    bounded window (~50). Round-5 policy: every query with no driver row
+    across CORRECTNESS_r01-r04 must sit inside the first 50 slots, with
+    oracle-backed entries ahead of rows-only ones (an exact hash check is
+    worth more than a rows-only check, so it must never be displaced by
+    one)."""
+    import json
+    import pathlib
+
     from jigsaw_spark.plans.queries import QUERIES
 
-    window = list(QUERIES.items())[:50]
-    missing = [name for name, spec in window if spec.oracle is None]
-    assert not missing, f"rows-only queries inside the window: {missing}"
+    root = pathlib.Path(__file__).resolve().parents[1]
+    certified: set[str] = set()
+    for r in ("01", "02", "03", "04"):
+        path = root / f"CORRECTNESS_r{r}.json"
+        if path.exists():
+            certified |= set(json.loads(path.read_text()))
+
+    names = list(QUERIES)
+    never = [q for q in names if q not in certified]
+    window = names[:50]
+    outside = [q for q in never if q not in window]
+    assert not outside, f"never-certified queries outside the window: {outside}"
+
+    # oracle-backed before rows-only inside the window
+    kinds = [QUERIES[n].oracle is None for n in window if n in never]
+    assert kinds == sorted(kinds), "rows-only entry ahead of an oracle-backed one"

@@ -514,3 +514,28 @@ def test_kcenter_coreset_is_greedy_and_deterministic(spark):
         )
         assert best[2] == vid and best[0] == dist2, (rnd, vid, best)
         sel.append(vid)
+
+
+def test_kmeans_and_kcenter_small_input_guards(spark):
+    """Totality guards (r5 advisor items): k > n degrades gracefully and
+    empty inputs return empty results, mirroring pagerank_exact."""
+    from jigsaw_spark.operators.samples import kcenter_coreset
+    from jigsaw_spark.operators.similarity import kmeans_lloyd_exact
+
+    tiny = spark.createDataFrame(
+        [(1, [0.1, 0.2]), (2, [0.9, 0.8])],
+        "vec_id long, embedding array<float>",
+    )
+    assigned, triples, sizes = kmeans_lloyd_exact(tiny, k=8, iters=2)
+    assert assigned.count() == 2
+    assert sum(sizes.values()) == 2
+    assert {cid for cid, _, _ in triples} <= {0, 1}
+
+    core = kcenter_coreset(tiny, k=8)
+    assert len(core) == 2  # k > n selects every point, then stops
+    assert {vid for _, vid, _ in core} == {1, 2}
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    e_assigned, e_triples, e_sizes = kmeans_lloyd_exact(empty, k=3, iters=2)
+    assert e_assigned.count() == 0 and e_triples == [] and e_sizes == {}
+    assert kcenter_coreset(empty, k=3) == []

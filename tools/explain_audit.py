@@ -93,8 +93,76 @@ EXPECT_BROADCAST = {
     "w2_topk_per_group",
     "j6_range_join",
 }
+# Queries allowed to run a Window with an EMPTY partition spec. A global
+# window serializes its whole input through ONE task, so it is only sound
+# on provably bounded relations. Every entry documents the bound; anything
+# else with a global window is flagged (the r4 verdict asked for this
+# audit — boundedness was previously argued per-query but never enforced).
+GLOBAL_WINDOW_OK = {
+    # top-500 terms by rank: input is the LIMIT-500 term dim, not the corpus
+    "text_zipf_slope",
+    # percentile/rank over the |sources|-row sketch dim (KB)
+    "agg_kmv_intersect",
+    # dense label numbering over the distinct-label dim (bounded vocab)
+    "a2_dense_label_map",
+    # calibration bins: window over the 10-row bin dim
+    "ml_calibration_bins",
+    # per-round top-1 selection over the k-row candidate dim
+    "p_kcenter_coreset",
+    # equi-depth bucket edges over the 8-row quantile dim
+    "agg_equidepth",
+    # assoc-rule ranking over the capped frequent-pair dim
+    "mine_assoc_pairs",
+    # RAKE: global rank over the top-keyphrase dim (LIMIT-bounded)
+    "text_rake_keyphrase",
+    # share-of-total over the |groups|-row aggregate dim
+    "w10_share_of_total",
+    # Zipf/seasonal-style: rank over per-group aggregate dims
+    "ts_seasonal_naive_mape",
+    # BPE merge ranking over the capped candidate-pair dim
+    "text_bpe_train",
+}
 # streaming queries execute on .start(), not .explain — audit skipped
 SKIP = {"stream_hourly_rollup", "stream_stateful_sessions"}
+
+
+def _top_level_groups(s: str) -> list[str]:
+    """Split the tail of a plan line into top-level [...] groups."""
+    groups, depth, start = [], 0, None
+    for i, ch in enumerate(s):
+        if ch == "[":
+            if depth == 0:
+                start = i
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+            if depth == 0 and start is not None:
+                groups.append(s[start + 1 : i])
+                start = None
+    return groups
+
+
+def global_window_count(plan: str) -> int:
+    """Count Window nodes with an empty partition spec.
+
+    WindowExec prints `Window [exprs], [partitionSpec], [orderSpec]`;
+    with no PARTITION BY the middle group is absent (2 top-level groups)
+    or empty. Either shape means the whole input funnels through one
+    task — fine on a bounded dim, a scale-killer on a corpus.
+    """
+    n = 0
+    for raw in plan.splitlines():
+        line = raw.strip().lstrip("+-: *")
+        if not line.startswith(("Window ", "WindowGroupLimit ")):
+            continue
+        groups = _top_level_groups(line)
+        if line.startswith("WindowGroupLimit "):
+            # WindowGroupLimit [partitionSpec], [orderSpec], rankFn, k
+            if not groups or not groups[0].strip():
+                n += 1
+        elif len(groups) < 3 or not groups[1].strip():
+            n += 1
+    return n
 
 
 def audit_one(name: str, spark) -> tuple[list[str], str]:
@@ -120,6 +188,12 @@ def audit_one(name: str, spark) -> tuple[list[str], str]:
         r"(region|nation)\.parquet", plan
     ):
         problems.append("sort-merge join against a tiny dimension")
+    gw = global_window_count(plan)
+    if gw and name not in GLOBAL_WINDOW_OK:
+        problems.append(
+            f"{gw} global window(s) (empty partition spec) on a query not "
+            "whitelisted as bounded — single-task funnel at scale"
+        )
     return problems, plan
 
 
