@@ -734,7 +734,10 @@ def _reconstruct_from_coefs(coefs, comps, qtabs, h, w):
 
 
 def encode_jpeg_progressive(
-    img: np.ndarray, quality: int = 85, coalesce_eob: bool = False
+    img: np.ndarray,
+    quality: int = 85,
+    coalesce_eob: bool = False,
+    restart_interval: int = 0,
 ) -> bytes:
     """uint8 (h, w) grayscale or (h, w, 3) RGB → SOF2 progressive 4:4:4
     JFIF with a 4-stage scan script:
@@ -755,6 +758,15 @@ def encode_jpeg_progressive(
     coefficients are identical to ``encode_jpeg`` at the same quality,
     so every variant's decode must match the baseline decode
     bit-for-bit (the parity tests).
+
+    ``restart_interval > 0`` emits a DRI segment and RSTn markers every
+    that many MCUs in EVERY scan (T.81 §F.2.1.3 / §G): at each restart
+    the bit stream pads to a byte boundary, DC predictors reset, and —
+    critically — the EOB run and its buffered correction bits flush, so
+    no EOBn run crosses a restart boundary. Combined with
+    ``coalesce_eob=True`` this produces the full wild-libjpeg layout
+    (EOBn>1 + successive approximation + restarts in one scan), the
+    exact stream shape the decoder's ``rst()`` resync path consumes.
     """
     img = np.asarray(img)
     if img.ndim == 2:
@@ -799,6 +811,8 @@ def encode_jpeg_progressive(
     for tc_th, (bits, vals) in huffs:
         out += b"\xff\xc4" + struct.pack(">HB", 19 + len(vals), tc_th)
         out += bytes(bits) + bytes(vals)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
 
     dc_maps = [_huff_codes(*(DC_LUM if ci == 0 else DC_CHROM)) for ci in range(ncomp)]
     ac_maps = [_huff_codes(*(AC_LUM if ci == 0 else AC_CHROM)) for ci in range(ncomp)]
@@ -810,12 +824,25 @@ def encode_jpeg_progressive(
             out.extend(bytes([ci + 1, (min(td, 1) << 4) | min(td, 1)]))
         out.extend(bytes([ss, se, (ah << 4) | al]))
 
+    def emit_rst(wtr: _BitWriter, n: int) -> _BitWriter:
+        """Flush the entropy segment, write RSTn (n cycles mod 8), and
+        hand back a fresh writer for the next restart segment."""
+        wtr.flush()
+        out.extend(wtr.buf)
+        out.extend(bytes([0xFF, 0xD0 + (n & 7)]))
+        return _BitWriter()
+
     # --- scan 1: DC first, interleaved, Al=1 ------------------------------
     sos(list(range(ncomp)), 0, 0, 0, 1)
     wtr = _BitWriter()
     preds = [0] * ncomp
+    mcu = rst_n = 0
     for by in range(nby):
         for bx in range(nbx):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                wtr = emit_rst(wtr, rst_n)
+                rst_n += 1
+                preds = [0] * ncomp  # DC predictors reset at a restart
             for ci in range(ncomp):
                 dc = int(q[ci][by, bx, 0]) >> 1  # arithmetic point transform
                 size, bits = _magnitude(dc - preds[ci])
@@ -824,6 +851,7 @@ def encode_jpeg_progressive(
                 if size:
                     wtr.write(bits, size)
                 preds[ci] = dc
+            mcu += 1
     wtr.flush()
     out += wtr.buf
 
@@ -831,6 +859,18 @@ def encode_jpeg_progressive(
 
     def blocks_of(ci):
         return (q[ci][by, bx] for by in range(nby) for bx in range(nbx))
+
+    def restart_chunks(ci):
+        """Non-interleaved AC scans: MCU = one block, so each restart
+        segment is an independent ``restart_interval``-block chunk —
+        EOB runs and correction-bit buffers cannot cross it."""
+        blocks = list(blocks_of(ci))
+        if not restart_interval:
+            return [blocks]
+        return [
+            blocks[i : i + restart_interval]
+            for i in range(0, len(blocks), restart_interval)
+        ]
 
     def ac_table_for(ci, emit_scan):
         """Coalescing scans need EOBn codes the Annex K tables lack:
@@ -846,33 +886,52 @@ def encode_jpeg_progressive(
 
     # --- scan 2: AC first per component, band 1-63, Al=1 ------------------
     for ci in range(ncomp):
-        ac_map = ac_table_for(
-            ci, lambda em, ci=ci: _ac_first_scan(blocks_of(ci), em, 1, max_run)
-        )
+        chunks = restart_chunks(ci)
+
+        def emit_all(em, chunks=chunks):
+            for ch in chunks:
+                _ac_first_scan(ch, em, 1, max_run)
+
+        ac_map = ac_table_for(ci, emit_all)
         sos([ci], 1, 63, 0, 1)
         wtr = _BitWriter()
-        _ac_first_scan(blocks_of(ci), _writer_emitters(wtr, ac_map), 1, max_run)
+        for i, ch in enumerate(chunks):
+            if i:
+                wtr = emit_rst(wtr, i - 1)
+            _ac_first_scan(ch, _writer_emitters(wtr, ac_map), 1, max_run)
         wtr.flush()
         out += wtr.buf
 
     # --- scan 3: DC refinement, interleaved, Ah=1/Al=0 (raw bits) ---------
     sos(list(range(ncomp)), 0, 0, 1, 0)
     wtr = _BitWriter()
+    mcu = rst_n = 0
     for by in range(nby):
         for bx in range(nbx):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                wtr = emit_rst(wtr, rst_n)
+                rst_n += 1
             for ci in range(ncomp):
                 wtr.write(int(q[ci][by, bx, 0]) & 1, 1)
+            mcu += 1
     wtr.flush()
     out += wtr.buf
 
     # --- scan 4: AC refinement per component, Ah=1/Al=0 -------------------
     for ci in range(ncomp):
-        ac_map = ac_table_for(
-            ci, lambda em, ci=ci: _ac_refine_scan(blocks_of(ci), em, max_run)
-        )
+        chunks = restart_chunks(ci)
+
+        def emit_all(em, chunks=chunks):
+            for ch in chunks:
+                _ac_refine_scan(ch, em, max_run)
+
+        ac_map = ac_table_for(ci, emit_all)
         sos([ci], 1, 63, 1, 0)
         wtr = _BitWriter()
-        _ac_refine_scan(blocks_of(ci), _writer_emitters(wtr, ac_map), max_run)
+        for i, ch in enumerate(chunks):
+            if i:
+                wtr = emit_rst(wtr, i - 1)
+            _ac_refine_scan(ch, _writer_emitters(wtr, ac_map), max_run)
         wtr.flush()
         out += wtr.buf
 

@@ -559,3 +559,52 @@ def test_progressive_per_block_output_unchanged_by_refactor():
     img = _smooth(5, 24, 32, 3)
     base = decode_jpeg(encode_jpeg(img, 75))
     assert np.array_equal(decode_jpeg(encode_jpeg_progressive(img, 75)), base)
+
+
+def _count_rst(data: bytes) -> int:
+    return sum(
+        1
+        for i in range(len(data) - 1)
+        if data[i] == 0xFF and 0xD0 <= data[i + 1] <= 0xD7
+    )
+
+
+def test_progressive_wild_layout_eobn_sa_restarts():
+    """The layout wild libjpeg files actually emit — EOBn>1 runs,
+    successive approximation (Al=1 first + Ah=1 refine), and restart
+    markers in the SAME scan script — must decode to baseline parity.
+    restart_interval=5 over 12 blocks also truncates an EOB run that
+    would otherwise span the boundary (blocks 1-6 are flat), so the
+    decoder's rst() eobrun/pend reset path is really exercised."""
+    from jigsaw_spark.multimodal.jpeg_codec import encode_jpeg_progressive
+
+    rng = np.random.default_rng(7)
+    img = np.full((8, 8 * 12), 128, dtype=np.uint8)
+    img[:, :8] = rng.integers(0, 256, (8, 8))          # block 0 textured
+    img[:, 8 * 7 : 8 * 8] = rng.integers(0, 256, (8, 8))  # block 7 textured
+    for q in (30, 85):
+        base = decode_jpeg(encode_jpeg(img, q))
+        data = encode_jpeg_progressive(
+            img, q, coalesce_eob=True, restart_interval=5
+        )
+        assert b"\xff\xc2" in data  # SOF2: progressive
+        assert b"\xff\xdd" in data  # DRI present
+        # 4 scans x 2 boundaries each (12 MCUs / interval 5 -> 3 chunks)
+        assert _count_rst(data) == 8
+        assert np.array_equal(decode_jpeg(data), base)
+
+    # same layout on RGB (3 components, per-component AC scans)
+    rgb = _smooth(13, 16, 8 * 9, 3)
+    base = decode_jpeg(encode_jpeg(rgb, 75))
+    data = encode_jpeg_progressive(
+        rgb, 75, coalesce_eob=True, restart_interval=4
+    )
+    assert _count_rst(data) > 0
+    assert np.array_equal(decode_jpeg(data), base)
+
+    # restart_interval composes with the per-block default emitter too
+    plain = encode_jpeg_progressive(img, 85, restart_interval=5)
+    assert _count_rst(plain) == 8
+    assert np.array_equal(
+        decode_jpeg(plain), decode_jpeg(encode_jpeg(img, 85))
+    )
