@@ -99,28 +99,30 @@ EXPECT_BROADCAST = {
 # else with a global window is flagged (the r4 verdict asked for this
 # audit — boundedness was previously argued per-query but never enforced).
 GLOBAL_WINDOW_OK = {
-    # top-500 terms by rank: input is the LIMIT-500 term dim, not the corpus
+    # samples._ranked "local" strategy: the global-order window is only
+    # chosen after a code-enforced limit(5M+1).count() probe says the
+    # input fits one task; above the threshold the distributed
+    # zipWithIndex arm (range-partition + broadcast offsets) replaces it
+    # — boundedness is enforced at runtime, not assumed
+    "p2_split_test",
+    "p3_kfold_assign",
+    "p7_shard_assign",
+    # rank over the per-customer AGGREGATE (|customers| rows, not the
+    # fact table); docstring documents the _ranked distributed swap past
+    # ~5M keys
+    "agg_gini",
+    # rank window runs AFTER orderBy+limit(100): input is the TakeOrdered
+    # survivor set, 100 rows by construction
+    "p_dsir_resample",
+    # rank window runs AFTER orderBy+limit(50): the top-50 PageRank rows
+    "graph_pagerank_exact",
+    # rank window runs AFTER orderBy+limit(500): the top-500 term dim
     "text_zipf_slope",
-    # percentile/rank over the |sources|-row sketch dim (KB)
-    "agg_kmv_intersect",
-    # dense label numbering over the distinct-label dim (bounded vocab)
+    # dense numbering over the DISTINCT-label dim — bounded by the label
+    # vocabulary (the A2 label map is driver-collected metadata anyway)
     "a2_dense_label_map",
-    # calibration bins: window over the 10-row bin dim
-    "ml_calibration_bins",
-    # per-round top-1 selection over the k-row candidate dim
-    "p_kcenter_coreset",
-    # equi-depth bucket edges over the 8-row quantile dim
-    "agg_equidepth",
-    # assoc-rule ranking over the capped frequent-pair dim
-    "mine_assoc_pairs",
-    # RAKE: global rank over the top-keyphrase dim (LIMIT-bounded)
-    "text_rake_keyphrase",
-    # share-of-total over the |groups|-row aggregate dim
+    # share-of-total window over the per-orderstatus AGGREGATE (3 rows)
     "w10_share_of_total",
-    # Zipf/seasonal-style: rank over per-group aggregate dims
-    "ts_seasonal_naive_mape",
-    # BPE merge ranking over the capped candidate-pair dim
-    "text_bpe_train",
 }
 # streaming queries execute on .start(), not .explain — audit skipped
 SKIP = {"stream_hourly_rollup", "stream_stateful_sessions"}
@@ -142,13 +144,20 @@ def _top_level_groups(s: str) -> list[str]:
     return groups
 
 
+_SORT_MARK = re.compile(r"\b(ASC|DESC) NULLS (FIRST|LAST)\b")
+
+
 def global_window_count(plan: str) -> int:
     """Count Window nodes with an empty partition spec.
 
-    WindowExec prints `Window [exprs], [partitionSpec], [orderSpec]`;
-    with no PARTITION BY the middle group is absent (2 top-level groups)
-    or empty. Either shape means the whole input funnels through one
-    task — fine on a bounded dim, a scale-killer on a corpus.
+    WindowExec prints `Window [exprs], [partitionSpec], [orderSpec]`
+    but OMITS empty trailing specs, so the bracket-group count is
+    ambiguous: 2 groups is either exprs+partition (no ORDER BY) or
+    exprs+order (no PARTITION BY). Order specs always carry Spark's
+    `ASC NULLS FIRST`/`DESC NULLS LAST` sort markers; partition specs
+    never do — that disambiguates. An empty partition spec means the
+    whole input funnels through one task — fine on a bounded dim, a
+    scale-killer on a corpus.
     """
     n = 0
     for raw in plan.splitlines():
@@ -160,7 +169,14 @@ def global_window_count(plan: str) -> int:
             # WindowGroupLimit [partitionSpec], [orderSpec], rankFn, k
             if not groups or not groups[0].strip():
                 n += 1
-        elif len(groups) < 3 or not groups[1].strip():
+        elif len(groups) <= 1:
+            n += 1  # neither partition nor order: OVER ()
+        elif len(groups) == 2:
+            # partitioned iff the second group is a partition spec
+            # (no sort markers); an order-spec second group = global
+            if _SORT_MARK.search(groups[1]):
+                n += 1
+        elif not groups[1].strip():
             n += 1
     return n
 
