@@ -1539,6 +1539,7 @@ from jigsaw_spark.plans import queries_r3  # noqa: E402,F401
 from jigsaw_spark.plans import queries_r4  # noqa: E402,F401
 from jigsaw_spark.plans import queries_r5  # noqa: E402,F401
 from jigsaw_spark.plans import queries_r6  # noqa: E402,F401
+from jigsaw_spark.plans import queries_r7  # noqa: E402,F401
 
 
 # ---------------------------------------------------------------------------
