@@ -1609,6 +1609,21 @@ _CERTIFICATION_PRIORITY = [
     "graph_pagerank",
     "ml_pca_pc1",
     "text_compression_ratio",
+    # round-5 additions (oracle-backed, built in queries_r7.py): three
+    # fill the window's remaining slots 48-50; the other nine queue
+    # first for the r6 window
+    "ml_auc_exact",
+    "ml_best_split",
+    "privacy_ldiversity",
+    "dq_benford",
+    "graph_two_hop",
+    "j8_bloom_prune",
+    "ts_decompose_ma",
+    "ts_lttb_fixed",
+    "text_kneser_ney",
+    "stream_cdc_upsert",
+    "ml_nbayes_classify",
+    "ts_holt_exact",
     # driver-certified green in r1-r4 (187 rows) — rotate to the back
     "text_entropy",
     "agg_mad_outliers",

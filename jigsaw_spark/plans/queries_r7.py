@@ -773,3 +773,427 @@ def ts_lttb_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("y") / 100.0, 2).alias("value"),
         "area2",
     )
+
+
+# ---------------------------------------------------------------------------
+# text_kneser_ney — fit on even doc_ids, score odd doc_ids
+# ---------------------------------------------------------------------------
+
+_KN_SQL_HEAD = None  # built below with tokens_sql
+
+
+def _kn_sql() -> str:
+    from jigsaw_spark.operators.text import tokens_sql
+
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, {tokens_sql('text')} AS t FROM documents),
+    fit_bg AS (
+      SELECT t[i] AS w1, t[i+1] AS w2
+      FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i) ii
+      WHERE doc_id % 2 = 0 AND len(t) >= 2),
+    big AS MATERIALIZED (
+      SELECT w1, w2, count(*) AS c12 FROM fit_bg GROUP BY w1, w2),
+    w1s AS MATERIALIZED (
+      SELECT w1, sum(c12) AS c1, count(*) AS n1p FROM big GROUP BY w1),
+    w2c AS MATERIALIZED (
+      SELECT w2, count(*) AS nd FROM big GROUP BY w2),
+    tot AS MATERIALIZED (
+      SELECT (SELECT count(*) FROM big) AS tt,
+             (SELECT count(DISTINCT w1) FROM (
+                SELECT w1 FROM big UNION ALL SELECT w2 FROM big) u(w1))
+               AS v),
+    sc_bg AS (
+      SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+      FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i) ii
+      WHERE doc_id % 2 = 1 AND len(t) >= 2),
+    scored AS (
+      SELECT s.doc_id,
+             CAST(round(ln(
+               CASE WHEN w1s.c1 IS NULL
+                 THEN (coalesce(w2c.nd, 0) + 1.0) / (tot.tt + tot.v)
+                 ELSE greatest(4 * coalesce(big.c12, 0) - 3, 0)
+                        / (4.0 * w1s.c1)
+                      + (3.0 * w1s.n1p) / (4.0 * w1s.c1)
+                        * ((coalesce(w2c.nd, 0) + 1.0) / (tot.tt + tot.v))
+               END) * 1e6) AS BIGINT) AS lp_micro
+      FROM sc_bg s
+      LEFT JOIN big ON s.w1 = big.w1 AND s.w2 = big.w2
+      LEFT JOIN w1s ON s.w1 = w1s.w1
+      LEFT JOIN w2c ON s.w2 = w2c.w2
+      CROSS JOIN tot)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(lp_micro) AS BIGINT) AS logp_micro,
+           round(CAST(sum(lp_micro) AS DOUBLE) / count(*) / 1e6, 6)
+             AS avg_logp
+    FROM scored GROUP BY doc_id
+    """
+
+
+@register(
+    "text_kneser_ney",
+    _kn_sql(),
+    "Kneser-Ney smoothed bigram LM (d=3/4, the published discount; "
+    "+1-smoothed continuation so every probability is positive): FIT "
+    "on even docs, SCORE odd docs — P(w2|w1) = max(c12-d,0)/c1 + "
+    "d*N1+(w1,.)/c1 * Pcont(w2), Pcont = (N1+(.,w2)+1)/(T+V); unseen "
+    "history backs off to Pcont alone. The discount is the exact "
+    "rational 3/4 (4*c12-3 integer clamp), so P is one shared double "
+    "expression from exact integer counts; ln snaps to micro-units "
+    "per BIGRAM (the DSIR per-bucket discipline), per-doc scores are "
+    "exact integer sums. Shape: gram explode -> three hash joins "
+    "keyed on w1/(w1,w2)/w2 against vocabulary-bounded stat dims + "
+    "one 1-row totals broadcast — linear at any corpus scale",
+)
+def text_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jigsaw_spark.operators.text import tokens_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens_expr("text").alias("t")).filter(
+        F.size("t") >= 2
+    )
+    bigrams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1),"
+                " i -> struct(t[i - 1] AS w1, t[i] AS w2))"
+            )
+        ).alias("bg"),
+    ).select("doc_id", "bg.w1", "bg.w2")
+    fit = bigrams.filter(F.col("doc_id") % 2 == 0)
+    big = fit.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    w1s = big.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("n1p")
+    )
+    w2c = big.groupBy("w2").agg(F.count(F.lit(1)).alias("nd"))
+    tot = big.agg(F.count(F.lit(1)).alias("tt")).crossJoin(
+        big.select("w1")
+        .union(big.select("w2"))
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    sc = bigrams.filter(F.col("doc_id") % 2 == 1)
+    pcont = (F.coalesce("nd", F.lit(0)) + 1.0) / (F.col("tt") + F.col("v"))
+    p = F.when(
+        F.col("c1").isNull(), pcont
+    ).otherwise(
+        F.greatest(4 * F.coalesce("c12", F.lit(0)) - 3, F.lit(0))
+        / (4.0 * F.col("c1"))
+        + (3.0 * F.col("n1p")) / (4.0 * F.col("c1")) * pcont
+    )
+    scored = (
+        sc.join(big, ["w1", "w2"], "left_outer")
+        .join(w1s, "w1", "left_outer")
+        .join(w2c, "w2", "left_outer")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.round(F.log(p) * 1e6).cast("bigint").alias("lp_micro"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.sum("lp_micro").cast("bigint").alias("logp_micro"),
+        F.round(
+            F.sum("lp_micro").cast("double") / F.count(F.lit(1)) / 1e6, 6
+        ).alias("avg_logp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# stream_cdc_upsert
+# ---------------------------------------------------------------------------
+
+_CDC_SQL = """
+    WITH r AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+    SELECT user_id,
+           CAST(ts AS TIMESTAMP) AS last_ts,
+           event_id AS last_event_id,
+           event_type AS last_type,
+           round(value, 2) AS last_value
+    FROM r WHERE rn = 1
+"""
+
+
+@register(
+    "stream_cdc_upsert",
+    _CDC_SQL,
+    "CDC compaction / streaming upsert: a change stream keyed on "
+    "user_id collapses to last-write-wins current state (the "
+    "Delta-MERGE-from-CDC pattern) — the streaming agg is ONE "
+    "max(struct(ts, event_id, payload...)) per key, whose lexicographic "
+    "order IS the (version, tie-break) order, so state per key is one "
+    "struct regardless of change volume; complete-mode AvailableNow "
+    "drain equals the batch row_number()=1 formulation the oracle runs",
+)
+def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from jigsaw_spark.plans.queries_streaming import _state_partitions
+    from jigsaw_spark.streaming.ingest import read_event_stream
+
+    stream = read_event_stream(spark, sf_dir, glob="events.parquet")
+    latest = stream.groupBy("user_id").agg(
+        F.max(
+            F.struct("ts", "event_id", "event_type", "value")
+        ).alias("last")
+    )
+    out = latest.select(
+        "user_id",
+        F.col("last.ts").alias("last_ts"),
+        F.col("last.event_id").alias("last_event_id"),
+        F.col("last.event_type").alias("last_type"),
+        F.round(F.col("last.value"), 2).alias("last_value"),
+    )
+    name = f"stream_cdc_{uuid.uuid4().hex[:8]}"
+    with _state_partitions(spark):
+        q = (
+            out.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# ml_nbayes_classify — fit on even doc_ids, classify odd doc_ids
+# ---------------------------------------------------------------------------
+
+_NB_B = 4096
+
+
+def _nb_sql() -> str:
+    from jigsaw_spark.operators.text import tokens_sql
+
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, CAST(lang = 'en' AS INT) AS is_en,
+             {tokens_sql('text')} AS t
+      FROM documents),
+    grams AS (
+      SELECT doc_id, is_en, unnest(t) AS gram FROM toks
+      UNION ALL
+      SELECT doc_id, is_en, t[i] || ' ' || t[i+1] AS gram
+      FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i) ii
+      WHERE len(t) >= 2),
+    bucketed AS (
+      SELECT doc_id, is_en,
+             ('0x' || substr(md5(gram), 1, 12))::UBIGINT % {_NB_B} AS bucket
+      FROM grams),
+    fit AS MATERIALIZED (
+      SELECT bucket,
+             sum(CASE WHEN is_en = 1 THEN 1 ELSE 0 END) AS ce,
+             sum(CASE WHEN is_en = 1 THEN 0 ELSE 1 END) AS co
+      FROM bucketed WHERE doc_id % 2 = 0 GROUP BY bucket),
+    tot AS MATERIALIZED (
+      SELECT sum(ce) AS te, sum(co) AS tco,
+             (SELECT sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+              FROM documents WHERE doc_id % 2 = 0) AS ne,
+             (SELECT sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END)
+              FROM documents WHERE doc_id % 2 = 0) AS no
+      FROM fit),
+    llr AS MATERIALIZED (
+      SELECT f.bucket,
+             CAST(round((ln((f.ce + 1.0) / (t.te + {_NB_B}))
+                       - ln((f.co + 1.0) / (t.tco + {_NB_B}))) * 1e6)
+                  AS BIGINT) AS llr_micro
+      FROM fit f CROSS JOIN tot t),
+    sc AS (
+      SELECT doc_id, bucket FROM bucketed WHERE doc_id % 2 = 1),
+    per_doc AS (
+      SELECT s.doc_id,
+             CAST(count(*) AS BIGINT) AS n_grams,
+             CAST(sum(coalesce(l.llr_micro, 0)) AS BIGINT) AS feat_micro
+      FROM sc s LEFT JOIN llr l ON s.bucket = l.bucket
+      GROUP BY s.doc_id)
+    SELECT p.doc_id, p.n_grams,
+           CAST(p.feat_micro
+                + CAST(round((ln(t.ne + 1.0) - ln(t.no + 1.0)) * 1e6)
+                       AS BIGINT) AS BIGINT) AS score_micro,
+           CASE WHEN p.feat_micro
+                     + CAST(round((ln(t.ne + 1.0) - ln(t.no + 1.0)) * 1e6)
+                            AS BIGINT) > 0
+                THEN 'en' ELSE 'other' END AS pred
+    FROM per_doc p CROSS JOIN tot t
+    """
+
+
+@register(
+    "ml_nbayes_classify",
+    _nb_sql(),
+    "multinomial Naive Bayes (the classic quality/domain classifier "
+    "for data curation): FIT class-conditional hashed-gram likelihoods "
+    "+ priors on even docs, CLASSIFY odd docs by log-likelihood-ratio "
+    "sign. Per-bucket LLR and the prior snap to integer micro-units "
+    "(one libm pair per BUCKET / one for the prior — the DSIR "
+    "discipline), so per-doc scores are exact integer sums and the "
+    "argmax is an integer sign test. Shape: ONE gram explode + hash "
+    "agg to fit the 4096-row dim, broadcast-joined back — no second "
+    "corpus scan, linear at any scale; OOV buckets contribute 0",
+)
+def ml_nbayes_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jigsaw_spark.operators.samples import dsir_gram_buckets
+
+    docs = _t(spark, sf_dir, "documents")
+    buckets = dsir_gram_buckets(docs, "doc_id", buckets=_NB_B).join(
+        docs.select(
+            "doc_id", (F.col("lang") == "en").cast("int").alias("is_en")
+        ),
+        "doc_id",
+    )
+    fit = buckets.filter(F.col("doc_id") % 2 == 0).groupBy("bucket").agg(
+        F.sum(F.when(F.col("is_en") == 1, 1).otherwise(0)).alias("ce"),
+        F.sum(F.when(F.col("is_en") == 1, 0).otherwise(1)).alias("co"),
+    )
+    priors = (
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .agg(
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("ne"),
+            F.sum(F.when(F.col("lang") == "en", 0).otherwise(1)).alias("no"),
+        )
+    )
+    tot = fit.agg(
+        F.sum("ce").alias("te"), F.sum("co").alias("tco")
+    ).crossJoin(priors)
+    llr = fit.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.round(
+            (
+                F.log((F.col("ce") + 1.0) / (F.col("te") + _NB_B))
+                - F.log((F.col("co") + 1.0) / (F.col("tco") + _NB_B))
+            )
+            * 1e6
+        )
+        .cast("bigint")
+        .alias("llr_micro"),
+    )
+    per_doc = (
+        buckets.filter(F.col("doc_id") % 2 == 1)
+        .join(F.broadcast(llr), "bucket", "left_outer")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum(F.coalesce("llr_micro", F.lit(0)))
+            .cast("bigint")
+            .alias("feat_micro"),
+        )
+    )
+    prior_micro = (
+        F.round((F.log(F.col("ne") + 1.0) - F.log(F.col("no") + 1.0)) * 1e6)
+        .cast("bigint")
+    )
+    return per_doc.crossJoin(F.broadcast(priors)).select(
+        "doc_id",
+        "n_grams",
+        (F.col("feat_micro") + prior_micro).cast("bigint").alias("score_micro"),
+        F.when(F.col("feat_micro") + prior_micro > 0, "en")
+        .otherwise("other")
+        .alias("pred"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ts_holt_exact
+# ---------------------------------------------------------------------------
+
+# truncated-toward-zero halving (DuckDB // floors negatives; Spark div and
+# Python // likewise need the CASE guard) — the tdiv discipline from the
+# exact-iterative quartet (see operators/ml._tdiv)
+_TDIV2 = "(CASE WHEN {x} >= 0 THEN ({x}) // 2 ELSE -((-({x})) // 2) END)"
+
+_HOLT_SQL = f"""
+    WITH RECURSIVE daily AS MATERIALIZED (
+      SELECT event_type,
+             strftime(ts, '%Y-%m-%d') AS day,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY strftime(ts, '%Y-%m-%d')) AS i,
+             sum(CAST(round(value * 100, 0) AS BIGINT)) AS y
+      FROM events GROUP BY event_type, strftime(ts, '%Y-%m-%d')),
+    h AS (
+      SELECT event_type, i, day, y, y AS l, CAST(0 AS BIGINT) AS b
+      FROM daily WHERE i = 1
+      UNION ALL
+      SELECT d.event_type, d.i, d.day, d.y,
+             {_TDIV2.format(x='d.y + h.l + h.b')} AS l,
+             {_TDIV2.format(
+                 x=_TDIV2.format(x='d.y + h.l + h.b') + ' - h.l + h.b'
+             )} AS b
+      FROM h JOIN daily d
+        ON d.event_type = h.event_type AND d.i = h.i + 1)
+    SELECT event_type, day,
+           CAST(y AS BIGINT) AS value_cents,
+           CAST(l AS BIGINT) AS level_cents,
+           CAST(b AS BIGINT) AS trend_cents,
+           CAST(l + b AS BIGINT) AS forecast_cents
+    FROM h
+"""
+
+
+@register(
+    "ts_holt_exact",
+    _HOLT_SQL,
+    "Holt double exponential smoothing (alpha=beta=1/2) per event type "
+    "with the WHOLE trajectory in exact integer cents: l_t = "
+    "tdiv(y_t + l + b, 2), b_t = tdiv(l_t - l + b, 2), forecast = l+b "
+    "— truncated division keeps every state integer, so the recursion "
+    "is bit-identical across engines/partitionings. The Spark side is "
+    "the per-group SEQUENTIAL-RECURSION pattern: ONE hash agg to the "
+    "per-(type,day) series, then applyInPandas runs the recursion per "
+    "type in Python ints (group state = one (l,b) pair; series length "
+    "is bounded by the calendar, not the corpus); the oracle replays "
+    "it as a recursive CTE — the first stateful Arrow kernel in the "
+    "repo with an EXACT SQL oracle",
+)
+def ts_holt_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias("y")
+    )
+
+    def holt(pdf):
+        import pandas as pd
+
+        def tdiv2(x: int) -> int:
+            return x // 2 if x >= 0 else -((-x) // 2)
+
+        pdf = pdf.sort_values("day")
+        out = []
+        l = b = 0
+        first = True
+        for r in pdf.itertuples(index=False):
+            y = int(r.y)  # Python ints: no wrap at any magnitude
+            if first:
+                l, b, first = y, 0, False
+            else:
+                nl = tdiv2(y + l + b)
+                b = tdiv2(nl - l + b)
+                l = nl
+            out.append((r.event_type, r.day, y, l, b, l + b))
+        return pd.DataFrame(
+            out,
+            columns=[
+                "event_type",
+                "day",
+                "value_cents",
+                "level_cents",
+                "trend_cents",
+                "forecast_cents",
+            ],
+        )
+
+    return daily.groupBy("event_type").applyInPandas(
+        holt,
+        "event_type string, day string, value_cents long, "
+        "level_cents long, trend_cents long, forecast_cents long",
+    )

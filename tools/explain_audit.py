@@ -75,6 +75,15 @@ ALL_PAIRS_OK = {
     # source-pair enumeration: non-equi (a < b) self-join of the
     # |sources|-row sketch-stat dim — all pair work runs on KB sketches
     "agg_kmv_intersect",
+    # 1-row totals dim crossed into the 9-digit expectation join
+    "dq_benford",
+    # 1-row (x0, x1) bounds dim crossed into the scan (bucket assignment)
+    "ts_lttb_fixed",
+    # 1-row (T, V) smoothing-totals dim crossed into the scored bigrams
+    "text_kneser_ney",
+    # 1-row priors/totals dims crossed into the 4096-bucket LLR dim and
+    # the per-doc scores
+    "ml_nbayes_classify",
 }
 # queries expected to push a filter into the parquet scan
 EXPECT_PUSHDOWN = {
@@ -123,6 +132,13 @@ GLOBAL_WINDOW_OK = {
     "a2_dense_label_map",
     # share-of-total window over the per-orderstatus AGGREGATE (3 rows)
     "w10_share_of_total",
+    # prefix walk over the DISTINCT-SCORE aggregate (value-domain
+    # bounded, never the corpus)
+    "ml_auc_exact",
+    # prefix/total/argmin windows over the distinct-p_size dim (50 rows)
+    "ml_best_split",
+    # lag/lead anchors over the 50-bucket stats dim
+    "ts_lttb_fixed",
 }
 # streaming queries execute on .start(), not .explain — audit skipped
 SKIP = {"stream_hourly_rollup", "stream_stateful_sessions"}
