@@ -66,6 +66,35 @@ PROBES = [
     # for key-partitioned windows)
     "curation_dsir_weights",
     "ts_sessionize",
+    # round-4 additions the r4 verdict asked to probe: the exact-integer
+    # iterative quartet (per-round codebook-literal map + k×d agg — the
+    # per-round cost is linear in rows, rounds are constant), the KMV
+    # sketch intersection (pair work on KB sketches only), pHash banding
+    # (pigeonhole buckets, never all-pairs), and the fit/score DSIR
+    # stream (gram explode + broadcast dim)
+    "graph_pagerank_exact",
+    "ml_pca_pc1_exact",
+    "ml_kmeans_exact",
+    "p_kcenter_coreset",
+    "agg_kmv_intersect",
+    "mm_phash_near_dup",
+    "stream_dsir_score",
+    # round-5 additions: contingency AUC + split (corpus -> value-domain
+    # dim, curve should be ~linear scan cost), bloom prune (map-only bit
+    # test + semi-join), LTTB (one agg + 50-row dim), KN LM (gram explode
+    # + vocab-keyed joins — posting growth under replication makes this
+    # conservative like tfidf), NB classify (DSIR shape), Holt (series
+    # length is calendar-bounded: curve should be the agg's, flat-ish),
+    # two-hop (edge self-join — LSH pair growth under replication is the
+    # hard direction)
+    "ml_auc_exact",
+    "ml_best_split",
+    "j8_bloom_prune",
+    "ts_lttb_fixed",
+    "text_kneser_ney",
+    "ml_nbayes_classify",
+    "ts_holt_exact",
+    "graph_two_hop",
 ]
 
 TABLES = [
