@@ -242,7 +242,11 @@ def main() -> None:
         "×{f} work per row by construction — its production path caps".format(f=args.factor),
         "posting length (`max_posting`, SCALE.md §3.4). `dedup_semantic`",
         "holds the cell count fixed here; at a real scale-up k grows with N",
-        "(k ∝ N/c) keeping in-cell pair work linear.",
+        "(k ∝ N/c) keeping in-cell pair work linear. Streaming probes",
+        "(`stream_dsir_score`) are IO-layout-sensitive: the ×10 replica dir",
+        "is written 32-way partitioned while the base is a single file, so",
+        "their ratio reflects file-source listing/batching, not operator",
+        "cost — read those rows as 'no blow-up', not as a speedup.",
         "",
         "## Bench-regression policy (r3 finding)",
         "",
