@@ -1734,16 +1734,27 @@ def agg_bootstrap_means(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws("|", F.lit("boot"), F.col("o_orderkey").cast("string"))
         ).alias("h"),
     )
+    # byte -> Poisson weight as ONE shared 256-entry literal LUT: the
+    # same function of the digest byte as the oracle's CDF CASE ladder
+    # (wt = min k with byte/256 < CDF[k], else 7), but 32 array lookups
+    # codegen far smaller than 32 eight-branch CASE chains
+    lut = F.array(
+        *[
+            F.lit(
+                next(
+                    (k for k, c in enumerate(_POIS_CDF) if byte / 256.0 < c),
+                    7,
+                )
+            )
+            for byte in range(256)
+        ]
+    )
     aggs = []
     for b in range(_BOOT_B):
-        u = (
-            F.conv(F.substring(F.col("h"), 2 * b + 1, 2), 16, 10)
-            .cast("double")
-            / F.lit(256.0)
+        byte = F.conv(F.substring(F.col("h"), 2 * b + 1, 2), 16, 10).cast(
+            "int"
         )
-        wt = F.lit(7)
-        for k in range(len(_POIS_CDF) - 1, -1, -1):
-            wt = F.when(u < F.lit(_POIS_CDF[k]), F.lit(k)).otherwise(wt)
+        wt = F.element_at(lut, byte + 1)
         aggs.append(F.sum(wt * F.col("p")).alias(f"s{b}"))
         aggs.append(F.sum(wt).alias(f"n{b}"))
     row = base.agg(*aggs)
