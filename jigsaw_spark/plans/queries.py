@@ -1540,6 +1540,7 @@ from jigsaw_spark.plans import queries_r4  # noqa: E402,F401
 from jigsaw_spark.plans import queries_r5  # noqa: E402,F401
 from jigsaw_spark.plans import queries_r6  # noqa: E402,F401
 from jigsaw_spark.plans import queries_r7  # noqa: E402,F401
+from jigsaw_spark.plans import queries_r8  # noqa: E402,F401
 
 
 # ---------------------------------------------------------------------------
@@ -1624,6 +1625,12 @@ _CERTIFICATION_PRIORITY = [
     "stream_cdc_upsert",
     "ml_nbayes_classify",
     "ts_holt_exact",
+    "agg_log2_histogram",
+    "p_stratified_kfold",
+    "graph_bfs_layers",
+    "agg_bitmap_overlap",
+    "dq_fk_orphans",
+    "ml_linreg_by_group",
     # driver-certified green in r1-r4 (187 rows) — rotate to the back
     "text_entropy",
     "agg_mad_outliers",

@@ -58,10 +58,12 @@ def test_certification_window_covers_never_certified():
     # NOT this round's additions in queries_r7) must ALL be inside the
     # window — the r4 verdict's top ask; the new queries only take the
     # slots the debt leaves free
+    new_modules = {
+        "jigsaw_spark.plans.queries_r7",
+        "jigsaw_spark.plans.queries_r8",
+    }
     debt = [
-        q
-        for q in never
-        if QUERIES[q].spark.__module__ != "jigsaw_spark.plans.queries_r7"
+        q for q in never if QUERIES[q].spark.__module__ not in new_modules
     ]
     outside = [q for q in debt if q not in window]
     assert not outside, f"pre-r5 debt outside the window: {outside}"

@@ -84,6 +84,10 @@ ALL_PAIRS_OK = {
     # 1-row priors/totals dims crossed into the 4096-bucket LLR dim and
     # the per-doc scores
     "ml_nbayes_classify",
+    # |priorities|^2 pair enumeration (25 rows) + OR-condition join of
+    # the pair dim into the (priority, bucket) BITMAP dim — all work
+    # after the corpus' single shuffle runs on KB bitmap rows
+    "agg_bitmap_overlap",
 }
 # queries expected to push a filter into the parquet scan
 EXPECT_PUSHDOWN = {
