@@ -1631,6 +1631,7 @@ _CERTIFICATION_PRIORITY = [
     "agg_bitmap_overlap",
     "dq_fk_orphans",
     "ml_linreg_by_group",
+    "layout_hilbert",
     # driver-certified green in r1-r4 (187 rows) — rotate to the back
     "text_entropy",
     "agg_mad_outliers",

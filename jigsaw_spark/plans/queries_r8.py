@@ -452,3 +452,112 @@ def ml_linreg_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("intercept"),
         F.round(cov * cov / (varx * vary), 6).alias("r2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# layout_hilbert
+# ---------------------------------------------------------------------------
+
+_HIL_P = 8  # 256 x 256 grid, 16-bit key
+_HIL_N = 1 << _HIL_P
+
+
+def _hilbert_stage_exprs(s: int, keep: str) -> list[str]:
+    """One xy2d loop iteration (Wikipedia/Warren algorithm) as portable
+    SQL column expressions evaluated against the PREVIOUS stage's
+    (x, y, d). No ^ operator anywhere (DuckDB's ^ is POWER): the
+    quadrant (3*rx) XOR ry collapses to the branchless arithmetic form
+    CASE rx=0 -> ry, rx=1 -> 3-ry."""
+    rx = f"(CASE WHEN (x & {s}) > 0 THEN 1 ELSE 0 END)"
+    ry = f"(CASE WHEN (y & {s}) > 0 THEN 1 ELSE 0 END)"
+    quadrant = f"(CASE WHEN {rx} = 1 THEN 3 - {ry} ELSE {ry} END)"
+    new_x = (
+        f"CASE WHEN {ry} = 0 THEN (CASE WHEN {rx} = 1"
+        f" THEN {_HIL_N - 1} - y ELSE y END) ELSE x END AS x"
+    )
+    new_y = (
+        f"CASE WHEN {ry} = 0 THEN (CASE WHEN {rx} = 1"
+        f" THEN {_HIL_N - 1} - x ELSE x END) ELSE y END AS y"
+    )
+    new_d = f"d + {s * s} * {quadrant} AS d"
+    return [keep, new_x, new_y, new_d]
+
+
+def _hilbert_sql() -> str:
+    head = f"""
+    WITH h0 AS (
+      SELECT o_orderkey,
+             CAST(o_custkey % {_HIL_N} AS BIGINT) AS x,
+             CAST(CAST(round(o_totalprice * 100) AS BIGINT) % {_HIL_N}
+                  AS BIGINT) AS y,
+             CAST(o_custkey % {_HIL_N} AS BIGINT) AS x0,
+             CAST(CAST(round(o_totalprice * 100) AS BIGINT) % {_HIL_N}
+                  AS BIGINT) AS y0,
+             CAST(0 AS BIGINT) AS d
+      FROM orders)"""
+    stages = []
+    i = 0
+    s = _HIL_N // 2
+    while s > 0:
+        i += 1
+        exprs = _hilbert_stage_exprs(s, "o_orderkey")
+        stages.append(
+            f",\n    h{i} AS (SELECT {exprs[0]}, x0, y0, "
+            f"{exprs[1]}, {exprs[2]}, {exprs[3]} FROM h{i - 1})"
+        )
+        s //= 2
+    return (
+        head
+        + "".join(stages)
+        + f"""
+    SELECT CAST(d >> 9 AS BIGINT) AS file_bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(d) AS BIGINT) AS hmin,
+           CAST(max(d) AS BIGINT) AS hmax,
+           CAST(max(x0) - min(x0) AS BIGINT) AS x_span,
+           CAST(max(y0) - min(y0) AS BIGINT) AS y_span
+    FROM h{i} GROUP BY 1"""
+    )
+
+
+@register(
+    "layout_hilbert",
+    _hilbert_sql(),
+    "Hilbert-curve clustering key over (custkey, price-cents) — the "
+    "locality-preserving layout behind Databricks liquid clustering; "
+    "vs Morton (layout_zorder), consecutive key ranges form compact "
+    "squares with no Z-shape diagonal jumps, so per-file min/max boxes "
+    "on BOTH raw dimensions shrink. The xy2d bit walk (8 rotate/"
+    "reflect stages, pure integer CASE arithmetic — portable: no ^, "
+    "which DuckDB parses as POWER) is generated ONCE and shared "
+    "verbatim: Spark replays it as 8 chained selectExpr stages "
+    "(map-only, whole-stage codegen), the oracle as 8 chained CTEs. "
+    "Emits the per-file-bucket skipping manifest (row count, key "
+    "extents, and the raw-dimension spans that prove locality)",
+)
+def layout_hilbert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    df = orders.selectExpr(
+        "o_orderkey",
+        f"CAST(o_custkey % {_HIL_N} AS BIGINT) AS x",
+        f"CAST(CAST(round(o_totalprice * 100) AS BIGINT) % {_HIL_N}"
+        " AS BIGINT) AS y",
+        f"CAST(o_custkey % {_HIL_N} AS BIGINT) AS x0",
+        f"CAST(CAST(round(o_totalprice * 100) AS BIGINT) % {_HIL_N}"
+        " AS BIGINT) AS y0",
+        "CAST(0 AS BIGINT) AS d",
+    )
+    s = _HIL_N // 2
+    while s > 0:
+        exprs = _hilbert_stage_exprs(s, "o_orderkey")
+        df = df.selectExpr(exprs[0], "x0", "y0", *exprs[1:])
+        s //= 2
+    return df.groupBy(
+        F.expr("CAST(d >> 9 AS BIGINT)").alias("file_bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.min("d").cast("bigint").alias("hmin"),
+        F.max("d").cast("bigint").alias("hmax"),
+        (F.max("x0") - F.min("x0")).cast("bigint").alias("x_span"),
+        (F.max("y0") - F.min("y0")).cast("bigint").alias("y_span"),
+    )
