@@ -1541,6 +1541,7 @@ from jigsaw_spark.plans import queries_r5  # noqa: E402,F401
 from jigsaw_spark.plans import queries_r6  # noqa: E402,F401
 from jigsaw_spark.plans import queries_r7  # noqa: E402,F401
 from jigsaw_spark.plans import queries_r8  # noqa: E402,F401
+from jigsaw_spark.plans import queries_r9  # noqa: E402,F401
 
 
 # ---------------------------------------------------------------------------
@@ -1632,6 +1633,9 @@ _CERTIFICATION_PRIORITY = [
     "dq_fk_orphans",
     "ml_linreg_by_group",
     "layout_hilbert",
+    "ab_chi2_independence",
+    "rel_attribution_linear",
+    "j9_interval_overlap",
     # driver-certified green in r1-r4 (187 rows) — rotate to the back
     "text_entropy",
     "agg_mad_outliers",

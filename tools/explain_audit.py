@@ -88,6 +88,8 @@ ALL_PAIRS_OK = {
     # the pair dim into the (priority, bucket) BITMAP dim — all work
     # after the corpus' single shuffle runs on KB bitmap rows
     "agg_bitmap_overlap",
+    # 1-row grand-total dim crossed into the |types|x2 contingency dim
+    "ab_chi2_independence",
 }
 # queries expected to push a filter into the parquet scan
 EXPECT_PUSHDOWN = {
