@@ -1636,6 +1636,7 @@ _CERTIFICATION_PRIORITY = [
     "ab_chi2_independence",
     "rel_attribution_linear",
     "j9_interval_overlap",
+    "curation_pipeline_v3",
     # driver-certified green in r1-r4 (187 rows) — rotate to the back
     "text_entropy",
     "agg_mad_outliers",

@@ -276,3 +276,206 @@ def j9_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "overlap_secs"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# curation_pipeline_v3
+# ---------------------------------------------------------------------------
+
+_V3_NB_B = 4096
+_V3_KN_FLOOR = -8_000_000  # micro-units: avg bigram logP >= -8.0
+
+
+def _v3_sql() -> str:
+    from jigsaw_spark.operators.text import fingerprint_sql, tokens_sql
+
+    return f"""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, {tokens_sql('text')} AS t FROM documents),
+    -- Naive Bayes stage (fit even docs, score odd): hashed-gram LLR
+    grams AS (
+      SELECT x.doc_id, unnest(x.t) AS gram FROM toks x
+      UNION ALL
+      SELECT x.doc_id, x.t[i] || ' ' || x.t[i+1] AS gram
+      FROM toks x, LATERAL (SELECT unnest(range(1, len(x.t))) AS i) ii
+      WHERE len(x.t) >= 2),
+    bucketed AS MATERIALIZED (
+      SELECT g.doc_id, d.lang = 'en' AS is_en,
+             ('0x' || substr(md5(g.gram), 1, 12))::UBIGINT % {_V3_NB_B}
+               AS bucket
+      FROM grams g JOIN documents d ON g.doc_id = d.doc_id),
+    nb_fit AS MATERIALIZED (
+      SELECT bucket,
+             sum(CASE WHEN is_en THEN 1 ELSE 0 END) AS ce,
+             sum(CASE WHEN is_en THEN 0 ELSE 1 END) AS co
+      FROM bucketed WHERE doc_id % 2 = 0 GROUP BY bucket),
+    nb_tot AS MATERIALIZED (
+      SELECT sum(ce) AS te, sum(co) AS tco,
+             (SELECT sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+              FROM documents WHERE doc_id % 2 = 0) AS ne,
+             (SELECT sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END)
+              FROM documents WHERE doc_id % 2 = 0) AS no
+      FROM nb_fit),
+    llr AS MATERIALIZED (
+      SELECT f.bucket,
+             CAST(round((ln((f.ce + 1.0) / (t.te + {_V3_NB_B}))
+                       - ln((f.co + 1.0) / (t.tco + {_V3_NB_B}))) * 1e6)
+                  AS BIGINT) AS llr_micro
+      FROM nb_fit f CROSS JOIN nb_tot t),
+    nb_doc AS MATERIALIZED (
+      SELECT s.doc_id,
+             CAST(sum(coalesce(l.llr_micro, 0))
+                  + (SELECT CAST(round((ln(ne + 1.0) - ln(no + 1.0)) * 1e6)
+                              AS BIGINT) FROM nb_tot)
+                  AS BIGINT) AS nb_micro
+      FROM (SELECT doc_id, bucket FROM bucketed WHERE doc_id % 2 = 1) s
+      LEFT JOIN llr l ON s.bucket = l.bucket
+      GROUP BY s.doc_id),
+    -- Kneser-Ney stage (fit even docs, score odd)
+    fit_bg AS (
+      SELECT x.t[i] AS w1, x.t[i+1] AS w2
+      FROM toks x, LATERAL (SELECT unnest(range(1, len(x.t))) AS i) ii
+      WHERE x.doc_id % 2 = 0 AND len(x.t) >= 2),
+    big AS MATERIALIZED (
+      SELECT w1, w2, count(*) AS c12 FROM fit_bg GROUP BY w1, w2),
+    w1s AS MATERIALIZED (
+      SELECT w1, sum(c12) AS c1, count(*) AS n1p FROM big GROUP BY w1),
+    w2c AS MATERIALIZED (
+      SELECT w2, count(*) AS nd FROM big GROUP BY w2),
+    kn_tot AS MATERIALIZED (
+      SELECT (SELECT count(*) FROM big) AS tt,
+             (SELECT count(DISTINCT w1) FROM (
+                SELECT w1 FROM big UNION ALL SELECT w2 FROM big) u(w1))
+               AS v),
+    sc_bg AS (
+      SELECT x.doc_id, x.t[i] AS w1, x.t[i+1] AS w2
+      FROM toks x, LATERAL (SELECT unnest(range(1, len(x.t))) AS i) ii
+      WHERE x.doc_id % 2 = 1 AND len(x.t) >= 2),
+    kn_doc AS MATERIALIZED (
+      SELECT s.doc_id,
+             CAST(count(*) AS BIGINT) AS n_bigrams,
+             CAST(sum(CAST(round(ln(
+               CASE WHEN w1s.c1 IS NULL
+                 THEN (coalesce(w2c.nd, 0) + 1.0) / (kt.tt + kt.v)
+                 ELSE greatest(4 * coalesce(big.c12, 0) - 3, 0)
+                        / (4.0 * w1s.c1)
+                      + (3.0 * w1s.n1p) / (4.0 * w1s.c1)
+                        * ((coalesce(w2c.nd, 0) + 1.0) / (kt.tt + kt.v))
+               END) * 1e6) AS BIGINT)) AS BIGINT) AS kn_micro
+      FROM sc_bg s
+      LEFT JOIN big ON s.w1 = big.w1 AND s.w2 = big.w2
+      LEFT JOIN w1s ON s.w1 = w1s.w1
+      LEFT JOIN w2c ON s.w2 = w2c.w2
+      CROSS JOIN kn_tot kt
+      GROUP BY s.doc_id),
+    -- gate (all-integer), dedup keepers, stratified fold
+    survivors AS MATERIALIZED (
+      SELECT d.doc_id, d.source, d.lang, d.n_chars
+      FROM documents d
+      JOIN nb_doc nb ON d.doc_id = nb.doc_id
+      JOIN kn_doc kn ON d.doc_id = kn.doc_id
+      WHERE d.doc_id % 2 = 1
+        AND nb.nb_micro > 0
+        AND kn.kn_micro >= {_V3_KN_FLOOR} * kn.n_bigrams),
+    fp AS (
+      SELECT s.doc_id, s.source, s.lang, s.n_chars,
+             {fingerprint_sql('x.t')} AS fp
+      FROM survivors s JOIN toks x ON s.doc_id = x.doc_id),
+    kept AS MATERIALIZED (
+      SELECT doc_id, source, lang, n_chars
+      FROM (SELECT *, min(doc_id) OVER (PARTITION BY fp) AS keeper FROM fp)
+      WHERE doc_id = keeper),
+    folded AS (
+      SELECT source, lang, n_chars,
+             CAST((row_number() OVER (
+                     PARTITION BY lang
+                     ORDER BY md5('skfold|' || CAST(doc_id AS VARCHAR)),
+                              doc_id) - 1) % 5 AS INT) AS fold
+      FROM kept),
+    odd_totals AS (
+      SELECT source, count(*) AS odd_n FROM documents
+      WHERE doc_id % 2 = 1 GROUP BY source)
+    SELECT f.source, f.fold,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(f.n_chars) AS BIGINT) AS n_chars,
+           round(CAST(sum(count(*)) OVER (PARTITION BY f.source) AS DOUBLE)
+                 / max(ot.odd_n), 6) AS source_retention
+    FROM folded f JOIN odd_totals ot ON f.source = ot.source
+    GROUP BY f.source, f.fold
+"""
+
+
+@register(
+    "curation_pipeline_v3",
+    _v3_sql(),
+    "round-5 curation composite — every stage the production operator, "
+    "chained lazily: (1) Naive Bayes domain gate (hashed-gram LLR + "
+    "prior, integer micro-units, fit on the historical/even half), "
+    "(2) Kneser-Ney perplexity floor (avg bigram logP >= -8, enforced "
+    "as the INTEGER inequality kn_micro >= floor*n so no float enters "
+    "the gate), (3) exact-dedup keeper selection on the survivors, "
+    "(4) stratified 5-fold assignment (partitioned rank window), "
+    "(5) per-(source, fold) export counts with per-source retention. "
+    "One corpus tokenization feeds every stage; the fold window runs "
+    "on the kept set only",
+)
+def curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jigsaw_spark.functions.hashing import md5_key
+    from jigsaw_spark.operators.dedup import exact_dedup
+    from jigsaw_spark.plans.queries_r7 import ml_nbayes_classify, text_kneser_ney
+
+    docs = _t(spark, sf_dir, "documents")
+    nb = ml_nbayes_classify(spark, sf_dir).select(
+        "doc_id", F.col("score_micro").alias("nb_micro")
+    )
+    kn = text_kneser_ney(spark, sf_dir).select(
+        "doc_id", F.col("logp_micro").alias("kn_micro"), "n_bigrams"
+    )
+    survivors = (
+        docs.filter(F.col("doc_id") % 2 == 1)
+        .join(nb, "doc_id")
+        .join(kn, "doc_id")
+        .filter(
+            (F.col("nb_micro") > 0)
+            & (F.col("kn_micro") >= _V3_KN_FLOOR * F.col("n_bigrams"))
+        )
+        .select("doc_id", "text", "source", "lang", "n_chars")
+    )
+    kept = (
+        exact_dedup(survivors, "doc_id")
+        .filter(~F.col("is_dup"))
+        .select("doc_id", "source", "lang", "n_chars")
+    )
+    w = Window.partitionBy("lang").orderBy(
+        md5_key(F.col("doc_id"), seed="skfold"), "doc_id"
+    )
+    folded = kept.select(
+        "source",
+        "n_chars",
+        ((F.row_number().over(w) - 1) % 5).cast("int").alias("fold"),
+    )
+    odd_totals = (
+        docs.filter(F.col("doc_id") % 2 == 1)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("odd_n"))
+    )
+    per_fold = folded.groupBy("source", "fold").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("n_chars"),
+    )
+    return (
+        per_fold.join(F.broadcast(odd_totals), "source")
+        .select(
+            "source",
+            "fold",
+            "n_docs",
+            "n_chars",
+            F.round(
+                F.sum("n_docs").over(Window.partitionBy("source")).cast(
+                    "double"
+                )
+                / F.col("odd_n"),
+                6,
+            ).alias("source_retention"),
+        )
+    )

@@ -90,6 +90,9 @@ ALL_PAIRS_OK = {
     "agg_bitmap_overlap",
     # 1-row grand-total dim crossed into the |types|x2 contingency dim
     "ab_chi2_independence",
+    # composes the NB + KN stages, inheriting their 1-row totals/prior
+    # broadcast crosses (see ml_nbayes_classify / text_kneser_ney)
+    "curation_pipeline_v3",
 }
 # queries expected to push a filter into the parquet scan
 EXPECT_PUSHDOWN = {
