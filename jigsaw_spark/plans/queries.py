@@ -1637,6 +1637,9 @@ _CERTIFICATION_PRIORITY = [
     "rel_attribution_linear",
     "j9_interval_overlap",
     "curation_pipeline_v3",
+    "ts_best_changepoint",
+    "stream_sliding_topk",
+    "layout_manifest_prune",
     # driver-certified green in r1-r4 (187 rows) — rotate to the back
     "text_entropy",
     "agg_mad_outliers",

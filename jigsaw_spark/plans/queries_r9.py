@@ -479,3 +479,312 @@ def curation_pipeline_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("source_retention"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ts_best_changepoint
+# ---------------------------------------------------------------------------
+
+_BCP_SQL = """
+    WITH daily AS (
+      SELECT event_type,
+             CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day_id,
+             sum(CAST(round(value * 100, 0) AS BIGINT)) AS y
+      FROM events GROUP BY 1, 2),
+    pre AS (
+      SELECT event_type, day_id, y,
+             row_number() OVER w AS i,
+             count(*) OVER (PARTITION BY event_type) AS n,
+             sum(CAST(y AS DECIMAL(38,0))) OVER w AS cs,
+             sum(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))
+               OVER w AS cs2,
+             sum(CAST(y AS DECIMAL(38,0)))
+               OVER (PARTITION BY event_type) AS ts_,
+             sum(CAST(y AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))
+               OVER (PARTITION BY event_type) AS ts2
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day_id
+                   ROWS UNBOUNDED PRECEDING)),
+    cand AS (
+      SELECT event_type, day_id, i, n,
+             round(round(
+               CAST(cs AS DOUBLE) * CAST(cs AS DOUBLE) / i
+               + (CAST(ts_ AS DOUBLE) - CAST(cs AS DOUBLE))
+                 * (CAST(ts_ AS DOUBLE) - CAST(cs AS DOUBLE)) / (n - i)
+               - CAST(ts_ AS DOUBLE) * CAST(ts_ AS DOUBLE) / n, 6), 2)
+               AS gain_cents2
+      FROM pre WHERE i < n),
+    best AS (
+      SELECT event_type, day_id, gain_cents2,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY gain_cents2 DESC, day_id) AS rn
+      FROM cand)
+    SELECT event_type,
+           CAST(day_id AS BIGINT) AS split_day,
+           round(gain_cents2 / 10000.0, 2) AS gain_dollars2
+    FROM best WHERE rn = 1
+"""
+
+
+@register(
+    "ts_best_changepoint",
+    _BCP_SQL,
+    "single change-point detection per event type (the binary-"
+    "segmentation inner step, CUSUM's offline twin): the split day "
+    "maximizing the between-segment SSE reduction gain(t) = "
+    "SL^2/t + SR^2/(n-t) - S^2/n, computed from EXACT decimal(38,0) "
+    "prefix sums over the per-(type,day) aggregate — every window is "
+    "partitioned by type on the calendar-bounded day dim. The gain is "
+    "one shared double expression double-round-snapped (6 then 2 "
+    "cents^2 digits) so the argmax is engine-stable; ties break on "
+    "the earlier day",
+)
+def ts_best_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type",
+        (F.unix_micros("ts") / F.lit(86400000000)).cast("bigint").alias(
+            "day_id"
+        ),
+    ).agg(F.sum(F.round(F.col("value") * 100, 0).cast("bigint")).alias("y"))
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    wo = (
+        Window.partitionBy("event_type")
+        .orderBy("day_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wt = Window.partitionBy("event_type")
+    pre = daily.select(
+        "event_type",
+        "day_id",
+        F.row_number().over(Window.partitionBy("event_type").orderBy("day_id")).alias("i"),
+        F.count(F.lit(1)).over(wt).alias("n"),
+        F.sum(d(F.col("y"))).over(wo).alias("cs"),
+        F.sum(d(F.col("y"))).over(wt).alias("ts_"),
+    )
+    cs, ts_ = F.col("cs").cast("double"), F.col("ts_").cast("double")
+    i, n = F.col("i"), F.col("n")
+    gain = F.round(
+        F.round(
+            cs * cs / i + (ts_ - cs) * (ts_ - cs) / (n - i) - ts_ * ts_ / n,
+            6,
+        ),
+        2,
+    )
+    cand = pre.filter(i < n).select(
+        "event_type", "day_id", gain.alias("gain_cents2")
+    )
+    best = cand.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("event_type").orderBy(
+                F.desc("gain_cents2"), "day_id"
+            )
+        ),
+    ).filter(F.col("rn") == 1)
+    return best.select(
+        "event_type",
+        F.col("day_id").cast("bigint").alias("split_day"),
+        F.round(F.col("gain_cents2") / 10000.0, 2).alias("gain_dollars2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# stream_sliding_topk
+# ---------------------------------------------------------------------------
+
+_STK_SQL = """
+    WITH w AS (
+      SELECT CAST(time_bucket(INTERVAL 6 HOUR, ts) AS TIMESTAMP) AS wstart,
+             event_type, count(*) AS n
+      FROM events GROUP BY 1, 2),
+    r AS (
+      SELECT wstart, event_type, n,
+             row_number() OVER (PARTITION BY wstart
+                                ORDER BY n DESC, event_type) AS rank
+      FROM w)
+    SELECT wstart, event_type, CAST(n AS BIGINT) AS n,
+           CAST(rank AS INT) AS rank
+    FROM r WHERE rank <= 3
+"""
+
+
+@register(
+    "stream_sliding_topk",
+    _STK_SQL,
+    "streaming trending-now: per 6-hour tumbling window, the top-3 "
+    "event types by count. The STREAM side runs one windowed count "
+    "(the only stateful operator — the rank is applied to the drained "
+    "complete-mode table as a batch transform, respecting the "
+    "single-stateful-agg discipline); ties break on event_type so the "
+    "top-3 is total. At production volumes the window state is "
+    "|types| rows per open window — KB scale",
+)
+def stream_sliding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from jigsaw_spark.plans.queries_streaming import _state_partitions
+    from jigsaw_spark.streaming.ingest import read_event_stream
+
+    stream = read_event_stream(spark, sf_dir, glob="events.parquet")
+    counts = stream.groupBy(
+        F.window("ts", "6 hours").alias("w"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    name = f"stream_topk_{uuid.uuid4().hex[:8]}"
+    with _state_partitions(spark):
+        q = (
+            counts.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    drained = spark.table(name).select(
+        F.col("w.start").alias("wstart"), "event_type", "n"
+    )
+    r = drained.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("wstart").orderBy(F.desc("n"), "event_type")
+        ),
+    )
+    return r.filter(F.col("rank") <= 3).select(
+        "wstart",
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# layout_manifest_prune
+# ---------------------------------------------------------------------------
+
+_LMP_SQL = """
+    WITH keyed AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+             ('0x' || substr(md5('file|' || CAST(o_orderkey AS VARCHAR)),
+                             1, 12))::UBIGINT % 64 AS file_id
+      FROM orders),
+    manifest AS MATERIALIZED (
+      SELECT file_id, count(*) AS n_rows,
+             min(o_custkey) AS ck_min, max(o_custkey) AS ck_max,
+             min(cents) AS c_min, max(cents) AS c_max
+      FROM keyed GROUP BY file_id),
+    zkeyed AS (
+      SELECT o_orderkey, o_custkey, cents,
+             CAST(o_custkey % 256 AS BIGINT) * 256
+               + CAST(cents % 256 AS BIGINT) AS zf,
+             o_custkey // 200 AS file_id
+      FROM keyed),
+    zmanifest AS MATERIALIZED (
+      SELECT file_id, count(*) AS n_rows,
+             min(o_custkey) AS ck_min, max(o_custkey) AS ck_max,
+             min(cents) AS c_min, max(cents) AS c_max
+      FROM zkeyed GROUP BY file_id),
+    preds AS (
+      SELECT * FROM (VALUES
+        ('custkey_100_300', 100, 300, NULL, NULL),
+        ('price_50k_60k', NULL, NULL, 5000000, 6000000),
+        ('both', 100, 300, 5000000, 6000000))
+        p(pred, ck_lo, ck_hi, c_lo, c_hi)),
+    eval_ AS (
+      SELECT p.pred, lay.layout, lay.file_id, lay.n_rows,
+             CASE WHEN (p.ck_lo IS NULL
+                        OR (lay.ck_max >= p.ck_lo AND lay.ck_min <= p.ck_hi))
+                   AND (p.c_lo IS NULL
+                        OR (lay.c_max >= p.c_lo AND lay.c_min <= p.c_hi))
+                  THEN 1 ELSE 0 END AS scanned
+      FROM preds p CROSS JOIN (
+        SELECT 'hash' AS layout, * FROM manifest
+        UNION ALL
+        SELECT 'clustered' AS layout, * FROM zmanifest) lay)
+    SELECT pred, layout,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(scanned) AS BIGINT) AS files_scanned,
+           CAST(sum(CASE WHEN scanned = 1 THEN n_rows ELSE 0 END) AS BIGINT)
+             AS rows_scanned
+    FROM eval_ GROUP BY pred, layout
+"""
+
+
+@register(
+    "layout_manifest_prune",
+    _LMP_SQL,
+    "file-skipping simulation — WHY the layout queries exist: the same "
+    "orders land in 64 files twice (random md5 placement vs custkey-"
+    "clustered placement), a per-file min/max manifest is computed for "
+    "each, and three predicates are evaluated against the manifests "
+    "alone. The clustered layout prunes most files on its cluster "
+    "key while random placement scans everything — the Iceberg/Delta "
+    "manifest arithmetic as an auditable query. All exact integers; "
+    "manifests are |files|-row dims",
+)
+def layout_manifest_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    keyed = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        cents.alias("cents"),
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("file|"), F.col("o_orderkey").cast("string")
+                        )
+                    ),
+                    1,
+                    12,
+                ),
+                16,
+                10,
+            ).cast("bigint"),
+            F.lit(64),
+        ).alias("file_id"),
+    )
+
+    def manifest(df):
+        return df.groupBy("file_id").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("o_custkey").alias("ck_min"),
+            F.max("o_custkey").alias("ck_max"),
+            F.min("cents").alias("c_min"),
+            F.max("cents").alias("c_max"),
+        )
+
+    m_hash = manifest(keyed).withColumn("layout", F.lit("hash"))
+    m_clus = manifest(
+        keyed.withColumn("file_id", F.expr("o_custkey div 200"))
+    ).withColumn("layout", F.lit("clustered"))
+    lay = m_hash.unionByName(m_clus)
+    preds = keyed.sparkSession.createDataFrame(
+        [
+            ("custkey_100_300", 100, 300, None, None),
+            ("price_50k_60k", None, None, 5000000, 6000000),
+            ("both", 100, 300, 5000000, 6000000),
+        ],
+        "pred string, ck_lo bigint, ck_hi bigint, c_lo bigint, c_hi bigint",
+    )
+    scanned = F.when(
+        (
+            F.col("ck_lo").isNull()
+            | ((F.col("ck_max") >= F.col("ck_lo")) & (F.col("ck_min") <= F.col("ck_hi")))
+        )
+        & (
+            F.col("c_lo").isNull()
+            | ((F.col("c_max") >= F.col("c_lo")) & (F.col("c_min") <= F.col("c_hi")))
+        ),
+        1,
+    ).otherwise(0)
+    ev = preds.crossJoin(F.broadcast(lay)).withColumn("scanned", scanned)
+    return ev.groupBy("pred", "layout").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_files"),
+        F.sum("scanned").cast("bigint").alias("files_scanned"),
+        F.sum(F.when(F.col("scanned") == 1, F.col("n_rows")).otherwise(0))
+        .cast("bigint")
+        .alias("rows_scanned"),
+    )

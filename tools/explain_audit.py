@@ -93,6 +93,9 @@ ALL_PAIRS_OK = {
     # composes the NB + KN stages, inheriting their 1-row totals/prior
     # broadcast crosses (see ml_nbayes_classify / text_kneser_ney)
     "curation_pipeline_v3",
+    # 3-row predicate dim crossed into the |files|-row manifest dims —
+    # the whole evaluation runs on manifests, never the fact table
+    "layout_manifest_prune",
 }
 # queries expected to push a filter into the parquet scan
 EXPECT_PUSHDOWN = {
