@@ -158,3 +158,82 @@ def test_interval_overlap_bounded_by_session_span(spark):
     assert rows
     for r in rows:
         assert 0 <= r["overlap_secs"] <= r["n_windows"] * 8 * 3600 + 1
+
+
+def test_changepoint_matches_brute_force(spark):
+    """The windowed argmax must equal a Python scan over every split."""
+    import collections
+
+    from jigsaw_spark.session import load_table
+
+    ev = load_table(spark, SF, "events").select(
+        "event_type",
+        (F.unix_micros("ts") / F.lit(86400000000)).cast("bigint").alias("d"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("c"),
+    )
+    daily: dict[str, dict[int, int]] = collections.defaultdict(
+        lambda: collections.defaultdict(int)
+    )
+    for r in ev.collect():
+        daily[r["event_type"]][r["d"]] += r["c"]
+
+    got = {
+        r["event_type"]: (r["split_day"], r["gain_dollars2"])
+        for r in entrymod.queries()["ts_best_changepoint"](spark, SF).collect()
+    }
+    for etype, series in daily.items():
+        days = sorted(series)
+        ys = [series[d] for d in days]
+        n, tot = len(ys), float(sum(ys))
+        best = None
+        cs = 0
+        for i in range(1, n):
+            cs += ys[i - 1]
+            # replicate Spark's IEEE operation order exactly: double(cs)
+            # squared, not exact-int-then-divide (they differ in ulps)
+            cf = float(cs)
+            gain = round(
+                round(
+                    cf * cf / i + (tot - cf) * (tot - cf) / (n - i)
+                    - tot * tot / n,
+                    6,
+                ),
+                2,
+            )
+            if best is None or (-gain, days[i - 1]) < best:
+                best = (-gain, days[i - 1])
+        exp_day = best[1]
+        exp_gain = round(-best[0] / 10000.0, 2)
+        assert got[etype] == (exp_day, exp_gain), etype
+
+
+def test_manifest_prune_clustered_beats_hash(spark):
+    # sf0.01: the smoke SF has only ~150 custkeys, which collapses the
+    # div-200 clustered layout to a single file — no pruning to observe
+    sf = "/root/testdata/sf0.01"
+    rows = entrymod.queries()["layout_manifest_prune"](spark, sf).collect()
+    by = {(r["pred"], r["layout"]): r for r in rows}
+    assert len(by) == 6
+    # the clustered layout must prune files on its cluster key; random
+    # placement scans everything (min/max spans the whole domain)
+    ck = by[("custkey_100_300", "clustered")]
+    h = by[("custkey_100_300", "hash")]
+    assert ck["files_scanned"] < ck["n_files"]
+    assert h["files_scanned"] == h["n_files"]
+    assert ck["rows_scanned"] < h["rows_scanned"]
+    # pruning is SOUND: scanned rows always cover the true matches
+    orders = spark.read.parquet(f"{sf}/orders.parquet")
+    true_matches = orders.filter(
+        (F.col("o_custkey") >= 100) & (F.col("o_custkey") <= 300)
+    ).count()
+    assert ck["rows_scanned"] >= true_matches
+
+
+def test_stream_sliding_topk_ranks_are_dense(spark):
+    rows = entrymod.queries()["stream_sliding_topk"](spark, SF).collect()
+    assert rows
+    by_w: dict = {}
+    for r in rows:
+        by_w.setdefault(r["wstart"], []).append(r["rank"])
+    for w, ranks in by_w.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), w

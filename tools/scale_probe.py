@@ -95,6 +95,22 @@ PROBES = [
     "ml_nbayes_classify",
     "ts_holt_exact",
     "graph_two_hop",
+    # round-5 batches 2-3: bitmap algebra (corpus -> KB bitmap dim),
+    # Hilbert walk (map-only + one agg), BFS (LSH edge growth is the
+    # hard direction, like two_hop), attribution (user-keyed joins,
+    # per-user fan-out fixed under replication), interval overlap
+    # (bounded day chop), the v3 composite (NB+KN+dedup+fold chained),
+    # changepoint (day-dim windows), manifest prune (manifest dims)
+    "agg_log2_histogram",
+    "agg_bitmap_overlap",
+    "layout_hilbert",
+    "graph_bfs_layers",
+    "rel_attribution_linear",
+    "j9_interval_overlap",
+    "curation_pipeline_v3",
+    "ts_best_changepoint",
+    "p_stratified_kfold",
+    "layout_manifest_prune",
 ]
 
 TABLES = [
