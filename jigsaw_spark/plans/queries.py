@@ -1542,6 +1542,9 @@ from jigsaw_spark.plans import queries_r6  # noqa: E402,F401
 from jigsaw_spark.plans import queries_r7  # noqa: E402,F401
 from jigsaw_spark.plans import queries_r8  # noqa: E402,F401
 from jigsaw_spark.plans import queries_r9  # noqa: E402,F401
+from jigsaw_spark.plans import queries_r10  # noqa: E402,F401
+from jigsaw_spark.plans import queries_r11  # noqa: E402,F401
+from jigsaw_spark.plans import queries_r12  # noqa: E402,F401
 
 
 # ---------------------------------------------------------------------------
@@ -1640,6 +1643,21 @@ _CERTIFICATION_PRIORITY = [
     "ts_best_changepoint",
     "stream_sliding_topk",
     "layout_manifest_prune",
+    "graph_triangles",
+    "graph_neighbor_jaccard",
+    "rel_item_cooccurrence",
+    "ts_autocorr",
+    "p_systematic_sample",
+    "text_readability",
+    "privacy_tcloseness",
+    "ml_confusion_metrics",
+    "ts_twap",
+    "layout_compaction_bins",
+    "ml_knn_classify",
+    "graph_kcore",
+    "dq_column_profile",
+    "ab_mann_whitney_u",
+    "ml_tree_depth2",
     # driver-certified green in r1-r4 (187 rows) — rotate to the back
     "text_entropy",
     "agg_mad_outliers",
