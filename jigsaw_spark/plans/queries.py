@@ -1545,6 +1545,7 @@ from jigsaw_spark.plans import queries_r9  # noqa: E402,F401
 from jigsaw_spark.plans import queries_r10  # noqa: E402,F401
 from jigsaw_spark.plans import queries_r11  # noqa: E402,F401
 from jigsaw_spark.plans import queries_r12  # noqa: E402,F401
+from jigsaw_spark.plans import queries_r13  # noqa: E402,F401
 
 
 # ---------------------------------------------------------------------------
@@ -1658,6 +1659,11 @@ _CERTIFICATION_PRIORITY = [
     "dq_column_profile",
     "ab_mann_whitney_u",
     "ml_tree_depth2",
+    "agg_percentile_exact",
+    "ml_ols_2feature",
+    "p_negative_sampling",
+    "dq_uniqueness_keys",
+    "p_class_balance_resample",
     # driver-certified green in r1-r4 (187 rows) — rotate to the back
     "text_entropy",
     "agg_mad_outliers",
