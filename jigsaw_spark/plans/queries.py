@@ -1546,6 +1546,7 @@ from jigsaw_spark.plans import queries_r10  # noqa: E402,F401
 from jigsaw_spark.plans import queries_r11  # noqa: E402,F401
 from jigsaw_spark.plans import queries_r12  # noqa: E402,F401
 from jigsaw_spark.plans import queries_r13  # noqa: E402,F401
+from jigsaw_spark.plans import queries_r14  # noqa: E402,F401
 
 
 # ---------------------------------------------------------------------------
@@ -1664,6 +1665,11 @@ _CERTIFICATION_PRIORITY = [
     "p_negative_sampling",
     "dq_uniqueness_keys",
     "p_class_balance_resample",
+    "graph_assortativity",
+    "graph_modularity",
+    "ts_theil_sen",
+    "rel_markov_transitions",
+    "ts_anomaly_iqr",
     # driver-certified green in r1-r4 (187 rows) — rotate to the back
     "text_entropy",
     "agg_mad_outliers",

@@ -96,6 +96,25 @@ ALL_PAIRS_OK = {
     # 3-row predicate dim crossed into the |files|-row manifest dims —
     # the whole evaluation runs on manifests, never the fact table
     "layout_manifest_prune",
+    # 1-row basket-count scalar crossed into the pair aggregate
+    "rel_item_cooccurrence",
+    # segments x buckets grid build (5 x ~11 dim cross) + 1-row m/n
+    # scalars crossed into the |segments|-row EMD aggregate
+    "privacy_tcloseness",
+    # composes ml_nbayes_classify, inheriting its 1-row totals/prior
+    # broadcast crosses; the confusion agg itself is equi-joined
+    "ml_confusion_metrics",
+    # the documented brute-force kNN shape: the 10-row query set
+    # broadcast-crossed against the candidate corpus (O(|Q| * n) with
+    # |Q| fixed), same class as ann_cosine_topk
+    "ml_knn_classify",
+    # 1-row root-threshold dim crossed back into the fact scan (side
+    # assignment) and into the final 2-row report
+    "ml_tree_depth2",
+    # 1-row id-space scalar crossed into the candidate generator
+    "p_negative_sampling",
+    # 1-row majority-target scalar crossed into the per-class rank
+    "p_class_balance_resample",
 }
 # queries expected to push a filter into the parquet scan
 EXPECT_PUSHDOWN = {
@@ -149,6 +168,10 @@ GLOBAL_WINDOW_OK = {
     "ml_auc_exact",
     # prefix/total/argmin windows over the distinct-p_size dim (50 rows)
     "ml_best_split",
+    # same shape one level deeper: the ROOT split's prefix/total/argmin
+    # windows run over the distinct-p_size dim (~50 rows); child-level
+    # windows partition by side
+    "ml_tree_depth2",
     # lag/lead anchors over the 50-bucket stats dim
     "ts_lttb_fixed",
 }
