@@ -1547,6 +1547,10 @@ from jigsaw_spark.plans import queries_r11  # noqa: E402,F401
 from jigsaw_spark.plans import queries_r12  # noqa: E402,F401
 from jigsaw_spark.plans import queries_r13  # noqa: E402,F401
 from jigsaw_spark.plans import queries_r14  # noqa: E402,F401
+from jigsaw_spark.plans import queries_r15  # noqa: E402,F401
+from jigsaw_spark.plans import queries_r16  # noqa: E402,F401
+from jigsaw_spark.plans import queries_r17  # noqa: E402,F401
+from jigsaw_spark.plans import queries_r18  # noqa: E402,F401
 
 
 # ---------------------------------------------------------------------------
@@ -1670,6 +1674,23 @@ _CERTIFICATION_PRIORITY = [
     "ts_theil_sen",
     "rel_markov_transitions",
     "ts_anomaly_iqr",
+    "rel_gaps_islands",
+    "agg_mode_exact",
+    "w12_running_distinct",
+    "ml_target_encode_loo",
+    "ts_wow_growth",
+    "agg_skew_salted_distinct",
+    "rel_hierarchy_rollup",
+    "ab_sprt_crossing",
+    "ml_pr_curve",
+    "p_rolling_origin_cv",
+    "dq_ks_2sample",
+    "dq_skew_report",
+    "rel_dow_hour_matrix",
+    "ts_m4_downsample",
+    "rel_fifo_match",
+    "dq_freshness",
+    "ml_boost_2rounds",
     # driver-certified green in r1-r4 (187 rows) — rotate to the back
     "text_entropy",
     "agg_mad_outliers",

@@ -115,6 +115,16 @@ ALL_PAIRS_OK = {
     "p_negative_sampling",
     # 1-row majority-target scalar crossed into the per-class rank
     "p_class_balance_resample",
+    # composes ml_nbayes_classify (1-row totals/prior crosses)
+    "ml_pr_curve",
+    # 1-row freshness-frontier scalar crossed into the |types| dim
+    "dq_freshness",
+    # 1-row best-split dim broadcast back into the fact scan (residual
+    # computation), once per boosting round
+    "ml_boost_2rounds",
+    # 4-row fold dim (from a 1-row span scalar) crossed into the scan
+    # with one conditional agg — fan-out is the constant fold count
+    "p_rolling_origin_cv",
 }
 # queries expected to push a filter into the parquet scan
 EXPECT_PUSHDOWN = {
@@ -172,6 +182,14 @@ GLOBAL_WINDOW_OK = {
     # windows run over the distinct-p_size dim (~50 rows); child-level
     # windows partition by side
     "ml_tree_depth2",
+    # cumulative tp/fp over the distinct-SCORE dim, the ml_auc_exact
+    # shape; at production scale thresholds would be quantized to a
+    # fixed grid (the curve consumer never needs per-double points)
+    "ml_pr_curve",
+    # per-round prefix/total/argmax windows over the distinct-value
+    # feature dims (~50 quantities / ~11 discount ticks), the
+    # ml_best_split shape twice
+    "ml_boost_2rounds",
     # lag/lead anchors over the 50-bucket stats dim
     "ts_lttb_fixed",
 }
