@@ -1551,6 +1551,7 @@ from jigsaw_spark.plans import queries_r15  # noqa: E402,F401
 from jigsaw_spark.plans import queries_r16  # noqa: E402,F401
 from jigsaw_spark.plans import queries_r17  # noqa: E402,F401
 from jigsaw_spark.plans import queries_r18  # noqa: E402,F401
+from jigsaw_spark.plans import queries_r19  # noqa: E402,F401
 
 
 # ---------------------------------------------------------------------------
@@ -1691,6 +1692,8 @@ _CERTIFICATION_PRIORITY = [
     "rel_fifo_match",
     "dq_freshness",
     "ml_boost_2rounds",
+    "rel_pareto_abc",
+    "j11_bucketed_join",
     # driver-certified green in r1-r4 (187 rows) — rotate to the back
     "text_entropy",
     "agg_mad_outliers",
