@@ -119,6 +119,12 @@ ALL_PAIRS_OK = {
     "ml_pr_curve",
     # 1-row freshness-frontier scalar crossed into the |types| dim
     "dq_freshness",
+    # 1-row anchor-means scalar crossed into the edge-sample moment agg
+    "graph_assortativity",
+    # 1-row pair-count (m) scalar crossed into the |components| dim
+    "graph_modularity",
+    # 1-row global-prior scalar crossed into the map-only encode
+    "ml_target_encode_loo",
     # 1-row best-split dim broadcast back into the fact scan (residual
     # computation), once per boosting round
     "ml_boost_2rounds",
