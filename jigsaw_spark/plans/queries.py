@@ -1552,6 +1552,7 @@ from jigsaw_spark.plans import queries_r16  # noqa: E402,F401
 from jigsaw_spark.plans import queries_r17  # noqa: E402,F401
 from jigsaw_spark.plans import queries_r18  # noqa: E402,F401
 from jigsaw_spark.plans import queries_r19  # noqa: E402,F401
+from jigsaw_spark.plans import queries_r20  # noqa: E402,F401
 
 
 # ---------------------------------------------------------------------------
@@ -1694,6 +1695,8 @@ _CERTIFICATION_PRIORITY = [
     "ml_boost_2rounds",
     "rel_pareto_abc",
     "j11_bucketed_join",
+    "stream_lateness_audit",
+    "ml_learning_curve",
     # driver-certified green in r1-r4 (187 rows) — rotate to the back
     "text_entropy",
     "agg_mad_outliers",

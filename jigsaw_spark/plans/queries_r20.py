@@ -1,0 +1,330 @@
+"""Round-5 batch 14: watermark design input and learning curves —
+
+- ``stream_lateness_audit``: the batch replay that sizes a streaming
+  watermark — per event type, how late events arrive relative to the
+  running frontier (arrival order proxied by event_id), with counts
+  beyond the 5-minute and 1-hour candidate watermarks and the maximum
+  observed lateness. This is the analysis run BEFORE choosing
+  ``withWatermark``: too tight drops events (the counts quantify how
+  many), too loose bloats state.
+- ``ml_learning_curve``: classifier accuracy vs training-set size for
+  the Naive Bayes gate — fits on the md5-first 25/50/75/100% of the
+  fit half in ONE gram pass: per-(bucket, quartile) counts roll up
+  through a cumulative window, so the four fits are four cumsum
+  slices of one aggregate, and scoring fans the held-out grams out
+  x4 against the (bucket, k) LLR dim. The "do we need more data"
+  curve every curation loop consults.
+
+Float discipline: LLRs snap to integer micro-units per (bucket, k)
+(the NB/DSIR discipline); lateness and accuracy are exact integers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from jigsaw_spark.plans.queries import _t, register
+
+# ---------------------------------------------------------------------------
+# stream_lateness_audit
+# ---------------------------------------------------------------------------
+
+_LATE_SQL = """
+    WITH e AS (
+      SELECT event_type, epoch_us(ts) AS x, event_id
+      FROM events),
+    run AS (
+      SELECT event_type,
+             max(x) OVER (PARTITION BY event_type ORDER BY event_id
+                          ROWS UNBOUNDED PRECEDING) - x AS late_us
+      FROM e)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN late_us > 300000000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_late_5m,
+           CAST(sum(CASE WHEN late_us > 3600000000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_late_1h,
+           CAST(max(late_us) AS BIGINT) AS max_late_us
+    FROM run GROUP BY event_type
+"""
+
+
+@register(
+    "stream_lateness_audit",
+    _LATE_SQL,
+    "watermark sizing input — the batch replay of streaming lateness: "
+    "per event type, each event's lag behind the running event-time "
+    "frontier (arrival order proxied by the monotone event_id), with "
+    "drop counts at the 5-minute and 1-hour candidate watermarks and "
+    "the max observed lateness. Run BEFORE choosing withWatermark: "
+    "the counts are exactly the events a given watermark would drop, "
+    "the max bounds the state-retention horizon. One type-partitioned "
+    "running-max window + one agg; all integer microseconds",
+)
+def stream_lateness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type", F.unix_micros("ts").alias("x"), "event_id"
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    run = e.select(
+        "event_type", (F.max("x").over(w) - F.col("x")).alias("late_us")
+    )
+    return run.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.when(F.col("late_us") > 300000000, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_late_5m"),
+        F.sum(F.when(F.col("late_us") > 3600000000, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_late_1h"),
+        F.max("late_us").cast("bigint").alias("max_late_us"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ml_learning_curve
+# ---------------------------------------------------------------------------
+
+_LC_B = 4096  # hashed-gram buckets (the NB/DSIR bucket count)
+
+
+def _lc_sql() -> str:
+    from jigsaw_spark.operators.text import tokens_sql
+
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, CAST(lang = 'en' AS INT) AS is_en,
+             {tokens_sql('text')} AS t
+      FROM documents),
+    grams AS (
+      SELECT doc_id, is_en, unnest(t) AS gram FROM toks
+      UNION ALL
+      SELECT doc_id, is_en, t[i] || ' ' || t[i+1] AS gram
+      FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i) ii
+      WHERE len(t) >= 2),
+    bucketed AS MATERIALIZED (
+      SELECT doc_id, is_en,
+             ('0x' || substr(md5(gram), 1, 12))::UBIGINT % {_LC_B} AS bucket
+      FROM grams),
+    evens AS MATERIALIZED (
+      SELECT doc_id, CAST(lang = 'en' AS INT) AS is_en,
+             CAST(((row_number() OVER (
+                      ORDER BY md5('lc|' || CAST(doc_id AS VARCHAR)),
+                               doc_id) - 1) * 4)
+                  // (count(*) OVER ()) AS INT) + 1 AS quartile
+      FROM documents
+      WHERE doc_id % 2 = 0),
+    fitg AS (
+      SELECT b.bucket, e.quartile, b.is_en
+      FROM bucketed b JOIN evens e ON b.doc_id = e.doc_id),
+    qc AS (
+      SELECT bucket, quartile,
+             sum(CASE WHEN is_en = 1 THEN 1 ELSE 0 END) AS ce,
+             sum(CASE WHEN is_en = 1 THEN 0 ELSE 1 END) AS co
+      FROM fitg GROUP BY bucket, quartile),
+    cumc AS MATERIALIZED (
+      SELECT bucket, quartile AS k,
+             sum(ce) OVER w AS ce, sum(co) OVER w AS co
+      FROM qc WINDOW w AS (PARTITION BY bucket ORDER BY quartile
+                           ROWS UNBOUNDED PRECEDING)),
+    -- zero-fill: every (bucket-with-any-count, k) pair needs a row
+    grid AS (
+      SELECT b.bucket, kk.k,
+             coalesce((SELECT max(c.ce) FROM cumc c
+                       WHERE c.bucket = b.bucket AND c.k <= kk.k), 0) AS ce,
+             coalesce((SELECT max(c.co) FROM cumc c
+                       WHERE c.bucket = b.bucket AND c.k <= kk.k), 0) AS co
+      FROM (SELECT DISTINCT bucket FROM cumc) b
+      CROSS JOIN (SELECT unnest(range(1, 5)) AS k) kk),
+    tot AS MATERIALIZED (
+      SELECT g.k, sum(g.ce) AS te, sum(g.co) AS tco,
+             (SELECT sum(CASE WHEN e.is_en = 1 THEN 1 ELSE 0 END)
+              FROM evens e WHERE e.quartile <= g.k) AS ne,
+             (SELECT sum(CASE WHEN e.is_en = 1 THEN 0 ELSE 1 END)
+              FROM evens e WHERE e.quartile <= g.k) AS no
+      FROM grid g GROUP BY g.k),
+    llr AS MATERIALIZED (
+      SELECT g.bucket, g.k,
+             CAST(round((ln((g.ce + 1.0) / (t.te + {_LC_B}))
+                       - ln((g.co + 1.0) / (t.tco + {_LC_B}))) * 1e6)
+                  AS BIGINT) AS llr_micro
+      FROM grid g JOIN tot t ON g.k = t.k),
+    sc AS (
+      SELECT b.doc_id, b.is_en, b.bucket, kk.k
+      FROM bucketed b
+      CROSS JOIN (SELECT unnest(range(1, 5)) AS k) kk
+      WHERE b.doc_id % 2 = 1),
+    per_doc AS (
+      SELECT s.doc_id, s.k, any_value(s.is_en) AS is_en,
+             CAST(sum(coalesce(l.llr_micro, 0)) AS BIGINT) AS feat_micro
+      FROM sc s LEFT JOIN llr l ON s.bucket = l.bucket AND s.k = l.k
+      GROUP BY s.doc_id, s.k),
+    scored AS (
+      SELECT p.k, p.is_en,
+             CASE WHEN p.feat_micro
+                       + CAST(round((ln(t.ne + 1.0) - ln(t.no + 1.0)) * 1e6)
+                              AS BIGINT) > 0
+                  THEN 1 ELSE 0 END AS pred_en
+      FROM per_doc p JOIN tot t ON p.k = t.k)
+    SELECT CAST(k AS INT) AS k_quarters,
+           CAST(count(*) AS BIGINT) AS n_scored,
+           CAST(sum(CASE WHEN pred_en = is_en THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_correct,
+           CAST(sum(CASE WHEN pred_en = is_en THEN 1 ELSE 0 END) * 1000000
+                // count(*) AS BIGINT) AS accuracy_micro
+    FROM scored GROUP BY k
+"""
+
+
+@register(
+    "ml_learning_curve",
+    _lc_sql(),
+    "learning curve of the Naive Bayes gate — accuracy on the held-out "
+    "odd half after fitting on the md5-first 25/50/75/100% of the even "
+    "half. ONE gram pass serves all four fits: per-(bucket, quartile) "
+    "class counts roll up through a bucket-partitioned cumulative "
+    "window, so fit k is a cumsum slice; scoring fans held-out grams "
+    "x4 against the (bucket, k) LLR dim (integer micro-units, one "
+    "libm pair per dim row). Accuracy is exact integer counts + one "
+    "floor division. The 'do we need more data' curve every curation "
+    "loop consults; all heavy work is the single gram explode",
+)
+def ml_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jigsaw_spark.functions.hashing import md5_key
+    from jigsaw_spark.operators.samples import dsir_gram_buckets
+
+    docs = _t(spark, sf_dir, "documents")
+    bucketed = dsir_gram_buckets(docs, "doc_id", buckets=_LC_B).join(
+        docs.select(
+            "doc_id", (F.col("lang") == "en").cast("int").alias("is_en")
+        ),
+        "doc_id",
+    )
+    ev = docs.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id", (F.col("lang") == "en").cast("int").alias("is_en")
+    )
+    wq = Window.orderBy(md5_key(F.col("doc_id"), seed="lc"), "doc_id")
+    evens = ev.select(
+        "doc_id",
+        "is_en",
+        F.row_number().over(wq).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n_even"),
+    ).selectExpr(
+        "doc_id",
+        "is_en",
+        # integer floor division on both engines — a double `/` + cast
+        # would ROUND in DuckDB and TRUNCATE in Spark
+        "CAST(((rn - 1) * 4) div n_even AS INT) + 1 AS quartile",
+    )
+    fitg = bucketed.join(
+        evens.select("doc_id", "quartile"), "doc_id"
+    ).select("bucket", "quartile", "is_en")
+    qc = fitg.groupBy("bucket", "quartile").agg(
+        F.sum(F.when(F.col("is_en") == 1, 1).otherwise(0)).alias("ce"),
+        F.sum(F.when(F.col("is_en") == 1, 0).otherwise(1)).alias("co"),
+    )
+    wc = (
+        Window.partitionBy("bucket")
+        .orderBy("quartile")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cumc = qc.select(
+        "bucket",
+        F.col("quartile").alias("k"),
+        F.sum("ce").over(wc).alias("ce"),
+        F.sum("co").over(wc).alias("co"),
+    )
+    ks = spark.range(1, 5).select(F.col("id").cast("int").alias("k"))
+    # zero-fill: every (bucket, k) needs a row even when the bucket's
+    # first count arrives at a LATER quartile — the inequality must live
+    # in the join condition (a post-join filter would drop the
+    # unmatched-at-this-k rows and desync from the oracle's grid)
+    cumc2 = cumc.select(
+        F.col("bucket").alias("cb"),
+        F.col("k").alias("ck"),
+        F.col("ce").alias("cce"),
+        F.col("co").alias("cco"),
+    )
+    base = cumc.select("bucket").distinct().crossJoin(F.broadcast(ks))
+    grid = (
+        base.join(
+            cumc2,
+            (base["bucket"] == cumc2["cb"]) & (cumc2["ck"] <= base["k"]),
+            "left_outer",
+        )
+        .groupBy("bucket", "k")
+        .agg(
+            F.coalesce(F.max("cce"), F.lit(0)).alias("ce"),
+            F.coalesce(F.max("cco"), F.lit(0)).alias("co"),
+        )
+    )
+    etot = (
+        evens.crossJoin(F.broadcast(ks))
+        .filter(F.col("quartile") <= F.col("k"))
+        .groupBy("k")
+        .agg(
+            F.sum(F.when(F.col("is_en") == 1, 1).otherwise(0)).alias("ne"),
+            F.sum(F.when(F.col("is_en") == 1, 0).otherwise(1)).alias("no"),
+        )
+    )
+    btot = grid.groupBy("k").agg(
+        F.sum("ce").alias("te"), F.sum("co").alias("tco")
+    )
+    tot = btot.join(etot, "k")
+    llr = grid.join(F.broadcast(tot), "k").select(
+        "bucket",
+        "k",
+        F.round(
+            (
+                F.log((F.col("ce") + 1.0) / (F.col("te") + _LC_B))
+                - F.log((F.col("co") + 1.0) / (F.col("tco") + _LC_B))
+            )
+            * 1e6
+        )
+        .cast("bigint")
+        .alias("llr_micro"),
+    )
+    sc = (
+        bucketed.filter(F.col("doc_id") % 2 == 1)
+        .crossJoin(F.broadcast(ks))
+        .select("doc_id", "is_en", "bucket", "k")
+    )
+    per_doc = (
+        sc.join(F.broadcast(llr), ["bucket", "k"], "left_outer")
+        .groupBy("doc_id", "k")
+        .agg(
+            F.first("is_en").alias("is_en"),
+            F.sum(F.coalesce("llr_micro", F.lit(0)))
+            .cast("bigint")
+            .alias("feat_micro"),
+        )
+    )
+    prior = (
+        F.round(
+            (F.log(F.col("ne") + 1.0) - F.log(F.col("no") + 1.0)) * 1e6
+        ).cast("bigint")
+    )
+    scored = per_doc.join(F.broadcast(tot), "k").select(
+        "k",
+        "is_en",
+        F.when(F.col("feat_micro") + prior > 0, 1).otherwise(0).alias(
+            "pred_en"
+        ),
+    )
+    return scored.groupBy(F.col("k").cast("int").alias("k_quarters")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_scored"),
+        F.sum(F.when(F.col("pred_en") == F.col("is_en"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_correct"),
+        F.expr(
+            "CAST(sum(CASE WHEN pred_en = is_en THEN 1 ELSE 0 END)"
+            " * 1000000 div count(*) AS BIGINT)"
+        ).alias("accuracy_micro"),
+    )

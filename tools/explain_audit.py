@@ -125,6 +125,9 @@ ALL_PAIRS_OK = {
     "graph_modularity",
     # 1-row global-prior scalar crossed into the map-only encode
     "ml_target_encode_loo",
+    # 4-row k dim crossed into the bucket dim / held-out grams, plus the
+    # NB-style 1-row totals crosses — one gram pass serves all 4 fits
+    "ml_learning_curve",
     # 1-row best-split dim broadcast back into the fact scan (residual
     # computation), once per boosting round
     "ml_boost_2rounds",
@@ -196,6 +199,10 @@ GLOBAL_WINDOW_OK = {
     # feature dims (~50 quantities / ~11 discount ticks), the
     # ml_best_split shape twice
     "ml_boost_2rounds",
+    # the fit-half quartile ranking — the seeded-split class
+    # (p2_split_test et al.): at production scale it swaps to the
+    # distributed zipWithIndex arm like samples._ranked
+    "ml_learning_curve",
     # lag/lead anchors over the 50-bucket stats dim
     "ts_lttb_fixed",
 }
