@@ -1553,6 +1553,7 @@ from jigsaw_spark.plans import queries_r17  # noqa: E402,F401
 from jigsaw_spark.plans import queries_r18  # noqa: E402,F401
 from jigsaw_spark.plans import queries_r19  # noqa: E402,F401
 from jigsaw_spark.plans import queries_r20  # noqa: E402,F401
+from jigsaw_spark.plans import queries_r21  # noqa: E402,F401
 
 
 # ---------------------------------------------------------------------------
@@ -1697,6 +1698,8 @@ _CERTIFICATION_PRIORITY = [
     "j11_bucketed_join",
     "stream_lateness_audit",
     "ml_learning_curve",
+    "text_watermark_detect",
+    "agg_equidepth_hist",
     # driver-certified green in r1-r4 (187 rows) — rotate to the back
     "text_entropy",
     "agg_mad_outliers",
