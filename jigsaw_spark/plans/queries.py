@@ -1554,6 +1554,7 @@ from jigsaw_spark.plans import queries_r18  # noqa: E402,F401
 from jigsaw_spark.plans import queries_r19  # noqa: E402,F401
 from jigsaw_spark.plans import queries_r20  # noqa: E402,F401
 from jigsaw_spark.plans import queries_r21  # noqa: E402,F401
+from jigsaw_spark.plans import queries_r22  # noqa: E402,F401
 
 
 # ---------------------------------------------------------------------------
@@ -1700,6 +1701,8 @@ _CERTIFICATION_PRIORITY = [
     "ml_learning_curve",
     "text_watermark_detect",
     "agg_equidepth_hist",
+    "p_leakage_safe_split",
+    "dq_rule_violations",
     # driver-certified green in r1-r4 (187 rows) — rotate to the back
     "text_entropy",
     "agg_mad_outliers",
