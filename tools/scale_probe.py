@@ -136,6 +136,22 @@ PROBES = [
     "rel_markov_transitions",
     "ts_theil_sen",
     "dq_uniqueness_keys",
+    # round-5 batches 9-16: FIFO rides per-part interval joins (flows
+    # per part fixed under replication), islands/mode/running-distinct
+    # reduce to user/day dims, the learning curve is the NB gram shape
+    # x4, M4 is one windowed scan, the leakage-safe split rides the
+    # SimHash clique densification (like modularity — the hard
+    # direction), the bucketed join pays its shuffle at write time
+    "rel_fifo_match",
+    "rel_gaps_islands",
+    "w12_running_distinct",
+    "ml_learning_curve",
+    "ts_m4_downsample",
+    "ml_boost_2rounds",
+    "p_leakage_safe_split",
+    "text_watermark_detect",
+    "agg_equidepth_hist",
+    "j11_bucketed_join",
 ]
 
 TABLES = [
@@ -288,13 +304,16 @@ def main() -> None:
         "is written 32-way partitioned while the base is a single file, so",
         "their ratio reflects file-source listing/batching, not operator",
         "cost — read those rows as 'no blow-up', not as a speedup.",
-        "`graph_modularity` rides the SimHash pair graph: replication",
-        "turns every duplicate into a ×{f} clique, so near-dup PAIRS grow".format(f=args.factor),
-        "×{f}² inside clique groups while the corpus grows ×{f} — its".format(f=args.factor, ),
-        "steep-but-<×{f} row is that densification, not a plan defect".format(f=args.factor),
-        "(the LSH-banded graph queries cap posting growth and stay ~2×;",
-        "organic new data adds near-dups at the organic rate, SCALE.md",
-        "§3.4's clique-vs-organic reading).",
+        "`graph_modularity` and `p_leakage_safe_split` ride the SimHash",
+        "pair graph: replication turns every duplicate into a ×{f}".format(f=args.factor),
+        "clique, so near-dup PAIRS grow ×{f}² inside clique groups while".format(f=args.factor),
+        "the corpus grows ×{f} — their steep rows are that densification,".format(f=args.factor),
+        "not a plan defect (the LSH-banded graph queries cap posting",
+        "growth and stay ~2×; organic new data adds near-dups at the",
+        "organic rate, SCALE.md §3.4's clique-vs-organic reading). The",
+        "production mitigation is ORDERING: run exact dedup before any",
+        "pair enumeration (the C4 pipeline order, dedup_exact →",
+        "near-dup), which removes replication cliques entirely.",
         "",
         "## Bench-regression policy (r3 finding)",
         "",
