@@ -1555,6 +1555,7 @@ from jigsaw_spark.plans import queries_r19  # noqa: E402,F401
 from jigsaw_spark.plans import queries_r20  # noqa: E402,F401
 from jigsaw_spark.plans import queries_r21  # noqa: E402,F401
 from jigsaw_spark.plans import queries_r22  # noqa: E402,F401
+from jigsaw_spark.plans import queries_r23  # noqa: E402,F401
 
 
 # ---------------------------------------------------------------------------
@@ -1703,6 +1704,8 @@ _CERTIFICATION_PRIORITY = [
     "agg_equidepth_hist",
     "p_leakage_safe_split",
     "dq_rule_violations",
+    "ts_cross_corr",
+    "ml_feature_importance",
     # driver-certified green in r1-r4 (187 rows) — rotate to the back
     "text_entropy",
     "agg_mad_outliers",

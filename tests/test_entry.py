@@ -59,8 +59,8 @@ def test_certification_window_covers_never_certified():
     # window — the r4 verdict's top ask; the new queries only take the
     # slots the debt leaves free
     new_modules = {
-        f"jigsaw_spark.plans.queries_r{i}" for i in range(7, 23)
-    }  # this round's additions (batches r7-r22) queue BEHIND the debt
+        f"jigsaw_spark.plans.queries_r{i}" for i in range(7, 24)
+    }  # this round's additions (batches r7-r23) queue BEHIND the debt
     debt = [
         q for q in never if QUERIES[q].spark.__module__ not in new_modules
     ]

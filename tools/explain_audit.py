@@ -128,6 +128,10 @@ ALL_PAIRS_OK = {
     # 4-row k dim crossed into the bucket dim / held-out grams, plus the
     # NB-style 1-row totals crosses — one gram pass serves all 4 fits
     "ml_learning_curve",
+    # 3-row lag dim crossed into the calendar-bounded day dim
+    "ts_cross_corr",
+    # 1-row baseline scalar crossed into the 3-row feature report
+    "ml_feature_importance",
     # 1-row best-split dim broadcast back into the fact scan (residual
     # computation), once per boosting round
     "ml_boost_2rounds",
