@@ -351,10 +351,13 @@ def pca_pc1_exact(
             for lo in range(0, len(X), chunk_rows):
                 Xc = X[lo : lo + chunk_rows]
                 m = int(np.abs(Xc).max())
-                assert len(Xc) * m * m < 2**63, (
-                    f"int64 X^T X partial would overflow: "
-                    f"{len(Xc)} rows with max |xq| = {m}"
-                )
+                # explicit raise (not assert): the guard must survive
+                # `python -O`, which strips asserts (r5 advisor)
+                if len(Xc) * m * m >= 2**63:
+                    raise OverflowError(
+                        f"int64 X^T X partial would overflow: "
+                        f"{len(Xc)} rows with max |xq| = {m}"
+                    )
                 C = Xc.T @ Xc
                 yield pd.DataFrame(
                     {

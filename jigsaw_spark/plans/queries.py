@@ -1561,76 +1561,25 @@ from jigsaw_spark.plans import queries_r23  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 # Registration order == driver certification order. The driver's correctness
 # gate walks QUERIES in insertion order with a bounded window (~50 names per
-# round; every round so far sampled exactly the first 50). Round-5 rotation:
-# ALL 47 queries with no driver row across CORRECTNESS_r01-r04 go first (37
-# oracle-backed, then 10 rows-only — this is the round the rows-only entries
-# enter the window, since after it every oracle-backed query has a driver
-# row), and the 188 already-certified queries rotate to the back. NOTE: the
-# batch registered in queries_r6.py (curation_dsir_weights ... ab_ttest_welch)
-# was BUILT in round 4 — "r6" in that filename is a historical misnomer kept
-# to avoid churning git history; treat file round-suffixes as batch labels,
-# not build rounds.
+# round; every round so far sampled exactly the first 50). Round-6 rotation
+# (verdict r5 directives #1/#3/#6):
+#   slot 1      — text_bpe_encode: the r5 driver ERR (array-column output),
+#                 fixed to emit scalars; needs its clean rows-only row.
+#   slots 2-50  — the first 49 of the 74 oracle-backed queries with no
+#                 driver row across CORRECTNESS_r01-r05 (r5-built batches
+#                 queries_r7-r23), in registration order.
+#   slots 51-75 — the remaining 25 never-sampled queries: they head the r7
+#                 window, clearing all certification debt by end of r7.
+# The 9 clean rows-only entries (k6_deeplab_export, mm_audio_pipeline, ...)
+# each have their one driver row and are NOT re-rotated (they can never be
+# hash-certified); the 4 redundant float twins (ml_kmeans, ml_logreg,
+# graph_pagerank, ml_pca_pc1) are deregistered this round — their exact
+# integer variants are driver-green. Everything already certified falls to
+# the back in module-import order.
 # ---------------------------------------------------------------------------
 
 _CERTIFICATION_PRIORITY = [
-    # --- r5 window: every never-driver-certified query (47 total). ---
-    # 37 oracle-backed first (exact hash check), then the 10 rows-only
-    # entries (weaker rows-only driver check); all pass the local
-    # driver-faithful replica (tools/verify_oracle.py --vanilla --stability).
-    "fn_math_bitwise",
-    "cogroup_fill_ratio",
-    "agg_grouping_sets",
-    "ts_locf",
-    "agg_bool_suite",
-    "agg_string_agg",
-    "ts_interp",
-    "agg_hll_mergeable",
-    "p_weighted_sample",
-    "dedup_substr_windows",
-    "dedup_containment",
-    "ann_ivf_recall",
-    "ml_calibration_bins",
-    "p_mixture_reweight",
-    "text_ngram_diversity",
-    "text_zipf_slope",
-    "dedup_impact_ledger",
-    "curation_dsir_weights",
-    "p_dsir_resample",
-    "ts_sessionize",
-    "agg_incremental_merge",
-    "layout_zorder",
-    "stream_lsh_dedup",
-    "privacy_kanon_release",
-    "text_token_fertility",
-    "p_temporal_holdout",
-    "graph_pagerank_exact",
-    "stream_session_window",
-    "ml_pca_pc1_exact",
-    "ml_kmeans_exact",
-    "agg_kmv_intersect",
-    "mm_image_phash",
-    "mm_phash_near_dup",
-    "stream_dsir_score",
-    "p_kcenter_coreset",
-    "agg_bitmap_distinct",
-    "ab_ttest_welch",
-    # never certified, rows-only (no DuckDB-expressible oracle)
-    "k6_deeplab_export",
-    "ml_kmeans",
-    "mm_audio_pipeline",
-    "stream_synth_rollup",
-    "text_bpe_train",
     "text_bpe_encode",
-    "ml_logreg",
-    "graph_pagerank",
-    "ml_pca_pc1",
-    "text_compression_ratio",
-    # round-5 additions (oracle-backed, built in queries_r7.py): three
-    # fill the window's remaining slots 48-50; the other nine queue
-    # first for the r6 window
-    "ml_auc_exact",
-    "ml_best_split",
-    "privacy_ldiversity",
     "dq_benford",
     "graph_two_hop",
     "j8_bloom_prune",
@@ -1654,7 +1603,6 @@ _CERTIFICATION_PRIORITY = [
     "ts_best_changepoint",
     "stream_sliding_topk",
     "layout_manifest_prune",
-    "graph_triangles",
     "graph_neighbor_jaccard",
     "rel_item_cooccurrence",
     "ts_autocorr",
@@ -1706,203 +1654,27 @@ _CERTIFICATION_PRIORITY = [
     "dq_rule_violations",
     "ts_cross_corr",
     "ml_feature_importance",
-    # driver-certified green in r1-r4 (187 rows) — rotate to the back
-    "text_entropy",
-    "agg_mad_outliers",
-    "ts_cusum_changepoints",
-    "rel_attribution_last_touch",
-    "agg_winsorized_mean",
-    "q19_disjunctive_join",
-    "q20_promo_suppliers",
-    "q21_waiting_suppliers",
-    "q22_idle_customers",
-    "stream_stateful_sessions",
-    "stream_dedup_counts",
-    "stream_hourly_rollup",
-    "q14_promo_ratio",
-    "fn_maps",
-    "fn_structs",
-    "p_temperature_mixture",
-    "fn_try_errors",
-    "text_fingerprint",
-    "text_unigram_logprob",
-    "text_bm25_topk",
-    "ann_ivfpq_topk",
-    "j7_full_outer",
-    "ann_pq_codes",
-    "text_chunk",
-    "text_pack",
-    "text_bigrams",
-    "q12_priority_lines",
-    "q13_custdist",
-    "mm_decode_meta",
-    "mm_mask_bboxes",
-    "mm_extract_features",
-    "w7_rank_suite",
-    "set_intersect_all",
-    "set_except_all",
-    "fn_explode",
-    "p_bernoulli_sample",
-    "agg_histogram",
-    "ts_gap_fill",
-    "ts_deltas",
-    "agg_minmax_by",
-    "ts_funnel_steps",
-    "ts_cohort_retention",
-    "fn_strings",
-    "fn_arrays",
-    "fn_conditional",
-    "w8_value_windows",
-    "fn_regex",
-    "fn_null_order",
-    "fn_codec",
-    "agg_stats_suite",
-    "ann_sq8",
-    "ml_hash_features",
-    "ab_cuped_adjust",
-    "fn_url_suite",
-    "text_jsd_drift",
-    "dedup_minhash_jaccard_est",
-    "ts_seasonal_naive_mape",
-    "text_langid_confusion",
-    "w10_share_of_total",
-    "dedup_minhash_lsh",
-    "dedup_components",
-    "ann_ivf_topk",
-    "q2_min_cost_supplier",
-    "stream_stream_join",
-    "dedup_exact",
-    "dedup_exact_keep_best",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "emb_cosine_near_dup",
-    "dedup_url_canon",
-    "dedup_end_to_end",
-    "text_edit_distance",
-    "ann_cosine_topk",
-    "ann_ivf_assign",
-    "ann_srp_buckets",
-    "text_langid",
-    "text_bpeish_tokens",
-    "text_tfidf",
-    "text_repetition",
-    "text_contamination",
-    "text_pii_scrub",
-    "text_quality_model",
-    "curation_pipeline",
-    "q4_priority_check",
-    "q6_filter_revenue",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_profit_by_nation",
-    "q10_returned_items",
-    "q11_important_value",
-    "q15_top_supplier",
-    "q16_supplier_cnt",
-    "q17_small_quantity",
-    "q18_large_orders",
-    "flagship_pipeline",
-    "merge_upsert",
-    "mm_png_mask_bboxes",
-    "mm_png_instance_bboxes",
-    "k6_bbox_norm",
-    "k6_feature_points",
-    "dedup_lsh_capped",
-    "dedup_semantic",
-    "text_boilerplate",
-    "profile_table",
-    "rel_recursive_rollup",
-    "stream_static_join",
-    "text_topgram_coverage",
-    "ts_ohlc",
-    "agg_mode",
-    "j5_asof_forward_tol",
-    "w9_distinct_window",
-    "fn_variant",
-    "fn_hashes",
-    "rag_pipeline",
-    "dedup_lines",
-    "ann_mmr_select",
-    "fn_udtf_lateral",
-    "dedup_lsh_recall",
-    "dedup_incremental",
-    "agg_countmin_hh",
-    "agg_equidepth",
-    "graph_triangles",
-    "dq_expectations",
-    "rel_snapshot_diff",
-    "rel_scd2_intervals",
-    "ts_ewma",
-    "curation_pipeline_v2",
-    "ts_interval_union",
-    "sql_scripting_threshold",
-    "p_group_split",
-    "mine_assoc_pairs",
-    "agg_gini",
-    "text_bigram_logprob",
-    "fn_collation",
-    "dq_psi_drift",
-    "text_rake_keyphrase",
-    "agg_moments_34",
-    "agg_bootstrap_means",
-    "agg_weighted_percentile",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "f1_and_filter",
-    "f2_or_filter",
-    "f3_filter_chain",
-    "f9_untagged_default",
-    "p1_exact_sample",
-    "p2_split_test",
-    "p3_kfold_assign",
-    "p7_shard_assign",
-    "j1_construct_join",
-    "j2_semi_join",
-    "j2_anti_join",
-    "j3_union_distinct",
-    "set_intersect",
-    "set_except",
-    "a1_distinct_labels",
-    "a2_dense_label_map",
-    "a3_moments",
-    "a5_extent_merge",
-    "fn_scalar",
-    "w1_sessionize",
-    "w2_topk_per_group",
-    "w3_hourly_rollup",
-    "w4_session_window",
-    "agg_salted",
-    "agg_distinct_twophase",
-    "j5_asof_join",
-    "j6_range_join",
-    "agg_rollup",
-    "agg_cube",
-    "agg_count_distinct",
-    "p1_stratified_sample",
-    "a3_vector_moments",
-    "agg_percentiles",
-    "agg_pivot",
-    "agg_unpivot",
-    "fn_datetime",
-    "w5_moving_avg",
-    "fn_json",
-    "agg_approx_distinct",
-    "fn_higher_order",
-    "agg_zscore_pandas",
-    "w6_range_frame",
-    "fn_subquery",
-    "text_tokens",
-    "text_quality",
 ]
 
 
 def _reorder_registry() -> None:
+    # A typo in the hand-maintained priority list must fail loudly, not
+    # silently demote the query to the registration tail (r5 advisor).
+    missing = [n for n in _CERTIFICATION_PRIORITY if n not in QUERIES]
+    if missing:
+        raise KeyError(
+            f"_CERTIFICATION_PRIORITY names not in QUERIES: {missing}"
+        )
+    if len(set(_CERTIFICATION_PRIORITY)) != len(_CERTIFICATION_PRIORITY):
+        dupes = sorted(
+            n
+            for n in set(_CERTIFICATION_PRIORITY)
+            if _CERTIFICATION_PRIORITY.count(n) > 1
+        )
+        raise KeyError(f"_CERTIFICATION_PRIORITY duplicates: {dupes}")
     ordered: dict[str, QuerySpec] = {}
     for name in _CERTIFICATION_PRIORITY:
-        if name in QUERIES:
-            ordered[name] = QUERIES[name]
+        ordered[name] = QUERIES[name]
     for name, spec in QUERIES.items():
         if name not in ordered:
             ordered[name] = spec

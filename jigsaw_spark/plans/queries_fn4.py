@@ -157,15 +157,12 @@ def cogroup_fill_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "ml_kmeans",
-    None,  # iterative training — not SQL-expressible; rows-only check
-    "Lloyd k-means over the embeddings table (3 iterations, k=8): trains "
-    "the IVF coarse-quantizer codebook. Per iteration: broadcast-codebook "
-    "cosine assignment (map-only) + one (cell, dim) hash aggregate; the "
-    "corpus is re-scanned each pass (no cached lineage chain). Output: "
-    "per-cell sizes + centroid norms, deterministic via md5-seeded init.",
-)
+# DEREGISTERED (r6, verdict #6): float-centroid twin of the driver-green
+# `ml_kmeans_exact` (integer-quantized Lloyd, exact DuckDB oracle). The
+# float demo could only ever produce a permanent `no_oracle` err row in
+# the correctness gate, and the capability it exercises (kmeans_lloyd,
+# operators/similarity.py) is covered by the exact variant + unit tests.
+# Kept as a library entry point for API callers.
 def ml_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jigsaw_spark.functions.vectors import l2_norm
     from jigsaw_spark.operators.similarity import kmeans_lloyd

@@ -46,9 +46,14 @@ _ABC_SQL = """
              sum(cents) OVER (PARTITION BY nation) AS total
       FROM rev),
     classed AS (
+      -- cross-multiply in DECIMAL(38,0): per-nation cents totals at
+      -- 100 TB approach 1e17, so x100 in BIGINT would brush int64 max
+      -- (Spark wraps silently; r5 advisor) — decimal is wrap-proof
       SELECT nation, ck, cents,
-             CASE WHEN cum_prev * 100 < 80 * total THEN 'A'
-                  WHEN cum_prev * 100 < 95 * total THEN 'B'
+             CASE WHEN CAST(cum_prev AS DECIMAL(38,0)) * 100
+                       < 80 * CAST(total AS DECIMAL(38,0)) THEN 'A'
+                  WHEN CAST(cum_prev AS DECIMAL(38,0)) * 100
+                       < 95 * CAST(total AS DECIMAL(38,0)) THEN 'B'
                   ELSE 'C' END AS abc
       FROM ranked)
     SELECT CAST(nation AS INT) AS nation, abc,
@@ -99,11 +104,16 @@ def rel_pareto_abc(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("cents").over(wc) - F.col("cents")).alias("cum_prev"),
         F.sum("cents").over(Window.partitionBy("nation")).alias("total"),
     )
+    # cross-multiply in decimal(38,0): per-nation cents totals at 100 TB
+    # approach 1e17, so x100 in bigint would brush int64 max and Spark
+    # wraps silently (r5 advisor) — decimal is wrap-proof
+    cum_d = F.col("cum_prev").cast("decimal(38,0)")
+    tot_d = F.col("total").cast("decimal(38,0)")
     classed = ranked.select(
         "nation",
         "cents",
-        F.when(F.col("cum_prev") * 100 < 80 * F.col("total"), "A")
-        .when(F.col("cum_prev") * 100 < 95 * F.col("total"), "B")
+        F.when(cum_d * 100 < tot_d * 80, "A")
+        .when(cum_d * 100 < tot_d * 95, "B")
         .otherwise("C")
         .alias("abc"),
     )
@@ -146,21 +156,28 @@ _BUCKETED_SQL = """
     "(the oracle); only the plan differs",
 )
 def j11_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import shutil
-    from pathlib import Path
-
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
     # idempotent rewrite: a stale warehouse dir from a previous session
     # (no longer registered in this session's catalog) blocks
     # saveAsTable with LOCATION_ALREADY_EXISTS — drop both the catalog
-    # entry and the directory before writing
-    warehouse = spark.conf.get(
-        "spark.sql.warehouse.dir", "spark-warehouse"
-    ).removeprefix("file:")
+    # entry and the directory before writing. The directory is removed
+    # through the Hadoop FileSystem API resolved from the warehouse URI,
+    # so the cleanup applies on ANY warehouse scheme (file:, s3a:,
+    # hdfs:), not just the local filesystem, and a failed delete raises
+    # instead of silently leaving the blocking dir (r5 advisor).
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
     for tbl in ("j11_orders_bucketed", "j11_customer_bucketed"):
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
-        shutil.rmtree(Path(warehouse) / tbl, ignore_errors=True)
+        loc = jvm.org.apache.hadoop.fs.Path(warehouse.rstrip("/") + "/" + tbl)
+        fs = loc.getFileSystem(hconf)
+        if fs.exists(loc) and not fs.delete(loc, True):
+            raise RuntimeError(
+                f"could not remove stale managed-table location {loc}; "
+                "saveAsTable would fail with LOCATION_ALREADY_EXISTS"
+            )
     (
         orders.select(
             "o_custkey",

@@ -215,7 +215,9 @@ def ann_mmr_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pure-Python reference + train/encode agreement in tests
     "BPE encode at corpus scale: merges ride the task closure (KB), ONE "
     "map-only Arrow kernel with a per-batch word cache (vocab-not-corpus "
-    "work), zero shuffle",
+    "work), zero shuffle. Registered form emits SCALARS only (the array "
+    "column stays in the bpe_encode API for callers; array-typed output "
+    "cells are a driver ERR class — r5 red, PLANS.md ban).",
 )
 def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jigsaw_spark.operators.text import bpe_encode, bpe_train
@@ -225,7 +227,12 @@ def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges = [
         (r["left"], r["right"]) for r in merges_df.orderBy("rank").collect()
     ]
-    return bpe_encode(docs, merges, "doc_id", "text")
+    enc = bpe_encode(docs, merges, "doc_id", "text")
+    return enc.select(
+        "doc_id",
+        F.concat_ws("▁", "pieces").alias("pieces_str"),
+        "n_pieces",
+    )
 
 
 @register(
@@ -290,15 +297,10 @@ def fn_udtf_lateral(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "ml_logreg",
-    None,  # iterative GD is not SQL-expressible; numpy parity with
-    # bounded drift in tests/test_r4_ops.py
-    "full-batch GD logistic regression (quality-classifier trainer): per "
-    "iteration ONE corpus scan — JVM fold dot product, posexplode + "
-    "(dim)-keyed hash agg reduces the gradient to d rows; weights ride "
-    "as broadcast literals, corpus never cached or shuffled",
-)
+# DEREGISTERED (r6, verdict #6): float-GD twin whose trainer
+# (operators/ml.logreg_train) is numpy-parity-tested in
+# tests/test_r4_ops.py; as a registered query it could only produce a
+# permanent `no_oracle` err row. Kept as a library entry point.
 def ml_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jigsaw_spark.operators.ml import logreg_train
 
@@ -1400,15 +1402,10 @@ def ts_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "graph_pagerank",
-    None,  # iterative power method; bit-parity vs numpy in
-    # tests/test_r4_ops.py::test_pagerank_matches_numpy_power_iteration
-    "PageRank over the near-dup candidate graph (canonical-doc ranking "
-    "inside clusters): per round ONE src-keyed join (exchange reused) + "
-    "ONE dst-keyed agg; ranks |V| rows, lineage checkpointed — the "
-    "iterative message-passing workload",
-)
+# DEREGISTERED (r6, verdict #6): float twin of the driver-green
+# `graph_pagerank_exact` (17/20-damping integer fixpoint with an exact
+# DuckDB oracle); numpy bit-parity stays in tests/test_r4_ops.py.
+# Kept as a library entry point.
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jigsaw_spark.operators.dedup import minhash_lsh_pairs
     from jigsaw_spark.operators.graph import pagerank
@@ -1579,15 +1576,10 @@ def text_rake_keyphrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "ml_pca_pc1",
-    None,  # iterative power method; numpy eigendecomposition parity in
-    # tests/test_r4_ops.py::test_power_iteration_pc1_matches_numpy
-    "leading principal component by distributed power iteration: per "
-    "round ONE scan (JVM fold matvec + posexplode (dim)-agg back-"
-    "projection, d rows collected) — covariance never materialized; "
-    "the embedding-whitening primitive",
-)
+# DEREGISTERED (r6, verdict #6): float twin of the driver-green
+# `ml_pca_pc1_exact` (n²-scaled integer covariance power method with an
+# exact DuckDB oracle); numpy eigendecomposition parity stays in
+# tests/test_r4_ops.py. Kept as a library entry point.
 def ml_pca_pc1(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jigsaw_spark.operators.ml import power_iteration_pc1
 

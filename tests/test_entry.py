@@ -29,11 +29,14 @@ def test_every_query_runs_at_smoke_sf(spark):
 
 def test_certification_window_covers_never_certified():
     """The driver's correctness gate walks the registry in order with a
-    bounded window (~50). Round-5 policy: every query with no driver row
-    across CORRECTNESS_r01-r04 must sit inside the first 50 slots, with
-    oracle-backed entries ahead of rows-only ones (an exact hash check is
-    worth more than a rows-only check, so it must never be displaced by
-    one)."""
+    bounded window (~50). Round-6 policy (verdict r5 #1/#3/#6): slot 1 is
+    the fixed r5 driver ERR (text_bpe_encode — needs a clean rows-only
+    row), and every other slot up to 75 is spent on a query with NO
+    driver row across CORRECTNESS_r01-r05, in registration order — the
+    first 49 land in the r6 window, the remaining 25 head the r7 window,
+    clearing all certification debt by end of r7. Clean rows-only entries
+    (k6_deeplab_export, ...) are never re-rotated, and any round-6-new
+    queries queue BEHIND the debt (past slot 75)."""
     import json
     import pathlib
 
@@ -41,35 +44,34 @@ def test_certification_window_covers_never_certified():
 
     root = pathlib.Path(__file__).resolve().parents[1]
     certified: set[str] = set()
-    for r in ("01", "02", "03", "04"):
+    clean: set[str] = set()
+    for r in ("01", "02", "03", "04", "05"):
         path = root / f"CORRECTNESS_r{r}.json"
         if path.exists():
-            certified |= set(json.loads(path.read_text()))
+            rows = json.loads(path.read_text())
+            certified |= set(rows)
+            clean |= {
+                q
+                for q, v in rows.items()
+                if v.get("hash_match") or v.get("err") == "no_oracle"
+            }
 
     names = list(QUERIES)
     never = [q for q in names if q not in certified]
-    window = names[:50]
 
-    # every slot is spent on a never-certified query
-    wasted = [q for q in window if q not in never]
-    assert not wasted, f"already-certified queries inside the window: {wasted}"
-
-    # the pre-r5 certification debt (never-certified queries that are
-    # NOT this round's additions in queries_r7) must ALL be inside the
-    # window — the r4 verdict's top ask; the new queries only take the
-    # slots the debt leaves free
-    new_modules = {
-        f"jigsaw_spark.plans.queries_r{i}" for i in range(7, 24)
-    }  # this round's additions (batches r7-r23) queue BEHIND the debt
-    debt = [
-        q for q in never if QUERIES[q].spark.__module__ not in new_modules
-    ]
-    outside = [q for q in debt if q not in window]
-    assert not outside, f"pre-r5 debt outside the window: {outside}"
-
-    # slots the debt leaves free go to oracle-backed new queries first
-    fillers = [q for q in window if q not in debt]
-    rows_only_fillers = [q for q in fillers if QUERIES[q].oracle is None]
-    assert not rows_only_fillers, (
-        f"rows-only new queries took window slots: {rows_only_fillers}"
+    assert names[0] == "text_bpe_encode", (
+        "slot 1 must re-certify the fixed r5 driver ERR"
     )
+
+    # slots 2-75 are spent exclusively on never-certified queries, and
+    # ALL never-certified queries sit inside slots 2-75
+    debt_slots = names[1:75]
+    wasted = [q for q in debt_slots if q not in never]
+    assert not wasted, f"already-certified queries inside slots 2-75: {wasted}"
+    outside = [q for q in never if q not in debt_slots]
+    assert not outside, f"certification debt outside slots 2-75: {outside}"
+
+    # clean rows-only entries keep their one driver row; re-rotating them
+    # wastes a slot the hash-certifiable debt needs
+    rerotated = [q for q in names[:75] if q in clean and QUERIES[q].oracle is None]
+    assert not rerotated, f"clean rows-only entries re-rotated: {rerotated}"

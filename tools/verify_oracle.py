@@ -161,6 +161,20 @@ def main() -> int:
             print(f"FAIL {name}: spark error: {e}")
             continue
         if name not in oracles:
+            # Rows-only outputs still pass through the driver's pandas
+            # canonicalizer — an array/map cell raises TypeError there
+            # (the r5 text_bpe_encode escape: this branch used to SKIP
+            # before hashing, so the unsortable-cell ERR class was never
+            # exercised locally for rows-only queries).  Hash and discard.
+            try:
+                table_hash(srows, list(range(len(scols))))
+            except UnsortableCell as e:
+                failures.append(name)
+                print(
+                    f"FAIL {name}: rows-only output has array-typed cell "
+                    f"({e}) — driver ERR class; emit scalars only"
+                )
+                continue
             print(f"SKIP {name}: rows-only ({len(srows)} rows, {time.time()-t0:.1f}s)")
             continue
         try:
