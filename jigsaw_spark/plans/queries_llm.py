@@ -53,6 +53,48 @@ _SHINGLES_CTE = (
     "FROM toks WHERE len(t) >= 3)"
 )
 
+# Shared oracle CTE chain for the C4-ordered pair scorers
+# (operators/dedup.banded_pair_scores): exact-dedup keepers → shingles over
+# keepers only → 16 md5-seeded minhashes → 4 bands × 4 rows → LSH candidate
+# pairs → exact per-candidate intersections. AS MATERIALIZED on every
+# multi-referenced CTE — DuckDB inlines them otherwise and re-evaluates the
+# whole upstream chain per reference (the r4 pagerank-oracle lesson).
+_BANDED_PAIR_CTES = f"""{_TOKS_CTE},
+    fpt AS (SELECT doc_id, t, {fingerprint_sql('t')} AS fp FROM toks),
+    keep AS MATERIALIZED (
+      SELECT doc_id, t FROM (
+        SELECT doc_id, t,
+               doc_id = min(doc_id) OVER (PARTITION BY fp) AS is_keeper
+        FROM fpt) k
+      WHERE is_keeper),
+    sh AS MATERIALIZED (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(t) - 1),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+      FROM keep WHERE len(t) >= 3),
+    mh AS (
+      SELECT doc_id, seed,
+             min(md5(CAST(seed AS VARCHAR) || '|' || shingle)) AS mh
+      FROM sh CROSS JOIN (SELECT unnest(range(16)) AS seed) seeds
+      GROUP BY doc_id, seed),
+    bands AS MATERIALIZED (
+      SELECT doc_id, seed // 4 AS band,
+             string_agg(mh, ',' ORDER BY seed) AS sig
+      FROM mh GROUP BY doc_id, band),
+    cand AS MATERIALIZED (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.sig = b.sig
+                  AND a.doc_id < b.doc_id),
+    sizes AS MATERIALIZED (
+      SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS MATERIALIZED (
+      SELECT c.doc_a, c.doc_b, count(*) AS inter
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.doc_a
+      JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+      GROUP BY 1, 2)"""
+
 
 # ---------------------------------------------------------------------------
 # Text analysis
@@ -195,12 +237,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_ngram_jaccard",
     f"""
-    WITH {_TOKS_CTE}, {_SHINGLES_CTE},
-    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-    inter AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      GROUP BY 1, 2)
+    WITH {_BANDED_PAIR_CTES}
     SELECT doc_a, doc_b,
            round(inter / (sa.sz + sb.sz - inter), 4) AS jaccard
     FROM inter
@@ -208,11 +245,19 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN sizes sb ON doc_b = sb.doc_id
     WHERE inter / (sa.sz + sb.sz - inter) >= 0.8
     """,
-    "near-dup pairs by exact trigram-set Jaccard >= 0.8",
+    "near-dup pairs by exact trigram-set Jaccard >= 0.8, C4-ordered "
+    "(r6 scale-safe default): exact-dedup keepers -> MinHash-LSH "
+    "candidates -> exact intersection ONLY per candidate pair. The "
+    "posting-list self-join (quadratic in posting density — 18.6x at "
+    "the x10 probe) never runs; work is linear in candidates. The "
+    "uncapped exact operator (ngram_jaccard_pairs) stays in the "
+    "library for sampled tuning runs.",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jigsaw_spark.operators.dedup import banded_pair_scores
+
     docs = _t(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(docs, "doc_id", threshold=0.8)
+    return banded_pair_scores(docs, "doc_id", threshold=0.8, measure="jaccard")
 
 
 @register(
@@ -244,6 +289,37 @@ _SIMHASH_CTE = f"""
     tok_counts AS (
       SELECT doc_id, tok, count(*) AS cnt, md5(tok) AS h
       FROM (SELECT doc_id, unnest(t) AS tok FROM toks)
+      GROUP BY doc_id, tok),
+    scored AS (
+      SELECT doc_id, j,
+             sum(cnt * (2 * (CAST(floor(
+               (strpos('0123456789abcdef', substr(h, CAST(j // 4 + 1 AS INT), 1)) - 1)
+               / power(2, 3 - (j % 4))) AS BIGINT) % 2) - 1)) AS score
+      FROM tok_counts CROSS JOIN (SELECT unnest(range(32)) AS j) bj
+      GROUP BY doc_id, j),
+    sig AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN score > 0 THEN CAST(power(2, j) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS simhash
+      FROM scored GROUP BY doc_id)
+"""
+
+# SimHash signatures over EXACT-DEDUP KEEPERS only — the C4-ordered twin of
+# _SIMHASH_CTE for pair-graph consumers (graph_modularity): byte-identical
+# copies collapse to their keeper before pairing, so duplication cannot
+# densify the pair graph into cliques (the r5 ×10-probe failure mode).
+_SIMHASH_KEEPER_CTE = f"""
+    {_TOKS_CTE},
+    fpt AS (SELECT doc_id, t, {fingerprint_sql('t')} AS fp FROM toks),
+    ktoks AS MATERIALIZED (
+      SELECT doc_id, t FROM (
+        SELECT doc_id, t,
+               doc_id = min(doc_id) OVER (PARTITION BY fp) AS is_keeper
+        FROM fpt) k
+      WHERE is_keeper),
+    tok_counts AS (
+      SELECT doc_id, tok, count(*) AS cnt, md5(tok) AS h
+      FROM (SELECT doc_id, unnest(t) AS tok FROM ktoks)
       GROUP BY doc_id, tok),
     scored AS (
       SELECT doc_id, j,

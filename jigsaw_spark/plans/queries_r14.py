@@ -167,10 +167,10 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _modularity_sql() -> str:
-    from jigsaw_spark.plans.queries_llm import _SIMHASH_CTE
+    from jigsaw_spark.plans.queries_llm import _SIMHASH_KEEPER_CTE
 
     return f"""
-    WITH RECURSIVE {_SIMHASH_CTE},
+    WITH RECURSIVE {_SIMHASH_KEEPER_CTE},
     pairs AS MATERIALIZED (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM sig a JOIN sig b ON a.doc_id < b.doc_id
@@ -225,13 +225,26 @@ def _modularity_sql() -> str:
     "score. Composes the connected-components operator (Spark: "
     "min-label propagation; oracle: recursive CTE) with two "
     "component-keyed aggs over the pair/edge dims; everything after "
-    "the SimHash pass is candidate-edge sized",
+    "the SimHash pass is candidate-edge sized. The graph is built "
+    "over EXACT-DEDUP KEEPERS (r6 scale fix, both sides): byte-"
+    "identical copies carry no clustering-quality signal but turn "
+    "every dup group into a x|copies|² edge clique (the 11x probe); "
+    "collapsing them first keeps the pair graph duplication-proof",
 )
 def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from jigsaw_spark.operators.dedup import connected_components, simhash_pairs
+    from jigsaw_spark.operators.dedup import (
+        connected_components,
+        exact_dedup,
+        simhash_pairs,
+    )
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = simhash_pairs(docs, "doc_id", max_hamming=2).select(
+    keepers = (
+        exact_dedup(docs, "doc_id")
+        .filter(~F.col("is_dup"))
+        .select("doc_id", "text")
+    )
+    pairs = simhash_pairs(keepers, "doc_id", max_hamming=2).select(
         "doc_a", "doc_b"
     )
     comp = connected_components(pairs).select(

@@ -70,21 +70,36 @@ def _lss_sql() -> str:
     "and its near-copy hash independently). Split is the md5 stream "
     "of the KEEPER id (8/10 train). Composes the components operator "
     "+ one left join + map-only assignment; the split remains stable "
-    "as clusters grow (keeper = min id is monotone under unions)",
+    "as clusters grow (keeper = min id is monotone under unions). "
+    "Spark runs the graph EXACT-DEDUP-FIRST (r6 scale fix): byte-"
+    "identical copies collapse before SimHash pairing, so duplication "
+    "can never densify the pair graph into x|copies|² cliques (the "
+    "15.6x probe). Result-identical to the oracle's all-docs graph: "
+    "exact dups share a signature, so every edge through a dup is "
+    "mirrored through its keeper, components and minima are unchanged.",
 )
 def p_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from jigsaw_spark.operators.dedup import connected_components, simhash_pairs
+    from jigsaw_spark.operators.dedup import (
+        connected_components,
+        exact_dedup,
+        simhash_pairs,
+    )
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = simhash_pairs(docs, "doc_id", max_hamming=2).select(
+    ded = exact_dedup(docs, "doc_id")
+    # exact keeper per doc: min doc_id of its fingerprint group — the id
+    # every exact copy inherits (it is <= all group members by definition)
+    ek = ded.select("doc_id", F.col("keeper").alias("ek"))
+    keepers = ded.filter(~F.col("is_dup")).select("doc_id", "text")
+    pairs = simhash_pairs(keepers, "doc_id", max_hamming=2).select(
         "doc_a", "doc_b"
     )
     comp = connected_components(pairs).select(
-        "doc_id", F.col("component").alias("keeper")
+        F.col("doc_id").alias("ek"), F.col("component")
     )
-    assigned = docs.select("doc_id").join(comp, "doc_id", "left_outer").select(
+    assigned = ek.join(comp, "ek", "left_outer").select(
         "doc_id",
-        F.coalesce("keeper", F.col("doc_id")).alias("keeper"),
+        F.coalesce("component", F.col("ek")).alias("keeper"),
     )
     return assigned.select(
         "doc_id",

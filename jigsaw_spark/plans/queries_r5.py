@@ -33,7 +33,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from jigsaw_spark.plans.queries import _t, register
-from jigsaw_spark.plans.queries_llm import _SHINGLES_CTE, _TOKS_CTE
+from jigsaw_spark.plans.queries_llm import (
+    _BANDED_PAIR_CTES,
+    _SHINGLES_CTE,
+    _TOKS_CTE,
+)
 from jigsaw_spark.operators.text import tokens_sql
 
 _W = 8  # substring window length (tokens)
@@ -78,12 +82,7 @@ def dedup_substr_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_containment",
     f"""
-    WITH {_TOKS_CTE}, {_SHINGLES_CTE},
-    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
-    inter AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      GROUP BY 1, 2)
+    WITH {_BANDED_PAIR_CTES}
     SELECT doc_a, doc_b,
            round(inter / CAST(least(sa.sz, sb.sz) AS DOUBLE), 4) AS overlap
     FROM inter
@@ -92,17 +91,18 @@ def dedup_substr_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE inter / CAST(least(sa.sz, sb.sz) AS DOUBLE) >= 0.8
     """,
     "overlap-coefficient near-dup pairs |A∩B|/min(|A|,|B|): the "
-    "asymmetric containment Jaccard misses (excerpt inside a long doc); "
-    "bounded inverted-index self-join (max_posting cap, a no-op at "
-    "sf0.01 so the SQL twin stays uncapped), score = ratio of exact "
-    "integers",
+    "asymmetric containment Jaccard misses (excerpt inside a long doc). "
+    "C4-ordered (r6 scale-safe default): exact-dedup keepers -> "
+    "MinHash-LSH candidates -> exact intersection ONLY per candidate "
+    "pair — the capped-posting self-join (cap²/2 pairs per hot shingle, "
+    "9.9x at the x10 probe) never runs; score = ratio of exact integers",
 )
 def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from jigsaw_spark.operators.dedup import containment_pairs
+    from jigsaw_spark.operators.dedup import banded_pair_scores
 
     docs = _t(spark, sf_dir, "documents")
-    return containment_pairs(
-        docs, "doc_id", "text", threshold=0.8, max_posting=1000
+    return banded_pair_scores(
+        docs, "doc_id", threshold=0.8, measure="containment"
     )
 
 

@@ -62,6 +62,56 @@ def test_ngram_jaccard_max_posting_cap(docs):
     assert capped.count() <= full.count()
 
 
+def test_banded_pair_scores_collapses_exact_dups(docs):
+    # C4 ordering: doc 3 (exact normalized dup of 1) is collapsed before
+    # pair enumeration, so NO emitted pair involves it; the near-dup pair
+    # (1, 2) survives through the LSH bands
+    from jigsaw_spark.operators.dedup import banded_pair_scores
+
+    pairs = banded_pair_scores(docs, "doc_id", threshold=0.5).collect()
+    got = {(r.doc_a, r.doc_b): r.jaccard for r in pairs}
+    assert all(3 not in p for p in got), got
+    assert (1, 2) in got
+    assert all(4 not in p for p in got)
+
+
+def test_banded_pair_scores_match_exact_operator(docs):
+    # every pair the banded default emits must carry the SAME score the
+    # exact uncapped operator computes (banding prunes candidates, never
+    # changes a surviving pair's intersection/size arithmetic)
+    from jigsaw_spark.operators.dedup import banded_pair_scores
+
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, "doc_id", threshold=0.5).collect()
+    }
+    banded = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in banded_pair_scores(docs, "doc_id", threshold=0.5).collect()
+    }
+    for p, score in banded.items():
+        assert exact[p] == score, (p, score, exact.get(p))
+
+
+def test_banded_pair_scores_containment_measure(spark):
+    # a short doc fully contained in a long one: overlap = 1.0 even when
+    # Jaccard is low — the asymmetric measure the containment mode exists
+    # for, computed through the same C4-ordered pipeline
+    from jigsaw_spark.operators.dedup import banded_pair_scores
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [(1, base), (2, base + " iota kappa " + base.upper())]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        (r.doc_a, r.doc_b): r.overlap
+        for r in banded_pair_scores(
+            df, "doc_id", threshold=0.5, measure="containment"
+        ).collect()
+    }
+    if (1, 2) in got:  # banding is probabilistic on a 2-doc corpus
+        assert got[(1, 2)] >= 0.9
+
+
 def test_minhash_lsh_finds_exact_dup(docs):
     pairs = {(r.doc_a, r.doc_b) for r in minhash_lsh_pairs(docs, "doc_id").collect()}
     assert (1, 3) in pairs  # identical shingle sets always collide

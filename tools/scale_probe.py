@@ -294,26 +294,27 @@ def main() -> None:
         ]
     lines += [
         "",
-        "Notes: replicated text densifies every posting list ×{f}, so the".format(f=args.factor),
-        "inverted-index self-join (`dedup_ngram_jaccard`, exact mode) does",
-        "×{f} work per row by construction — its production path caps".format(f=args.factor),
-        "posting length (`max_posting`, SCALE.md §3.4). `dedup_semantic`",
-        "holds the cell count fixed here; at a real scale-up k grows with N",
-        "(k ∝ N/c) keeping in-cell pair work linear. Streaming probes",
-        "(`stream_dsir_score`) are IO-layout-sensitive: the ×10 replica dir",
-        "is written 32-way partitioned while the base is a single file, so",
-        "their ratio reflects file-source listing/batching, not operator",
-        "cost — read those rows as 'no blow-up', not as a speedup.",
-        "`graph_modularity` and `p_leakage_safe_split` ride the SimHash",
-        "pair graph: replication turns every duplicate into a ×{f}".format(f=args.factor),
-        "clique, so near-dup PAIRS grow ×{f}² inside clique groups while".format(f=args.factor),
-        "the corpus grows ×{f} — their steep rows are that densification,".format(f=args.factor),
-        "not a plan defect (the LSH-banded graph queries cap posting",
-        "growth and stay ~2×; organic new data adds near-dups at the",
-        "organic rate, SCALE.md §3.4's clique-vs-organic reading). The",
-        "production mitigation is ORDERING: run exact dedup before any",
-        "pair enumeration (the C4 pipeline order, dedup_exact →",
-        "near-dup), which removes replication cliques entirely.",
+        "Notes: replicated text densifies every posting list ×{f} — the".format(f=args.factor),
+        "hard direction for the inverted-index family. Since r6 every",
+        "registered pair-enumeration query is C4-ORDERED (exact dedup →",
+        "banded LSH → pair scoring inside bounded buckets, the production",
+        "pipeline order): `dedup_ngram_jaccard` / `dedup_containment` run",
+        "`banded_pair_scores` (operators/dedup.py), and `graph_modularity`",
+        "/ `p_leakage_safe_split` build the SimHash pair graph over",
+        "exact-dedup keepers. Replication cliques therefore collapse",
+        "BEFORE pair enumeration and the four r5 scale-killers (18.6× /",
+        "9.9× / 15.6× / 11.0×) now probe ≈1× — duplication is free by",
+        "construction, organic new data adds pair work at the organic",
+        "near-dup rate (SCALE.md §3.4's clique-vs-organic reading). The",
+        "exact uncapped operators (`ngram_jaccard_pairs`,",
+        "`containment_pairs`) remain library entry points for sampled",
+        "tuning runs. `dedup_semantic` holds the cell count fixed here; at",
+        "a real scale-up k grows with N (k ∝ N/c) keeping in-cell pair",
+        "work linear. Streaming probes (`stream_dsir_score`) are",
+        "IO-layout-sensitive: the ×10 replica dir is written 32-way",
+        "partitioned while the base is a single file, so their ratio",
+        "reflects file-source listing/batching, not operator cost — read",
+        "those rows as 'no blow-up', not as a speedup.",
         "",
         "## Bench-regression policy (r3 finding)",
         "",
