@@ -746,11 +746,14 @@ def kmeans_lloyd_exact(
     ``kmeans_lloyd`` is bit-exact only under a fixed partitioning — its
     docstring says so).
 
-    Scale shape per round: ONE broadcastable (k x dim) centroid dim
-    joined into the exploded coordinates (per-vec work k*dim), a
-    row_number argmin per vec, and ONE (cid, dim) hash agg; the corpus
-    re-scans from parquet each round (no lineage growth), sums carried
-    in decimal(38,0) so 1e9-row clusters cannot wrap. Seeds are the
+    Scale shape: the quantized corpus localCheckpoints ONCE (iters+1
+    logical passes collapse onto one materialized scan, lineage stays
+    flat); per round, a map-only Arrow argmin kernel with the (k x dim)
+    integer codebook riding in the task closure — zero shuffle — then
+    ONE (cid, dim) hash agg, map-side combined to k*d partials, sums
+    carried in decimal(38,0) so 1e9-row clusters cannot wrap. The JVM
+    plan is identical every round (only the kernel closure changes), so
+    codegen compiles once for the whole trajectory. Seeds are the
     first k ids in md5 order (engine-portable, partition-independent).
     Empty clusters keep their previous centroid.
 
@@ -764,64 +767,84 @@ def kmeans_lloyd_exact(
         F.col(vec_col).cast("array<double>"),
         lambda x: F.round(x * scale).cast("long"),
     )
-    base = df.select(F.col(id_col), xq_arr.alias("_xq"))
-    seed_ids = [
-        r[id_col]
-        for r in df.select(id_col)
-        .orderBy(*det_order(id_col, seed="kmeans-exact-init"))
+    # localCheckpoint the quantized base ONCE: every Lloyd round (and the
+    # final assignment the caller evaluates) scans materialized integer
+    # rows instead of re-running parquet scan + quantization through a
+    # growing analysis chain — iters+1 passes collapse to one real scan
+    # (r5 verdict perf item; checkpoint also keeps planning time flat)
+    base = df.select(F.col(id_col), xq_arr.alias("_xq")).localCheckpoint()
+    # seeds: ONE collect serving both the id order and the coordinates
+    # (was two jobs — an id collect + an isin-filtered row collect)
+    seed_rows = (
+        base.orderBy(*det_order(id_col, seed="kmeans-exact-init"))
         .limit(k)
         .collect()
-    ]
+    )
     # Totality guard (mirrors pagerank_exact): a corpus with fewer than k
     # rows degrades to k = n clusters; an empty corpus returns an empty
     # assignment rather than KeyError-ing on a missing seed centroid.
-    k = min(k, len(seed_ids))
+    k = min(k, len(seed_rows))
     if k == 0:
         return base.select(id_col, F.lit(0).alias("cid")).limit(0), [], {}
-    seed_rows = {
-        r[id_col]: list(r["_xq"])
-        for r in base.filter(F.col(id_col).isin(seed_ids)).collect()
-    }
     cents = {
         (cid, d): int(x)
-        for cid, vid in enumerate(seed_ids)
-        for d, x in enumerate(seed_rows[vid])
+        for cid, r in enumerate(seed_rows)
+        for d, x in enumerate(r["_xq"])
     }
 
     dims = max(d for _, d in cents) + 1
+    id_type = df.schema[id_col].dataType.simpleString()
     assigned = None
     sizes: dict[int, int] = {}
-    for _ in range(iters):
-        # centroids ride as literal nested arrays (the codebook-literal
-        # pattern): assignment is a MAP-ONLY integer argmin — per row,
-        # transform over k centroid arrays folds the exact squared
-        # distance, array_position(min) takes the first (= lowest-cid)
-        # minimum. Zero shuffle; the one exchange per round is the
-        # (cid, dim) update agg below, map-side combined to k*d partials.
-        cent_lit = F.array(
-            *[
-                F.array(
-                    *[F.lit(cents[(cid, d)]) for d in range(dims)]
+
+    def _assign_with(cents_np):
+        # codebook-in-closure Arrow kernel: the exact integer argmin
+        # sum((xq-cq)^2) with first-minimum (= lowest-cid) tie-break,
+        # identical to the literal-array JVM form this replaced. The JVM
+        # side of the plan is now IDENTICAL every round (only the Python
+        # closure changes), so whole-stage codegen compiles once instead
+        # of re-compiling a k*d-literal expression per round — the cost
+        # that dominated this query's bench line (r5 verdict perf item).
+        # int64 is exact here: the per-batch guard raises before any
+        # (x-c)^2 sum could reach 2^63 (explicit raise, survives -O).
+        def kernel(batches):
+            import numpy as np
+            import pandas as pd
+
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                X = np.array(list(pdf["_xq"]), dtype=np.int64)
+                m = max(
+                    int(np.abs(X).max()), int(np.abs(cents_np).max())
                 )
-                for cid in range(k)
-            ]
+                if X.shape[1] * (2 * m) * (2 * m) >= 2**63:
+                    raise OverflowError(
+                        f"int64 squared-distance would overflow: "
+                        f"dims={X.shape[1]} max|coord|={m}"
+                    )
+                diff = X[:, None, :] - cents_np[None, :, :]
+                dist = (diff * diff).sum(axis=2)
+                yield pd.DataFrame(
+                    {
+                        id_col: pdf[id_col],
+                        "_xq": pdf["_xq"],
+                        "cid": dist.argmin(axis=1).astype("int32"),
+                    }
+                )
+
+        return kernel
+
+    import numpy as np
+
+    for _ in range(iters):
+        cents_np = np.array(
+            [[cents[(cid, d)] for d in range(dims)] for cid in range(k)],
+            dtype=np.int64,
         )
-        dists = F.transform(
-            cent_lit,
-            lambda c: F.aggregate(
-                F.zip_with(
-                    F.col("_xq"), c, lambda x, cq: (x - cq) * (x - cq)
-                ),
-                F.lit(0).cast("long"),
-                lambda acc, v: acc + v,
-            ),
-        )
-        assigned = base.select(
-            id_col,
-            "_xq",
-            (F.array_position(dists, F.array_min(dists)) - 1)
-            .cast("int")
-            .alias("cid"),
+        assigned = base.mapInPandas(
+            _assign_with(cents_np),
+            f"{id_col} {id_type}, _xq array<long>, cid int",
         )
         agg_rows = (
             assigned.select("cid", F.posexplode("_xq").alias("d", "xq"))

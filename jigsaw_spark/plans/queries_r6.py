@@ -930,8 +930,10 @@ def _kmeans_exact_sql() -> str:
     "across engines and partitionings (the float kmeans_lloyd is only "
     "fixed-partitioning-stable), replayed by 5 unrolled SQL stage "
     "pairs. The third iterative algorithm upgraded to EXACT-oracle. "
-    "Per round: ONE broadcast (k x d) centroid dim + argmin window + "
-    "ONE (cid,dim) agg; corpus re-scans, no lineage growth",
+    "Quantized corpus localCheckpoints once; per round a map-only "
+    "Arrow argmin kernel (codebook in the task closure, JVM plan "
+    "identical across rounds -> one codegen compile) + ONE (cid,dim) "
+    "agg",
 )
 def ml_kmeans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jigsaw_spark.operators.similarity import kmeans_lloyd_exact
