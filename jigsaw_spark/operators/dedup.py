@@ -794,6 +794,38 @@ def containment_pairs(
     )
 
 
+def near_dup_keepers(
+    df: DataFrame,
+    key: str,
+    text: str = "text",
+    max_hamming: int = 2,
+) -> DataFrame:
+    """(key, keeper): every row mapped to the min-id of its near-dup
+    cluster (SimHash connected components; singletons keep themselves) —
+    the doc→canonical mapping that leakage-safe splitting, SoftDeDup
+    weighting, and cluster reporting all consume.
+
+    C4-ordered (exact dedup BEFORE pair enumeration): byte-identical
+    copies collapse to their fingerprint keeper first, so duplication can
+    never densify the SimHash pair graph into x|copies|² cliques. The
+    result is IDENTICAL to running the graph over all rows — exact dups
+    share a signature, so every edge through a dup is mirrored through
+    its keeper and component minima are unchanged (keeper = min id of
+    its fingerprint group ≤ all group members by construction)."""
+    ded = exact_dedup(df, key, text)
+    ek = ded.select(key, F.col("keeper").alias("_ek"))
+    keep = ded.filter(~F.col("is_dup")).select(key, text)
+    pairs = simhash_pairs(keep, key, text, max_hamming).select(
+        "doc_a", "doc_b"
+    )
+    comp = connected_components(pairs).select(
+        F.col("doc_id").alias("_ek"), F.col("component")
+    )
+    return ek.join(comp, "_ek", "left_outer").select(
+        key, F.coalesce("component", F.col("_ek")).alias("keeper")
+    )
+
+
 def banded_pair_scores(
     df: DataFrame,
     key: str,

@@ -79,28 +79,10 @@ def _lss_sql() -> str:
     "mirrored through its keeper, components and minima are unchanged.",
 )
 def p_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from jigsaw_spark.operators.dedup import (
-        connected_components,
-        exact_dedup,
-        simhash_pairs,
-    )
+    from jigsaw_spark.operators.dedup import near_dup_keepers
 
     docs = _t(spark, sf_dir, "documents")
-    ded = exact_dedup(docs, "doc_id")
-    # exact keeper per doc: min doc_id of its fingerprint group — the id
-    # every exact copy inherits (it is <= all group members by definition)
-    ek = ded.select("doc_id", F.col("keeper").alias("ek"))
-    keepers = ded.filter(~F.col("is_dup")).select("doc_id", "text")
-    pairs = simhash_pairs(keepers, "doc_id", max_hamming=2).select(
-        "doc_a", "doc_b"
-    )
-    comp = connected_components(pairs).select(
-        F.col("doc_id").alias("ek"), F.col("component")
-    )
-    assigned = ek.join(comp, "ek", "left_outer").select(
-        "doc_id",
-        F.coalesce("component", F.col("ek")).alias("keeper"),
-    )
+    assigned = near_dup_keepers(docs, "doc_id")
     return assigned.select(
         "doc_id",
         F.col("keeper").cast("bigint").alias("keeper"),
