@@ -209,6 +209,10 @@ GLOBAL_WINDOW_OK = {
     "ml_learning_curve",
     # lag/lead anchors over the 50-bucket stats dim
     "ts_lttb_fixed",
+    # prefix sum over PER-HOUR-BUCKET TOTALS (rows = hours in the time
+    # span, never corpus-sized); the corpus-scale prefix runs in the
+    # bucket-partitioned window — the documented two-phase sweep-line
+    "rel_max_concurrency",
 }
 # streaming queries execute on .start(), not .explain — audit skipped
 SKIP = {"stream_hourly_rollup", "stream_stateful_sessions"}
