@@ -418,7 +418,13 @@ def _repetition_sql() -> str:
 def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jigsaw_spark.operators.text import shingles_expr, tokens_expr
 
-    docs = _t(spark, sf_dir, "documents")
+    # spread BEFORE the explode: a dense parquet file arrives as ONE
+    # partition on a local read, and an unspread explode+agg serializes
+    # on one core (measured 10s vs 1.5s at sf0.1 — the _spread lesson
+    # from operators/dedup.py)
+    docs = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     shn = docs.select(
         "doc_id",
         F.explode(shingles_expr(tokens_expr("text"))).alias("shingle"),
