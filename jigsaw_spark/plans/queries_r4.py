@@ -2067,9 +2067,14 @@ def dedup_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     # capped truth side (see dedup_lsh_recall): never binds at sf0.01 so
     # the SQL twin stays the uncapped form; bounds the inverted-index
     # self-join on boilerplate shingles at scale
-    truth = ngram_jaccard_pairs(
-        docs, "doc_id", threshold=0.3, max_posting=1000
-    ).select("doc_a", "doc_b", (F.col("jaccard")).alias("j_exact"))
+    # localCheckpoint: truth anchors the estimate join AND the final
+    # join — without it the whole exact-pairs pipeline (the query's
+    # only heavy stage) evaluates twice (4.2s -> ~2s at sf0.1)
+    truth = (
+        ngram_jaccard_pairs(docs, "doc_id", threshold=0.3, max_posting=1000)
+        .select("doc_a", "doc_b", (F.col("jaccard")).alias("j_exact"))
+        .localCheckpoint()
+    )
     sigs = minhash_signatures(docs, "doc_id", num_hashes=16)
     a = sigs.select(
         F.col("doc_id").alias("doc_a"), F.col("seed"), F.col("mh").alias("mh_a")

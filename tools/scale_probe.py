@@ -152,6 +152,26 @@ PROBES = [
     "text_watermark_detect",
     "agg_equidepth_hist",
     "j11_bucketed_join",
+    # round 6: the C4-ordered pair scorers (replication cliques collapse
+    # at the exact-dedup stage — these should probe ~1x by design),
+    # the as-of carry and pattern-match per-user windows (user_id is NOT
+    # shifted, so per-user sequences grow x10 — the hard direction),
+    # the novelty posting growth, the source-overlap distinct relation
+    # (bounded by |sources| x vocab — sublinear by design), the
+    # two-phase sweep line, and the fused v4 pipeline (the C4-fixed
+    # dedup_ngram_jaccard / dedup_containment / graph_modularity /
+    # p_leakage_safe_split are already probed above)
+    "curation_soft_dedup_weights",
+    "j12_asof_join",
+    "rel_event_pattern_match",
+    "text_ngram_novelty",
+    "text_repetition_score",
+    "dedup_source_overlap",
+    "rel_max_concurrency",
+    "curation_pipeline_v4",
+    "agg_weighted_median",
+    "dq_embedding_norms",
+    "layout_skipping_report",
 ]
 
 TABLES = [
