@@ -2067,14 +2067,13 @@ def dedup_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     # capped truth side (see dedup_lsh_recall): never binds at sf0.01 so
     # the SQL twin stays the uncapped form; bounds the inverted-index
     # self-join on boilerplate shingles at scale
-    # localCheckpoint: truth anchors the estimate join AND the final
-    # join — without it the whole exact-pairs pipeline (the query's
-    # only heavy stage) evaluates twice (4.2s -> ~2s at sf0.1)
-    truth = (
-        ngram_jaccard_pairs(docs, "doc_id", threshold=0.3, max_posting=1000)
-        .select("doc_a", "doc_b", (F.col("jaccard")).alias("j_exact"))
-        .localCheckpoint()
-    )
+    # NOTE: deliberately NOT localCheckpoint'ed — truth feeds two
+    # consumers, but Spark's ReusedExchange already shares the heavy
+    # shingle-join stages between them; forcing materialization was
+    # measured SLOWER (4.4s -> 6.7s in-bench at sf0.1)
+    truth = ngram_jaccard_pairs(
+        docs, "doc_id", threshold=0.3, max_posting=1000
+    ).select("doc_a", "doc_b", (F.col("jaccard")).alias("j_exact"))
     sigs = minhash_signatures(docs, "doc_id", num_hashes=16)
     a = sigs.select(
         F.col("doc_id").alias("doc_a"), F.col("seed"), F.col("mh").alias("mh_a")
