@@ -51,6 +51,11 @@ QUERIES: dict[str, QuerySpec] = {}
 
 def register(name: str, oracle: str | None, doc: str = ""):
     def deco(fn):
+        # a duplicate name silently REPLACED the earlier registration
+        # (and its driver-certified oracle) until r6, when a new batch's
+        # fn_variant overwrote round-3's — fail loudly instead
+        if name in QUERIES:
+            raise KeyError(f"query {name!r} is already registered")
         QUERIES[name] = QuerySpec(spark=fn, oracle=oracle, doc=doc)
         return fn
 
@@ -1579,6 +1584,20 @@ from jigsaw_spark.plans import queries_r26  # noqa: E402,F401
 # graph_pagerank, ml_pca_pc1) are deregistered this round — their exact
 # integer variants are driver-green. Everything already certified falls to
 # the back in module-import order.
+#
+# ROUND-7 ROTATION PLAN (written r6): after CORRECTNESS_r06 lands, the
+# debt is slots 51-75 here (25 queries) PLUS the 20 round-6-new
+# oracle-backed queries in queries_r24/r25/r26 PLUS two names whose
+# driver rows belong to OTHER code (the r6 duplicate-registration guard
+# surfaced that r10's per-node `graph_triangles` had silently shadowed
+# r4's global-count version — now `graph_triangles_total` — since r5,
+# so `graph_triangles`'s old row certified different code and
+# `graph_triangles_total` has none) — 47 names, which fit one 50-slot
+# window. Promote exactly those to the head: r6-window misses (if any)
+# first, then the slot-51-75 block, then graph_triangles +
+# graph_triangles_total, then r24 → r25 → r26 in registration order.
+# Update tests/test_entry.py's window-policy test (names[0] pin +
+# exemption range) in the same commit.
 # ---------------------------------------------------------------------------
 
 _CERTIFICATION_PRIORITY = [

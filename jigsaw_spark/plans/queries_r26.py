@@ -1,7 +1,7 @@
 """Round-6 batch 3: VARIANT semi-structured access, table fingerprints,
 clustering coefficients, and dynamic partition pruning —
 
-- ``fn_variant``: Spark 4's VARIANT type surface — ``parse_json`` →
+- ``fn_variant_agg``: Spark 4's VARIANT type surface — ``parse_json`` →
   ``variant_get``/``try_variant_get`` path extraction with typed casts,
   aggregated per event type; the open-schema JSON path that keeps
   extraction JVM-side (no per-row Python, no rigid schema).
@@ -46,7 +46,7 @@ _VARIANT_SQL = """
 
 
 @register(
-    "fn_variant",
+    "fn_variant_agg",
     _VARIANT_SQL,
     "Spark 4 VARIANT surface: parse_json once per row, then "
     "variant_get('$.k', 'long') typed path extraction and "
@@ -56,7 +56,7 @@ _VARIANT_SQL = """
     "declaration), aggregated per event type. Oracle = DuckDB "
     "json_extract on the same paths",
 )
-def fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+def fn_variant_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     v = F.parse_json("props")
     k = F.variant_get(v, "$.k", "long")

@@ -580,7 +580,7 @@ def agg_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "graph_triangles",
+    "graph_triangles_total",
     f"""
     WITH {_TOKS_CTE}, {_SHINGLES_CTE},
     mh AS (
@@ -603,12 +603,15 @@ def agg_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
                       JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
            ) AS n_triangles
     """,
-    "triangle count over the near-dup candidate graph (cluster-density "
-    "signal): oriented edges (u<v) so each triangle joins exactly once "
+    "GLOBAL triangle count over the near-dup candidate graph (cluster-"
+    "density signal; the per-node counts are graph_triangles in the r10 "
+    "batch — this name was shadowed by it from r5 until the r6 "
+    "duplicate-registration guard surfaced the collision): oriented "
+    "edges (u<v) so each triangle joins exactly once "
     "— the standard degree-bounded triple join; at 100 TB the edge list "
     "is the LSH output, orders smaller than the corpus",
 )
-def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def graph_triangles_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jigsaw_spark.operators.dedup import minhash_lsh_pairs
 
     docs = _t(spark, sf_dir, "documents")

@@ -69,8 +69,16 @@ def test_certification_window_covers_never_certified():
     new_modules = {
         f"jigsaw_spark.plans.queries_r{i}" for i in range(24, 40)
     }
+    # surfaced by the r6 duplicate-registration guard: r10's per-node
+    # graph_triangles had shadowed r4's global-count version since r5 —
+    # the unshadowed rename has no driver row yet and queues for r7
+    # alongside the r6-new batches (see the rotation plan in queries.py)
+    collision_renames = {"graph_triangles_total"}
     debt = [
-        q for q in never if QUERIES[q].spark.__module__ not in new_modules
+        q
+        for q in never
+        if QUERIES[q].spark.__module__ not in new_modules
+        and q not in collision_renames
     ]
     debt_slots = names[1:75]
     wasted = [q for q in debt_slots if q not in never]

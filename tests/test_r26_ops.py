@@ -25,7 +25,7 @@ def test_fn_variant_replays_json(spark):
         w[4] += 1  # '$.absent' is missing from every row
     got = {
         r["event_type"]: [r["n"], r["sum_k"], r["min_k"], r["max_k"], r["n_missing"]]
-        for r in entrymod.queries()["fn_variant"](spark, SF).collect()
+        for r in entrymod.queries()["fn_variant_agg"](spark, SF).collect()
     }
     assert got == dict(want)
 
