@@ -468,17 +468,17 @@ def j8_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = _t(spark, sf_dir, "nation")
 
     def positions(key):
+        # ONE md5 sliced into k independent 40-bit windows (instead of k
+        # seeded md5 calls): whole-stage codegen CSEs the shared digest,
+        # so the per-row hash cost is 1/k of the seeded form. The hash
+        # family is Spark-internal — the exact semi-join below kills
+        # false positives, so results are unchanged by construction
+        h = F.md5(F.concat(F.lit("bf|"), key.cast("string")))
         return [
             F.pmod(
-                F.conv(
-                    F.substring(
-                        F.md5(F.concat(F.lit(f"bf{i}|"), key.cast("string"))),
-                        1,
-                        12,
-                    ),
-                    16,
-                    10,
-                ).cast("bigint"),
+                F.conv(F.substring(h, 1 + 10 * i, 10), 16, 10).cast(
+                    "bigint"
+                ),
                 F.lit(_BLOOM_M),
             )
             for i in range(_BLOOM_K)

