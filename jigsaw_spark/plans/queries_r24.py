@@ -67,58 +67,36 @@ _ASOF_SQL = """
     _ASOF_SQL,
     "as-of (point-in-time) join: every 'view' event enriched with the "
     "latest same-user 'purchase' cents at or before its timestamp — "
-    "the feature-store / market-data temporal join Spark has no "
-    "built-in for. Implemented WITHOUT a range join (whose candidate "
-    "space is |l|x|r| per user): both sides union into one stream, "
-    "ONE per-user window carries the last non-null right value "
-    "forward (right rows sort before left at equal ts, so 'at or "
-    "before' includes ties), left rows project out. One shuffle on "
-    "user_id; right side pre-aggregated per (user, ts) so the carry "
-    "is deterministic. Oracle = DuckDB's native ASOF LEFT JOIN",
+    "the feature-store / market-data temporal join, driven through "
+    "the library operator (operators/joins.asof_join: union-tag + ONE "
+    "per-key carry window, no range-join explosion; right side "
+    "pre-aggregated per (user, ts) so the carry is deterministic). "
+    "What this query adds over the j5 family is the ORACLE: DuckDB's "
+    "NATIVE ASOF LEFT JOIN cross-validates the union+carry "
+    "formulation against an independent engine implementation of the "
+    "same semantics",
 )
 def j12_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jigsaw_spark.operators.joins import asof_join
+
     ev = _t(spark, sf_dir, "events")
     t = F.unix_micros("ts")
     cents = F.round(F.col("value") * 100, 0).cast("bigint")
     left = ev.filter(F.col("event_type") == "view").select(
-        F.col("event_id"),
-        F.col("user_id"),
-        t.alias("t"),
-        F.lit(1).alias("side"),
-        F.lit(None).cast("long").alias("rv"),
-        F.lit(None).cast("long").alias("rt"),
+        "user_id", t.alias("t"), F.col("event_id")
     )
     right = (
         ev.filter(F.col("event_type") == "purchase")
-        .select("user_id", t.alias("t"), cents.alias("c"))
+        .select("user_id", t.alias("t"), cents.alias("rv"))
         .groupBy("user_id", "t")
-        .agg(F.max("c").alias("rv"))
-        .select(
-            F.lit(None).cast("long").alias("event_id"),
-            "user_id",
-            "t",
-            F.lit(0).alias("side"),
-            "rv",
-            F.col("t").alias("rt"),
-        )
+        .agg(F.max("rv").alias("rv"))
     )
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("t", "side")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    carried = left.unionByName(right).select(
-        "event_id",
-        "t",
-        "side",
-        F.last("rv", ignorenulls=True).over(w).alias("crv"),
-        F.last("rt", ignorenulls=True).over(w).alias("crt"),
-    )
-    return carried.filter(F.col("side") == 1).select(
+    joined = asof_join(left, right, on=["user_id"], ts="t")
+    return joined.select(
         "event_id",
         F.col("t").cast("bigint").alias("t_micros"),
-        F.coalesce("crv", F.lit(-1)).cast("bigint").alias("asof_cents"),
-        F.coalesce(F.col("t") - F.col("crt"), F.lit(-1))
+        F.coalesce("r_rv", F.lit(-1)).cast("bigint").alias("asof_cents"),
+        F.coalesce(F.col("t") - F.col("r_t"), F.lit(-1))
         .cast("bigint")
         .alias("lag_micros"),
     )
