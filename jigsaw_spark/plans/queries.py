@@ -1592,10 +1592,12 @@ from jigsaw_spark.plans import queries_r26  # noqa: E402,F401
 # surfaced that r10's per-node `graph_triangles` had silently shadowed
 # r4's global-count version — now `graph_triangles_total` — since r5,
 # so `graph_triangles`'s old row certified different code and
-# `graph_triangles_total` has none) — 47 names, which fit one 50-slot
+# `graph_triangles_total` has none) — 48 names with the streaming
+# checksum, which fit one 50-slot
 # window. Promote exactly those to the head: r6-window misses (if any)
 # first, then the slot-51-75 block, then graph_triangles +
-# graph_triangles_total, then r24 → r25 → r26 in registration order.
+# graph_triangles_total, then r24 → r25 → r26 → stream_table_checksum in registration
+# order (48 names total).
 # Update tests/test_entry.py's window-policy test (names[0] pin +
 # exemption range) in the same commit.
 # ---------------------------------------------------------------------------

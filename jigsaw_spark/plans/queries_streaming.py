@@ -236,3 +236,59 @@ def stream_synth_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("total_cents"),
         )
     )
+
+
+_CK_MOD_STREAM = 2_305_843_009_213_693_952  # 2^61, matches dq_table_checksum
+
+
+@register(
+    "stream_table_checksum",
+    f"""
+    SELECT 'events' AS tbl,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(('0x' || substr(md5('e|' || CAST(event_id AS VARCHAR)),
+                                    1, 12))::UBIGINT)
+                % {_CK_MOD_STREAM} AS BIGINT) AS key_checksum
+    FROM events
+    """,
+    "INCREMENTAL table fingerprint maintenance — the streaming twin of "
+    "dq_table_checksum, possible only because the checksum is an "
+    "ALGEBRAIC aggregate (count + decimal sum of md5-int48 key hashes: "
+    "commutative, mergeable): each arriving file contributes partial "
+    "sums into the running complete-mode state, so the fingerprint of "
+    "an ever-growing table stays current without ever rescanning it — "
+    "the CDC-era answer to 'is the replica still identical?'. The mod "
+    "reduction applies once at read-out (mod of a sum == mod of the "
+    "running decimal state). Drained with AvailableNow, equals the "
+    "batch checksum exactly",
+)
+def stream_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    stream = read_event_stream(spark, sf_dir, glob="events.parquet")
+    partial = stream.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.expr(
+                "CAST(conv(substring(md5('e|' || CAST(event_id AS STRING)),"
+                " 1, 12), 16, 10) AS DECIMAL(38,0))"
+            )
+        ).alias("running_sum"),
+    )
+    name = f"stream_ck_{uuid.uuid4().hex[:8]}"
+    with _state_partitions(spark):
+        q = (
+            partial.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name).select(
+        F.lit("events").alias("tbl"),
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.expr(f"CAST(running_sum % {_CK_MOD_STREAM} AS BIGINT)").alias(
+            "key_checksum"
+        ),
+    )

@@ -74,11 +74,14 @@ def test_certification_window_covers_never_certified():
     # the unshadowed rename has no driver row yet and queues for r7
     # alongside the r6-new batches (see the rotation plan in queries.py)
     collision_renames = {"graph_triangles_total"}
+    # r6-new queries registered in pre-existing modules (not queries_rNN)
+    r6_new_elsewhere = {"stream_table_checksum"}
     debt = [
         q
         for q in never
         if QUERIES[q].spark.__module__ not in new_modules
         and q not in collision_renames
+        and q not in r6_new_elsewhere
     ]
     debt_slots = names[1:75]
     wasted = [q for q in debt_slots if q not in never]

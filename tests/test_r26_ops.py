@@ -122,3 +122,16 @@ def test_dpp_join_prunes_partitions(spark):
         for r in df.collect()
     }
     assert got == want
+
+
+def test_stream_checksum_equals_batch_checksum(spark):
+    batch = {
+        r["tbl"]: (r["n_rows"], r["key_checksum"])
+        for r in entrymod.queries()["dq_table_checksum"](spark, SF).collect()
+    }
+    stream = entrymod.queries()["stream_table_checksum"](spark, SF).collect()
+    assert len(stream) == 1
+    r = stream[0]
+    # the algebraic-merge law: draining the file stream reproduces the
+    # batch fingerprint bit-for-bit
+    assert (r["n_rows"], r["key_checksum"]) == batch["events"]
