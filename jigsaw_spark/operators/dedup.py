@@ -102,21 +102,31 @@ def ngram_jaccard_pairs(
     dedup pass) or with a cap; the Jaccard is then computed over the
     capped shingle universe — identical to exact whenever no posting
     exceeds the cap (asserted on the test corpus in
-    tests/test_r4_ops.py::test_ngram_jaccard_cap_noop_when_not_binding)."""
+    tests/test_r4_ops.py::test_ngram_jaccard_cap_noop_when_not_binding).
+
+    Plan shape (r6): the BUCKET form, like minhash_lsh_pairs — postings
+    aggregate to one sorted-id array per shingle and pairs explode
+    bucket-locally, replacing the posting self-join. Same results, one
+    fewer exchange (the cap filter and the pair fan-out read the same
+    aggregated relation), measured ~30% faster at sf0.1; the cap is a
+    filter on the bucket size instead of a pre-join semi join, and doc
+    sizes re-derive from the capped buckets so capped semantics are
+    unchanged."""
     sh = doc_shingles(df, key, text, n)
+    buckets = sh.groupBy("shingle").agg(
+        F.array_sort(F.collect_list(key)).alias("ids")
+    )
     if max_posting is not None:
-        rare = (
-            sh.groupBy("shingle")
-            .count()
-            .filter(F.col("count") <= max_posting)
-            .select("shingle")
-        )
-        sh = sh.join(rare, "shingle", "left_semi")
-    sizes = sh.groupBy(key).agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.select(F.col(key).alias("doc_a"), "shingle")
-    b = sh.select(F.col(key).alias("doc_b"), "shingle")
+        buckets = buckets.filter(F.size("ids") <= max_posting)
+    sizes = (
+        buckets.select(F.explode("ids").alias(key))
+        .groupBy(key)
+        .agg(F.count(F.lit(1)).alias("sz"))
+    )
     inter = (
-        a.join(b, "shingle")
+        buckets.filter(F.size("ids") >= 2)
+        .select(F.explode("ids").alias("doc_a"), "ids")
+        .select("doc_a", F.explode("ids").alias("doc_b"))
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("inter"))
@@ -762,22 +772,24 @@ def containment_pairs(
 
     Same bounded inverted-index shape as :func:`ngram_jaccard_pairs`
     (capped postings by default — this is a pair-surfacing query, frequent
-    boilerplate shingles carry no containment signal); the score is a
+    boilerplate shingles carry no containment signal; same r6 bucket
+    form, same capped-universe size semantics); the score is a
     ratio of exact integers, engine-stable."""
     sh = doc_shingles(df, key, text, n)
+    buckets = sh.groupBy("shingle").agg(
+        F.array_sort(F.collect_list(key)).alias("ids")
+    )
     if max_posting is not None:
-        rare = (
-            sh.groupBy("shingle")
-            .count()
-            .filter(F.col("count") <= max_posting)
-            .select("shingle")
-        )
-        sh = sh.join(rare, "shingle", "left_semi")
-    sizes = sh.groupBy(key).agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.select(F.col(key).alias("doc_a"), "shingle")
-    b = sh.select(F.col(key).alias("doc_b"), "shingle")
+        buckets = buckets.filter(F.size("ids") <= max_posting)
+    sizes = (
+        buckets.select(F.explode("ids").alias(key))
+        .groupBy(key)
+        .agg(F.count(F.lit(1)).alias("sz"))
+    )
     inter = (
-        a.join(b, "shingle")
+        buckets.filter(F.size("ids") >= 2)
+        .select(F.explode("ids").alias("doc_a"), "ids")
+        .select("doc_a", F.explode("ids").alias("doc_b"))
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("inter"))
