@@ -669,6 +669,10 @@ def dedup_lines(
     reuses the exchange) → ONE hash-agg by doc key to reassemble. Nothing
     is quadratic; the dup-line set is never collected driver-side.
     """
+    # spread first: everything before the distinct (posexplode + trim +
+    # md5) runs on the INPUT partitioning, and a single dense parquet
+    # file arrives as one partition on a local read (the r6 perf class)
+    df = _spread(df)
     lines = df.select(
         F.col(key),
         F.posexplode(F.split(F.col(text), F.lit(sep), -1)).alias("_idx", "_line"),
