@@ -54,7 +54,12 @@ def _spread(df: DataFrame) -> DataFrame:
 
 def exact_dedup(df: DataFrame, key: str, text: str = "text") -> DataFrame:
     """Assign every row its canonical keeper: min(key) over rows sharing the
-    normalization fingerprint. `is_dup` marks rows to drop."""
+    normalization fingerprint. `is_dup` marks rows to drop.
+
+    Deliberately NOT _spread: the pre-shuffle work is ONE md5 per row
+    (unlike the explode-heavy operators), and the fp window shuffles
+    immediately anyway — an extra round-robin exchange of the full text
+    payload measured net-SLOWER across every consumer (r6)."""
     from pyspark.sql.window import Window
 
     fp = fingerprint_expr(tokens_expr(text))
