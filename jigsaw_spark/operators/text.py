@@ -592,6 +592,11 @@ def bpe_encode(
     training. Zero shuffle; output rows stay with their input partition.
     """
     key_type = df.schema[key].dataType.simpleString()
+    # deliberately NOT repartitioned before the kernel: the per-batch
+    # word cache makes the work vocab-bound, so a single worker already
+    # encodes the corpus in ~0.5s at sf0.1 — an extra full-text exchange
+    # measured net-neutral-to-slower (r6 A/B); on a real cluster the
+    # multi-file input is already spread
     toks = df.select(F.col(key), tokens_expr(text).alias("toks"))
     merge_list = [(a, b) for a, b in merges]
 
