@@ -1569,90 +1569,37 @@ from jigsaw_spark.plans import queries_r26  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 # Registration order == driver certification order. The driver's correctness
 # gate walks QUERIES in insertion order with a bounded window (~50 names per
-# round; every round so far sampled exactly the first 50). Round-6 rotation
-# (verdict r5 directives #1/#3/#6):
-#   slot 1      — text_bpe_encode: the r5 driver ERR (array-column output),
-#                 fixed to emit scalars; needs its clean rows-only row.
-#   slots 2-50  — the first 49 of the 74 oracle-backed queries with no
-#                 driver row across CORRECTNESS_r01-r05 (r5-built batches
-#                 queries_r7-r23), in registration order.
-#   slots 51-75 — the remaining 25 never-sampled queries: they head the r7
-#                 window, clearing all certification debt by end of r7.
-# The 9 clean rows-only entries (k6_deeplab_export, mm_audio_pipeline, ...)
+# round; every round so far sampled exactly the first 50). Round-7 rotation
+# (verdict r6 directive #1) — CORRECTNESS_r06 came back 49/50 green plus the
+# expected text_bpe_encode rows-only row, so there are NO r6-window misses
+# and the full remaining debt is exactly the 47 oracle-backed queries with
+# no driver row across CORRECTNESS_r01-r06, plus `graph_triangles` whose
+# r02 row certified DIFFERENT code (r10's per-node version silently
+# shadowed r4's global-count version from r5 until the r6 duplicate-
+# registration guard surfaced it; the global count is now
+# `graph_triangles_total`):
+#   slots 1-25  — the r6 list's slots 51-75 (r5-built batches r20-r23 tail).
+#   slots 26-27 — graph_triangles (re-cert of the code now owning the
+#                 name) + graph_triangles_total (no row yet).
+#   slots 28-47 — the 20 round-6-new oracle-backed queries, r24 → r25 →
+#                 r26 in registration order.
+#   slot 48     — stream_table_checksum (r6-new, registered in
+#                 queries_rel5).
+#   slots 49-50 — padding: two cheap long-green queries (f1_and_filter,
+#                 a1_distinct_labels) re-certified so no rows-only entry
+#                 slips into the window. After this round the
+#                 never-certified debt is ZERO; round-8's window is free
+#                 for round-7-new queries (modules queries_r27+), which
+#                 queue behind slot 50 until then.
+# The 7 clean rows-only entries (text_bpe_encode, k6_deeplab_export, ...)
 # each have their one driver row and are NOT re-rotated (they can never be
-# hash-certified); the 4 redundant float twins (ml_kmeans, ml_logreg,
-# graph_pagerank, ml_pca_pc1) are deregistered this round — their exact
-# integer variants are driver-green. Everything already certified falls to
-# the back in module-import order.
-#
-# ROUND-7 ROTATION PLAN (written r6): after CORRECTNESS_r06 lands, the
-# debt is slots 51-75 here (25 queries) PLUS the 20 round-6-new
-# oracle-backed queries in queries_r24/r25/r26 PLUS two names whose
-# driver rows belong to OTHER code (the r6 duplicate-registration guard
-# surfaced that r10's per-node `graph_triangles` had silently shadowed
-# r4's global-count version — now `graph_triangles_total` — since r5,
-# so `graph_triangles`'s old row certified different code and
-# `graph_triangles_total` has none) — 48 names with the streaming
-# checksum, which fit one 50-slot
-# window. Promote exactly those to the head: r6-window misses (if any)
-# first, then the slot-51-75 block, then graph_triangles +
-# graph_triangles_total, then r24 → r25 → r26 → stream_table_checksum in registration
-# order (48 names total).
+# hash-certified). Everything already certified falls to the back in
+# module-import order.
 # Update tests/test_entry.py's window-policy test (names[0] pin +
-# exemption range) in the same commit.
+# exemption range) in the same commit as any change here.
 # ---------------------------------------------------------------------------
 
 _CERTIFICATION_PRIORITY = [
-    "text_bpe_encode",
-    "dq_benford",
-    "graph_two_hop",
-    "j8_bloom_prune",
-    "ts_decompose_ma",
-    "ts_lttb_fixed",
-    "text_kneser_ney",
-    "stream_cdc_upsert",
-    "ml_nbayes_classify",
-    "ts_holt_exact",
-    "agg_log2_histogram",
-    "p_stratified_kfold",
-    "graph_bfs_layers",
-    "agg_bitmap_overlap",
-    "dq_fk_orphans",
-    "ml_linreg_by_group",
-    "layout_hilbert",
-    "ab_chi2_independence",
-    "rel_attribution_linear",
-    "j9_interval_overlap",
-    "curation_pipeline_v3",
-    "ts_best_changepoint",
-    "stream_sliding_topk",
-    "layout_manifest_prune",
-    "graph_neighbor_jaccard",
-    "rel_item_cooccurrence",
-    "ts_autocorr",
-    "p_systematic_sample",
-    "text_readability",
-    "privacy_tcloseness",
-    "ml_confusion_metrics",
-    "ts_twap",
-    "layout_compaction_bins",
-    "ml_knn_classify",
-    "graph_kcore",
-    "dq_column_profile",
-    "ab_mann_whitney_u",
-    "ml_tree_depth2",
-    "agg_percentile_exact",
-    "ml_ols_2feature",
-    "p_negative_sampling",
-    "dq_uniqueness_keys",
-    "p_class_balance_resample",
-    "graph_assortativity",
-    "graph_modularity",
-    "ts_theil_sen",
-    "rel_markov_transitions",
-    "ts_anomaly_iqr",
-    "rel_gaps_islands",
-    "agg_mode_exact",
     "w12_running_distinct",
     "ml_target_encode_loo",
     "ts_wow_growth",
@@ -1678,6 +1625,31 @@ _CERTIFICATION_PRIORITY = [
     "dq_rule_violations",
     "ts_cross_corr",
     "ml_feature_importance",
+    "graph_triangles",
+    "graph_triangles_total",
+    "j12_asof_join",
+    "rel_max_concurrency",
+    "curation_soft_dedup_weights",
+    "graph_component_size_hist",
+    "text_ngram_novelty",
+    "text_repetition_score",
+    "ml_ridge_2feature",
+    "ts_seasonal_naive",
+    "rel_event_pattern_match",
+    "dedup_source_overlap",
+    "layout_skipping_report",
+    "text_code_detect",
+    "text_pii_scan",
+    "dq_embedding_norms",
+    "agg_weighted_median",
+    "curation_pipeline_v4",
+    "fn_variant_agg",
+    "dq_table_checksum",
+    "graph_clustering_coeff",
+    "j13_dpp_join",
+    "stream_table_checksum",
+    "f1_and_filter",
+    "a1_distinct_labels",
 ]
 
 

@@ -29,14 +29,16 @@ def test_every_query_runs_at_smoke_sf(spark):
 
 def test_certification_window_covers_never_certified():
     """The driver's correctness gate walks the registry in order with a
-    bounded window (~50). Round-6 policy (verdict r5 #1/#3/#6): slot 1 is
-    the fixed r5 driver ERR (text_bpe_encode — needs a clean rows-only
-    row), and every other slot up to 75 is spent on a query with NO
-    driver row across CORRECTNESS_r01-r05, in registration order — the
-    first 49 land in the r6 window, the remaining 25 head the r7 window,
-    clearing all certification debt by end of r7. Clean rows-only entries
-    (k6_deeplab_export, ...) are never re-rotated, and any round-6-new
-    queries queue BEHIND the debt (past slot 75)."""
+    bounded window (~50). Round-7 policy (verdict r6 #1): CORRECTNESS_r06
+    had zero misses, so slots 1-48 are spent on exactly the 47
+    oracle-backed queries with NO driver row across CORRECTNESS_r01-r06
+    plus `graph_triangles` (whose r02 row certified the code now named
+    graph_triangles_total — the r6 duplicate-registration guard finding),
+    slots 49-50 are cheap long-green padding, and after this round the
+    never-certified debt is ZERO. Round-7-new queries (modules
+    queries_r27+) queue BEHIND slot 50 for the r8 window. Clean rows-only
+    entries (text_bpe_encode, k6_deeplab_export, ...) keep their one
+    driver row and are never re-rotated."""
     import json
     import pathlib
 
@@ -44,52 +46,70 @@ def test_certification_window_covers_never_certified():
 
     root = pathlib.Path(__file__).resolve().parents[1]
     certified: set[str] = set()
-    clean: set[str] = set()
-    for r in ("01", "02", "03", "04", "05"):
+    for r in ("01", "02", "03", "04", "05", "06"):
         path = root / f"CORRECTNESS_r{r}.json"
         if path.exists():
-            rows = json.loads(path.read_text())
-            certified |= set(rows)
-            clean |= {
-                q
-                for q, v in rows.items()
-                if v.get("hash_match") or v.get("err") == "no_oracle"
-            }
+            certified |= set(json.loads(path.read_text()))
 
     names = list(QUERIES)
-    never = [q for q in names if q not in certified]
+    never = [
+        q
+        for q in names
+        if q not in certified and QUERIES[q].oracle is not None
+    ]
 
-    assert names[0] == "text_bpe_encode", (
-        "slot 1 must re-certify the fixed r5 driver ERR"
+    assert names[0] == "w12_running_distinct", (
+        "slot 1 must start the r7 debt-clearing block (r6 list slots 51-75)"
     )
 
-    # slots 2-75 are spent exclusively on never-certified queries, and
-    # ALL pre-r6 certification debt sits inside slots 2-75; queries
-    # ADDED in round 6 (batch modules r24+) queue behind the debt
+    # slots 1-48 == all remaining debt + the graph_triangles re-cert;
+    # round-7-new queries (batch modules r27+) queue behind slot 50
+    window = names[:50]
+    debt = set(never) | {"graph_triangles"}
+    outside = [q for q in debt if q not in window]
+    assert not outside, f"certification debt outside slots 1-50: {outside}"
     new_modules = {
-        f"jigsaw_spark.plans.queries_r{i}" for i in range(24, 40)
+        f"jigsaw_spark.plans.queries_r{i}" for i in range(27, 60)
     }
-    # surfaced by the r6 duplicate-registration guard: r10's per-node
-    # graph_triangles had shadowed r4's global-count version since r5 —
-    # the unshadowed rename has no driver row yet and queues for r7
-    # alongside the r6-new batches (see the rotation plan in queries.py)
-    collision_renames = {"graph_triangles_total"}
-    # r6-new queries registered in pre-existing modules (not queries_rNN)
-    r6_new_elsewhere = {"stream_table_checksum"}
-    debt = [
-        q
-        for q in never
-        if QUERIES[q].spark.__module__ not in new_modules
-        and q not in collision_renames
-        and q not in r6_new_elsewhere
+    early_new = [
+        q for q in window if QUERIES[q].spark.__module__ in new_modules
     ]
-    debt_slots = names[1:75]
-    wasted = [q for q in debt_slots if q not in never]
-    assert not wasted, f"already-certified queries inside slots 2-75: {wasted}"
-    outside = [q for q in debt if q not in debt_slots]
-    assert not outside, f"pre-r6 debt outside slots 2-75: {outside}"
+    assert not early_new, (
+        f"round-7-new queries inside the cert window: {early_new}"
+    )
 
-    # clean rows-only entries keep their one driver row; re-rotating them
-    # wastes a slot the hash-certifiable debt needs
-    rerotated = [q for q in names[:75] if q in clean and QUERIES[q].oracle is None]
-    assert not rerotated, f"clean rows-only entries re-rotated: {rerotated}"
+    # every window slot is oracle-backed (no rows-only row can certify)
+    rows_only = [q for q in window if QUERIES[q].oracle is None]
+    assert not rows_only, f"rows-only entries in the window: {rows_only}"
+
+    # non-debt slots are padding and must already be driver-green
+    padding = [q for q in window if q not in debt]
+    uncertified_padding = [q for q in padding if q not in certified]
+    assert not uncertified_padding, (
+        f"padding slots must be long-green re-certs: {uncertified_padding}"
+    )
+
+
+def test_every_driver_row_names_a_live_query():
+    """A green CORRECTNESS row can certify DEAD code: r10's per-node
+    graph_triangles silently shadowed r4's global-count version from r5
+    until the r6 duplicate-registration guard surfaced it, so the r02
+    row was certifying code no longer reachable under that name (verdict
+    r6 #8). Guard: every driver-row name must still exist in the
+    registry, except explicitly documented deregistrations."""
+    import json
+    import pathlib
+
+    from jigsaw_spark.plans.queries import QUERIES
+
+    # r6 deliberately deregistered the four float-prone twins — their
+    # exact-integer variants (ml_kmeans_exact, ...) are driver-green
+    deliberate = {"ml_kmeans", "ml_logreg", "graph_pagerank", "ml_pca_pc1"}
+
+    root = pathlib.Path(__file__).resolve().parents[1]
+    for path in sorted(root.glob("CORRECTNESS_r*.json")):
+        rows = json.loads(path.read_text())
+        dead = [n for n in rows if n not in QUERIES and n not in deliberate]
+        assert not dead, (
+            f"{path.name} certifies names no longer in the registry: {dead}"
+        )
