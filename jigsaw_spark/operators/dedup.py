@@ -832,9 +832,21 @@ def near_dup_keepers(
     result is IDENTICAL to running the graph over all rows — exact dups
     share a signature, so every edge through a dup is mirrored through
     its keeper and component minima are unchanged (keeper = min id of
-    its fingerprint group ≤ all group members by construction)."""
+    its fingerprint group ≤ all group members by construction).
+
+    Token-EMPTY docs (punctuation-only / blank) are excluded from the
+    exact-dedup collapse and map to THEMSELVES: they all share the
+    fingerprint md5('') but carry no signal, and the signature relation
+    (like the certified SQL oracles) drops them — no edges, so each is
+    its own singleton keeper, not one arbitrary-min cluster (r6
+    advisor)."""
     ded = exact_dedup(df, key, text)
-    ek = ded.select(key, F.col("keeper").alias("_ek"))
+    ek = ded.select(
+        key,
+        F.when(F.size(tokens_expr(text)) == 0, F.col(key))
+        .otherwise(F.col("keeper"))
+        .alias("_ek"),
+    )
     keep = ded.filter(~F.col("is_dup")).select(key, text)
     pairs = simhash_pairs(keep, key, text, max_hamming).select(
         "doc_a", "doc_b"
@@ -879,8 +891,13 @@ def banded_pair_scores(
        Σ_pairs |shingles(a)|, linear in candidates, never all-pairs.
 
     Recall loss vs exact mode is the banding collision curve
-    (≈ 1-(1-j^r)^b — at j ≥ 0.8 with 4 bands × 4 rows that is ≥ 0.998);
-    pairs involving non-keeper exact duplicates are represented by their
+    1-(1-j^r)^b: with the default 4 bands × 4 rows that is ≈ 0.88 at
+    j = 0.8 (≥ 0.998 only from j ≈ 0.95 up) — ~12 % of true pairs right
+    AT the 0.8 threshold are expected misses (r6 advisor corrected the
+    earlier 0.998-at-0.8 claim). Raise ``num_hashes``/``bands`` (e.g.
+    32 hashes × 8 bands × 4 rows ⇒ ≈ 0.985 at j = 0.8) when recall at
+    the threshold matters more than the extra shuffle width; pairs
+    involving non-keeper exact duplicates are represented by their
     keeper (score identical — duplicate shingle sets). The exact
     uncapped operators stay available for sampled tuning runs.
     """

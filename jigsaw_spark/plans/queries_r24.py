@@ -559,7 +559,9 @@ def ml_ridge_2feature(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SNAIVE_SQL = """
     WITH daily AS (
-      SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
+      SELECT CAST((epoch_us(ts)
+                   - (((epoch_us(ts) % 86400000000) + 86400000000)
+                      % 86400000000)) // 86400000000 AS BIGINT) AS d,
              CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
                AS cents
       FROM events GROUP BY 1),
@@ -567,7 +569,7 @@ _SNAIVE_SQL = """
       SELECT cur.d, cur.cents, prev.cents AS pred,
              abs(cur.cents - prev.cents) AS abs_err
       FROM daily cur JOIN daily prev ON prev.d = cur.d - 7)
-    SELECT CAST(d % 7 AS INT) AS dow,
+    SELECT CAST(((d % 7) + 7) % 7 AS INT) AS dow,
            CAST(count(*) AS BIGINT) AS n_days,
            CAST(sum(abs_err) AS BIGINT) AS sum_abs_err_cents,
            CAST(sum(abs_err) * 1000000 // count(*) AS BIGINT)
@@ -585,13 +587,21 @@ _SNAIVE_SQL = """
     "forecast must beat before it earns compute. Shape: ONE daily "
     "rollup (map-side combinable), a self-join on the shifted day key "
     "(both sides day-cardinality, broadcastable), 7-row output; "
-    "abs errors and MAE stay in integer cents/micro-units",
+    "abs errors and MAE stay in integer cents/micro-units. Day "
+    "bucketing and weekday are FLOOR-consistent on BOTH engines via the "
+    "subtract-pmod form (x - pmod(x, m)) div m — required because Spark "
+    "div AND DuckDB integer // BOTH truncate toward zero — and "
+    "pmod == ((d %% 7) + 7) %% 7, so pre-1970 timestamps (negative day "
+    "numbers) cannot diverge (r6 advisor)",
 )
 def ts_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     daily = (
         ev.select(
-            F.expr("unix_micros(ts) div 86400000000").alias("d"),
+            F.expr(
+                "(unix_micros(ts) - pmod(unix_micros(ts), 86400000000))"
+                " div 86400000000"
+            ).alias("d"),
             F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
         )
         .groupBy("d")

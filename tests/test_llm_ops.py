@@ -477,3 +477,27 @@ def test_ivfpq_matches_numpy_reference(spark):
         qcos = (C @ qv) / (np.linalg.norm(C, axis=1) * np.linalg.norm(qv))
         probed = set(np.argsort(-np.round(qcos, 9))[:2])
         assert cells[r.vec_id] in probed
+
+
+def test_near_dup_keepers_token_empty_docs_stay_singletons(spark):
+    """Two DISTINCT punctuation-only docs share fingerprint md5('') but
+    carry no tokens: the signature relation (and the certified SQL
+    oracles) drop them, so each must keep ITSELF — not collapse to one
+    arbitrary-min keeper through the exact-dedup fast path (r6 advisor,
+    medium)."""
+    from jigsaw_spark.operators.dedup import near_dup_keepers
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "The quick  brown fox jumps over the lazy dog!"),  # exact dup
+        (3, "!!! ..."),  # punctuation-only → zero tokens
+        (4, "???"),  # distinct punctuation-only → zero tokens
+        (5, ""),  # blank → zero tokens
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r.doc_id: r.keeper
+        for r in near_dup_keepers(df, "doc_id").collect()
+    }
+    assert got[1] == 1 and got[2] == 1  # real exact dups still collapse
+    assert got[3] == 3 and got[4] == 4 and got[5] == 5  # singletons

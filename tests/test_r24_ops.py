@@ -253,3 +253,49 @@ def test_seasonal_naive_replays_mae(spark):
             sum(errs),
             sum(errs) * 1_000_000 // len(errs),
         ), dow
+
+
+def test_seasonal_naive_bucketing_floor_consistent_pre_1970(spark):
+    """Spark `x div y` AND DuckDB integer `//` both truncate toward zero
+    (DuckDB floors only for non-integer operands), and Spark pmod is
+    non-negative while DuckDB `%` takes the dividend's sign — for
+    pre-1970 timestamps (negative epoch micros) naive bucketing diverges
+    from floor semantics (r6 advisor). The registered query and oracle
+    both use the subtract-pmod floor form; replay both engines' exact
+    expressions over negative and positive micros and pin them to
+    Python's floor semantics."""
+    import duckdb
+
+    day = 86_400_000_000
+    micros = [
+        -3 * day - 1, -3 * day, -1, 0, 1, day - 1, day, 15 * day + 12345,
+    ]
+    df = spark.createDataFrame([(m,) for m in micros], "us bigint")
+    got_spark = {
+        r.us: (r.d, r.dow)
+        for r in df.selectExpr(
+            "us",
+            f"(us - pmod(us, {day})) div {day} as d",
+            f"cast(pmod((us - pmod(us, {day})) div {day}, 7) as int) as dow",
+        ).collect()
+    }
+    con = duckdb.connect()
+    got_duck = {
+        us: (d, dow)
+        for us, d, dow in con.execute(
+            f"""
+            WITH b AS (
+              SELECT us,
+                     (us - (((us % {day}) + {day}) % {day})) // {day} AS d
+              FROM (SELECT unnest(?::BIGINT[]) AS us))
+            SELECT us, CAST(d AS BIGINT) AS d,
+                   CAST(((d % 7) + 7) % 7 AS INT) AS dow
+            FROM b
+            """,
+            [micros],
+        ).fetchall()
+    }
+    for m in micros:
+        want = (m // day, (m // day) % 7)  # Python // and % both floor
+        assert got_spark[m] == want, (m, got_spark[m], want)
+        assert got_duck[m] == want, (m, got_duck[m], want)

@@ -156,12 +156,26 @@ def test_banded_scores_are_a_subset_with_equal_values(spark, docs):
         (r.doc_a, r.doc_b): r.jaccard
         for r in banded_pair_scores(df, "doc_id", threshold=0.5).collect()
     }
+    # banded endpoints are exact-dedup keepers; the exact relation may
+    # express the same pair through non-keeper duplicates. Normalize the
+    # exact relation to keeper identity (duplicates share the normalized
+    # token list, hence all shingles, hence the score — so each
+    # normalized pair must carry exactly ONE score value) and require
+    # every banded pair to exist there with exactly that score. The r6
+    # advisor flagged the previous any()-fallback as vacuous.
+    from jigsaw_spark.operators.dedup import exact_dedup
+
+    keeper = {
+        r.doc_id: r.keeper
+        for r in exact_dedup(df, "doc_id").select("doc_id", "keeper").collect()
+    }
+    norm_exact: dict = {}
+    for (x, y), v in exact.items():
+        kx, ky = keeper[x], keeper[y]
+        if kx == ky:
+            continue
+        norm_exact.setdefault((min(kx, ky), max(kx, ky)), set()).add(v)
+    for p, vals in norm_exact.items():
+        assert len(vals) == 1, (p, vals)
     for pair, score in banded.items():
-        # every banded pair must exist in the exact relation with the
-        # SAME score — unless it pairs a non-keeper's keeper whose dup
-        # was the exact-relation endpoint; normalize by keeper identity:
-        # identical texts share all shingles, so scores still match the
-        # exact relation on SOME pair with the same score value
-        assert pair in exact and exact[pair] == score or any(
-            v == score for v in exact.values()
-        ), (pair, score, exact)
+        assert norm_exact.get(pair) == {score}, (pair, score, norm_exact)
