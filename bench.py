@@ -67,6 +67,13 @@ def main() -> None:
             timings[name] = min(timings.get(name, elapsed), elapsed)
 
     total = round(sum(timings.values()), 4)
+    # streaming drains pay fixed micro-batch + checkpoint machinery that
+    # is ~independent of data volume; reported separately so a 200-row
+    # stream drain can't distort the batch headline (r6 verdict #3). The
+    # driver-facing "value" stays the all-query total.
+    stream_names = sorted(n for n in timings if n.startswith("stream_"))
+    streaming = round(sum(timings[n] for n in stream_names), 4)
+    batch = round(total - streaming, 4)
     try:
         sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
     except ValueError:
@@ -85,6 +92,9 @@ def main() -> None:
                 "unit": "sec",
                 "sf": sf,
                 "n_queries": len(timings),
+                "batch_seconds": batch,
+                "streaming_seconds": streaming,
+                "n_streaming": len(stream_names),
                 "queries": timings,
             },
             indent=1,
@@ -101,6 +111,9 @@ def main() -> None:
                 "queries": top,
                 "sf": sf,
                 "n_queries": len(timings),
+                "batch_seconds": batch,
+                "streaming_seconds": streaming,
+                "n_streaming": len(stream_names),
                 "detail": "BENCH_DETAIL.json",
             }
         )

@@ -39,6 +39,20 @@ def _state_partitions(spark: SparkSession, n: int = STREAM_STATE_PARTITIONS):
         spark.conf.set(key, prev)
 
 
+def _detach_and_clean(df: DataFrame, *dirs: str) -> DataFrame:
+    """Eagerly materialize a drain's read-back (localCheckpoint detaches
+    the lineage from the on-disk files), then delete the run's temp
+    output/checkpoint dirs. Without this every bench/gate run leaves
+    mkdtemp droppings behind (r6 verdict #6); checkpoints only need to
+    outlive their own drain here because each run starts fresh."""
+    import shutil
+
+    out = df.localCheckpoint(eager=True)
+    for d in dirs:
+        shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
 @register(
     "stream_stateful_sessions",
     """
@@ -68,6 +82,7 @@ def stream_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         _name, updates = run_stateful_sessions(
             spark, sf_dir, checkpoint, glob="events.parquet"
         )
+    updates = _detach_and_clean(updates, checkpoint)
     # update-mode sink may hold one row per user per micro-batch; totals are
     # cumulative, so the latest = max
     return updates.groupBy("user_id").agg(
@@ -226,15 +241,12 @@ def stream_synth_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-    return (
-        spark.read.parquet(out)
-        .groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(
-                F.round(F.col("value") * 100, 0).cast("bigint")
-            ).alias("total_cents"),
-        )
+    synth = _detach_and_clean(spark.read.parquet(out), out, ckpt)
+    return synth.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.round(F.col("value") * 100, 0).cast("bigint")
+        ).alias("total_cents"),
     )
 
 
