@@ -1564,6 +1564,7 @@ from jigsaw_spark.plans import queries_r23  # noqa: E402,F401
 from jigsaw_spark.plans import queries_r24  # noqa: E402,F401
 from jigsaw_spark.plans import queries_r25  # noqa: E402,F401
 from jigsaw_spark.plans import queries_r26  # noqa: E402,F401
+from jigsaw_spark.plans import queries_r27  # noqa: E402,F401
 
 
 # ---------------------------------------------------------------------------
