@@ -724,6 +724,9 @@ def mmr_select(
             break  # no one consumes a further _msim update
         s_new = F.array(*[F.lit(float(x)) for x in r["_v"]])
         sim_new = F.round(_cos(F.col("_v"), s_new), 9)
+        prev = base  # unpersist after the successor materializes: without
+        # this, k-1 corpus-sized checkpoint copies pile up in executor
+        # storage until ContextCleaner GC (a real leak at 100 TB scale)
         base = base.select(
             id_col,
             "_v",
@@ -737,6 +740,8 @@ def mmr_select(
                 F.col("_picked") | (F.col(id_col) == F.lit(r[id_col]))
             ).alias("_picked"),
         ).localCheckpoint()
+        prev.unpersist()
+    base.unpersist()
     return spark.createDataFrame(
         picks, f"rank int, {id_col} {corpus.schema[id_col].dataType.simpleString()}, relevance double, mmr_score double"
     )

@@ -1565,33 +1565,33 @@ from jigsaw_spark.plans import queries_r24  # noqa: E402,F401
 from jigsaw_spark.plans import queries_r25  # noqa: E402,F401
 from jigsaw_spark.plans import queries_r26  # noqa: E402,F401
 from jigsaw_spark.plans import queries_r27  # noqa: E402,F401
+from jigsaw_spark.plans import queries_r28  # noqa: E402,F401
 
 
 # ---------------------------------------------------------------------------
 # Registration order == driver certification order. The driver's correctness
 # gate walks QUERIES in insertion order with a bounded window (~50 names per
-# round; every round so far sampled exactly the first 50). Round-7 rotation
-# (verdict r6 directive #1) — CORRECTNESS_r06 came back 49/50 green plus the
-# expected text_bpe_encode rows-only row, so there are NO r6-window misses
-# and the full remaining debt is exactly the 47 oracle-backed queries with
-# no driver row across CORRECTNESS_r01-r06, plus `graph_triangles` whose
-# r02 row certified DIFFERENT code (r10's per-node version silently
-# shadowed r4's global-count version from r5 until the r6 duplicate-
-# registration guard surfaced it; the global count is now
-# `graph_triangles_total`):
-#   slots 1-25  — the r6 list's slots 51-75 (r5-built batches r20-r23 tail).
-#   slots 26-27 — graph_triangles (re-cert of the code now owning the
-#                 name) + graph_triangles_total (no row yet).
-#   slots 28-47 — the 20 round-6-new oracle-backed queries, r24 → r25 →
-#                 r26 in registration order.
-#   slot 48     — stream_table_checksum (r6-new, registered in
-#                 queries_rel5).
-#   slots 49-50 — padding: two cheap long-green queries (f1_and_filter,
-#                 a1_distinct_labels) re-certified so no rows-only entry
-#                 slips into the window. After this round the
-#                 never-certified debt is ZERO; round-8's window is free
-#                 for round-7-new queries (modules queries_r27+), which
-#                 queue behind slot 50 until then.
+# round; every round so far sampled exactly the first 50). Round-8 rotation
+# (verdict r7 directive #1) — CORRECTNESS_r07 came back 50/50 green, so the
+# only remaining debt is the 7 round-7-new queries_r27 queries (registered
+# after the r7 window was frozen) plus ONE stale-cert re-run:
+#   slots 1-7   — the queries_r27 batch (retention cohorts, funnel
+#                 conversion, lift/gains, RFM segments, Holt-Winters exact,
+#                 mutual information, group-kfold). dq_mutual_information
+#                 and ml_lift_gains were ALSO advisor-fixed this round
+#                 (floor-consistent dow bucketing; npos=0 guard), so their
+#                 first driver row certifies the fixed code.
+#   slot 8      — ann_mmr_select: its implementation was rewritten in
+#                 ce241ac (running _msim column) AFTER its last driver row,
+#                 the graph_triangles stale-cert class — re-certify the
+#                 code that now owns the name (which additionally gained
+#                 the per-round checkpoint unpersist this round).
+#   slots 9+    — round-8-new queries (modules queries_r28+) registered
+#                 at the head as they are built, displacing padding.
+#   tail to 50  — padding: stalest-first re-certs (the r01-certified
+#                 queries whose driver rows are 7 rounds old) so every
+#                 window slot is an oracle-backed row and old code keeps
+#                 getting re-validated on a rolling basis.
 # The 7 clean rows-only entries (text_bpe_encode, k6_deeplab_export, ...)
 # each have their one driver row and are NOT re-rotated (they can never be
 # hash-certified). Everything already certified falls to the back in
@@ -1601,56 +1601,56 @@ from jigsaw_spark.plans import queries_r27  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 
 _CERTIFICATION_PRIORITY = [
-    "w12_running_distinct",
-    "ml_target_encode_loo",
-    "ts_wow_growth",
-    "agg_skew_salted_distinct",
-    "rel_hierarchy_rollup",
-    "ab_sprt_crossing",
-    "ml_pr_curve",
-    "p_rolling_origin_cv",
-    "dq_ks_2sample",
-    "dq_skew_report",
-    "rel_dow_hour_matrix",
-    "ts_m4_downsample",
-    "rel_fifo_match",
-    "dq_freshness",
-    "ml_boost_2rounds",
-    "rel_pareto_abc",
-    "j11_bucketed_join",
-    "stream_lateness_audit",
-    "ml_learning_curve",
-    "text_watermark_detect",
-    "agg_equidepth_hist",
-    "p_leakage_safe_split",
-    "dq_rule_violations",
-    "ts_cross_corr",
-    "ml_feature_importance",
-    "graph_triangles",
-    "graph_triangles_total",
-    "j12_asof_join",
-    "rel_max_concurrency",
-    "curation_soft_dedup_weights",
-    "graph_component_size_hist",
-    "text_ngram_novelty",
-    "text_repetition_score",
-    "ml_ridge_2feature",
-    "ts_seasonal_naive",
-    "rel_event_pattern_match",
-    "dedup_source_overlap",
-    "layout_skipping_report",
-    "text_code_detect",
-    "text_pii_scan",
-    "dq_embedding_norms",
-    "agg_weighted_median",
-    "curation_pipeline_v4",
-    "fn_variant_agg",
-    "dq_table_checksum",
-    "graph_clustering_coeff",
-    "j13_dpp_join",
-    "stream_table_checksum",
-    "f1_and_filter",
-    "a1_distinct_labels",
+    "rel_retention_cohorts",
+    "rel_funnel_conversion",
+    "ml_lift_gains",
+    "rel_rfm_segments",
+    "ts_holt_winters_exact",
+    "dq_mutual_information",
+    "p_group_kfold",
+    "ann_mmr_select",
+    "k6_deeplab_export",
+    "ml_brier_log_loss",
+    "ml_ndcg_exact",
+    "ml_survival_km",
+    "ml_kappa_mcc",
+    "dq_reconciliation",
+    "dq_embedding_drift",
+    "ts_rolling_median",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "f2_or_filter",
+    "f3_filter_chain",
+    "f9_untagged_default",
+    "p1_exact_sample",
+    "p2_split_test",
+    "p3_kfold_assign",
+    "p7_shard_assign",
+    "j1_construct_join",
+    "j2_semi_join",
+    "j2_anti_join",
+    "j3_union_distinct",
+    "set_intersect",
+    "set_except",
+    "a2_dense_label_map",
+    "a3_moments",
+    "a5_extent_merge",
+    "fn_scalar",
+    "w1_sessionize",
+    "w2_topk_per_group",
+    "w3_hourly_rollup",
+    "w4_session_window",
+    "agg_salted",
+    "agg_distinct_twophase",
+    "j5_asof_join",
+    "j6_range_join",
+    "agg_rollup",
+    "agg_cube",
+    "agg_count_distinct",
+    "p1_stratified_sample",
+    "a3_vector_moments",
+    "agg_percentiles",
 ]
 
 

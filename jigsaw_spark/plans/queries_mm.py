@@ -327,14 +327,33 @@ def k6_bbox_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DEEPLAB_SQL = """
+    SELECT CAST(doc_id AS VARCHAR) AS image_id,
+           CAST(24 AS BIGINT) AS height,
+           CAST(32 AS BIGINT) AS width,
+           CAST((3 + doc_id % 3) * (3 + doc_id % 3) AS BIGINT) AS car_px,
+           CAST((3 + doc_id % 2) * (3 + doc_id % 4) AS BIGINT) AS ped_px,
+           CAST(768 - (3 + doc_id % 3) * (3 + doc_id % 3)
+                    - (3 + doc_id % 2) * (3 + doc_id % 4) AS BIGINT)
+             AS bg_px
+    FROM documents WHERE doc_id % 20 = 0
+"""
+
+
 @register(
     "k6_deeplab_export",
-    None,
-    "K6 deeplab projection (reference deeplab/model.py:17-44) end-to-end: "
-    "synthesized color masks → grayscale class-id PNG + serialized "
-    "tf.train.Example bytes (pure-Python protobuf) — rows-only check "
-    "(binary example payloads aren't SQL-expressible); byte-level parity "
-    "is covered in tests/test_model_exports.py.",
+    _DEEPLAB_SQL,
+    "K6 deeplab projection (reference deeplab/model.py:17-44) end-to-end "
+    "WITH an exact oracle: synthesized color masks → grayscale class-id "
+    "PNG (deeplab_projection) → serialized tf.train.Example (pure-Python "
+    "protobuf) → PARSED BACK (decode_example + decode_png) into "
+    "height/width and per-class pixel counts. The synthesis rectangles "
+    "are closed-form in doc_id (disjoint, never clipped at 24x32), so "
+    "the oracle recomputes the expected class histogram in SQL while the "
+    "Spark side earns it by round-tripping the full binary pipeline — "
+    "encode AND decode must both be right for the hash to match "
+    "(formerly rows-only; byte-level parity stays in "
+    "tests/test_model_exports.py).",
 )
 def k6_deeplab_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jigsaw_spark.session import widen
@@ -384,7 +403,35 @@ def k6_deeplab_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     label_colors = [("car", 1, (64, 0, 128)), ("pedestrian", 2, (0, 64, 64))]
     proj = deeplab_projection(masks, label_colors)
     ex = rows_to_tfexamples(proj)
-    return ex.select("image_id", F.length("example").alias("example_bytes"))
+
+    def roundtrip(batches):
+        import numpy as np
+        import pandas as pd
+
+        from jigsaw_spark.multimodal.png_codec import decode_png
+        from jigsaw_spark.sources.tfrecord import decode_example
+
+        for pdf in batches:
+            out = {"image_id": [], "height": [], "width": [],
+                   "car_px": [], "ped_px": [], "bg_px": []}
+            for _, row in pdf.iterrows():
+                feats = decode_example(bytes(row["example"]))
+                arr = decode_png(
+                    bytes(feats["image/segmentation/class/encoded"][1][0])
+                )
+                out["image_id"].append(str(row["image_id"]))
+                out["height"].append(int(feats["image/height"][1][0]))
+                out["width"].append(int(feats["image/width"][1][0]))
+                out["car_px"].append(int(np.count_nonzero(arr == 1)))
+                out["ped_px"].append(int(np.count_nonzero(arr == 2)))
+                out["bg_px"].append(int(np.count_nonzero(arr == 0)))
+            yield pd.DataFrame(out)
+
+    return ex.mapInPandas(
+        roundtrip,
+        "image_id string, height bigint, width bigint, "
+        "car_px bigint, ped_px bigint, bg_px bigint",
+    )
 
 
 @register(

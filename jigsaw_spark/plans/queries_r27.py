@@ -242,6 +242,48 @@ def _exact_rank(
     )
 
 
+def _exact_rank_banded(
+    df: DataFrame, val: str, tie: str, desc: bool = False, bands: int = 1024
+) -> DataFrame:
+    """``_exact_rank`` for NEAR-UNIQUE integer metrics: when the distinct
+    ``val`` dim is ~|rows| (e.g. per-customer monetary sums), the dim
+    window of ``_exact_rank`` degenerates to a single-partition pass over
+    the data. This variant keeps the rank exact while bounding every
+    unpartitioned window at ``bands`` rows, constant in data size:
+    broadcast min/max -> coarse range band ``(v - lo) div width`` ->
+    per-band counts hash-agg -> exclusive prefix over <=bands rows ->
+    per-band PARTITIONED row_number + band offset. Equal values share a
+    band, so (val, tie) composition preserves the global total order and
+    ranks are bit-identical to ``_exact_rank``'s — same oracle, same
+    driver hash. Band skew is bounded by the metric's density per
+    width-slice; raise ``bands`` (or recurse) if one band dominates."""
+    stats = df.agg(F.min(val).alias("_lo"), F.max(val).alias("_hi"))
+    withb = (
+        df.crossJoin(F.broadcast(stats))
+        .withColumn(
+            "_band",
+            F.expr(
+                f"CAST(({val} - _lo) div"
+                f" ((_hi - _lo) div {bands} + 1) AS INT)"
+            ),
+        )
+        .drop("_lo", "_hi")
+    )
+    counts = withb.groupBy("_band").agg(F.count(F.lit(1)).alias("_c"))
+    border = F.col("_band").desc() if desc else F.col("_band").asc()
+    wb = Window.orderBy(border).rowsBetween(Window.unboundedPreceding, -1)
+    off = counts.select(
+        "_band", F.coalesce(F.sum("_c").over(wb), F.lit(0)).alias("_off")
+    )
+    vorder = F.col(val).desc() if desc else F.col(val).asc()
+    win = Window.partitionBy("_band").orderBy(vorder, F.col(tie).asc())
+    return (
+        withb.join(F.broadcast(off), "_band")
+        .withColumn("_rn", F.col("_off") + F.row_number().over(win))
+        .drop("_off", "_band")
+    )
+
+
 # ---------------------------------------------------------------------------
 # ml_lift_gains
 # ---------------------------------------------------------------------------
@@ -265,10 +307,13 @@ _LIFT_SQL = """
     SELECT CAST(decile AS INT) AS decile,
            CAST(n_rows AS BIGINT) AS n_rows,
            CAST(n_pos AS BIGINT) AS n_pos,
-           CAST(sum(n_pos) OVER (ORDER BY decile) * 1000000
-                // (SELECT npos FROM t) AS BIGINT) AS cum_gains_micro,
-           CAST(n_pos * (SELECT n FROM t) * 1000000
-                // (n_rows * (SELECT npos FROM t)) AS BIGINT)
+           CAST(CASE WHEN (SELECT npos FROM t) = 0 THEN 0
+                ELSE sum(n_pos) OVER (ORDER BY decile) * 1000000
+                     // (SELECT npos FROM t) END AS BIGINT)
+             AS cum_gains_micro,
+           CAST(CASE WHEN (SELECT npos FROM t) = 0 THEN 0
+                ELSE n_pos * (SELECT n FROM t) * 1000000
+                     // (n_rows * (SELECT npos FROM t)) END AS BIGINT)
              AS lift_micro
     FROM g
 """
@@ -286,7 +331,9 @@ _LIFT_SQL = """
     "single-partition window over the facts; the only unpartitioned "
     "windows run over |distinct cents| dim rows and the 10-row decile "
     "summary. Integer magnitudes stay below 2^63 up to ~1e12 rows x "
-    "1e6 positives; beyond that lift the products to DECIMAL(38,0)",
+    "1e6 positives; beyond that lift the products to DECIMAL(38,0). "
+    "npos=0 is guarded to 0 on both engines (otherwise DuckDB raises "
+    "division-by-zero while Spark div yields NULL)",
 )
 def ml_lift_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
@@ -320,14 +367,18 @@ def ml_lift_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("_cum"),
         F.expr(
-            "CAST(n_pos * n * 1000000 div (n_rows * npos) AS BIGINT)"
+            "CAST(CASE WHEN npos = 0 THEN 0 ELSE"
+            " n_pos * n * 1000000 div (n_rows * npos) END AS BIGINT)"
         ).alias("lift_micro"),
         F.col("npos").alias("_npos"),
     ).select(
         "decile",
         "n_rows",
         "n_pos",
-        F.expr("CAST(_cum div _npos AS BIGINT)").alias("cum_gains_micro"),
+        F.expr(
+            "CAST(CASE WHEN _npos = 0 THEN 0"
+            " ELSE _cum div _npos END AS BIGINT)"
+        ).alias("cum_gains_micro"),
         "lift_micro",
     )
 
@@ -372,10 +423,13 @@ _RFM_SQL = """
     "last order day), frequency (orders), monetary (exact cents); "
     "each axis scored 1-5 by exact global quintile rank (ties broken "
     "by custkey, so scores are total-order deterministic), customers "
-    "aggregated per 3-digit segment. The three quintile ranks use the "
-    "cumulative-DIM pattern (_exact_rank) — windows run over distinct "
-    "metric VALUES and per-value tie groups, never a single-partition "
-    "pass over customers. One orders scan, one customer-dim pipeline",
+    "aggregated per 3-digit segment. Recency/frequency ranks use the "
+    "cumulative-DIM pattern (_exact_rank, windows over the small "
+    "bounded value dims); the monetary axis — whose sums are "
+    "near-unique, dim ~ |customers| — uses the BANDED rank "
+    "(_exact_rank_banded): 1024 coarse range bands, prefix over the "
+    "band dim only, per-band partitioned row_number. No window grows "
+    "with customer count. One orders scan, one customer-dim pipeline",
 )
 def rel_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
@@ -408,7 +462,10 @@ def rel_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     f = _exact_rank(r, "freq", "o_custkey").withColumn(
         "f_score", F.expr("(_rn - 1) * 5 div n + 1")
     ).drop("_rn")
-    m = _exact_rank(f, "money", "o_custkey").withColumn(
+    # monetary sums are near-unique (dim ~ |customers|) — use the banded
+    # rank so no window grows with customer count (verdict r7 #4); rec
+    # and freq have small bounded dims, the plain dim form stays optimal
+    m = _exact_rank_banded(f, "money", "o_custkey").withColumn(
         "m_score", F.expr("(_rn - 1) * 5 div n + 1")
     ).drop("_rn")
     return m.groupBy(
@@ -545,7 +602,8 @@ def ts_holt_winters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MI_SQL = """
     WITH cells AS (
       SELECT event_type AS x,
-             CAST((epoch_us(ts) // 86400000000) % 7 AS INT) AS y,
+             CAST((((epoch_us(ts) // 86400000000) % 7) + 7) % 7 AS INT)
+               AS y,
              count(*) AS c
       FROM events GROUP BY 1, 2),
     mx AS (SELECT x, sum(c) AS cx FROM cells GROUP BY x),
@@ -576,14 +634,17 @@ _MI_SQL = """
     "once, nothing bigger than |X|x|Y| ever shuffles. Term order is "
     "cell-level (bounded), double-round snap (9 then 4) absorbs "
     "libm/sum-order noise on both engines; identical-integer ln "
-    "arguments by construction",
+    "arguments by construction. Day-of-week uses the subtract-pmod "
+    "floor-day + pmod form (the ts_seasonal_naive pattern) so negative "
+    "pre-1970 epochs bucket identically on both engines",
 )
 def dq_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     cells = ev.groupBy(
         F.col("event_type").alias("x"),
         F.expr(
-            "CAST(pmod(unix_micros(ts) div 86400000000, 7) AS INT)"
+            "CAST(pmod((unix_micros(ts) - pmod(unix_micros(ts), "
+            "86400000000)) div 86400000000, 7) AS INT)"
         ).alias("y"),
     ).agg(F.count(F.lit(1)).alias("c"))
     mx = cells.groupBy("x").agg(F.sum("c").alias("cx"))

@@ -514,7 +514,7 @@ def privacy_kanon_release(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_token_fertility",
-    f"""
+    rf"""
     WITH t AS (
       SELECT lang,
              len({tokens_sql('text')}) AS n_words,

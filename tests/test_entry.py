@@ -29,16 +29,17 @@ def test_every_query_runs_at_smoke_sf(spark):
 
 def test_certification_window_covers_never_certified():
     """The driver's correctness gate walks the registry in order with a
-    bounded window (~50). Round-7 policy (verdict r6 #1): CORRECTNESS_r06
-    had zero misses, so slots 1-48 are spent on exactly the 47
-    oracle-backed queries with NO driver row across CORRECTNESS_r01-r06
-    plus `graph_triangles` (whose r02 row certified the code now named
-    graph_triangles_total — the r6 duplicate-registration guard finding),
-    slots 49-50 are cheap long-green padding, and after this round the
-    never-certified debt is ZERO. Round-7-new queries (modules
-    queries_r27+) queue BEHIND slot 50 for the r8 window. Clean rows-only
-    entries (text_bpe_encode, k6_deeplab_export, ...) keep their one
-    driver row and are never re-rotated."""
+    bounded window (~50). Round-8 policy (verdict r7 #1): CORRECTNESS_r07
+    came back 50/50 green, so the debt is exactly the 7 round-7-new
+    queries_r27 queries plus the `ann_mmr_select` stale-cert re-run (its
+    code was rewritten in ce241ac after its last driver row — the
+    graph_triangles class). Slots 1-8 carry that debt; round-8-new
+    queries (modules queries_r28+) are registered at the head as they are
+    built; the remaining slots are stalest-first padding re-certs (r01
+    rows). Overflow modules (queries_r40+) queue behind slot 50 for the
+    next round. Clean rows-only entries (text_bpe_encode,
+    k6_deeplab_export, ...) keep their one driver row and are never
+    re-rotated."""
     import json
     import pathlib
 
@@ -46,7 +47,7 @@ def test_certification_window_covers_never_certified():
 
     root = pathlib.Path(__file__).resolve().parents[1]
     certified: set[str] = set()
-    for r in ("01", "02", "03", "04", "05", "06"):
+    for r in ("01", "02", "03", "04", "05", "06", "07"):
         path = root / f"CORRECTNESS_r{r}.json"
         if path.exists():
             certified |= set(json.loads(path.read_text()))
@@ -58,25 +59,26 @@ def test_certification_window_covers_never_certified():
         if q not in certified and QUERIES[q].oracle is not None
     ]
 
-    assert names[0] == "w12_running_distinct", (
-        "slot 1 must start the r7 debt-clearing block (r6 list slots 51-75)"
+    assert names[0] == "rel_retention_cohorts", (
+        "slot 1 must start the r27 debt block (verdict r7 directive #1)"
+    )
+    assert names[7] == "ann_mmr_select", (
+        "slot 8 must be the ann_mmr_select stale-cert re-run"
     )
 
-    # slots 1-48 == all remaining debt + the graph_triangles re-cert;
-    # round-7-new queries (batch modules r27+) queue behind slot 50
+    # all debt (never-certified oracle-backed + the stale re-cert) sits
+    # inside slots 1-50; overflow modules (r40+) are the only exemption
     window = names[:50]
-    debt = set(never) | {"graph_triangles"}
+    overflow_modules = {
+        f"jigsaw_spark.plans.queries_r{i}" for i in range(40, 60)
+    }
+    debt = {
+        q
+        for q in never
+        if QUERIES[q].spark.__module__ not in overflow_modules
+    } | {"ann_mmr_select"}
     outside = [q for q in debt if q not in window]
     assert not outside, f"certification debt outside slots 1-50: {outside}"
-    new_modules = {
-        f"jigsaw_spark.plans.queries_r{i}" for i in range(27, 60)
-    }
-    early_new = [
-        q for q in window if QUERIES[q].spark.__module__ in new_modules
-    ]
-    assert not early_new, (
-        f"round-7-new queries inside the cert window: {early_new}"
-    )
 
     # every window slot is oracle-backed (no rows-only row can certify)
     rows_only = [q for q in window if QUERIES[q].oracle is None]
