@@ -56,6 +56,16 @@ ALL_PAIRS_OK = {
     "dq_psi_drift",
     # 1-row (theta, mean_x) dim crossed into the per-user aggregate
     "ab_cuped_adjust",
+    # r27/r28 scalar-broadcast class: each crosses a 1-row aggregate
+    # (n/npos totals; min/max/n; horizon/n_users; 35-cell grand total;
+    # 4-counter confusion matrix) back into the fact or dim side — the
+    # degenerate O(n) BroadcastNestedLoopJoin shape documented above
+    "ml_lift_gains",
+    "rel_rfm_segments",
+    "dq_mutual_information",
+    "ml_brier_log_loss",
+    "ml_survival_km",
+    "ml_kappa_mcc",
     # recall eval composes cosine_topk (the documented broadcast
     # all-pairs brute-force baseline) with ivf_topk — the NLJ is the
     # baseline side, present by definition of the evaluation
@@ -213,6 +223,18 @@ GLOBAL_WINDOW_OK = {
     # span, never corpus-sized); the corpus-scale prefix runs in the
     # bucket-partitioned window — the documented two-phase sweep-line
     "rel_max_concurrency",
+    # 3-row funnel-stage frame by construction (view/click/purchase)
+    "rel_funnel_conversion",
+    # cumulative-dim rank windows over the distinct-cents dim (price
+    # domain bounded) + the 10-row decile summary — never the facts
+    "ml_lift_gains",
+    # rec/freq rank windows over small bounded value dims; the monetary
+    # axis uses _exact_rank_banded, whose only global window is the
+    # <=1024-row BAND dim (constant in data size)
+    "rel_rfm_segments",
+    # Kaplan-Meier prefix/cumsum windows over DISTINCT LIFETIME DAYS —
+    # calendar-span bounded, never |users|
+    "ml_survival_km",
 }
 # streaming queries execute on .start(), not .explain — audit skipped
 SKIP = {"stream_hourly_rollup", "stream_stateful_sessions"}

@@ -172,6 +172,33 @@ PROBES = [
     "agg_weighted_median",
     "dq_embedding_norms",
     "layout_skipping_report",
+    # round 7 (queries_r27): the cumulative-dim rank pattern under fact
+    # growth (lift deciles: dim = distinct cents, bounded; RFM monetary
+    # axis = the BANDED rank — dim ~ |customers| grows x10, the hard
+    # direction the r7 verdict flagged), cohort/funnel per-user
+    # aggregates (user_id unshifted -> per-user history grows, like
+    # ts_sessionize), the 7-slot seasonal queue (calendar-bounded), the
+    # 35-cell MI contingency (flat by design), and keeper-group folds
+    # (rides the SimHash clique densification, like p_leakage_safe_split)
+    "ml_lift_gains",
+    "rel_rfm_segments",
+    "rel_retention_cohorts",
+    "rel_funnel_conversion",
+    "ts_holt_winters_exact",
+    "dq_mutual_information",
+    "p_group_kfold",
+    # round 8 (queries_r28): scoring rules (one map+agg — flat-ish),
+    # NDCG (per-type top-k windows; users per type grow x10 — the
+    # partitioned-sort hard direction), KM (duration dim is
+    # calendar-bounded), reconciliation (orders-keyed hash-agg + join),
+    # embedding drift (explode x64 -> label-dim cells, constant dim),
+    # rolling median (day dim calendar-bounded)
+    "ml_brier_log_loss",
+    "ml_ndcg_exact",
+    "ml_survival_km",
+    "dq_reconciliation",
+    "dq_embedding_drift",
+    "ts_rolling_median",
 ]
 
 TABLES = [
