@@ -1566,6 +1566,9 @@ from jigsaw_spark.plans import queries_r25  # noqa: E402,F401
 from jigsaw_spark.plans import queries_r26  # noqa: E402,F401
 from jigsaw_spark.plans import queries_r27  # noqa: E402,F401
 from jigsaw_spark.plans import queries_r28  # noqa: E402,F401
+from jigsaw_spark.plans import queries_r29  # noqa: E402,F401
+from jigsaw_spark.plans import queries_r30  # noqa: E402,F401
+from jigsaw_spark.plans import queries_r31  # noqa: E402,F401
 
 
 # ---------------------------------------------------------------------------
@@ -1617,6 +1620,19 @@ _CERTIFICATION_PRIORITY = [
     "dq_reconciliation",
     "dq_embedding_drift",
     "ts_rolling_median",
+    "ml_isotonic_decile",
+    "privacy_dp_counts",
+    "text_tfidf_knn",
+    "rel_funnel_windowed",
+    "graph_bipartite_project",
+    "mm_resize_nn",
+    "ts_hampel_outliers",
+    "ab_wilson_ci",
+    "rel_largest_remainder",
+    "fn_url_parse",
+    "ml_lag_features",
+    "rel_wau_sliding",
+    "ml_hash_collisions",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
@@ -1638,19 +1654,6 @@ _CERTIFICATION_PRIORITY = [
     "a5_extent_merge",
     "fn_scalar",
     "w1_sessionize",
-    "w2_topk_per_group",
-    "w3_hourly_rollup",
-    "w4_session_window",
-    "agg_salted",
-    "agg_distinct_twophase",
-    "j5_asof_join",
-    "j6_range_join",
-    "agg_rollup",
-    "agg_cube",
-    "agg_count_distinct",
-    "p1_stratified_sample",
-    "a3_vector_moments",
-    "agg_percentiles",
 ]
 
 

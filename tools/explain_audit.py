@@ -66,6 +66,16 @@ ALL_PAIRS_OK = {
     "ml_brier_log_loss",
     "ml_survival_km",
     "ml_kappa_mcc",
+    # isotonic: 1-row total + 10-row bin dim crossed through the
+    # non-equi interval joins (<=1000 rows) — all broadcast NLJs over
+    # constant-size dims
+    "ml_isotonic_decile",
+    # 1-row corpus-size dim crossed into the (doc,term) weights
+    "text_tfidf_knn",
+    # 1-row horizon dim crossed into the (user, anchor) contributions
+    "rel_wau_sliding",
+    # 3-row bucket-width dim crossed into the KB-scale vocabulary
+    "ml_hash_collisions",
     # recall eval composes cosine_topk (the documented broadcast
     # all-pairs brute-force baseline) with ivf_topk — the NLJ is the
     # baseline side, present by definition of the evaluation
@@ -235,6 +245,11 @@ GLOBAL_WINDOW_OK = {
     # Kaplan-Meier prefix/cumsum windows over DISTINCT LIFETIME DAYS —
     # calendar-span bounded, never |users|
     "ml_survival_km",
+    # decile assignment reuses the cumulative-dim rank (distinct-cents
+    # dim window); all downstream windows/aggs run on the 10-row bins
+    "ml_isotonic_decile",
+    # 3-row funnel-stage frame by construction (view/click_7d/purchase_7d)
+    "rel_funnel_windowed",
 }
 # streaming queries execute on .start(), not .explain — audit skipped
 SKIP = {"stream_hourly_rollup", "stream_stateful_sessions"}

@@ -199,6 +199,22 @@ PROBES = [
     "dq_reconciliation",
     "dq_embedding_drift",
     "ts_rolling_median",
+    # round 8 batches 2-4: TF-IDF kNN rides posting densification (the
+    # inverted-index hard direction, like ngram_jaccard — the df cap is
+    # the bound), bipartite projection rides context-bucket growth
+    # (contexts gain users x10, so the 2..50 cap binds harder — pairs
+    # should grow SUBlinearly by design), isotonic is the decile-dim
+    # rank + constant bin algebra, lag features are user-partitioned
+    # RANGE sweeps (per-user history grows x10 — the hard direction),
+    # WAU is a x7 constant-fan-out explode + distinct agg, allocation
+    # windows partition by order (order size fixed under replication)
+    "text_tfidf_knn",
+    "graph_bipartite_project",
+    "ml_isotonic_decile",
+    "ml_lag_features",
+    "rel_wau_sliding",
+    "rel_largest_remainder",
+    "ts_hampel_outliers",
 ]
 
 TABLES = [
