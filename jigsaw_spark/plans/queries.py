@@ -1569,6 +1569,9 @@ from jigsaw_spark.plans import queries_r28  # noqa: E402,F401
 from jigsaw_spark.plans import queries_r29  # noqa: E402,F401
 from jigsaw_spark.plans import queries_r30  # noqa: E402,F401
 from jigsaw_spark.plans import queries_r31  # noqa: E402,F401
+from jigsaw_spark.plans import queries_r32  # noqa: E402,F401
+from jigsaw_spark.plans import queries_r33  # noqa: E402,F401
+from jigsaw_spark.plans import queries_r34  # noqa: E402,F401
 
 
 # ---------------------------------------------------------------------------
@@ -1633,6 +1636,13 @@ _CERTIFICATION_PRIORITY = [
     "ml_lag_features",
     "rel_wau_sliding",
     "ml_hash_collisions",
+    "rel_clamped_balance",
+    "stream_sliding_wau",
+    "j14_salted_join",
+    "ts_dtw_exact",
+    "er_survivorship",
+    "ml_woe_iv",
+    "ts_seasonal_strength",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
@@ -1647,13 +1657,6 @@ _CERTIFICATION_PRIORITY = [
     "j2_semi_join",
     "j2_anti_join",
     "j3_union_distinct",
-    "set_intersect",
-    "set_except",
-    "a2_dense_label_map",
-    "a3_moments",
-    "a5_extent_merge",
-    "fn_scalar",
-    "w1_sessionize",
 ]
 
 

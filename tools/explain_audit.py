@@ -76,6 +76,13 @@ ALL_PAIRS_OK = {
     "rel_wau_sliding",
     # 3-row bucket-width dim crossed into the KB-scale vocabulary
     "ml_hash_collisions",
+    # 1-row horizon dim crossed into the drained per-window counts
+    "stream_sliding_wau",
+    # two 1-row calendar-bounded series frames crossed into one task
+    "ts_dtw_exact",
+    # 1-row total + 2-cell class-totals dims crossed into the 10-row
+    # decile bins (the isotonic shape)
+    "ml_woe_iv",
     # recall eval composes cosine_topk (the documented broadcast
     # all-pairs brute-force baseline) with ivf_topk — the NLJ is the
     # baseline side, present by definition of the evaluation
@@ -250,6 +257,8 @@ GLOBAL_WINDOW_OK = {
     "ml_isotonic_decile",
     # 3-row funnel-stage frame by construction (view/click_7d/purchase_7d)
     "rel_funnel_windowed",
+    # decile rank dim windows + the 10-row bin IV frame
+    "ml_woe_iv",
 }
 # streaming queries execute on .start(), not .explain — audit skipped
 SKIP = {"stream_hourly_rollup", "stream_stateful_sessions"}
