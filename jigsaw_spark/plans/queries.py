@@ -1572,6 +1572,10 @@ from jigsaw_spark.plans import queries_r31  # noqa: E402,F401
 from jigsaw_spark.plans import queries_r32  # noqa: E402,F401
 from jigsaw_spark.plans import queries_r33  # noqa: E402,F401
 from jigsaw_spark.plans import queries_r34  # noqa: E402,F401
+# r40 = round-9 QUEUE: registered behind the r8 certification window
+# (test_entry exempts queries_r40+ from the current window's debt);
+# rotate these to the head of _CERTIFICATION_PRIORITY next round.
+from jigsaw_spark.plans import queries_r40  # noqa: E402,F401
 
 
 # ---------------------------------------------------------------------------
