@@ -36,6 +36,26 @@ def _to_double(col) -> F.Column:
     return F.transform(F.col(col) if isinstance(col, str) else col, lambda x: x.cast("double"))
 
 
+def _free_local_checkpoint(df: DataFrame) -> None:
+    """Actually release a localCheckpoint'ed DataFrame's storage blocks.
+
+    ``Dataset.unpersist`` only clears cache-manager entries;
+    ``localCheckpoint`` registers its blocks on the *internal* RDD held by
+    the LogicalRDD plan node, so the public API leaves them pinned until
+    ContextCleaner GC (r8 advisor finding). Reach the checkpointed RDD
+    through the analyzed plan and unpersist it directly — verified on
+    pyspark 4.1.2 to drop the block from ``getRDDStorageInfo``. Only call
+    this once every downstream consumer of ``df`` has materialized: a
+    locally-checkpointed RDD has no lineage to recompute from.
+    Best-effort: if the private plan shape ever changes, fall back to the
+    (lazy) ContextCleaner path rather than failing the query.
+    """
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:  # pragma: no cover - private-API drift fallback
+        df.unpersist()
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -724,7 +744,7 @@ def mmr_select(
             break  # no one consumes a further _msim update
         s_new = F.array(*[F.lit(float(x)) for x in r["_v"]])
         sim_new = F.round(_cos(F.col("_v"), s_new), 9)
-        prev = base  # unpersist after the successor materializes: without
+        prev = base  # free after the successor materializes: without
         # this, k-1 corpus-sized checkpoint copies pile up in executor
         # storage until ContextCleaner GC (a real leak at 100 TB scale)
         base = base.select(
@@ -740,8 +760,8 @@ def mmr_select(
                 F.col("_picked") | (F.col(id_col) == F.lit(r[id_col]))
             ).alias("_picked"),
         ).localCheckpoint()
-        prev.unpersist()
-    base.unpersist()
+        _free_local_checkpoint(prev)
+    _free_local_checkpoint(base)
     return spark.createDataFrame(
         picks, f"rank int, {id_col} {corpus.schema[id_col].dataType.simpleString()}, relevance double, mmr_score double"
     )

@@ -1572,96 +1572,136 @@ from jigsaw_spark.plans import queries_r31  # noqa: E402,F401
 from jigsaw_spark.plans import queries_r32  # noqa: E402,F401
 from jigsaw_spark.plans import queries_r33  # noqa: E402,F401
 from jigsaw_spark.plans import queries_r34  # noqa: E402,F401
-# r40 = round-9 QUEUE: registered behind the r8 certification window
-# (test_entry exempts queries_r40+ from the current window's debt);
-# rotate these to the head of _CERTIFICATION_PRIORITY next round.
+# r40 was the round-9 queue; its 2 queries now head the r9 window.
 from jigsaw_spark.plans import queries_r40  # noqa: E402,F401
+from jigsaw_spark.plans import queries_r41  # noqa: E402,F401
 
 
 # ---------------------------------------------------------------------------
 # Registration order == driver certification order. The driver's correctness
 # gate walks QUERIES in insertion order with a bounded window (~50 names per
-# round; every round so far sampled exactly the first 50). Round-8 rotation
-# (verdict r7 directive #1) — CORRECTNESS_r07 came back 50/50 green, so the
-# only remaining debt is the 7 round-7-new queries_r27 queries (registered
-# after the r7 window was frozen) plus ONE stale-cert re-run:
-#   slots 1-7   — the queries_r27 batch (retention cohorts, funnel
-#                 conversion, lift/gains, RFM segments, Holt-Winters exact,
-#                 mutual information, group-kfold). dq_mutual_information
-#                 and ml_lift_gains were ALSO advisor-fixed this round
-#                 (floor-consistent dow bucketing; npos=0 guard), so their
-#                 first driver row certifies the fixed code.
-#   slot 8      — ann_mmr_select: its implementation was rewritten in
-#                 ce241ac (running _msim column) AFTER its last driver row,
-#                 the graph_triangles stale-cert class — re-certify the
-#                 code that now owns the name (which additionally gained
-#                 the per-round checkpoint unpersist this round).
-#   slots 9+    — round-8-new queries (modules queries_r28+) registered
-#                 at the head as they are built, displacing padding.
-#   tail to 50  — padding: stalest-first re-certs (the r01-certified
-#                 queries whose driver rows are 7 rounds old) so every
-#                 window slot is an oracle-backed row and old code keeps
-#                 getting re-validated on a rolling basis.
-# The 7 clean rows-only entries (text_bpe_encode, k6_deeplab_export, ...)
+# round; every round so far sampled exactly the first 50). Round-9 rotation
+# (verdict r8 directive #1) — CORRECTNESS_r08 came back 50/50 green, so the
+# only remaining debt is the 2-query r40 queue registered behind the r8
+# window (the documented round-9 queue, adc4597):
+#   slots 1-2   — ts_mase + graph_random_walk. graph_random_walk was ALSO
+#                 verdict-fixed this round (adjacency localCheckpoint so
+#                 the 4 step-joins stop re-deriving the dedup lineage), so
+#                 its first driver row certifies the fixed code. Likewise
+#                 dq_mutual_information's oracle got the advisor-directed
+#                 both-sides floor-day form — hash unchanged on post-1970
+#                 data, so its r8 row remains valid.
+#   slots 3+    — round-9-new queries (modules queries_r41+) inserted here
+#                 as they are built, displacing padding down.
+#   tail to 50  — padding: stalest-first re-certs — the 31 oracle-backed
+#                 queries whose latest driver row is still r01, then the
+#                 43 whose latest row is r02 — so every window slot is an
+#                 oracle-backed row and old code keeps getting
+#                 re-validated on a rolling basis. (The full 74-name pool
+#                 is listed; only the first 50 registry slots form the
+#                 window, the rest keep their certified rows and order.)
+# The 6 clean rows-only entries (text_bpe_encode, mm_decode_meta, ...)
 # each have their one driver row and are NOT re-rotated (they can never be
 # hash-certified). Everything already certified falls to the back in
 # module-import order.
-# Update tests/test_entry.py's window-policy test (names[0] pin +
+# Update tests/test_entry.py's window-policy test (names[0]/names[1] pins +
 # exemption range) in the same commit as any change here.
 # ---------------------------------------------------------------------------
 
-_CERTIFICATION_PRIORITY = [
-    "rel_retention_cohorts",
-    "rel_funnel_conversion",
-    "ml_lift_gains",
-    "rel_rfm_segments",
-    "ts_holt_winters_exact",
-    "dq_mutual_information",
-    "p_group_kfold",
-    "ann_mmr_select",
-    "k6_deeplab_export",
-    "ml_brier_log_loss",
-    "ml_ndcg_exact",
-    "ml_survival_km",
-    "ml_kappa_mcc",
-    "dq_reconciliation",
-    "dq_embedding_drift",
-    "ts_rolling_median",
-    "ml_isotonic_decile",
-    "privacy_dp_counts",
-    "text_tfidf_knn",
-    "rel_funnel_windowed",
-    "graph_bipartite_project",
-    "mm_resize_nn",
-    "ts_hampel_outliers",
-    "ab_wilson_ci",
-    "rel_largest_remainder",
-    "fn_url_parse",
-    "ml_lag_features",
-    "rel_wau_sliding",
-    "ml_hash_collisions",
-    "rel_clamped_balance",
-    "stream_sliding_wau",
-    "j14_salted_join",
-    "ts_dtw_exact",
-    "er_survivorship",
-    "ml_woe_iv",
-    "ts_seasonal_strength",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "f2_or_filter",
-    "f3_filter_chain",
-    "f9_untagged_default",
-    "p1_exact_sample",
-    "p2_split_test",
-    "p3_kfold_assign",
-    "p7_shard_assign",
-    "j1_construct_join",
-    "j2_semi_join",
-    "j2_anti_join",
-    "j3_union_distinct",
+_R9_QUEUE = [
+    "ts_mase",
+    "graph_random_walk",
 ]
+
+_R9_NEW: list[str] = [
+    # round-9-new queries are appended here by their batch modules' order
+    # as they are built (queries_r41+)
+    "text_rerank_cross",
+    "dq_contamination",
+    "text_seq_packing",
+    "agg_quantile_bottomk",
+]
+
+_STALE_PADDING = [
+    # latest driver row r01 (31 oracle-backed)
+    "set_intersect",
+    "set_except",
+    "a2_dense_label_map",
+    "a3_moments",
+    "a5_extent_merge",
+    "fn_scalar",
+    "w1_sessionize",
+    "w2_topk_per_group",
+    "w3_hourly_rollup",
+    "w4_session_window",
+    "agg_salted",
+    "agg_distinct_twophase",
+    "j5_asof_join",
+    "j6_range_join",
+    "agg_rollup",
+    "agg_cube",
+    "agg_count_distinct",
+    "p1_stratified_sample",
+    "a3_vector_moments",
+    "agg_percentiles",
+    "agg_pivot",
+    "agg_unpivot",
+    "fn_datetime",
+    "w5_moving_avg",
+    "fn_json",
+    "fn_higher_order",
+    "agg_zscore_pandas",
+    "w6_range_frame",
+    "fn_subquery",
+    "text_tokens",
+    "text_quality",
+    # latest driver row r02 (43 oracle-backed)
+    "flagship_pipeline",
+    "merge_upsert",
+    "dedup_lsh_capped",
+    "mm_png_mask_bboxes",
+    "k6_bbox_norm",
+    "k6_feature_points",
+    "mm_png_instance_bboxes",
+    "dedup_semantic",
+    "text_boilerplate",
+    "profile_table",
+    "rel_recursive_rollup",
+    "stream_static_join",
+    "text_topgram_coverage",
+    "ts_ohlc",
+    "agg_mode",
+    "j5_asof_forward_tol",
+    "w9_distinct_window",
+    "fn_variant",
+    "fn_hashes",
+    "rag_pipeline",
+    "dedup_lines",
+    "fn_udtf_lateral",
+    "dedup_lsh_recall",
+    "dedup_incremental",
+    "agg_countmin_hh",
+    "agg_equidepth",
+    "dq_expectations",
+    "rel_snapshot_diff",
+    "rel_scd2_intervals",
+    "ts_ewma",
+    "curation_pipeline_v2",
+    "ts_interval_union",
+    "sql_scripting_threshold",
+    "p_group_split",
+    "mine_assoc_pairs",
+    "agg_gini",
+    "text_bigram_logprob",
+    "fn_collation",
+    "dq_psi_drift",
+    "text_rake_keyphrase",
+    "agg_moments_34",
+    "agg_bootstrap_means",
+    "agg_weighted_percentile",
+]
+
+_CERTIFICATION_PRIORITY = _R9_QUEUE + _R9_NEW + _STALE_PADDING
 
 
 def _reorder_registry() -> None:

@@ -287,8 +287,8 @@ _WOW_SQL = f"""
     _WOW_SQL,
     "week-over-week revenue growth per event type in EXACT integer "
     "basis points — (cur-prev)*10000 tdiv prev, truncated toward zero "
-    "on both engines (Spark div truncates natively; the oracle uses "
-    "the CASE-guarded form because DuckDB // floors negatives) — the "
+    "on both engines (Spark div and duckdb 1.0 // both truncate; the "
+    "oracle keeps the explicit CASE form for version robustness) — the "
     "reporting staple. One calendar agg, one partitioned lag window "
     "over the week dim; zero/missing base weeks are excluded",
 )

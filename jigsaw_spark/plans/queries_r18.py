@@ -86,7 +86,9 @@ def dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 # truncated division toward zero (negative residual means) — Spark div
-# truncates natively; DuckDB // floors, hence the CASE form in the oracle.
+# truncates natively; duckdb 1.0's integer // does too (verified r9), so
+# the CASE form is an explicit spelling of the shared semantics, kept for
+# engine-version robustness.
 _TDIV = "CASE WHEN {x} >= 0 THEN {x} // {d} ELSE -((-({x})) // {d}) END"
 
 

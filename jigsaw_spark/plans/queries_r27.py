@@ -602,7 +602,15 @@ def ts_holt_winters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MI_SQL = """
     WITH cells AS (
       SELECT event_type AS x,
-             CAST((((epoch_us(ts) // 86400000000) % 7) + 7) % 7 AS INT)
+             -- true floor-day BEFORE the pmod-7: DuckDB's integer //
+             -- truncates toward zero on this expression shape (r8
+             -- advisor: -1 // 86400000000 = 0), so subtract the
+             -- non-negative remainder first — identical to Spark's
+             -- subtract-pmod form for pre-1970 epochs too
+             CAST(((((epoch_us(ts)
+                      - (((epoch_us(ts) % 86400000000) + 86400000000)
+                         % 86400000000))
+                     // 86400000000) % 7) + 7) % 7 AS INT)
                AS y,
              count(*) AS c
       FROM events GROUP BY 1, 2),

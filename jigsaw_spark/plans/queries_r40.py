@@ -200,9 +200,13 @@ def graph_random_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.select(
         F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
     ).union(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
+    # localCheckpoint: the 4 step-joins below would otherwise re-derive
+    # the whole exact-dedup -> simhash-pairs -> groupBy lineage once per
+    # step (10 scans / 35 shuffles in the plan audit for what is
+    # logically 2 scans + 5 shuffles) — the graph_kcore r5 lesson.
     adj = edges.groupBy("u").agg(
         F.sort_array(F.collect_set("v")).alias("nbrs")
-    )
+    ).localCheckpoint()
     walk = adj.select(
         F.col("u").alias("start"),
         F.col("u").alias("node"),

@@ -1105,9 +1105,10 @@ def ml_nbayes_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ts_holt_exact
 # ---------------------------------------------------------------------------
 
-# truncated-toward-zero halving (DuckDB // floors negatives; Spark div and
-# Python // likewise need the CASE guard) — the tdiv discipline from the
-# exact-iterative quartet (see operators/ml._tdiv)
+# truncated-toward-zero halving — Spark div and duckdb 1.0 integer //
+# both truncate toward zero (verified r9; Python // floors), so the CASE
+# guard is an explicit spelling kept for engine-version robustness — the
+# tdiv discipline from the exact-iterative quartet (see operators/ml._tdiv)
 _TDIV2 = "(CASE WHEN {x} >= 0 THEN ({x}) // 2 ELSE -((-({x})) // 2) END)"
 
 _HOLT_SQL = f"""

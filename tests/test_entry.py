@@ -29,17 +29,17 @@ def test_every_query_runs_at_smoke_sf(spark):
 
 def test_certification_window_covers_never_certified():
     """The driver's correctness gate walks the registry in order with a
-    bounded window (~50). Round-8 policy (verdict r7 #1): CORRECTNESS_r07
-    came back 50/50 green, so the debt is exactly the 7 round-7-new
-    queries_r27 queries plus the `ann_mmr_select` stale-cert re-run (its
-    code was rewritten in ce241ac after its last driver row — the
-    graph_triangles class). Slots 1-8 carry that debt; round-8-new
-    queries (modules queries_r28+) are registered at the head as they are
-    built; the remaining slots are stalest-first padding re-certs (r01
-    rows). Overflow modules (queries_r40+) queue behind slot 50 for the
-    next round. Clean rows-only entries (text_bpe_encode,
-    k6_deeplab_export, ...) keep their one driver row and are never
-    re-rotated."""
+    bounded window (~50). Round-9 policy (verdict r8 #1): CORRECTNESS_r08
+    came back 50/50 green (including ann_mmr_select's re-cert and
+    k6_deeplab_export's first exact-oracle row after its r8 promotion
+    from rows-only), so the debt is exactly the 2-query r40 queue
+    (ts_mase + graph_random_walk) registered behind the r8 window.
+    Slots 1-2 carry that debt; round-9-new queries (modules
+    queries_r41+) are inserted after it as they are built; the
+    remaining slots are stalest-first padding re-certs (r01 then r02
+    rows). Overflow modules (queries_r50+) queue behind slot 50 for the
+    next round. Clean rows-only entries (text_bpe_encode, ...) keep
+    their one driver row and are never re-rotated."""
     import json
     import pathlib
 
@@ -47,7 +47,7 @@ def test_certification_window_covers_never_certified():
 
     root = pathlib.Path(__file__).resolve().parents[1]
     certified: set[str] = set()
-    for r in ("01", "02", "03", "04", "05", "06", "07"):
+    for r in ("01", "02", "03", "04", "05", "06", "07", "08"):
         path = root / f"CORRECTNESS_r{r}.json"
         if path.exists():
             certified |= set(json.loads(path.read_text()))
@@ -59,24 +59,24 @@ def test_certification_window_covers_never_certified():
         if q not in certified and QUERIES[q].oracle is not None
     ]
 
-    assert names[0] == "rel_retention_cohorts", (
-        "slot 1 must start the r27 debt block (verdict r7 directive #1)"
+    assert names[0] == "ts_mase", (
+        "slot 1 must start the r40-queue debt block (verdict r8 #1)"
     )
-    assert names[7] == "ann_mmr_select", (
-        "slot 8 must be the ann_mmr_select stale-cert re-run"
+    assert names[1] == "graph_random_walk", (
+        "slot 2 must be the r40 queue's second query (verdict r8 #1)"
     )
 
-    # all debt (never-certified oracle-backed + the stale re-cert) sits
-    # inside slots 1-50; overflow modules (r40+) are the only exemption
+    # all debt (never-certified oracle-backed) sits inside slots 1-50;
+    # overflow modules (r50+, next round's queue) are the only exemption
     window = names[:50]
     overflow_modules = {
-        f"jigsaw_spark.plans.queries_r{i}" for i in range(40, 60)
+        f"jigsaw_spark.plans.queries_r{i}" for i in range(50, 60)
     }
     debt = {
         q
         for q in never
         if QUERIES[q].spark.__module__ not in overflow_modules
-    } | {"ann_mmr_select"}
+    }
     outside = [q for q in debt if q not in window]
     assert not outside, f"certification debt outside slots 1-50: {outside}"
 
