@@ -1575,6 +1575,7 @@ from jigsaw_spark.plans import queries_r34  # noqa: E402,F401
 # r40 was the round-9 queue; its 2 queries now head the r9 window.
 from jigsaw_spark.plans import queries_r40  # noqa: E402,F401
 from jigsaw_spark.plans import queries_r41  # noqa: E402,F401
+from jigsaw_spark.plans import queries_r42  # noqa: E402,F401
 
 
 # ---------------------------------------------------------------------------
@@ -1620,6 +1621,10 @@ _R9_NEW: list[str] = [
     "dq_contamination",
     "text_seq_packing",
     "agg_quantile_bottomk",
+    "ml_reliability_ece",
+    "graph_adamic_adar",
+    "er_fuzzy_match",
+    "fn_ip_cidr",
 ]
 
 _STALE_PADDING = [
