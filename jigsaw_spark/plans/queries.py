@@ -1576,6 +1576,7 @@ from jigsaw_spark.plans import queries_r34  # noqa: E402,F401
 from jigsaw_spark.plans import queries_r40  # noqa: E402,F401
 from jigsaw_spark.plans import queries_r41  # noqa: E402,F401
 from jigsaw_spark.plans import queries_r42  # noqa: E402,F401
+from jigsaw_spark.plans import queries_r43  # noqa: E402,F401
 
 
 # ---------------------------------------------------------------------------
@@ -1625,6 +1626,9 @@ _R9_NEW: list[str] = [
     "graph_adamic_adar",
     "er_fuzzy_match",
     "fn_ip_cidr",
+    "ts_gap_fill_ffill",
+    "ts_winsorized_mean",
+    "er_blocking_stats",
 ]
 
 _STALE_PADDING = [
