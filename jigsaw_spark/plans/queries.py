@@ -1577,6 +1577,7 @@ from jigsaw_spark.plans import queries_r40  # noqa: E402,F401
 from jigsaw_spark.plans import queries_r41  # noqa: E402,F401
 from jigsaw_spark.plans import queries_r42  # noqa: E402,F401
 from jigsaw_spark.plans import queries_r43  # noqa: E402,F401
+from jigsaw_spark.plans import queries_r44  # noqa: E402,F401
 
 
 # ---------------------------------------------------------------------------
@@ -1629,6 +1630,9 @@ _R9_NEW: list[str] = [
     "ts_gap_fill_ffill",
     "ts_winsorized_mean",
     "er_blocking_stats",
+    "stream_contamination",
+    "graph_node2vec_walk",
+    "graph_walk_skipgrams",
 ]
 
 _STALE_PADDING = [

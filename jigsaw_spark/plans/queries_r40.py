@@ -129,7 +129,10 @@ def ts_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _walk_sql() -> str:
+def _walk_with_clause() -> str:
+    """The full WITH RECURSIVE clause producing the ``walk`` relation —
+    shared verbatim with graph_walk_skipgrams (queries_r44), which
+    post-processes the same walks."""
     from jigsaw_spark.plans.queries_llm import _SIMHASH_KEEPER_CTE
 
     return f"""
@@ -160,11 +163,19 @@ def _walk_sql() -> str:
                AS UBIGINT) AS BIGINT) % len(adj.nbrs) AS INT)] AS VARCHAR)
       FROM walk JOIN adj ON adj.u = walk.node
       WHERE s < 4)
+"""
+
+
+def _walk_sql() -> str:
+    return (
+        _walk_with_clause()
+        + """
     SELECT CAST(start AS BIGINT) AS start,
            CAST(node AS BIGINT) AS final_node,
            path
     FROM walk WHERE s = 4
 """
+    )
 
 
 @register(

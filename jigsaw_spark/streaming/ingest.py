@@ -36,6 +36,30 @@ EVENTS_SCHEMA = T.StructType(
 )
 
 
+DOCUMENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def read_document_stream(
+    spark: SparkSession, path: str, glob: str = "documents.parquet"
+) -> DataFrame:
+    """File-source stream over the documents table — the arrival shape of
+    a crawl ingest: new document files land, the checkpoint tracks which
+    were processed (the same skip-existing contract as events)."""
+    return (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .option("pathGlobFilter", glob)
+        .parquet(path)
+    )
+
+
 def read_event_stream(
     spark: SparkSession, path: str, glob: str = "*.parquet"
 ) -> DataFrame:
