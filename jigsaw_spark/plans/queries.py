@@ -1578,6 +1578,7 @@ from jigsaw_spark.plans import queries_r41  # noqa: E402,F401
 from jigsaw_spark.plans import queries_r42  # noqa: E402,F401
 from jigsaw_spark.plans import queries_r43  # noqa: E402,F401
 from jigsaw_spark.plans import queries_r44  # noqa: E402,F401
+from jigsaw_spark.plans import queries_r45  # noqa: E402,F401
 
 
 # ---------------------------------------------------------------------------
@@ -1633,6 +1634,9 @@ _R9_NEW: list[str] = [
     "stream_contamination",
     "graph_node2vec_walk",
     "graph_walk_skipgrams",
+    "dq_split_user_leakage",
+    "privacy_small_cell",
+    "ann_recall_curve",
 ]
 
 _STALE_PADDING = [

@@ -276,10 +276,14 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _FUZZY_SQL = """
-    WITH blocked AS (
-      SELECT p_partkey, p_brand, p_name,
+    WITH keepers AS (
+      -- C4 discipline: exact-identity dedup BEFORE pair enumeration.
+      -- Identical (brand, name) rows are the same entity trivially —
+      -- the exact-match stage of an ER pipeline resolves them with a
+      -- hash-agg; only DISTINCT names reach the quadratic fuzzy stage
+      SELECT min(p_partkey) AS p_partkey, p_brand, p_name,
              split_part(p_name, ' ', 1) AS tok1
-      FROM part)
+      FROM part GROUP BY p_brand, p_name)
     SELECT a.p_brand,
            a.p_partkey AS key_a, b.p_partkey AS key_b,
            a.p_name AS name_a, b.p_name AS name_b,
@@ -288,7 +292,7 @@ _FUZZY_SQL = """
                  - levenshtein(a.p_name, b.p_name)) * 1000
                 // greatest(length(a.p_name), length(b.p_name))
              AS BIGINT) AS sim_milli
-    FROM blocked a JOIN blocked b
+    FROM keepers a JOIN keepers b
       ON a.p_brand = b.p_brand AND a.tok1 = b.tok1
      AND a.p_partkey < b.p_partkey
     WHERE levenshtein(a.p_name, b.p_name) <= 3
@@ -298,21 +302,26 @@ _FUZZY_SQL = """
 @register(
     "er_fuzzy_match",
     _FUZZY_SQL,
-    "blocked fuzzy entity matching over part names: blocking key = "
-    "(brand, first name token), candidate pairs within a block scored "
-    "by Levenshtein edit distance, matched at distance <= 3, with an "
-    "integer milli similarity (maxlen - lev) * 1000 div maxlen — the "
-    "ER workhorse that feeds er_survivorship's merge step. Blocking "
-    "is THE scale decision: it turns corpus all-pairs into block-local "
-    "comparisons whose cost is sum of block-size^2 — the recall/cost "
-    "knob every production ER deployment tunes (pairs differing in "
-    "their first token are deliberately out of scope of this blocking "
-    "key). Shape: one shuffle on the blocking key, per-block pair "
-    "enumeration, JVM-codegen levenshtein — no UDF, no global sort",
+    "blocked fuzzy entity matching over part names, C4-ORDERED: exact "
+    "(brand, name) identities collapse to a min-key keeper in a "
+    "hash-agg FIRST (the exact-match stage of every ER pipeline — and "
+    "the discipline that keeps duplication free at scale), then only "
+    "DISTINCT names reach the quadratic stage: blocking key = (brand, "
+    "first name token), candidate pairs within a block scored by "
+    "Levenshtein, matched at distance <= 3 with an integer milli "
+    "similarity — the ER workhorse that feeds er_survivorship's merge "
+    "step. Blocking is THE scale decision: it turns corpus all-pairs "
+    "into block-local comparisons whose cost is sum of block-size^2 — "
+    "the recall/cost knob er_blocking_stats measures (pairs differing "
+    "in their first token are deliberately out of this key's scope). "
+    "Shape: one dedup hash-agg, one shuffle on the blocking key, "
+    "per-block pair enumeration, JVM-codegen levenshtein — no UDF",
 )
 def er_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = _t(spark, sf_dir, "part")
-    blocked = part.select(
+    blocked = part.groupBy("p_brand", "p_name").agg(
+        F.min("p_partkey").alias("p_partkey")
+    ).select(
         "p_partkey",
         "p_brand",
         "p_name",

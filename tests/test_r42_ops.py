@@ -103,11 +103,14 @@ def _lev(a: str, b: str) -> int:
 
 def test_fuzzy_match_replays(spark):
     parts = spark.read.parquet(f"{SF}/part.parquet").collect()
-    blocks = defaultdict(list)
+    # exact-identity dedup first (C4 order): min partkey per (brand, name)
+    keepers: dict = {}
     for r in parts:
-        blocks[(r["p_brand"], r["p_name"].split(" ")[0])].append(
-            (r["p_partkey"], r["p_name"])
-        )
+        k = (r["p_brand"], r["p_name"])
+        keepers[k] = min(keepers.get(k, r["p_partkey"]), r["p_partkey"])
+    blocks = defaultdict(list)
+    for (brand, name), key in keepers.items():
+        blocks[(brand, name.split(" ")[0])].append((key, name))
     expected = {}
     for (brand, _), items in blocks.items():
         for i, (ka, na) in enumerate(items):

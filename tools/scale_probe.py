@@ -215,6 +215,58 @@ PROBES = [
     "rel_wau_sliding",
     "rel_largest_remainder",
     "ts_hampel_outliers",
+    # round-8 batches 5-7 + the r40 queue (verdict r8 #3): salted join
+    # (x16-replicated 10-row dim is constant; the salted fact side
+    # grows), DTW (day-grain calendar-bounded series: flat-ish),
+    # survivorship (entity-keyed agg), WoE/IV (decile dim), seasonal
+    # strength (day dim), clamped balance (two windows over user-keyed
+    # prefix sums; user_id is NOT shifted so per-user history grows x10
+    # — the hard direction, like ts_sessionize), the sliding-WAU
+    # streaming twin (state bounded by windows x users; IO-layout-
+    # sensitive like stream_dsir_score), MASE (day-grain agg + two
+    # shifted-key joins), and the random walk (keeper-graph adjacency
+    # localCheckpoint'ed once; rides the SimHash clique collapse)
+    "j14_salted_join",
+    "ts_dtw_exact",
+    "er_survivorship",
+    "ml_woe_iv",
+    "ts_seasonal_strength",
+    "rel_clamped_balance",
+    "stream_sliding_wau",
+    "ts_mase",
+    "graph_random_walk",
+    # round 9 (queries_r41-r45): rerank rides the df-capped posting
+    # pair join (text_tfidf_knn's curve) + bounded top-5 windows;
+    # contamination is shingle hash-aggs + ONE key join (posting
+    # densification makes it conservative, like tfidf); packing is
+    # (lang, shard)-windowed running sums — shard count is fixed here
+    # so partitions grow x10 (the hard direction; production scales
+    # shards with the corpus); the bottom-k sketch is a per-group
+    # top-k (k fixed: the sort input grows, the shuffle stays k rows);
+    # ECE is a 10-bin map+agg; Adamic-Adar / node2vec / skipgrams ride
+    # the keeper-graph SimHash clique collapse like graph_random_walk;
+    # fuzzy match is C4-ordered (exact-identity dedup collapses the
+    # replicas BEFORE the quadratic stage — same reason the graph
+    # family probes ~1x); gap-fill / winsorized / small-cell / leakage
+    # are calendar- or user-keyed aggs; the recall curve re-runs both
+    # ANN paths (probed above) plus a k-bounded join
+    "text_rerank_cross",
+    "dq_contamination",
+    "text_seq_packing",
+    "agg_quantile_bottomk",
+    "ml_reliability_ece",
+    "graph_adamic_adar",
+    "er_fuzzy_match",
+    "fn_ip_cidr",
+    "ts_gap_fill_ffill",
+    "ts_winsorized_mean",
+    "er_blocking_stats",
+    "stream_contamination",
+    "graph_node2vec_walk",
+    "graph_walk_skipgrams",
+    "dq_split_user_leakage",
+    "privacy_small_cell",
+    "ann_recall_curve",
 ]
 
 TABLES = [
@@ -373,11 +425,15 @@ def main() -> None:
         "`containment_pairs`) remain library entry points for sampled",
         "tuning runs. `dedup_semantic` holds the cell count fixed here; at",
         "a real scale-up k grows with N (k ∝ N/c) keeping in-cell pair",
-        "work linear. Streaming probes (`stream_dsir_score`) are",
+        "work linear. Streaming probes (`stream_dsir_score`,",
+        "`stream_sliding_wau`, `stream_contamination`) are",
         "IO-layout-sensitive: the ×10 replica dir is written 32-way",
         "partitioned while the base is a single file, so their ratio",
         "reflects file-source listing/batching, not operator cost — read",
-        "those rows as 'no blow-up', not as a speedup.",
+        "those rows as 'no blow-up', not as a speedup. `text_seq_packing`",
+        "holds its shard count fixed under replication, so per-shard",
+        "window partitions grow ×10 — production scales shards with the",
+        "corpus, keeping partitions bounded.",
         "",
         "## Bench-regression policy (r3 finding)",
         "",
