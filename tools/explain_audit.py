@@ -98,6 +98,25 @@ ALL_PAIRS_OK = {
     # 1-row (T, R) smoothing-total dim crossed into the 4096-bucket
     # distribution — O(buckets), corpus never touches the NLJ
     "curation_dsir_weights",
+    # round-9 scalar/small-dim broadcast class:
+    # 1-row corpus-size dim crossed into the (doc,term) weights — the
+    # text_tfidf_knn shape (its retrieval stage IS that query's plan)
+    "text_rerank_cross",
+    # 1-row (lo, hi, n) score-bounds dim crossed into the scan (the
+    # ml_brier_log_loss shape)
+    "ml_reliability_ece",
+    # 1-row day-cut dim crossed into the day projection + two 1-row
+    # summary dims crossed at the end — all degenerate O(n) NLJs
+    "dq_split_user_leakage",
+    # 5-row percentile dim joined on rn == f(m, p): an expression
+    # equality across sides is not hash-joinable — a broadcast NLJ over
+    # a CONSTANT 5-row dim by construction (both the sketch and the
+    # exact sides)
+    "agg_quantile_bottomk",
+    # composes ann_cosine_topk (the documented broadcast all-pairs
+    # baseline) + ann_ivf_topk, plus a 3-row k dim crossed into the
+    # k-bounded rank tables
+    "ann_recall_curve",
     "p_dsir_resample",
     # source-pair enumeration: non-equi (a < b) self-join of the
     # |sources|-row sketch-stat dim — all pair work runs on KB sketches
@@ -259,6 +278,9 @@ GLOBAL_WINDOW_OK = {
     "rel_funnel_windowed",
     # decile rank dim windows + the 10-row bin IV frame
     "ml_woe_iv",
+    # ECE total: the unpartitioned sum runs over the <= 10 calibration
+    # bins (bin count is a constant of the metric, never of the data)
+    "ml_reliability_ece",
 }
 # streaming queries execute on .start(), not .explain — audit skipped
 SKIP = {"stream_hourly_rollup", "stream_stateful_sessions"}
