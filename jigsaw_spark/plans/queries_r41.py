@@ -317,8 +317,13 @@ def _contamination_sql() -> str:
 )
 def dq_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jigsaw_spark.operators.text import shingles_expr, tokens_expr
+    from jigsaw_spark.session import widen
 
-    docs = _t(spark, sf_dir, "documents")
+    # widen BEFORE the 8-gram explode: a dense single parquet file
+    # arrives as ONE partition locally and the shingle kernel serializes
+    # on one core (measured 31 s -> ~2 s at sf0.1; at 100 TB the scan
+    # supplies width and this no-ops via the partition-count guard)
+    docs = widen(_t(spark, sf_dir, "documents"))
     split = docs.select(
         "doc_id",
         "text",

@@ -116,9 +116,14 @@ def stream_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         == 0
     )
 
-    # static side: the train shingle set, computed in batch once
+    from jigsaw_spark.session import widen
+
+    # static side: the train shingle set, computed in batch once —
+    # widened BEFORE the 8-gram explode (the single-dense-file
+    # one-partition trap; the stream side only carries the 5% holdout
+    # and stays cheap without it)
     train_sh = (
-        _t(spark, sf_dir, "documents")
+        widen(_t(spark, sf_dir, "documents"))
         .filter(~is_holdout)
         .select(
             F.explode(shingles_expr(tokens_expr("text"), 8)).alias("tsh")
