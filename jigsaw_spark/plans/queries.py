@@ -1579,6 +1579,7 @@ from jigsaw_spark.plans import queries_r42  # noqa: E402,F401
 from jigsaw_spark.plans import queries_r43  # noqa: E402,F401
 from jigsaw_spark.plans import queries_r44  # noqa: E402,F401
 from jigsaw_spark.plans import queries_r45  # noqa: E402,F401
+from jigsaw_spark.plans import queries_r46  # noqa: E402,F401
 
 
 # ---------------------------------------------------------------------------
@@ -1637,6 +1638,9 @@ _R9_NEW: list[str] = [
     "dq_split_user_leakage",
     "privacy_small_cell",
     "ann_recall_curve",
+    "ml_linear_shap",
+    "ml_auprc_exact",
+    "er_blocking_recall",
 ]
 
 _STALE_PADDING = [

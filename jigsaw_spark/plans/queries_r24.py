@@ -423,7 +423,9 @@ def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _RIDGE_LAMBDA = 1_000_000_000  # in centered-cents² units; demo shrinkage
 
-_RIDGE_SQL = f"""
+# CTE chain (pts -> anchors -> m -> sol) shared verbatim with
+# ml_linear_shap (queries_r46), which explains this model's predictions.
+_RIDGE_WITH = f"""
     WITH pts AS (
       SELECT l_linestatus AS grp,
              CAST(round(l_quantity, 0) AS BIGINT) AS x1,
@@ -454,6 +456,9 @@ _RIDGE_SQL = f"""
              (suy * (svv + {_RIDGE_LAMBDA}) - svy * suv) * 1000000 AS n1,
              (svy * (suu + {_RIDGE_LAMBDA}) - suy * suv) * 1000000 AS n2
       FROM m)
+"""
+
+_RIDGE_SQL = f"""{_RIDGE_WITH}
     SELECT grp AS l_linestatus,
            CAST(n AS BIGINT) AS n,
            CAST(CASE WHEN n1 >= 0 THEN n1 // det

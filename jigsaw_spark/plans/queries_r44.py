@@ -281,6 +281,10 @@ def graph_node2vec_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
         stepped = walk.join(c, walk["node"] == c[f"_cu{s}"]).join(
             p, walk["prev"] == p[f"_pu{s}"], "left"
         )
+        # materialize the weight list and the drawn residue as columns
+        # BEFORE the selection expression: inlining `ws` twice inside
+        # the filter lambda made codegen re-derive the transform per
+        # candidate index (an O(deg^2) expression tree per step)
         ws = (
             f"transform(_cn{s}, x -> CASE WHEN prev IS NULL THEN 1L"
             f" WHEN x = prev THEN 1L"
@@ -292,14 +296,17 @@ def graph_node2vec_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
             " CAST(coalesce(prev, -1) AS STRING),"
             " CAST(node AS STRING))), 1, 12), 16, 10) AS BIGINT)"
         )
+        staged = stepped.withColumn("_ws", F.expr(ws)).withColumn(
+            "_r",
+            F.expr(f"pmod({h}, aggregate(_ws, 0L, (a, x) -> a + x))"),
+        )
         nxt = (
             f"element_at(_cn{s}, CAST(array_min(filter("
             f"sequence(1, size(_cn{s})),"
-            f" i -> aggregate(slice({ws}, 1, i), 0L, (a, x) -> a + x)"
-            f" > pmod({h}, aggregate({ws}, 0L, (a, x) -> a + x))))"
-            " AS INT))"
+            " i -> aggregate(slice(_ws, 1, i), 0L, (a, x) -> a + x)"
+            " > _r)) AS INT))"
         )
-        walk = stepped.select(
+        walk = staged.select(
             "start",
             F.expr(nxt).alias("_nxt"),
             F.col("node").alias("_newprev"),

@@ -117,6 +117,10 @@ ALL_PAIRS_OK = {
     # baseline) + ann_ivf_topk, plus a 3-row k dim crossed into the
     # k-bounded rank tables
     "ann_recall_curve",
+    # 2-row feature dim crossed into the |groups|-row sums frame
+    "ml_linear_shap",
+    # 1-row (lo, hi, n, npos) dim crossed into the scan (brier shape)
+    "ml_auprc_exact",
     "p_dsir_resample",
     # source-pair enumeration: non-equi (a < b) self-join of the
     # |sources|-row sketch-stat dim — all pair work runs on KB sketches
@@ -281,6 +285,9 @@ GLOBAL_WINDOW_OK = {
     # ECE total: the unpartitioned sum runs over the <= 10 calibration
     # bins (bin count is a constant of the metric, never of the data)
     "ml_reliability_ece",
+    # cumulative tp/pred over the DISTINCT-SCORE dim (value-domain
+    # bounded) — the ml_auc_exact / ml_pr_curve shape
+    "ml_auprc_exact",
 }
 # streaming queries execute on .start(), not .explain — audit skipped
 SKIP = {"stream_hourly_rollup", "stream_stateful_sessions"}
