@@ -267,6 +267,12 @@ PROBES = [
     "dq_split_user_leakage",
     "privacy_small_cell",
     "ann_recall_curve",
+    # r46: SHAP rides the ridge moment shape + broadcast weights join;
+    # AUPRC's windows run over the distinct-score dim; blocking recall
+    # is C4-ordered (keeper pairs bounded by name vocabulary)
+    "ml_linear_shap",
+    "ml_auprc_exact",
+    "er_blocking_recall",
 ]
 
 TABLES = [
