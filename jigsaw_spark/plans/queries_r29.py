@@ -376,6 +376,12 @@ def text_tfidf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).cast("bigint")
             ).alias("w"),
         )
+        # localCheckpoint: four consumers (norm, both posting-join
+        # sides, and their re-expansions) otherwise re-derive the
+        # explode -> tf -> df lineage each — 18 scans / 35 shuffles in
+        # the r9 plan audit for what is logically 1 scan (the
+        # graph_random_walk lesson applied to the TF-IDF family)
+        .localCheckpoint()
     )
     norm = kept.groupBy("doc_id").agg(
         F.sum(F.col("w") * F.col("w")).cast("bigint").alias("n2")

@@ -174,6 +174,11 @@ def text_rerank_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
             idf.alias("idf"),
             (F.col("tf") * idf).alias("w"),
         )
+        # localCheckpoint: norm + both pair-join sides re-derive the
+        # explode -> tf -> df lineage otherwise (18 scans in the plan
+        # audit) — the graph_random_walk lesson, shared with
+        # text_tfidf_knn
+        .localCheckpoint()
     )
     norm = kept.groupBy("doc_id").agg(
         F.sum(F.col("w") * F.col("w")).cast("bigint").alias("n2"),
