@@ -1580,6 +1580,7 @@ from jigsaw_spark.plans import queries_r43  # noqa: E402,F401
 from jigsaw_spark.plans import queries_r44  # noqa: E402,F401
 from jigsaw_spark.plans import queries_r45  # noqa: E402,F401
 from jigsaw_spark.plans import queries_r46  # noqa: E402,F401
+from jigsaw_spark.plans import queries_r47  # noqa: E402,F401
 
 
 # ---------------------------------------------------------------------------
@@ -1641,6 +1642,9 @@ _R9_NEW: list[str] = [
     "ml_linear_shap",
     "ml_auprc_exact",
     "er_blocking_recall",
+    "ts_pinball_loss",
+    "text_lexical_diversity",
+    "ml_cost_threshold",
     # stale-cert re-run: text_tfidf_knn's r8 row predates the r9 kept-
     # postings localCheckpoint (the graph_triangles class) — re-certify
     # the code that now owns the name

@@ -121,6 +121,8 @@ ALL_PAIRS_OK = {
     "ml_linear_shap",
     # 1-row (lo, hi, n, npos) dim crossed into the scan (brier shape)
     "ml_auprc_exact",
+    # same 1-row score-bounds dim crossed into the scan
+    "ml_cost_threshold",
     "p_dsir_resample",
     # source-pair enumeration: non-equi (a < b) self-join of the
     # |sources|-row sketch-stat dim — all pair work runs on KB sketches
@@ -288,6 +290,8 @@ GLOBAL_WINDOW_OK = {
     # cumulative tp/pred over the DISTINCT-SCORE dim (value-domain
     # bounded) — the ml_auc_exact / ml_pr_curve shape
     "ml_auprc_exact",
+    # cumulative tp/fp + top-1 over the same distinct-score dim
+    "ml_cost_threshold",
 }
 # streaming queries execute on .start(), not .explain — audit skipped
 SKIP = {"stream_hourly_rollup", "stream_stateful_sessions"}

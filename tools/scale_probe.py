@@ -273,6 +273,12 @@ PROBES = [
     "ml_linear_shap",
     "ml_auprc_exact",
     "er_blocking_recall",
+    # r47: pinball is the MASE day-grain shape x2 quantiles; lexical
+    # diversity rides posting densification (conservative, like tfidf);
+    # the cost sweep runs over the distinct-score dim
+    "ts_pinball_loss",
+    "text_lexical_diversity",
+    "ml_cost_threshold",
 ]
 
 TABLES = [
