@@ -1581,6 +1581,7 @@ from jigsaw_spark.plans import queries_r44  # noqa: E402,F401
 from jigsaw_spark.plans import queries_r45  # noqa: E402,F401
 from jigsaw_spark.plans import queries_r46  # noqa: E402,F401
 from jigsaw_spark.plans import queries_r47  # noqa: E402,F401
+from jigsaw_spark.plans import queries_r48  # noqa: E402,F401
 
 
 # ---------------------------------------------------------------------------
@@ -1645,6 +1646,10 @@ _R9_NEW: list[str] = [
     "ts_pinball_loss",
     "text_lexical_diversity",
     "ml_cost_threshold",
+    "ml_ks_statistic",
+    "privacy_k_anonymity",
+    "privacy_l_diversity",
+    "graph_degree_assortativity",
     # stale-cert re-run: text_tfidf_knn's r8 row predates the r9 kept-
     # postings localCheckpoint (the graph_triangles class) — re-certify
     # the code that now owns the name

@@ -279,6 +279,15 @@ PROBES = [
     "ts_pinball_loss",
     "text_lexical_diversity",
     "ml_cost_threshold",
+    # r48: KS runs its windows over the distinct-score dim; the two
+    # anonymity audits are one QI-keyed shuffle each (the replica
+    # multiplies class sizes, not the class COUNT — their curve should
+    # be flat-ish); assortativity rides the keeper edge list (replica
+    # cliques collapse before pair enumeration, C4-ordered)
+    "ml_ks_statistic",
+    "privacy_k_anonymity",
+    "privacy_l_diversity",
+    "graph_degree_assortativity",
 ]
 
 TABLES = [
