@@ -280,6 +280,64 @@ def ivf_topk(
     )
 
 
+def ivf_range_search(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    threshold: float,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Range (threshold) search: all vectors in the query's ``nprobe``
+    probed IVF cells with round-9 cosine >= ``threshold`` — the OTHER
+    fundamental ANN API next to top-k (:func:`ivf_topk` answers "the k
+    nearest", this answers "everything at least this similar": duplicate
+    sweeps, safety radius checks, near-neighbor joins with a score
+    floor). Returns (query_id, id, cosine round-4).
+
+    Plan shape is :func:`ivf_topk`'s verbatim — map-only cell assignment,
+    broadcast codebook probe, one cell equi-join, corpus scanned once and
+    never shuffled — but with NO per-query window at all: the threshold
+    filter is a map-side predicate, so range search is strictly cheaper
+    than top-k at scale (no rank shuffle, no per-partition sort). Recall
+    follows the IVF tradeoff (matches outside probed cells are missed)
+    and is fully deterministic, so an oracle replicates it exactly."""
+    spark = corpus.sparkSession
+    cent_df = spark.createDataFrame(
+        [(c, [float(x) for x in v]) for c, v in centroids],
+        "cid bigint, cvec array<double>",
+    )
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col).join(
+        corpus.select(F.col(id_col), _to_double(vec_col).alias("cv")), id_col
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _to_double(vec_col).alias("qv")
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.round("qc_cos", 9).desc(), F.col("cid")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cent_df))
+        .withColumn("qc_cos", cosine_similarity("qv", "cvec"))
+        .withColumn("probe_rank", F.row_number().over(probe_w))
+        .filter(F.col("probe_rank") <= nprobe)
+        .select("query_id", "qv", F.col("cid").alias("cell"))
+    )
+    return (
+        F.broadcast(probes)
+        .join(assigned, "cell")
+        .filter(F.col("query_id") != F.col(id_col))
+        .withColumn("cos", cosine_similarity("qv", "cv"))
+        .filter(F.round("cos", 9) >= threshold)
+        .select(
+            "query_id",
+            id_col,
+            F.round("cos", 4).alias("cosine"),
+        )
+    )
+
+
 # -- SRP-LSH -----------------------------------------------------------------
 
 

@@ -1582,6 +1582,7 @@ from jigsaw_spark.plans import queries_r45  # noqa: E402,F401
 from jigsaw_spark.plans import queries_r46  # noqa: E402,F401
 from jigsaw_spark.plans import queries_r47  # noqa: E402,F401
 from jigsaw_spark.plans import queries_r48  # noqa: E402,F401
+from jigsaw_spark.plans import queries_r49  # noqa: E402,F401
 
 
 # ---------------------------------------------------------------------------
@@ -1648,8 +1649,11 @@ _R9_NEW: list[str] = [
     "ml_cost_threshold",
     "ml_ks_statistic",
     "privacy_k_anonymity",
-    "privacy_l_diversity",
     "graph_degree_assortativity",
+    "ts_acf_exact",
+    "rel_order_gap_median",
+    "ml_mrr_exact",
+    "ann_range_search",
     # stale-cert re-run: text_tfidf_knn's r8 row predates the r9 kept-
     # postings localCheckpoint (the graph_triangles class) — re-certify
     # the code that now owns the name

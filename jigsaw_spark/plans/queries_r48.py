@@ -16,11 +16,6 @@ graph mixing — each completing a family the registry already ships.
   suppresses cells; this measures whether the raw QI partitioning is
   safe at all). Per event_type: class count, smallest class, classes
   and rows below k=5, and the at-risk row share.
-- ``privacy_l_diversity``: l-diversity audit over the SAME equivalence
-  classes with user_id as the sensitive attribute — k-anonymity's
-  mandatory companion (a class of 50 rows is still unsafe if they all
-  belong to one user: homogeneity attack). Per event_type: min l,
-  classes failing l>=3, rows inside failing classes.
 - ``graph_degree_assortativity``: degree assortativity coefficient of
   the near-dup keeper graph (the graph_modularity edge set) — do
   high-degree templates attach to other templates (assortative, r>0)
@@ -32,11 +27,25 @@ graph mixing — each completing a family the registry already ships.
 
 Scale notes (100 TB): KS runs its cumulative windows over the
 DISTINCT-SCORE dim (value-domain bounded — the ml_auc_exact
-discipline), never the facts; both anonymity audits are two-level
-hash-aggs on the bounded QI domain (the fact table is scanned once and
+discipline), never the facts; the anonymity audit is a two-level
+hash-agg on the bounded QI domain (the fact table is scanned once and
 shuffles once, on the QI key); assortativity reuses the
 localCheckpoint'ed keeper edge list (the graph_random_walk lesson) —
 one degree agg, one degree join keyed on node id, one global sum.
+
+Family cross-references (deliberate non-duplicates): ml_ks_statistic
+is the CLASSIFIER-separation KS — dq_ks_2sample (r17) runs the same
+statistic as a DRIFT screen between user-parity variants and reports
+no attaining threshold; privacy_k_anonymity AUDITS a raw QI
+partitioning — privacy_kanon_release (r6) is the suppression-based
+release TRANSFORM and privacy_ldiversity (r7) the attribute-disclosure
+audit on the customer QI; graph_degree_assortativity is the
+EXACT-INTEGER twin of graph_assortativity (r14), which measures the
+LSH candidate graph with a snapped-anchor Pearson and one final
+IEEE-sqrt double — here the symmetric-marginal identity removes the
+sqrt entirely, on the simhash keeper graph. An l-diversity audit of
+the events QI was drafted for this batch and dropped pre-certification
+as too close to privacy_ldiversity.
 """
 
 from __future__ import annotations
@@ -193,7 +202,7 @@ def ml_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# privacy_k_anonymity / privacy_l_diversity — shared QI class CTE
+# privacy_k_anonymity
 # ---------------------------------------------------------------------------
 
 # quasi-identifier: (event_type, day-of-week, 20-dollar value band).
@@ -210,8 +219,7 @@ _QI_CLASSES_CTE = """
                          % 86400000000))
                      // 86400000000) % 7) + 7) % 7 AS INT) AS dow,
              CAST(round(value * 100, 0) AS BIGINT) // 2000 AS band,
-             CAST(count(*) AS BIGINT) AS k,
-             CAST(count(DISTINCT user_id) AS BIGINT) AS l
+             CAST(count(*) AS BIGINT) AS k
       FROM events GROUP BY 1, 2, 3)
 """
 
@@ -242,10 +250,7 @@ def _qi_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "CAST(round(value * 100, 0) AS BIGINT) div 2000"
         ).alias("band"),
-    ).agg(
-        F.count(F.lit(1)).cast("bigint").alias("k"),
-        F.countDistinct("user_id").cast("bigint").alias("l"),
-    )
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("k"))
 
 
 @register(
@@ -281,54 +286,6 @@ def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(sum(CASE WHEN k < 5 THEN k ELSE 0 END) * 1000"
             " div sum(k) AS BIGINT)"
         ).alias("risk_milli"),
-    )
-
-
-_L_DIV_SQL = f"""
-    WITH {_QI_CLASSES_CTE}
-    SELECT event_type,
-           CAST(count(*) AS BIGINT) AS n_classes,
-           CAST(min(l) AS BIGINT) AS min_l,
-           CAST(sum(CASE WHEN l < 3 THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_failing_classes,
-           CAST(sum(CASE WHEN l < 3 THEN k ELSE 0 END) AS BIGINT)
-             AS n_failing_rows,
-           CAST(sum(CASE WHEN l < 3 THEN 1 ELSE 0 END) * 1000
-                // count(*) AS BIGINT) AS fail_milli
-    FROM classes GROUP BY 1
-"""
-
-
-@register(
-    "privacy_l_diversity",
-    _L_DIV_SQL,
-    "l-diversity audit over the SAME (event_type, day-of-week, value "
-    "band) equivalence classes as privacy_k_anonymity, with user_id as "
-    "the sensitive attribute: per event_type, the minimum number of "
-    "distinct users per class, the classes failing l >= 3, and the "
-    "rows inside failing classes — k-anonymity's mandatory companion "
-    "(a class of 50 rows is still unsafe if all 50 belong to one user: "
-    "the homogeneity attack k alone cannot see). Distinct counts are "
-    "exact on both engines; all outputs are integers. Shape: the "
-    "shared QI hash-agg carries count(DISTINCT user_id) alongside "
-    "count(*) — same single fact shuffle on the QI key, then the "
-    "per-type rollup",
-)
-def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    classes = _qi_classes(spark, sf_dir)
-    return classes.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
-        F.min("l").cast("bigint").alias("min_l"),
-        F.sum(F.when(F.col("l") < 3, 1).otherwise(0))
-        .cast("bigint")
-        .alias("n_failing_classes"),
-        F.sum(F.when(F.col("l") < 3, F.col("k")).otherwise(0))
-        .cast("bigint")
-        .alias("n_failing_rows"),
-        F.expr(
-            "CAST(sum(CASE WHEN l < 3 THEN 1 ELSE 0 END) * 1000"
-            " div count(*) AS BIGINT)"
-        ).alias("fail_milli"),
     )
 
 

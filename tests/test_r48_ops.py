@@ -1,5 +1,5 @@
-"""Round-9 batch 8: replays for the KS statistic, the anonymity
-audits, and degree assortativity."""
+"""Round-9 batch 8: replays for the KS statistic, the k-anonymity
+audit, and degree assortativity."""
 
 from __future__ import annotations
 
@@ -52,12 +52,10 @@ def test_ks_statistic_replays(spark):
 
 
 def _qi_classes(rows):
-    classes = defaultdict(lambda: [0, set()])
+    classes = defaultdict(int)
     for r in rows:
         band = round(r["value"] * 100) // 2000
-        key = (r["event_type"], _dow(r["ts"]), band)
-        classes[key][0] += 1
-        classes[key][1].add(r["user_id"])
+        classes[(r["event_type"], _dow(r["ts"]), band)] += 1
     return classes
 
 
@@ -65,7 +63,7 @@ def test_k_anonymity_replays(spark):
     rows = spark.read.parquet(f"{SF}/events.parquet").collect()
     classes = _qi_classes(rows)
     per = defaultdict(list)
-    for (et, _, _), (k, _) in classes.items():
+    for (et, _, _), k in classes.items():
         per[et].append(k)
     got = {
         r["event_type"]: r
@@ -85,30 +83,6 @@ def test_k_anonymity_replays(spark):
         assert g["risk_milli"] == unsafe_rows * 1000 // sum(ks)
     # the audit partitions the table: per-type rows sum to the total
     assert sum(g["n_rows"] for g in got.values()) == len(rows)
-
-
-def test_l_diversity_replays(spark):
-    rows = spark.read.parquet(f"{SF}/events.parquet").collect()
-    classes = _qi_classes(rows)
-    per = defaultdict(list)
-    for (et, _, _), (k, users) in classes.items():
-        assert len(users) <= k  # l never exceeds k
-        per[et].append((k, len(users)))
-    got = {
-        r["event_type"]: r
-        for r in entrymod.queries()["privacy_l_diversity"](
-            spark, SF
-        ).collect()
-    }
-    assert set(got) == set(per)
-    for et, kls in per.items():
-        g = got[et]
-        failing = [(k, l) for k, l in kls if l < 3]
-        assert g["n_classes"] == len(kls)
-        assert g["min_l"] == min(l for _, l in kls)
-        assert g["n_failing_classes"] == len(failing)
-        assert g["n_failing_rows"] == sum(k for k, _ in failing)
-        assert g["fail_milli"] == len(failing) * 1000 // len(kls)
 
 
 def test_degree_assortativity_replays(spark):

@@ -279,15 +279,23 @@ PROBES = [
     "ts_pinball_loss",
     "text_lexical_diversity",
     "ml_cost_threshold",
-    # r48: KS runs its windows over the distinct-score dim; the two
-    # anonymity audits are one QI-keyed shuffle each (the replica
-    # multiplies class sizes, not the class COUNT — their curve should
-    # be flat-ish); assortativity rides the keeper edge list (replica
-    # cliques collapse before pair enumeration, C4-ordered)
+    # r48: KS runs its windows over the distinct-score dim; the
+    # anonymity audit is one QI-keyed shuffle (the replica multiplies
+    # class sizes, not the class COUNT — its curve should be flat-ish);
+    # assortativity rides the keeper edge list (replica cliques
+    # collapse before pair enumeration, C4-ordered)
     "ml_ks_statistic",
     "privacy_k_anonymity",
-    "privacy_l_diversity",
     "graph_degree_assortativity",
+    # r49: ACF is the MASE day-grain shape x7 lags; the gap medians
+    # collapse to the (segment, gap) value dim after one custkey
+    # shuffle; MRR rides the brute-force baseline (quadratic in the
+    # replica by design — the documented swap point is ivf_topk);
+    # range search is top-k minus the rank window (map-side threshold)
+    "ts_acf_exact",
+    "rel_order_gap_median",
+    "ml_mrr_exact",
+    "ann_range_search",
 ]
 
 TABLES = [
