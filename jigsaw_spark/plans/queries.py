@@ -1583,6 +1583,7 @@ from jigsaw_spark.plans import queries_r46  # noqa: E402,F401
 from jigsaw_spark.plans import queries_r47  # noqa: E402,F401
 from jigsaw_spark.plans import queries_r48  # noqa: E402,F401
 from jigsaw_spark.plans import queries_r49  # noqa: E402,F401
+from jigsaw_spark.plans import queries_r50  # noqa: E402,F401
 
 
 # ---------------------------------------------------------------------------
@@ -1608,6 +1609,8 @@ from jigsaw_spark.plans import queries_r49  # noqa: E402,F401
 #                 re-validated on a rolling basis. (The full 74-name pool
 #                 is listed; only the first 50 registry slots form the
 #                 window, the rest keep their certified rows and order.)
+# Overflow boundary: modules queries_r55+ queue behind slot 50 for the
+# next round (moved from r50 mid-round — the window had slack left).
 # The 6 clean rows-only entries (text_bpe_encode, mm_decode_meta, ...)
 # each have their one driver row and are NOT re-rotated (they can never be
 # hash-certified). Everything already certified falls to the back in
@@ -1654,6 +1657,9 @@ _R9_NEW: list[str] = [
     "rel_order_gap_median",
     "ml_mrr_exact",
     "ann_range_search",
+    "graph_rich_club",
+    "ts_control_rules",
+    "text_burstiness",
     # stale-cert re-run: text_tfidf_knn's r8 row predates the r9 kept-
     # postings localCheckpoint (the graph_triangles class) — re-certify
     # the code that now owns the name

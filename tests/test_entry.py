@@ -37,9 +37,11 @@ def test_certification_window_covers_never_certified():
     Slots 1-2 carry that debt; round-9-new queries (modules
     queries_r41+) are inserted after it as they are built; the
     remaining slots are stalest-first padding re-certs (r01 then r02
-    rows). Overflow modules (queries_r50+) queue behind slot 50 for the
-    next round. Clean rows-only entries (text_bpe_encode, ...) keep
-    their one driver row and are never re-rotated."""
+    rows). Overflow modules (queries_r55+) queue behind slot 50 for the
+    next round (the boundary moved from r50 to r55 mid-round when the
+    window still had slack for more in-round batches). Clean rows-only
+    entries (text_bpe_encode, ...) keep their one driver row and are
+    never re-rotated."""
     import json
     import pathlib
 
@@ -70,7 +72,7 @@ def test_certification_window_covers_never_certified():
     # overflow modules (r50+, next round's queue) are the only exemption
     window = names[:50]
     overflow_modules = {
-        f"jigsaw_spark.plans.queries_r{i}" for i in range(50, 60)
+        f"jigsaw_spark.plans.queries_r{i}" for i in range(55, 70)
     }
     debt = {
         q

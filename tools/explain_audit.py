@@ -190,6 +190,27 @@ ALL_PAIRS_OK = {
     # 4-row fold dim (from a 1-row span scalar) crossed into the scan
     # with one conditional agg — fan-out is the constant fold count
     "p_rolling_origin_cv",
+    # 2-row quantile dim crossed into the day-grain diff frame (the
+    # ts_cross_corr lag-dim shape)
+    "ts_pinball_loss",
+    # 1-row (lo, hi, n, npos, nneg) score-bounds dim crossed into the
+    # scan (the brier/auprc shape)
+    "ml_ks_statistic",
+    # 1-row node-count scalar crossed into the 1-row moment aggregate
+    "graph_degree_assortativity",
+    # 7-row lag dim crossed into the calendar-bounded day dim (the
+    # ts_cross_corr shape, lags 1..7)
+    "ts_acf_exact",
+    # composes cosine_topk — the documented broadcast all-pairs
+    # brute-force baseline (ann_cosine_topk's class); at scale the
+    # candidate generator swaps to ivf_topk, eval arithmetic unchanged
+    "ml_mrr_exact",
+    # ivf probe stage: query side crossed against the 8-row broadcast
+    # codebook (the ann_ivf_topk shape; no rank window afterwards)
+    "ann_range_search",
+    # 3-row k dim crossed into the keeper edge list (degree-filtered
+    # pair counting runs on the bounded near-dup graph)
+    "graph_rich_club",
 }
 # queries expected to push a filter into the parquet scan
 EXPECT_PUSHDOWN = {
@@ -292,6 +313,9 @@ GLOBAL_WINDOW_OK = {
     "ml_auprc_exact",
     # cumulative tp/fp + top-1 over the same distinct-score dim
     "ml_cost_threshold",
+    # cumulative CDFs + the sup argmax over the same distinct-score dim
+    # (the ml_auc_exact class)
+    "ml_ks_statistic",
 }
 # streaming queries execute on .start(), not .explain — audit skipped
 SKIP = {"stream_hourly_rollup", "stream_stateful_sessions"}

@@ -296,6 +296,13 @@ PROBES = [
     "rel_order_gap_median",
     "ml_mrr_exact",
     "ann_range_search",
+    # r50: rich club rides the keeper edge list (replica cliques
+    # collapse first); control rules are day-grain pre-agg + bounded
+    # day-dim windows; burstiness rides posting densification
+    # (conservative, like tfidf)
+    "graph_rich_club",
+    "ts_control_rules",
+    "text_burstiness",
 ]
 
 TABLES = [
