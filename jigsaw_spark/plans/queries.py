@@ -1584,6 +1584,7 @@ from jigsaw_spark.plans import queries_r47  # noqa: E402,F401
 from jigsaw_spark.plans import queries_r48  # noqa: E402,F401
 from jigsaw_spark.plans import queries_r49  # noqa: E402,F401
 from jigsaw_spark.plans import queries_r50  # noqa: E402,F401
+from jigsaw_spark.plans import queries_r51  # noqa: E402,F401
 
 
 # ---------------------------------------------------------------------------
@@ -1660,6 +1661,10 @@ _R9_NEW: list[str] = [
     "graph_rich_club",
     "ts_control_rules",
     "text_burstiness",
+    "graph_harmonic_centrality",
+    "er_pairwise_f1",
+    "rel_cohort_ltv",
+    "ml_error_slices",
     # stale-cert re-run: text_tfidf_knn's r8 row predates the r9 kept-
     # postings localCheckpoint (the graph_triangles class) — re-certify
     # the code that now owns the name

@@ -211,6 +211,11 @@ ALL_PAIRS_OK = {
     # 3-row k dim crossed into the keeper edge list (degree-filtered
     # pair counting runs on the bounded near-dup graph)
     "graph_rich_club",
+    # 1-row node-count scalar crossed into the keeper-node score dim
+    "graph_harmonic_centrality",
+    # 1-row score-bounds + 1-row best-threshold scalars crossed into
+    # the scan (the ml_cost_threshold composition)
+    "ml_error_slices",
 }
 # queries expected to push a filter into the parquet scan
 EXPECT_PUSHDOWN = {
@@ -316,6 +321,12 @@ GLOBAL_WINDOW_OK = {
     # cumulative CDFs + the sup argmax over the same distinct-score dim
     # (the ml_auc_exact class)
     "ml_ks_statistic",
+    # the TakeOrdered shape: the ranking window runs AFTER the sorted
+    # LIMIT 10, so its input is never more than 10 rows
+    "graph_harmonic_centrality",
+    # threshold sweep over the distinct-score dim (ml_cost_threshold's
+    # windows) + the top-5 window over the <= |types|x7 slice dim
+    "ml_error_slices",
 }
 # streaming queries execute on .start(), not .explain — audit skipped
 SKIP = {"stream_hourly_rollup", "stream_stateful_sessions"}

@@ -303,6 +303,14 @@ PROBES = [
     "graph_rich_club",
     "ts_control_rules",
     "text_burstiness",
+    # r51: harmonic's d2/d3 frontiers are keeper-graph-sized (cliques
+    # collapse first); pairwise F1 blocks are name-vocabulary bounded;
+    # cohort LTV is one user shuffle + calendar-dim windows; error
+    # slices are two fact hash-aggs into bounded dims
+    "graph_harmonic_centrality",
+    "er_pairwise_f1",
+    "rel_cohort_ltv",
+    "ml_error_slices",
 ]
 
 TABLES = [
