@@ -1585,6 +1585,7 @@ from jigsaw_spark.plans import queries_r48  # noqa: E402,F401
 from jigsaw_spark.plans import queries_r49  # noqa: E402,F401
 from jigsaw_spark.plans import queries_r50  # noqa: E402,F401
 from jigsaw_spark.plans import queries_r51  # noqa: E402,F401
+from jigsaw_spark.plans import queries_r52  # noqa: E402,F401
 
 
 # ---------------------------------------------------------------------------
@@ -1665,6 +1666,8 @@ _R9_NEW: list[str] = [
     "er_pairwise_f1",
     "rel_cohort_ltv",
     "ml_error_slices",
+    "rel_growth_accounting",
+    "ml_mcnemar_test",
     # stale-cert re-run: text_tfidf_knn's r8 row predates the r9 kept-
     # postings localCheckpoint (the graph_triangles class) — re-certify
     # the code that now owns the name

@@ -216,6 +216,8 @@ ALL_PAIRS_OK = {
     # 1-row score-bounds + 1-row best-threshold scalars crossed into
     # the scan (the ml_cost_threshold composition)
     "ml_error_slices",
+    # 1-row score-bounds scalar crossed into the scan (brier shape)
+    "ml_mcnemar_test",
 }
 # queries expected to push a filter into the parquet scan
 EXPECT_PUSHDOWN = {

@@ -311,6 +311,10 @@ PROBES = [
     "er_pairwise_f1",
     "rel_cohort_ltv",
     "ml_error_slices",
+    # r52: growth accounting is one (user, week) distinct + user-keyed
+    # lag + week rollup; McNemar is one scan into a 4-cell agg
+    "rel_growth_accounting",
+    "ml_mcnemar_test",
 ]
 
 TABLES = [
