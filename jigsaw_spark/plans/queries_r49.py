@@ -299,7 +299,8 @@ _MRR_SQL = f"""
                PARTITION BY q.vec_id
                ORDER BY round({_COS.format(a='q', b='c')}, 9) DESC, c.vec_id
              ) AS rank
-      FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id),
+      FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < 200),
     hits AS (
       SELECT query_id, qlabel,
              min(CASE WHEN clabel = qlabel AND rank <= 10
@@ -325,8 +326,9 @@ _MRR_SQL = f"""
     "ml_mrr_exact",
     _MRR_SQL,
     "mean reciprocal rank of the first SAME-LABEL neighbor in the "
-    "brute-force cosine top-10, per label (every vector queries the "
-    "corpus, self excluded) — THE find-one-relevant retrieval metric "
+    "brute-force cosine top-10, per label, over a FIXED 200-vector "
+    "eval panel querying the full corpus (self excluded) — THE "
+    "find-one-relevant retrieval metric "
     "next to recall/NDCG (ml_ndcg_exact grades a graded spend ranking; "
     "MRR grades embedding-space label purity, the number that decides "
     "whether nearest-neighbor curation / kNN labeling is usable at "
@@ -335,9 +337,11 @@ _MRR_SQL = f"""
     "for every rank <= 10 and only the final mean divides (floor, "
     "micro units); ranking ties are round-9 + vec_id, the ANN family "
     "convention. Shape: the candidate stage is the documented "
-    "brute-force baseline (broadcast query side, corpus scanned once "
-    "— at scale the candidate generator swaps to ivf_topk and the "
-    "eval arithmetic is unchanged); everything after the top-10 is "
+    "brute-force baseline over the PANEL (broadcast 200-query side, "
+    "corpus scanned once — cost is linear in the corpus, the panel is "
+    "the eval-set convention every production metric uses; at scale "
+    "the candidate generator swaps to ivf_topk and the eval "
+    "arithmetic is unchanged); everything after the top-10 is "
     "label-dim-sized",
 )
 def ml_mrr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -347,7 +351,8 @@ def ml_mrr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = emb.select(
         F.col("vec_id").alias("lid"), F.col("label").alias("lbl")
     )
-    top = cosine_topk(emb, emb, k=10).select(
+    panel = emb.filter(F.col("vec_id") < 200)
+    top = cosine_topk(emb, panel, k=10).select(
         "query_id", "vec_id", "rank"
     )
     ql = labels.select(

@@ -111,6 +111,8 @@ def test_mrr_replays(spark):
     emb = _embeddings(spark)
     per_label = defaultdict(lambda: [0, 0, 0])  # n, hits, sum_rr
     for qid, qv, qlbl in emb:
+        if qid >= 200:  # fixed 200-vector eval panel
+            continue
         scored = sorted(
             (
                 (round(_cos(qv, cv), 9), cid, clbl)
