@@ -481,7 +481,13 @@ def main() -> None:
         "those rows as 'no blow-up', not as a speedup. `text_seq_packing`",
         "holds its shard count fixed under replication, so per-shard",
         "window partitions grow ×10 — production scales shards with the",
-        "corpus, keeping partitions bounded.",
+        "corpus, keeping partitions bounded. `ml_mrr_exact` queries from",
+        "a FIXED 200-vector eval panel, so its cost is linear in the",
+        "corpus by construction; `text_burstiness` and",
+        "`text_lexical_diversity` ride posting densification",
+        "(conservative, like tfidf); the anonymity/growth/cohort probes",
+        "multiply CLASS sizes, not class counts, so their curves should",
+        "track the single fact shuffle.",
         "",
         "## Bench-regression policy (r3 finding)",
         "",
