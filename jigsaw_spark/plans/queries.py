@@ -1586,6 +1586,7 @@ from jigsaw_spark.plans import queries_r49  # noqa: E402,F401
 from jigsaw_spark.plans import queries_r50  # noqa: E402,F401
 from jigsaw_spark.plans import queries_r51  # noqa: E402,F401
 from jigsaw_spark.plans import queries_r52  # noqa: E402,F401
+from jigsaw_spark.plans import queries_r53  # noqa: E402,F401
 
 
 # ---------------------------------------------------------------------------
@@ -1668,6 +1669,8 @@ _R9_NEW: list[str] = [
     "ml_error_slices",
     "rel_growth_accounting",
     "ml_mcnemar_test",
+    "graph_hub_removal_impact",
+    "ml_threshold_transfer",
     # stale-cert re-run: text_tfidf_knn's r8 row predates the r9 kept-
     # postings localCheckpoint (the graph_triangles class) — re-certify
     # the code that now owns the name

@@ -218,6 +218,12 @@ ALL_PAIRS_OK = {
     "ml_error_slices",
     # 1-row score-bounds scalar crossed into the scan (brier shape)
     "ml_mcnemar_test",
+    # 1-row summary scalars (node/edge/hub counts, before/after
+    # component stats) crossed into one output row
+    "graph_hub_removal_impact",
+    # 1-row span-cut + train-bounds + train-threshold scalars crossed
+    # into the scans (the ml_cost_threshold composition, twice)
+    "ml_threshold_transfer",
 }
 # queries expected to push a filter into the parquet scan
 EXPECT_PUSHDOWN = {
@@ -326,6 +332,12 @@ GLOBAL_WINDOW_OK = {
     # the TakeOrdered shape: the ranking window runs AFTER the sorted
     # LIMIT 10, so its input is never more than 10 rows
     "graph_harmonic_centrality",
+    # top-5 hub rank over the keeper-graph degree dim (bounded by
+    # near-dup density, the graph family's node-dim class)
+    "graph_hub_removal_impact",
+    # both cost sweeps run over distinct-score dims (the
+    # ml_cost_threshold class, train + test)
+    "ml_threshold_transfer",
     # threshold sweep over the distinct-score dim (ml_cost_threshold's
     # windows) + the top-5 window over the <= |types|x7 slice dim
     "ml_error_slices",

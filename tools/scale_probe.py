@@ -315,6 +315,11 @@ PROBES = [
     # lag + week rollup; McNemar is one scan into a 4-cell agg
     "rel_growth_accounting",
     "ml_mcnemar_test",
+    # r53 (registered after this round's probe run — rows land in the
+    # next SCALING.md regen): components twice over the keeper graph;
+    # two distinct-score-dim sweeps
+    "graph_hub_removal_impact",
+    "ml_threshold_transfer",
 ]
 
 TABLES = [
