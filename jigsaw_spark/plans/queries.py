@@ -1587,6 +1587,7 @@ from jigsaw_spark.plans import queries_r50  # noqa: E402,F401
 from jigsaw_spark.plans import queries_r51  # noqa: E402,F401
 from jigsaw_spark.plans import queries_r52  # noqa: E402,F401
 from jigsaw_spark.plans import queries_r53  # noqa: E402,F401
+from jigsaw_spark.plans import queries_r54  # noqa: E402,F401
 
 
 # ---------------------------------------------------------------------------
@@ -1671,6 +1672,8 @@ _R9_NEW: list[str] = [
     "ml_mcnemar_test",
     "graph_hub_removal_impact",
     "ml_threshold_transfer",
+    "dedup_cluster_purity",
+    "ml_precision_at_k",
     # stale-cert re-run: text_tfidf_knn's r8 row predates the r9 kept-
     # postings localCheckpoint (the graph_triangles class) — re-certify
     # the code that now owns the name

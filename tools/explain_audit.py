@@ -224,6 +224,9 @@ ALL_PAIRS_OK = {
     # 1-row span-cut + train-bounds + train-threshold scalars crossed
     # into the scans (the ml_cost_threshold composition, twice)
     "ml_threshold_transfer",
+    # the fixed-panel brute-force candidate stage (ml_mrr_exact's
+    # class) + a 3-row k dim joined on rank <= k (non-equi by design)
+    "ml_precision_at_k",
 }
 # queries expected to push a filter into the parquet scan
 EXPECT_PUSHDOWN = {

@@ -315,11 +315,14 @@ PROBES = [
     # lag + week rollup; McNemar is one scan into a 4-cell agg
     "rel_growth_accounting",
     "ml_mcnemar_test",
-    # r53 (registered after this round's probe run — rows land in the
-    # next SCALING.md regen): components twice over the keeper graph;
-    # two distinct-score-dim sweeps
+    # r53/r54 (registered after this round's probe run — rows land in
+    # the next SCALING.md regen): components twice over the keeper
+    # graph; two distinct-score-dim sweeps; the keeper-mapping purity
+    # rollup; the fixed-panel P@k (linear in corpus, like mrr)
     "graph_hub_removal_impact",
     "ml_threshold_transfer",
+    "dedup_cluster_purity",
+    "ml_precision_at_k",
 ]
 
 TABLES = [
