@@ -315,10 +315,9 @@ PROBES = [
     # lag + week rollup; McNemar is one scan into a 4-cell agg
     "rel_growth_accounting",
     "ml_mcnemar_test",
-    # r53/r54 (registered after this round's probe run — rows land in
-    # the next SCALING.md regen): components twice over the keeper
-    # graph; two distinct-score-dim sweeps; the keeper-mapping purity
-    # rollup; the fixed-panel P@k (linear in corpus, like mrr)
+    # r53/r54: components twice over the keeper graph; two
+    # distinct-score-dim sweeps; the keeper-mapping purity rollup; the
+    # fixed-panel P@k (linear in corpus, like mrr)
     "graph_hub_removal_impact",
     "ml_threshold_transfer",
     "dedup_cluster_purity",
@@ -496,6 +495,14 @@ def main() -> None:
         "(conservative, like tfidf); the anonymity/growth/cohort probes",
         "multiply CLASS sizes, not class counts, so their curves should",
         "track the single fact shuffle.",
+        "",
+        "Run-to-run noise (measured r9): two same-day runs with identical",
+        "code moved untouched queries' ×10 column by up to 2.5× in both",
+        "directions (ts_mase 1.4×→3.7×, dq_contamination 5.4×→4.2×) while",
+        "the ×1 column tightened — the ×10 phase is page-cache-sensitive",
+        "(the replica dir is freshly written each run). Read ratios under",
+        "~5× as 'no blow-up'; only a ratio that is large AND stable across",
+        "runs indicates a cost-curve problem.",
         "",
         "## Bench-regression policy (r3 finding)",
         "",
