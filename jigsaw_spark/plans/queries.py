@@ -1588,6 +1588,10 @@ from jigsaw_spark.plans import queries_r51  # noqa: E402,F401
 from jigsaw_spark.plans import queries_r52  # noqa: E402,F401
 from jigsaw_spark.plans import queries_r53  # noqa: E402,F401
 from jigsaw_spark.plans import queries_r54  # noqa: E402,F401
+# r55 is the ROUND-10 QUEUE (overflow module, behind the 50-slot
+# window by policy — the r40 pattern): replica-verified this round,
+# first driver row next round.
+from jigsaw_spark.plans import queries_r55  # noqa: E402,F401
 
 
 # ---------------------------------------------------------------------------

@@ -227,6 +227,12 @@ ALL_PAIRS_OK = {
     # the fixed-panel brute-force candidate stage (ml_mrr_exact's
     # class) + a 3-row k dim joined on rank <= k (non-equi by design)
     "ml_precision_at_k",
+    # 1-row span-cut + train-bounds scalars crossed into the scans
+    # (the ml_threshold_transfer class)
+    "ml_calibration_drift",
+    # 1-row doc_id-bounds scalar crossed into the posting aggs (the
+    # value-range decile cut that replaces a global rank)
+    "text_vocab_growth",
 }
 # queries expected to push a filter into the parquet scan
 EXPECT_PUSHDOWN = {
@@ -344,6 +350,11 @@ GLOBAL_WINDOW_OK = {
     # threshold sweep over the distinct-score dim (ml_cost_threshold's
     # windows) + the top-5 window over the <= |types|x7 slice dim
     "ml_error_slices",
+    # the two ECE windows run over the <= 10-bin calibration dim (the
+    # ml_reliability_ece class)
+    "ml_calibration_drift",
+    # the cumulative curve runs over the 10-row decile dim
+    "text_vocab_growth",
 }
 # streaming queries execute on .start(), not .explain — audit skipped
 SKIP = {"stream_hourly_rollup", "stream_stateful_sessions"}

@@ -322,6 +322,10 @@ PROBES = [
     "ml_threshold_transfer",
     "dedup_cluster_purity",
     "ml_precision_at_k",
+    # r55 (round-10 queue): two-pass 10-bin calibration aggs; the
+    # vocab curve is posting-densification-bound like tfidf
+    "ml_calibration_drift",
+    "text_vocab_growth",
 ]
 
 TABLES = [
