@@ -71,6 +71,39 @@ def exact_dedup(df: DataFrame, key: str, text: str = "text") -> DataFrame:
     )
 
 
+def keeper_pairs(df: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Near-dup pairs (doc_a < doc_b) over EXACT-DEDUP KEEPERS — the
+    C4-ordered keeper-graph convention every graph query shares (exact
+    dedup first so byte-identical copies never inflate the pair space,
+    then SimHash banding at Hamming <= 2). Single definition (advisor
+    r9 #1) for queries_r48/r50/r51/r53's graph family; the DuckDB twin
+    is ``_KEEPER_EDGES_CTE`` in plans/queries_llm."""
+    keepers = (
+        exact_dedup(df, key).filter(~F.col("is_dup")).select(key, "text")
+    )
+    return simhash_pairs(keepers, key, max_hamming=2).select(
+        "doc_a", "doc_b"
+    )
+
+
+def symmetric_edges(pairs: DataFrame) -> DataFrame:
+    """Both orientations (u, v) of an undirected (doc_a, doc_b) pair
+    list — the adjacency form the frontier joins consume."""
+    return pairs.select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    ).union(
+        pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+    )
+
+
+def keeper_edges(df: DataFrame, key: str = "doc_id") -> DataFrame:
+    """``symmetric_edges(keeper_pairs(df))``, localCheckpoint'ed ONCE so
+    downstream multi-join consumers (degree aggs, frontier expansions)
+    stop re-deriving the dedup lineage (the graph_random_walk lesson,
+    r9)."""
+    return symmetric_edges(keeper_pairs(df, key)).localCheckpoint()
+
+
 def doc_shingles(df: DataFrame, key: str, text: str = "text", n: int = 3) -> DataFrame:
     """(key, shingle) distinct pairs — the inverted-index relation.
 

@@ -63,22 +63,74 @@ def cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Exact top-k neighbours per query vector (self-match excluded)."""
-    q = queries.select(
-        F.col(id_col).alias("query_id"), _to_double(vec_col).alias("qv")
-    )
-    c = corpus.select(F.col(id_col).alias("vec_id"), _to_double(vec_col).alias("cv"))
-    scored = (
-        F.broadcast(q)
-        .crossJoin(c)
-        .filter(F.col("query_id") != F.col("vec_id"))
-        .withColumn("cos", cosine_similarity("qv", "cv"))
-    )
+    """Exact top-k neighbours per query vector (self-match excluded).
+
+    Arrow-kernel candidate generation (verdict r9 #2, SCALE.md §6): the
+    query panel — bounded by contract (a fixed eval set, 200 rows in the
+    registry queries) — is collected once and shipped in the task
+    closure; the corpus is scanned ONCE by a ``mapInPandas`` kernel that
+    does one numpy matmul per Arrow batch and emits only each query's
+    batch-local top-k candidates. The global round-9 rank window then
+    sees ~k rows per query per batch instead of the full panel×corpus
+    cross product, and the per-element cosines run vectorized in C
+    instead of Catalyst-interpreted ``zip_with``/``aggregate`` HOFs.
+
+    Exactness of the batch-local prune: candidates are kept when their
+    RAW cosine reaches the batch's k-th best minus 1e-8. The global
+    ordering key is (round(cos, 9) DESC, id ASC); if a row trails the
+    batch's k-th raw cosine by more than 1e-8 > 2·(round-9 slop), then
+    k rows of this batch beat it strictly on round-9, so it cannot be
+    in the global top-k — the union of batch-local keeps is therefore a
+    superset of the global top-k for ANY batch split (AQE/partitioning
+    proof), and the final window reproduces the old plan's output
+    bit-for-bit."""
+    rows = queries.select(
+        F.col(id_col).cast("bigint").alias("qid"),
+        _to_double(vec_col).alias("qv"),
+    ).collect()
+    if not rows:
+        raise ValueError("cosine_topk: empty query panel")
+    import numpy as np
+
+    qids = np.array([r["qid"] for r in rows], dtype=np.int64)
+    Q = np.array([r["qv"] for r in rows], dtype=np.float64)
+    Qn = np.linalg.norm(Q, axis=1)
+
+    def kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            M = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            sims = (Q @ M.T) / np.outer(Qn, np.linalg.norm(M, axis=1))
+            self_mask = qids[:, None] == ids[None, :]
+            sims[self_mask] = -np.inf
+            n = sims.shape[1]
+            if n > k:
+                kth = np.partition(sims, n - k, axis=1)[:, n - k]
+                keep = sims >= (kth - 1e-8)[:, None]
+            else:
+                keep = np.ones_like(sims, dtype=bool)
+            keep &= ~self_mask
+            qi, ci = np.nonzero(keep)
+            yield pd.DataFrame(
+                {
+                    "query_id": qids[qi],
+                    "vec_id": ids[ci],
+                    "cos": sims[qi, ci],
+                }
+            )
+
+    cand = corpus.select(
+        F.col(id_col).cast("bigint").alias(id_col), vec_col
+    ).mapInPandas(kernel, "query_id bigint, vec_id bigint, cos double")
     w = Window.partitionBy("query_id").orderBy(
         F.round("cos", 9).desc(), F.col("vec_id")
     )
     return (
-        scored.withColumn("rn", F.row_number().over(w))
+        cand.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .select(
             "query_id",
@@ -215,6 +267,50 @@ def ivf_assign(
     )
 
 
+def _ivf_scored_candidates(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    nprobe: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Shared IVF prelude of :func:`ivf_topk` and :func:`ivf_range_search`
+    (advisor r9 #2): corpus→cell assignment (map-only matmul kernel),
+    query→probe list (broadcast cross-join against the tiny codebook,
+    round-9 + cid tie order), one cell equi-join with the probed-query
+    side broadcast, self-matches excluded, candidate cosine attached.
+    Only the tail differs between the two APIs (rank window vs
+    threshold predicate)."""
+    spark = corpus.sparkSession
+    cent_df = spark.createDataFrame(
+        [(c, [float(x) for x in v]) for c, v in centroids],
+        "cid bigint, cvec array<double>",
+    )
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col).join(
+        corpus.select(F.col(id_col), _to_double(vec_col).alias("cv")), id_col
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _to_double(vec_col).alias("qv")
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.round("qc_cos", 9).desc(), F.col("cid")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cent_df))
+        .withColumn("qc_cos", cosine_similarity("qv", "cvec"))
+        .withColumn("probe_rank", F.row_number().over(probe_w))
+        .filter(F.col("probe_rank") <= nprobe)
+        .select("query_id", "qv", F.col("cid").alias("cell"))
+    )
+    return (
+        F.broadcast(probes)
+        .join(assigned, "cell")
+        .filter(F.col("query_id") != F.col(id_col))
+        .withColumn("cos", cosine_similarity("qv", "cv"))
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -238,32 +334,8 @@ def ivf_topk(
     deterministic, so the oracle replicates it exactly.
 
     Tie-breaks mirror the whole family: round-9 scores, lowest id wins."""
-    spark = corpus.sparkSession
-    cent_df = spark.createDataFrame(
-        [(c, [float(x) for x in v]) for c, v in centroids],
-        f"cid bigint, cvec array<double>",
-    )
-    assigned = ivf_assign(corpus, centroids, id_col, vec_col).join(
-        corpus.select(F.col(id_col), _to_double(vec_col).alias("cv")), id_col
-    )
-    q = queries.select(
-        F.col(id_col).alias("query_id"), _to_double(vec_col).alias("qv")
-    )
-    probe_w = Window.partitionBy("query_id").orderBy(
-        F.round("qc_cos", 9).desc(), F.col("cid")
-    )
-    probes = (
-        q.crossJoin(F.broadcast(cent_df))
-        .withColumn("qc_cos", cosine_similarity("qv", "cvec"))
-        .withColumn("probe_rank", F.row_number().over(probe_w))
-        .filter(F.col("probe_rank") <= nprobe)
-        .select("query_id", "qv", F.col("cid").alias("cell"))
-    )
-    scored = (
-        F.broadcast(probes)
-        .join(assigned, "cell")
-        .filter(F.col("query_id") != F.col(id_col))
-        .withColumn("cos", cosine_similarity("qv", "cv"))
+    scored = _ivf_scored_candidates(
+        corpus, queries, centroids, nprobe, id_col, vec_col
     )
     w = Window.partitionBy("query_id").orderBy(
         F.round("cos", 9).desc(), F.col(id_col)
@@ -303,32 +375,10 @@ def ivf_range_search(
     than top-k at scale (no rank shuffle, no per-partition sort). Recall
     follows the IVF tradeoff (matches outside probed cells are missed)
     and is fully deterministic, so an oracle replicates it exactly."""
-    spark = corpus.sparkSession
-    cent_df = spark.createDataFrame(
-        [(c, [float(x) for x in v]) for c, v in centroids],
-        "cid bigint, cvec array<double>",
-    )
-    assigned = ivf_assign(corpus, centroids, id_col, vec_col).join(
-        corpus.select(F.col(id_col), _to_double(vec_col).alias("cv")), id_col
-    )
-    q = queries.select(
-        F.col(id_col).alias("query_id"), _to_double(vec_col).alias("qv")
-    )
-    probe_w = Window.partitionBy("query_id").orderBy(
-        F.round("qc_cos", 9).desc(), F.col("cid")
-    )
-    probes = (
-        q.crossJoin(F.broadcast(cent_df))
-        .withColumn("qc_cos", cosine_similarity("qv", "cvec"))
-        .withColumn("probe_rank", F.row_number().over(probe_w))
-        .filter(F.col("probe_rank") <= nprobe)
-        .select("query_id", "qv", F.col("cid").alias("cell"))
-    )
     return (
-        F.broadcast(probes)
-        .join(assigned, "cell")
-        .filter(F.col("query_id") != F.col(id_col))
-        .withColumn("cos", cosine_similarity("qv", "cv"))
+        _ivf_scored_candidates(
+            corpus, queries, centroids, nprobe, id_col, vec_col
+        )
         .filter(F.round("cos", 9) >= threshold)
         .select(
             "query_id",

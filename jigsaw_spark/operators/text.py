@@ -77,6 +77,49 @@ def shingles_sql(tokens: str = "t", n: int = 3) -> str:
     return f"list_transform(range(1, len({tokens}) - {n - 2}), i -> {parts})"
 
 
+def skip_shingles_expr(tokens: Column | str, n: int = 13) -> Column:
+    """Skip-gram shingle keys: every (n+1)-token window with the middle
+    token deleted, so two texts that differ by ONE token inside the
+    window still collide — the one-token-perturbation tolerance of
+    LM-eval decontamination sweeps (13-gram rule with a skip). The
+    deleted slot renders as '#' (tokens are alphanumeric-only, so the
+    marker cannot collide with a real token). TOTAL like
+    :func:`shingles_expr`: below n+1 tokens returns an empty array, and
+    the guard lives inside the expression for reorder-safety."""
+    t = _c(tokens)
+    w = n + 1
+    drop = w // 2
+    idx = F.sequence(F.lit(1), F.size(t) - F.lit(w - 1))
+    return F.when(
+        F.size(t) >= F.lit(w),
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ",
+                *[
+                    F.lit("#") if k == drop else F.element_at(t, i + F.lit(k))
+                    for k in range(w)
+                ],
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def skip_shingles_sql(tokens: str = "t", n: int = 13) -> str:
+    w = n + 1
+    drop = w // 2
+    terms = []
+    for k in range(w):
+        if k == drop:
+            terms.append("'#'")
+        elif k == 0:
+            terms.append(f"{tokens}[i]")
+        else:
+            terms.append(f"{tokens}[i+{k}]")
+    parts = " || ' ' || ".join(terms)
+    return f"list_transform(range(1, len({tokens}) - {w - 2}), i -> {parts})"
+
+
 # BPE-ish pre-tokenization (GPT-2 style, simplified): contraction pieces,
 # space-prefixed letter runs, space-prefixed digit runs, punctuation runs.
 # Applied to lowered text; no lookarounds so Java regex and RE2 agree.

@@ -1588,108 +1588,86 @@ from jigsaw_spark.plans import queries_r51  # noqa: E402,F401
 from jigsaw_spark.plans import queries_r52  # noqa: E402,F401
 from jigsaw_spark.plans import queries_r53  # noqa: E402,F401
 from jigsaw_spark.plans import queries_r54  # noqa: E402,F401
-# r55 is the ROUND-10 QUEUE (overflow module, behind the 50-slot
-# window by policy — the r40 pattern): replica-verified this round,
-# first driver row next round.
+# r55 was the round-10 queue; its 2 queries now head the r10 window.
 from jigsaw_spark.plans import queries_r55  # noqa: E402,F401
+from jigsaw_spark.plans import queries_r56  # noqa: E402,F401
+from jigsaw_spark.plans import queries_r57  # noqa: E402,F401
+from jigsaw_spark.plans import queries_r58  # noqa: E402,F401
+from jigsaw_spark.plans import queries_r59  # noqa: E402,F401
+# r60 is the ROUND-11 QUEUE (overflow module at _OVERFLOW_BOUNDARY,
+# behind the 50-slot window by policy — the r40/r55 pattern):
+# replica-verified this round, first driver row next round.
+from jigsaw_spark.plans import queries_r60  # noqa: E402,F401
 
 
 # ---------------------------------------------------------------------------
 # Registration order == driver certification order. The driver's correctness
-# gate walks QUERIES in insertion order with a bounded window (~50 names per
-# round; every round so far sampled exactly the first 50). Round-9 rotation
-# (verdict r8 directive #1) — CORRECTNESS_r08 came back 50/50 green, so the
-# only remaining debt is the 2-query r40 queue registered behind the r8
-# window (the documented round-9 queue, adc4597):
-#   slots 1-2   — ts_mase + graph_random_walk. graph_random_walk was ALSO
-#                 verdict-fixed this round (adjacency localCheckpoint so
-#                 the 4 step-joins stop re-deriving the dedup lineage), so
-#                 its first driver row certifies the fixed code. Likewise
-#                 dq_mutual_information's oracle got the advisor-directed
-#                 both-sides floor-day form — hash unchanged on post-1970
-#                 data, so its r8 row remains valid.
-#   slots 3+    — round-9-new queries (modules queries_r41+) inserted here
-#                 as they are built, displacing padding down.
-#   tail to 50  — padding: stalest-first re-certs — the 31 oracle-backed
+# gate walks QUERIES in insertion order with a bounded window (exactly the
+# first 50 names every round so far). Round-10 rotation (verdict r9
+# directive #1) — CORRECTNESS_r09 came back 51/51 green, so the only
+# remaining debt is the 2-query r55 queue registered behind the r9 window
+# (the documented round-10 queue, 1752ed3):
+#   slots 1-2   — ml_calibration_drift + text_vocab_growth (first driver
+#                 rows for the r55 queue pair).
+#   slots 3+    — round-10-new queries (modules queries_r56+) inserted
+#                 here as they are built, displacing padding down.
+#   tail to 50  — padding: stalest-first re-certs — the 27 oracle-backed
 #                 queries whose latest driver row is still r01, then the
 #                 43 whose latest row is r02 — so every window slot is an
 #                 oracle-backed row and old code keeps getting
-#                 re-validated on a rolling basis. (The full 74-name pool
+#                 re-validated on a rolling basis. (The full 70-name pool
 #                 is listed; only the first 50 registry slots form the
 #                 window, the rest keep their certified rows and order.)
-# Overflow boundary: modules queries_r55+ queue behind slot 50 for the
-# next round (moved from r50 mid-round — the window had slack left).
+# Overflow boundary: modules queries_r{_OVERFLOW_BOUNDARY}+ queue behind
+# slot 50 for the next round. The window is EXACTLY 50 slots this round
+# (r9 drifted to 51 debt rows; verdict r9 #6 restores the invariant —
+# if _R10_NEW outgrows 48 entries, move whole batch modules past the
+# boundary instead of widening the window).
 # The 6 clean rows-only entries (text_bpe_encode, mm_decode_meta, ...)
 # each have their one driver row and are NOT re-rotated (they can never be
 # hash-certified). Everything already certified falls to the back in
 # module-import order.
-# Update tests/test_entry.py's window-policy test (names[0]/names[1] pins +
-# exemption range) in the same commit as any change here.
+# Update tests/test_entry.py's window-policy test (names[0]/names[1] pins)
+# in the same commit as any change here; the overflow exemption derives
+# from _OVERFLOW_BOUNDARY below, shared with tests/test_entry.py.
 # ---------------------------------------------------------------------------
 
-_R9_QUEUE = [
-    "ts_mase",
-    "graph_random_walk",
+# First queries_r{N} module that queues BEHIND the 50-slot window for the
+# NEXT round's certification. tests/test_entry.py imports this so the
+# policy test and the registry cannot drift (advisor r9 #5).
+_OVERFLOW_BOUNDARY = 60
+
+_R10_QUEUE = [
+    "ml_calibration_drift",
+    "text_vocab_growth",
 ]
 
-_R9_NEW: list[str] = [
-    # round-9-new queries are appended here by their batch modules' order
-    # as they are built (queries_r41+)
-    "text_rerank_cross",
-    "dq_contamination",
-    "text_seq_packing",
-    "agg_quantile_bottomk",
-    "ml_reliability_ece",
-    "graph_adamic_adar",
-    "er_fuzzy_match",
-    "fn_ip_cidr",
-    "ts_gap_fill_ffill",
-    "ts_winsorized_mean",
-    "er_blocking_stats",
-    "stream_contamination",
-    "graph_node2vec_walk",
-    "graph_walk_skipgrams",
-    "dq_split_user_leakage",
-    "privacy_small_cell",
-    "ann_recall_curve",
-    "ml_linear_shap",
-    "ml_auprc_exact",
-    "er_blocking_recall",
-    "ts_pinball_loss",
-    "text_lexical_diversity",
-    "ml_cost_threshold",
-    "ml_ks_statistic",
-    "privacy_k_anonymity",
-    "graph_degree_assortativity",
-    "ts_acf_exact",
-    "rel_order_gap_median",
-    "ml_mrr_exact",
-    "ann_range_search",
-    "graph_rich_club",
-    "ts_control_rules",
-    "text_burstiness",
-    "graph_harmonic_centrality",
-    "er_pairwise_f1",
-    "rel_cohort_ltv",
-    "ml_error_slices",
-    "rel_growth_accounting",
-    "ml_mcnemar_test",
-    "graph_hub_removal_impact",
-    "ml_threshold_transfer",
-    "dedup_cluster_purity",
-    "ml_precision_at_k",
-    # stale-cert re-run: text_tfidf_knn's r8 row predates the r9 kept-
-    # postings localCheckpoint (the graph_triangles class) — re-certify
-    # the code that now owns the name
-    "text_tfidf_knn",
+_R10_NEW: list[str] = [
+    # round-10-new queries are appended here by their batch modules' order
+    # as they are built (queries_r56+)
+    "dq_contamination_semantic",
+    "dq_decontam_skipgram",
+    "text_packing_efficiency",
+    "p_drift_reweight",
+    "ml_recall_at_k",
+    "ml_fairness_parity",
+    "ml_brier_decomp",
+    "ml_auc_by_group",
+    "ml_risk_coverage",
+    "ml_confident_learning",
+    "graph_label_propagation",
+    "dq_label_conflict",
+    "er_threshold_sweep",
+    "dedup_shingle_sweep",
+    "ts_max_drawdown",
+    "dq_dup_rate_trend",
+    "rel_repeat_revenue",
+    "ml_embedding_isotropy",
+    "stream_ece_monitor",
 ]
 
 _STALE_PADDING = [
-    # latest driver row r01 (31 oracle-backed)
-    "set_intersect",
-    "set_except",
-    "a2_dense_label_map",
-    "a3_moments",
+    # latest driver row r01 (27 oracle-backed)
     "a5_extent_merge",
     "fn_scalar",
     "w1_sessionize",
@@ -1763,7 +1741,7 @@ _STALE_PADDING = [
     "agg_weighted_percentile",
 ]
 
-_CERTIFICATION_PRIORITY = _R9_QUEUE + _R9_NEW + _STALE_PADDING
+_CERTIFICATION_PRIORITY = _R10_QUEUE + _R10_NEW + _STALE_PADDING
 
 
 def _reorder_registry() -> None:

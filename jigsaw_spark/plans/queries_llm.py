@@ -336,6 +336,21 @@ _SIMHASH_KEEPER_CTE = f"""
 """
 
 
+# DuckDB twin of operators/dedup.keeper_edges (advisor r9 #1): the
+# keeper-graph pair list + symmetric edge list shared by the
+# queries_r48/r50/r51/r53 graph family. Single definition so the keeper
+# convention (exact dedup -> SimHash Hamming <= 2) cannot drift.
+_KEEPER_EDGES_CTE = f"""{_SIMHASH_KEEPER_CTE},
+    prs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 2),
+    edges AS MATERIALIZED (
+      SELECT doc_a AS u, doc_b AS v FROM prs
+      UNION
+      SELECT doc_b AS u, doc_a AS v FROM prs)"""
+
+
 @register(
     "dedup_simhash",
     f"""

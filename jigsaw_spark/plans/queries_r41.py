@@ -401,11 +401,14 @@ _PACK_BUDGET = 512
 _PACK_SHARDS = 8
 
 
-def _seq_packing_sql() -> str:
+def packed_cum_cte() -> str:
+    """Shared packing prelude (curriculum shuffle + running token sum) —
+    the CTEs ``sized``/``sharded``/``packed`` used by ``text_seq_packing``
+    here and ``text_packing_efficiency`` (queries_r56), kept in ONE place
+    so the packer convention cannot drift between the two oracles."""
     from jigsaw_spark.operators.text import tokens_sql
 
-    return f"""
-    WITH sized AS (
+    return f"""sized AS (
       SELECT doc_id, lang,
              CAST(len({tokens_sql('text')}) AS BIGINT) AS n_tok,
              CAST(('0x' || substr(md5('pack|' || CAST(doc_id AS VARCHAR)),
@@ -422,7 +425,47 @@ def _seq_packing_sql() -> str:
              sum(n_tok) OVER (PARTITION BY lang, shard
                ORDER BY pri, doc_id
                ROWS UNBOUNDED PRECEDING) AS cum
-      FROM sharded),
+      FROM sharded)"""
+
+
+def packed_cum(docs: DataFrame) -> DataFrame:
+    """Spark twin of :func:`packed_cum_cte`: (lang, shard, n_tok, cum)
+    after the keyed-hash curriculum shuffle and per-(lang, shard)
+    running token sum."""
+    from jigsaw_spark.operators.text import tokens_expr
+
+    sized = docs.select(
+        "doc_id",
+        "lang",
+        F.size(tokens_expr("text")).cast("bigint").alias("n_tok"),
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("pack|"), F.col("doc_id").cast("string"))),
+                1,
+                12,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("pri"),
+    ).filter(F.col("n_tok") > 0)
+    sharded = sized.withColumn(
+        "shard", F.pmod(F.col("pri"), F.lit(_PACK_SHARDS)).cast("int")
+    )
+    w = (
+        Window.partitionBy("lang", "shard")
+        .orderBy("pri", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return sharded.withColumn("cum", F.sum("n_tok").over(w)).select(
+        "lang", "shard", "n_tok", "cum"
+    )
+
+
+def _seq_packing_sql() -> str:
+    return f"""
+    WITH {packed_cum_cte()},
     binned AS (
       SELECT lang, shard, n_tok,
              (cum - n_tok) // {_PACK_BUDGET} AS start_bin,
@@ -473,34 +516,8 @@ def _seq_packing_sql() -> str:
     "packers; everything after the window is a two-level hash-agg",
 )
 def text_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from jigsaw_spark.operators.text import tokens_expr
-
     docs = _t(spark, sf_dir, "documents")
-    sized = docs.select(
-        "doc_id",
-        "lang",
-        F.size(tokens_expr("text")).cast("bigint").alias("n_tok"),
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("pack|"), F.col("doc_id").cast("string"))),
-                1,
-                12,
-            ),
-            16,
-            10,
-        )
-        .cast("bigint")
-        .alias("pri"),
-    ).filter(F.col("n_tok") > 0)
-    sharded = sized.withColumn(
-        "shard", F.pmod(F.col("pri"), F.lit(_PACK_SHARDS)).cast("int")
-    )
-    w = (
-        Window.partitionBy("lang", "shard")
-        .orderBy("pri", "doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    binned = sharded.withColumn("cum", F.sum("n_tok").over(w)).select(
+    binned = packed_cum(docs).select(
         "lang",
         "shard",
         "n_tok",

@@ -295,18 +295,10 @@ def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _assortativity_sql() -> str:
-    from jigsaw_spark.plans.queries_llm import _SIMHASH_KEEPER_CTE
+    from jigsaw_spark.plans.queries_llm import _KEEPER_EDGES_CTE
 
     return f"""
-    WITH {_SIMHASH_KEEPER_CTE},
-    prs AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-      WHERE bit_count(xor(a.simhash, b.simhash)) <= 2),
-    edges AS MATERIALIZED (
-      SELECT doc_a AS u, doc_b AS v FROM prs
-      UNION
-      SELECT doc_b AS u, doc_a AS v FROM prs),
+    WITH {_KEEPER_EDGES_CTE},
     deg AS (
       SELECT u, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY u),
     joined AS (
@@ -355,26 +347,10 @@ def _assortativity_sql() -> str:
     "node id; output is one row",
 )
 def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from jigsaw_spark.operators.dedup import exact_dedup, simhash_pairs
+    from jigsaw_spark.operators.dedup import keeper_edges
 
     docs = _t(spark, sf_dir, "documents")
-    keepers = (
-        exact_dedup(docs, "doc_id")
-        .filter(~F.col("is_dup"))
-        .select("doc_id", "text")
-    )
-    pairs = simhash_pairs(keepers, "doc_id", max_hamming=2).select(
-        "doc_a", "doc_b"
-    )
-    edges = (
-        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
-        .union(
-            pairs.select(
-                F.col("doc_b").alias("u"), F.col("doc_a").alias("v")
-            )
-        )
-        .localCheckpoint()
-    )
+    edges = keeper_edges(docs, "doc_id")
     deg = edges.groupBy("u").agg(
         F.count(F.lit(1)).cast("bigint").alias("d")
     )

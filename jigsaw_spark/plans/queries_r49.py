@@ -45,6 +45,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from jigsaw_spark.plans.eval_panel import PANEL_TOPK_CTE
 from jigsaw_spark.plans.queries import _t, register
 
 # ---------------------------------------------------------------------------
@@ -293,19 +294,12 @@ _COS = (
 )
 
 _MRR_SQL = f"""
-    WITH ranked AS (
-      SELECT q.vec_id AS query_id, q.label AS qlabel, c.label AS clabel,
-             row_number() OVER (
-               PARTITION BY q.vec_id
-               ORDER BY round({_COS.format(a='q', b='c')}, 9) DESC, c.vec_id
-             ) AS rank
-      FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
-      WHERE q.vec_id < 200),
+    WITH {PANEL_TOPK_CTE},
     hits AS (
       SELECT query_id, qlabel,
              min(CASE WHEN clabel = qlabel AND rank <= 10
                       THEN rank END) AS first_rel
-      FROM ranked WHERE rank <= 10 GROUP BY 1, 2),
+      FROM ranked GROUP BY 1, 2),
     rr AS (
       SELECT qlabel,
              CASE WHEN first_rel IS NULL THEN 0
@@ -345,25 +339,10 @@ _MRR_SQL = f"""
     "label-dim-sized",
 )
 def ml_mrr_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from jigsaw_spark.operators.similarity import cosine_topk
+    from jigsaw_spark.plans.eval_panel import labeled_panel_topk
 
-    emb = _t(spark, sf_dir, "embeddings")
-    labels = emb.select(
-        F.col("vec_id").alias("lid"), F.col("label").alias("lbl")
-    )
-    panel = emb.filter(F.col("vec_id") < 200)
-    top = cosine_topk(emb, panel, k=10).select(
-        "query_id", "vec_id", "rank"
-    )
-    ql = labels.select(
-        F.col("lid").alias("query_id"), F.col("lbl").alias("qlabel")
-    )
-    cl = labels.select(
-        F.col("lid").alias("vec_id"), F.col("lbl").alias("clabel")
-    )
     hits = (
-        top.join(F.broadcast(cl), "vec_id")
-        .join(F.broadcast(ql), "query_id")
+        labeled_panel_topk(spark, sf_dir, _t)
         .groupBy("query_id", "qlabel")
         .agg(
             F.min(

@@ -56,18 +56,10 @@ from jigsaw_spark.plans.queries import _t, register
 
 
 def _harmonic_sql() -> str:
-    from jigsaw_spark.plans.queries_llm import _SIMHASH_KEEPER_CTE
+    from jigsaw_spark.plans.queries_llm import _KEEPER_EDGES_CTE
 
     return f"""
-    WITH {_SIMHASH_KEEPER_CTE},
-    prs AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-      WHERE bit_count(xor(a.simhash, b.simhash)) <= 2),
-    edges AS MATERIALIZED (
-      SELECT doc_a AS u, doc_b AS v FROM prs
-      UNION
-      SELECT doc_b AS u, doc_a AS v FROM prs),
+    WITH {_KEEPER_EDGES_CTE},
     d1 AS (SELECT u, v FROM edges),
     d2 AS (
       SELECT DISTINCT e1.u, e2.v
@@ -129,26 +121,10 @@ def _harmonic_sql() -> str:
     "runs over the node dim",
 )
 def graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from jigsaw_spark.operators.dedup import exact_dedup, simhash_pairs
+    from jigsaw_spark.operators.dedup import keeper_edges
 
     docs = _t(spark, sf_dir, "documents")
-    keepers = (
-        exact_dedup(docs, "doc_id")
-        .filter(~F.col("is_dup"))
-        .select("doc_id", "text")
-    )
-    pairs = simhash_pairs(keepers, "doc_id", max_hamming=2).select(
-        "doc_a", "doc_b"
-    )
-    edges = (
-        pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
-        .union(
-            pairs.select(
-                F.col("doc_b").alias("u"), F.col("doc_a").alias("v")
-            )
-        )
-        .localCheckpoint()
-    )
+    edges = keeper_edges(docs, "doc_id")
     d1 = edges
     e2 = edges.select(F.col("u").alias("m"), F.col("v").alias("v2"))
     d2 = (

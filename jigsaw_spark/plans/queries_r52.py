@@ -88,7 +88,13 @@ _GROWTH_SQL = """
     "rel_retention_cohorts follows one cohort forward, this explains "
     "each week's NET CHANGE, which a retention triangle cannot (weeks "
     "with zero churn report ratio 0 — the convention that keeps the "
-    "column integral). Exact integer counts throughout. Shape: one "
+    "column integral). BOUNDARY (advisor r9 #4): the report is driven "
+    "from the ACTIVE week keys, so a week with zero active users — "
+    "including the week after the last data week — emits no row, and "
+    "churn occurring into an all-quiet week is unreported; "
+    "deterministic and engine-consistent, and on any real event "
+    "stream every calendar week has actives. Exact integer counts "
+    "throughout. Shape: one "
     "distinct (user, week) hash-agg, a lag window on the user key "
     "(facts shuffle once), then a calendar-bounded week rollup and a "
     "shifted-key week join — the churn column costs one 2-column agg, "

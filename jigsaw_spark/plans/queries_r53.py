@@ -135,24 +135,13 @@ def _hub_removal_sql() -> str:
 def graph_hub_removal_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jigsaw_spark.operators.dedup import (
         connected_components,
-        exact_dedup,
-        simhash_pairs,
+        keeper_pairs,
+        symmetric_edges,
     )
 
     docs = _t(spark, sf_dir, "documents")
-    keepers = (
-        exact_dedup(docs, "doc_id")
-        .filter(~F.col("is_dup"))
-        .select("doc_id", "text")
-    )
-    pairs = simhash_pairs(keepers, "doc_id", max_hamming=2).select(
-        "doc_a", "doc_b"
-    ).localCheckpoint()
-    edges = pairs.select(
-        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
-    ).union(
-        pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
-    )
+    pairs = keeper_pairs(docs, "doc_id").localCheckpoint()
+    edges = symmetric_edges(pairs)
     deg = edges.groupBy("u").agg(
         F.count(F.lit(1)).cast("bigint").alias("d")
     )

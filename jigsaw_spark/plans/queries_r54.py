@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from jigsaw_spark.plans.eval_panel import PANEL_TOPK_CTE
 from jigsaw_spark.plans.queries import _t, register
 
 # ---------------------------------------------------------------------------
@@ -123,24 +124,13 @@ def dedup_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ml_precision_at_k
 # ---------------------------------------------------------------------------
 
-_COS = (
-    "list_cosine_similarity({a}.embedding::DOUBLE[], {b}.embedding::DOUBLE[])"
-)
-
 _P_AT_K_SQL = f"""
-    WITH ranked AS (
-      SELECT q.vec_id AS query_id, q.label AS qlabel,
-             CASE WHEN c.label = q.label THEN 1 ELSE 0 END AS rel,
-             row_number() OVER (
-               PARTITION BY q.vec_id
-               ORDER BY round({_COS.format(a='q', b='c')}, 9) DESC, c.vec_id
-             ) AS rank
-      FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
-      WHERE q.vec_id < 200),
+    WITH {PANEL_TOPK_CTE},
     ks AS (SELECT unnest([1, 5, 10]) AS k),
     hits AS (
       SELECT r.qlabel, k.k, r.query_id,
-             CAST(sum(r.rel) AS BIGINT) AS h
+             CAST(sum(CASE WHEN r.clabel = r.qlabel THEN 1 ELSE 0 END)
+               AS BIGINT) AS h
       FROM ranked r JOIN ks k ON r.rank <= k.k
       GROUP BY 1, 2, 3),
     agg AS (
@@ -173,33 +163,15 @@ _P_AT_K_SQL = f"""
     "3-row k dim joined on rank <= k, then a (label x 3)-dim rollup",
 )
 def ml_precision_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from jigsaw_spark.operators.similarity import cosine_topk
+    from jigsaw_spark.plans.eval_panel import labeled_panel_topk
 
-    emb = _t(spark, sf_dir, "embeddings")
-    labels = emb.select(
-        F.col("vec_id").alias("lid"), F.col("label").alias("lbl")
-    )
-    panel = emb.filter(F.col("vec_id") < 200)
-    top = cosine_topk(emb, panel, k=10).select(
-        "query_id", "vec_id", "rank"
-    )
-    ql = labels.select(
-        F.col("lid").alias("query_id"), F.col("lbl").alias("qlabel")
-    )
-    cl = labels.select(
-        F.col("lid").alias("vec_id"), F.col("lbl").alias("clabel")
-    )
-    ranked = (
-        top.join(F.broadcast(cl), "vec_id")
-        .join(F.broadcast(ql), "query_id")
-        .select(
-            "query_id",
-            "qlabel",
-            F.when(F.col("clabel") == F.col("qlabel"), 1)
-            .otherwise(0)
-            .alias("rel"),
-            "rank",
-        )
+    ranked = labeled_panel_topk(spark, sf_dir, _t).select(
+        "query_id",
+        "qlabel",
+        F.when(F.col("clabel") == F.col("qlabel"), 1)
+        .otherwise(0)
+        .alias("rel"),
+        "rank",
     )
     ks = F.broadcast(
         spark.createDataFrame([(1,), (5,), (10,)], "k int")

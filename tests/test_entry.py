@@ -29,27 +29,27 @@ def test_every_query_runs_at_smoke_sf(spark):
 
 def test_certification_window_covers_never_certified():
     """The driver's correctness gate walks the registry in order with a
-    bounded window (~50). Round-9 policy (verdict r8 #1): CORRECTNESS_r08
-    came back 50/50 green (including ann_mmr_select's re-cert and
-    k6_deeplab_export's first exact-oracle row after its r8 promotion
-    from rows-only), so the debt is exactly the 2-query r40 queue
-    (ts_mase + graph_random_walk) registered behind the r8 window.
-    Slots 1-2 carry that debt; round-9-new queries (modules
-    queries_r41+) are inserted after it as they are built; the
-    remaining slots are stalest-first padding re-certs (r01 then r02
-    rows). Overflow modules (queries_r55+) queue behind slot 50 for the
-    next round (the boundary moved from r50 to r55 mid-round when the
-    window still had slack for more in-round batches). Clean rows-only
-    entries (text_bpe_encode, ...) keep their one driver row and are
-    never re-rotated."""
+    bounded window of exactly 50 slots. Round-10 policy (verdict r9 #1):
+    CORRECTNESS_r09 came back green across the whole r9 window, so the
+    debt is exactly the 2-query r55 queue (ml_calibration_drift +
+    text_vocab_growth) registered behind the r9 window. Slots 1-2 carry
+    that debt; round-10-new queries (modules queries_r56+) are inserted
+    after it as they are built; the remaining slots are stalest-first
+    padding re-certs (r01 then r02 rows). Overflow modules
+    (queries_r{_OVERFLOW_BOUNDARY}+) queue behind slot 50 for the next
+    round — the boundary is a single shared constant in plans/queries.py
+    so this test and the registry cannot drift (advisor r9 #5). Clean
+    rows-only entries (text_bpe_encode, ...) keep their one driver row
+    and are never re-rotated."""
     import json
     import pathlib
+    import re
 
-    from jigsaw_spark.plans.queries import QUERIES
+    from jigsaw_spark.plans.queries import QUERIES, _OVERFLOW_BOUNDARY
 
     root = pathlib.Path(__file__).resolve().parents[1]
     certified: set[str] = set()
-    for r in ("01", "02", "03", "04", "05", "06", "07", "08"):
+    for r in ("01", "02", "03", "04", "05", "06", "07", "08", "09"):
         path = root / f"CORRECTNESS_r{r}.json"
         if path.exists():
             certified |= set(json.loads(path.read_text()))
@@ -61,23 +61,24 @@ def test_certification_window_covers_never_certified():
         if q not in certified and QUERIES[q].oracle is not None
     ]
 
-    assert names[0] == "ts_mase", (
-        "slot 1 must start the r40-queue debt block (verdict r8 #1)"
+    assert names[0] == "ml_calibration_drift", (
+        "slot 1 must start the r55-queue debt block (verdict r9 #1)"
     )
-    assert names[1] == "graph_random_walk", (
-        "slot 2 must be the r40 queue's second query (verdict r8 #1)"
+    assert names[1] == "text_vocab_growth", (
+        "slot 2 must be the r55 queue's second query (verdict r9 #1)"
     )
 
     # all debt (never-certified oracle-backed) sits inside slots 1-50;
-    # overflow modules (r50+, next round's queue) are the only exemption
+    # modules at/after the overflow boundary (next round's queue) are the
+    # only exemption — derived, not hardcoded (advisor r9 #5)
     window = names[:50]
-    overflow_modules = {
-        f"jigsaw_spark.plans.queries_r{i}" for i in range(55, 70)
-    }
+
+    def _is_overflow(module: str) -> bool:
+        m = re.fullmatch(r"jigsaw_spark\.plans\.queries_r(\d+)", module)
+        return m is not None and int(m.group(1)) >= _OVERFLOW_BOUNDARY
+
     debt = {
-        q
-        for q in never
-        if QUERIES[q].spark.__module__ not in overflow_modules
+        q for q in never if not _is_overflow(QUERIES[q].spark.__module__)
     }
     outside = [q for q in debt if q not in window]
     assert not outside, f"certification debt outside slots 1-50: {outside}"

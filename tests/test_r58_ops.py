@@ -1,0 +1,185 @@
+"""Round-10 batch 3: python replays for label propagation, label
+conflicts, the ER threshold sweep, the shingle-size cost model, and
+max drawdown."""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from collections import Counter, defaultdict
+
+import __spark_entry__ as entrymod
+
+SF = "/root/testdata/sf0.001"
+
+
+def _tokens(text: str) -> list[str]:
+    return [t for t in re.split("[^a-z0-9]+", (text or "").lower()) if t]
+
+
+def _keeper_edges(spark):
+    """Replay keeper_pairs via the production operator (itself covered
+    by the dedup suite), returning the symmetric neighbor map."""
+    from jigsaw_spark.operators.dedup import keeper_pairs
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    nbrs = defaultdict(set)
+    for r in keeper_pairs(docs, "doc_id").collect():
+        nbrs[r["doc_a"]].add(r["doc_b"])
+        nbrs[r["doc_b"]].add(r["doc_a"])
+    return nbrs
+
+
+def test_label_propagation_replays(spark):
+    nbrs = _keeper_edges(spark)
+    labels = {u: u for u in nbrs}
+    for _ in range(2):
+        new = {}
+        for u in nbrs:
+            votes = Counter(labels[v] for v in nbrs[u])
+            votes[labels[u]] += 1
+            best = max(votes.items(), key=lambda kv: (kv[1], -kv[0]))
+            # ties to the SMALLEST label
+            top = max(votes.values())
+            new[u] = min(l for l, c in votes.items() if c == top)
+            assert best[1] == top
+        labels = new
+    sizes = Counter(Counter(labels.values()).values())
+    got = {
+        r["size"]: r
+        for r in entrymod.queries()["graph_label_propagation"](
+            spark, SF
+        ).collect()
+    }
+    assert set(got) == set(sizes)
+    for size, n_comm in sizes.items():
+        assert got[size]["n_communities"] == n_comm
+        assert got[size]["n_nodes"] == size * n_comm
+
+
+def test_label_conflict_replays(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    groups = defaultdict(lambda: [0, set(), set()])
+    for r in docs:
+        fp = hashlib.md5(" ".join(_tokens(r["text"])).encode()).hexdigest()
+        g = groups[fp]
+        g[0] += 1
+        g[1].add(r["lang"])
+        g[2].add(r["source"])
+    multi = [g for g in groups.values() if g[0] > 1]
+    [g] = entrymod.queries()["dq_label_conflict"](spark, SF).collect()
+    assert g["n_multi_groups"] == len(multi)
+    assert g["n_docs_in_groups"] == sum(m[0] for m in multi)
+    assert g["n_lang_conflict_groups"] == sum(
+        1 for m in multi if len(m[1]) > 1
+    )
+    assert g["n_source_conflict_groups"] == sum(
+        1 for m in multi if len(m[2]) > 1
+    )
+    assert g["n_docs_lang_conflict"] == sum(
+        m[0] for m in multi if len(m[1]) > 1
+    )
+    conf = sum(1 for m in multi if len(m[1]) > 1 or len(m[2]) > 1)
+    assert g["conflict_milli"] == (
+        conf * 1000 // len(multi) if multi else 0
+    )
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def test_er_threshold_sweep_replays(spark):
+    parts = spark.read.parquet(f"{SF}/part.parquet").collect()
+    keepers = {}
+    for r in parts:
+        k = (r["p_brand"], r["p_name"])
+        if k not in keepers or r["p_partkey"] < keepers[k]:
+            keepers[k] = r["p_partkey"]
+    by_brand = defaultdict(list)
+    for (brand, name), key in keepers.items():
+        by_brand[brand].append((key, name))
+    cand = []
+    for brand, rows in by_brand.items():
+        for i, (ka, na) in enumerate(rows):
+            for kb, nb in rows:
+                if ka < kb:
+                    lev = _lev(na, nb)
+                    ml = max(len(na), len(nb))
+                    cand.append(((ml - lev) * 1000 // ml, lev <= 3))
+    got = {
+        r["thresh"]: r
+        for r in entrymod.queries()["er_threshold_sweep"](
+            spark, SF
+        ).collect()
+    }
+    assert set(got) == {600, 700, 800, 900, 950}
+    for t, g in got.items():
+        tp = sum(1 for s, tr in cand if s >= t and tr)
+        fp = sum(1 for s, tr in cand if s >= t and not tr)
+        fn = sum(1 for s, tr in cand if s < t and tr)
+        assert (g["tp"], g["fp"], g["fn"]) == (tp, fp, fn)
+        assert g["prec_milli"] == (tp * 1000 // (tp + fp) if tp + fp else 0)
+        assert g["rec_milli"] == (tp * 1000 // (tp + fn) if tp + fn else 0)
+        assert g["f1_milli"] == (
+            2 * tp * 1000 // (2 * tp + fp + fn) if 2 * tp + fp + fn else 0
+        )
+
+
+def test_shingle_sweep_replays(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    got = {
+        r["n"]: r
+        for r in entrymod.queries()["dedup_shingle_sweep"](
+            spark, SF
+        ).collect()
+    }
+    assert set(got) == {3, 5, 8}
+    n_docs = len(docs)
+    for n in (3, 5, 8):
+        df = Counter()
+        for r in docs:
+            t = _tokens(r["text"])
+            df.update(
+                {" ".join(t[i : i + n]) for i in range(len(t) - n + 1)}
+            )
+        g = got[n]
+        assert g["n_shingles"] == len(df)
+        assert g["n_postings"] == sum(df.values())
+        assert g["max_df"] == max(df.values())
+        pairs = sum(d * (d - 1) // 2 for d in df.values())
+        assert g["candidate_pairs"] == pairs
+        assert g["pairs_per_doc_milli"] == pairs * 1000 // n_docs
+
+
+def test_max_drawdown_replays(spark):
+    orders = spark.read.parquet(f"{SF}/orders.parquet").collect()
+    from decimal import Decimal
+
+    daily = defaultdict(Decimal)
+    for r in orders:
+        day = int(r["o_orderdate"].timestamp() * 1_000_000) // 86400000000
+        daily[day] += Decimal(str(r["o_totalprice"])).quantize(
+            Decimal("0.01")
+        )
+    peak, best = None, None
+    for day in sorted(daily):
+        cents = int(daily[day] * 100)
+        peak = cents if peak is None else max(peak, cents)
+        dd = peak - cents
+        if best is None or dd > best[0]:
+            best = (dd, day, peak, cents)
+    [g] = entrymod.queries()["ts_max_drawdown"](spark, SF).collect()
+    assert g["n_days"] == len(daily)
+    assert g["max_drawdown_cents"] == best[0]
+    assert g["trough_day"] == best[1]
+    assert g["peak_cents"] == best[2]
+    assert g["trough_cents"] == best[3]

@@ -233,6 +233,31 @@ ALL_PAIRS_OK = {
     # 1-row doc_id-bounds scalar crossed into the posting aggs (the
     # value-range decile cut that replaces a global rank)
     "text_vocab_growth",
+    # --- round 10 ---
+    # the shared fixed-panel candidate stage (eval_panel) + the 2-row
+    # k dim joined on rank <= k (the ml_precision_at_k class)
+    "ml_recall_at_k",
+    # 1-row span-cut + train-bounds scalars crossed into the fact scan
+    # (the ml_calibration_drift class) + the bounded (domains x 10)
+    # bin dim built by a tiny distinct x range(10) cross
+    "p_drift_reweight",
+    # 1-row score-bounds scalar crossed into the fact scan (the
+    # ml_reliability_ece class); risk_coverage adds the broadcast
+    # 5-row threshold dim joined on conf >= t (non-equi by design)
+    "ml_fairness_parity",
+    "ml_brier_decomp",
+    "ml_risk_coverage",
+    # 1-row per-class-threshold scalars crossed into the fact scan
+    "ml_confident_learning",
+    # blocked pair table fanned by the broadcast 5-row threshold dim
+    # (tiny-dim cross, the ml_risk_coverage class)
+    "er_threshold_sweep",
+    # 1-row corpus-count / bounds scalars crossed into bounded rollups
+    "dedup_shingle_sweep",
+    "ts_max_drawdown",
+    "dq_dup_rate_trend",
+    # two 1-row aggregate scalars (usq x ssq) crossed into one row
+    "ml_embedding_isotropy",
 }
 # queries expected to push a filter into the parquet scan
 EXPECT_PUSHDOWN = {
@@ -355,6 +380,14 @@ GLOBAL_WINDOW_OK = {
     "ml_calibration_drift",
     # the cumulative curve runs over the 10-row decile dim
     "text_vocab_growth",
+    # --- round 10 ---
+    # the gap windows run over the 5-row cohort dim
+    "ml_fairness_parity",
+    # the share/noise windows run over the <= 4-row confident joint
+    "ml_confident_learning",
+    # running-max + argmax windows over the bounded calendar-day dim
+    # (the MASE day-grain pre-agg discipline)
+    "ts_max_drawdown",
 }
 # streaming queries execute on .start(), not .explain — audit skipped
 SKIP = {"stream_hourly_rollup", "stream_stateful_sessions"}

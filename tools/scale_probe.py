@@ -326,6 +326,39 @@ PROBES = [
     # vocab curve is posting-densification-bound like tfidf
     "ml_calibration_drift",
     "text_vocab_growth",
+    # r56 (round-10 batch 1): IVF range-search contamination (corpus
+    # scanned once); the 13-gram + skip-gram double explode; the
+    # segment-explode packing rollup; the (domains x 10)-bin PSI; the
+    # shared-panel recall (linear in corpus, the mrr class)
+    "dq_contamination_semantic",
+    "dq_decontam_skipgram",
+    "text_packing_efficiency",
+    "p_drift_reweight",
+    "ml_recall_at_k",
+    # r57 (round-10 batch 2): single fact hash-aggs into bounded dims;
+    # per-group AUC walks the (source x distinct-score) dim
+    "ml_fairness_parity",
+    "ml_brier_decomp",
+    "ml_auc_by_group",
+    "ml_risk_coverage",
+    "ml_confident_learning",
+    # r58: two LPA vote rounds over the keeper graph; one fingerprint
+    # hash-agg; the C4-blocked Levenshtein sweep; three per-n posting
+    # aggs; day-grain drawdown windows
+    "graph_label_propagation",
+    "dq_label_conflict",
+    "er_threshold_sweep",
+    "dedup_shingle_sweep",
+    "ts_max_drawdown",
+    # r59: fingerprint + decile dim; customer/month double hash-agg;
+    # the zero-pair isotropy aggregates (posexplode -> 64-dim rollup)
+    "dq_dup_rate_trend",
+    "rel_repeat_revenue",
+    "ml_embedding_isotropy",
+    # r60 (round-11 queue): keeper-graph triangle closure; 14
+    # shifted-key day-dim joins + per-type argmax
+    "graph_transitivity",
+    "ts_dominant_period",
 ]
 
 TABLES = [
