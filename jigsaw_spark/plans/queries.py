@@ -1664,6 +1664,12 @@ _R10_NEW: list[str] = [
     "rel_repeat_revenue",
     "ml_embedding_isotropy",
     "stream_ece_monitor",
+    "ab_srm_check",
+    "p_epoch_shuffle_quality",
+    "rel_abc_migration",
+    "ml_kendall_tau",
+    "p_quota_sample",
+    "ab_paired_ttest",
 ]
 
 _STALE_PADDING = [

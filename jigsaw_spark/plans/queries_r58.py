@@ -559,3 +559,253 @@ def ts_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("day").cast("bigint").alias("trough_day"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-10 batch 6 (same module — window membership is governed by
+# _R10_NEW in plans/queries, not by module numbering).
+# ---------------------------------------------------------------------------
+
+# p_quota_sample -----------------------------------------------------------
+
+_QUOTA_N = 1000
+
+_QUOTA_SQL = f"""
+    WITH strata AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_stratum
+      FROM documents GROUP BY 1),
+    tot AS MATERIALIZED (
+      SELECT CAST(sum(n_stratum) AS BIGINT) AS n FROM strata),
+    alloc AS (
+      SELECT lang, n_stratum,
+             CAST({_QUOTA_N} AS BIGINT) * n_stratum
+               // (SELECT n FROM tot) AS base,
+             (CAST({_QUOTA_N} AS BIGINT) * n_stratum)
+               % (SELECT n FROM tot) AS rem
+      FROM strata),
+    seats AS MATERIALIZED (
+      SELECT CAST({_QUOTA_N} AS BIGINT)
+               - CAST(sum(base) AS BIGINT) AS extra
+      FROM alloc),
+    quota AS (
+      SELECT lang, n_stratum,
+             base + CASE WHEN row_number() OVER (
+                 ORDER BY rem DESC, lang) <= (SELECT extra FROM seats)
+               THEN 1 ELSE 0 END AS quota
+      FROM alloc),
+    ranked AS (
+      SELECT d.lang, d.doc_id,
+             row_number() OVER (PARTITION BY d.lang
+               ORDER BY md5('quota|' || CAST(d.doc_id AS VARCHAR)),
+                        d.doc_id) AS rn
+      FROM documents d),
+    picked AS (
+      SELECT r.lang, r.doc_id
+      FROM ranked r JOIN quota q ON r.lang = q.lang
+      WHERE r.rn <= q.quota)
+    SELECT q.lang, q.n_stratum, CAST(q.quota AS BIGINT) AS quota,
+           CAST(count(p.doc_id) AS BIGINT) AS n_sampled,
+           CAST(coalesce(sum(p.doc_id), 0) AS BIGINT) AS sum_doc_id
+    FROM quota q LEFT JOIN picked p ON q.lang = p.lang
+    GROUP BY 1, 2, 3
+"""
+
+
+@register(
+    "p_quota_sample",
+    _QUOTA_SQL,
+    "proportional quota sampling with exact largest-remainder "
+    "allocation: a GLOBAL budget of 1000 documents is split across "
+    "language strata by floor shares plus +1 seats to the largest "
+    "remainders (the Hamilton rule rel_largest_remainder applies to "
+    "cents, applied to sample seats — ties remainder DESC then lang), "
+    "then each stratum contributes its quota's md5-smallest documents "
+    "— the budgeted mixture sampler next to p1_stratified_sample "
+    "(exact-N PER group) and p_mixture_reweight (weights, not picks): "
+    "quotas sum to EXACTLY the budget, which floor shares alone "
+    "cannot do. A stratum smaller than its quota under-fills without "
+    "redistribution (single-pass production form, reported by the "
+    "n_sampled column); sum_doc_id is the determinism checksum. "
+    "Shape: one lang hash-agg, a |langs|-row allocation window, "
+    "per-lang md5 rank windows (the p1 stratified convention), one "
+    "quota join",
+)
+def p_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    strata = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_stratum")
+    )
+    tot = strata.agg(F.sum("n_stratum").cast("bigint").alias("n"))
+    alloc = strata.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_stratum",
+        F.expr(f"CAST({_QUOTA_N} AS BIGINT) * n_stratum div n").alias(
+            "base"
+        ),
+        F.expr(f"(CAST({_QUOTA_N} AS BIGINT) * n_stratum) % n").alias(
+            "rem"
+        ),
+    )
+    seats = alloc.agg(
+        (F.lit(_QUOTA_N) - F.sum("base")).cast("bigint").alias("extra")
+    )
+    wq = Window.orderBy(F.desc("rem"), F.col("lang"))
+    quota = (
+        alloc.crossJoin(F.broadcast(seats))
+        .withColumn("rk", F.row_number().over(wq))
+        .select(
+            "lang",
+            "n_stratum",
+            (
+                F.col("base")
+                + F.when(F.col("rk") <= F.col("extra"), 1).otherwise(0)
+            ).alias("quota"),
+        )
+    )
+    wr = Window.partitionBy("lang").orderBy(
+        F.md5(F.concat_ws("|", F.lit("quota"), F.col("doc_id"))),
+        F.col("doc_id"),
+    )
+    ranked = docs.select(
+        "lang", "doc_id", F.row_number().over(wr).alias("rn")
+    )
+    picked = ranked.join(
+        F.broadcast(quota.select(F.col("lang").alias("ql"), "quota")),
+        ranked["lang"] == F.col("ql"),
+    ).filter(F.col("rn") <= F.col("quota"))
+    return (
+        quota.join(
+            picked.groupBy(F.col("lang").alias("pl")).agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_sampled"),
+                F.sum("doc_id").cast("bigint").alias("sum_doc_id"),
+            ),
+            quota["lang"] == F.col("pl"),
+            "left",
+        )
+        .select(
+            "lang",
+            "n_stratum",
+            F.col("quota").cast("bigint").alias("quota"),
+            F.coalesce("n_sampled", F.lit(0))
+            .cast("bigint")
+            .alias("n_sampled"),
+            F.coalesce("sum_doc_id", F.lit(0))
+            .cast("bigint")
+            .alias("sum_doc_id"),
+        )
+    )
+
+
+# ab_paired_ttest ----------------------------------------------------------
+
+_PAIRED_T_SQL = """
+    WITH s AS (
+      SELECT user_id,
+             epoch_us(ts) // 86400000000 AS day,
+             CAST(round(value * 100, 0) AS BIGINT) AS cents
+      FROM events),
+    span AS MATERIALIZED (
+      SELECT (min(day) + max(day)) // 2 + 1 AS cut FROM s),
+    per_user AS (
+      SELECT user_id,
+             CAST(sum(CASE WHEN day < (SELECT cut FROM span)
+               THEN cents ELSE 0 END) AS BIGINT) AS sx,
+             CAST(sum(CASE WHEN day < (SELECT cut FROM span)
+               THEN 1 ELSE 0 END) AS BIGINT) AS cx,
+             CAST(sum(CASE WHEN day >= (SELECT cut FROM span)
+               THEN cents ELSE 0 END) AS BIGINT) AS sy,
+             CAST(sum(CASE WHEN day >= (SELECT cut FROM span)
+               THEN 1 ELSE 0 END) AS BIGINT) AS cy
+      FROM s GROUP BY 1),
+    d AS (
+      SELECT sy * 1000 // cy - sx * 1000 // cx AS d_milli
+      FROM per_user WHERE cx > 0 AND cy > 0),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(d_milli) AS HUGEINT) AS sd,
+             CAST(sum(CAST(d_milli AS HUGEINT) * d_milli) AS HUGEINT)
+               AS sdd
+      FROM d)
+    SELECT n,
+           CAST(sd // n AS BIGINT) AS mean_d_milli,
+           round(CASE WHEN n < 2 OR CAST(n AS HUGEINT) * sdd = sd * sd
+             THEN 0.0
+             ELSE (CAST(sd AS DOUBLE) / n)
+                  / sqrt((CAST(sdd AS DOUBLE)
+                          - CAST(sd AS DOUBLE) * sd / n)
+                         / (n - 1) / n) END, 6) AS t_stat
+    FROM agg
+"""
+
+
+@register(
+    "ab_paired_ttest",
+    _PAIRED_T_SQL,
+    "paired t statistic of per-user mean spend, first half vs second "
+    "half of the timeline (users active in BOTH halves; per-user "
+    "difference of exact milli-cent means) — the WITHIN-subject test "
+    "the ab_* family lacked: ab_ttest_welch compares two independent "
+    "arms, ab_cuped_adjust shrinks variance with a pre-period "
+    "covariate, the paired test removes between-user variance "
+    "entirely, which is why before/after product changes are "
+    "evaluated paired. EXACT spine: per-user sums/counts in integer "
+    "cents, differences floored to milli, sums of d and d^2 in "
+    "int128/decimal; only the final t divides in double (identical "
+    "operands both engines, round-6 — the ab_ttest_welch float "
+    "discipline); degenerate spreads report 0. Shape: one user-keyed "
+    "hash-agg (both halves in ONE conditional agg), a 1-row span "
+    "broadcast, a 1-row rollup",
+)
+def ab_paired_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    s = ev.select(
+        "user_id",
+        F.expr("unix_micros(ts) div 86400000000").alias("day"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+    )
+    span = s.agg(F.expr("(min(day) + max(day)) div 2 + 1").alias("cut"))
+    per_user = (
+        s.crossJoin(F.broadcast(span))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("day") < F.col("cut"), F.col("cents"))
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("sx"),
+            F.sum(F.when(F.col("day") < F.col("cut"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("cx"),
+            F.sum(
+                F.when(F.col("day") >= F.col("cut"), F.col("cents"))
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("sy"),
+            F.sum(F.when(F.col("day") >= F.col("cut"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("cy"),
+        )
+    )
+    dec = "decimal(38,0)"
+    d = per_user.filter((F.col("cx") > 0) & (F.col("cy") > 0)).select(
+        F.expr("sy * 1000 div cy - sx * 1000 div cx").alias("d_milli")
+    )
+    agg = d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("d_milli").cast(dec)).alias("sd"),
+        F.sum(F.col("d_milli").cast(dec) * F.col("d_milli")).alias("sdd"),
+    )
+    return agg.select(
+        "n",
+        F.expr("CAST(sd div n AS BIGINT)").alias("mean_d_milli"),
+        F.expr(
+            "round(CASE WHEN n < 2"
+            " OR CAST(n AS DECIMAL(38,0)) * sdd = sd * sd THEN 0.0"
+            " ELSE (CAST(sd AS DOUBLE) / n)"
+            " / sqrt((CAST(sdd AS DOUBLE)"
+            " - CAST(sd AS DOUBLE) * sd / n)"
+            " / (n - 1) / n) END, 6)"
+        ).alias("t_stat"),
+    )

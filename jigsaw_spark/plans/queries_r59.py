@@ -462,3 +462,448 @@ def stream_ece_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(sum(abs(sp - 1000000 * pos)) div sum(n) AS BIGINT)"
         ).alias("ece_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-10 batch 5 (same module — the window is governed by _R10_NEW in
+# plans/queries, not by module boundaries; only modules at/after
+# _OVERFLOW_BOUNDARY queue behind the window).
+# ---------------------------------------------------------------------------
+
+# ab_srm_check -------------------------------------------------------------
+
+_SRM_SQL = """
+    WITH exposure AS (
+      SELECT DISTINCT event_type, user_id FROM events),
+    armed AS (
+      SELECT event_type,
+             CAST(CAST(('0x' || substr(md5('srm|'
+               || CAST(user_id AS VARCHAR)), 1, 12)) AS UBIGINT)
+               % CAST(2 AS UBIGINT) AS BIGINT) AS arm
+      FROM exposure),
+    c AS (
+      SELECT event_type,
+             CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_a,
+             CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_b
+      FROM armed GROUP BY 1)
+    SELECT event_type, n_a, n_b,
+           CAST((n_a - n_b) * (n_a - n_b) * 1000 // (n_a + n_b)
+             AS BIGINT) AS chi2_milli,
+           (n_a - n_b) * (n_a - n_b) * 1000 // (n_a + n_b) > 3841
+             AS srm_alarm
+    FROM c
+"""
+
+
+@register(
+    "ab_srm_check",
+    _SRM_SQL,
+    "sample-ratio-mismatch gate: users are hash-assigned 50/50 (the "
+    "md5 arm convention every ab_* query shares) and the one-dof "
+    "chi-square (n_a - n_b)^2 / (n_a + n_b) is computed per "
+    "event-type exposure slice — SRM is the FIRST check run on any "
+    "experiment (a biased assignment invalidates every downstream "
+    "test: ab_ttest_welch / ab_mann_whitney_u assume the split "
+    "held), and per-slice SRM catches exposure-path bugs a global "
+    "check hides (one surface dropping arm-B users). Alarm at the "
+    "0.05 critical value 3.841 — exact integer compare in milli, no "
+    "chi-square CDF needed. Shape: one distinct (type, user) "
+    "hash-agg, one 5-row rollup; the arm is a map-side hash",
+)
+def ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    exposure = ev.select("event_type", "user_id").distinct()
+    armed = exposure.select(
+        "event_type",
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("|", F.lit("srm"), F.col("user_id"))),
+                    1,
+                    12,
+                ),
+                16,
+                10,
+            ).cast("bigint"),
+            F.lit(2),
+        ).alias("arm"),
+    )
+    c = armed.groupBy("event_type").agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_b"),
+    )
+    return c.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        F.expr(
+            "CAST((n_a - n_b) * (n_a - n_b) * 1000 div (n_a + n_b)"
+            " AS BIGINT)"
+        ).alias("chi2_milli"),
+        F.expr(
+            "(n_a - n_b) * (n_a - n_b) * 1000 div (n_a + n_b) > 3841"
+        ).alias("srm_alarm"),
+    )
+
+
+# p_epoch_shuffle_quality --------------------------------------------------
+
+_EPOCH_SHUF_SQL = """
+    WITH sharded AS (
+      SELECT doc_id,
+             CAST(CAST(('0x' || substr(md5('shard|'
+               || CAST(doc_id AS VARCHAR)), 1, 12)) AS UBIGINT)
+               % CAST(8 AS UBIGINT) AS INT) AS shard,
+             ('0x' || substr(md5('ep1|' || CAST(doc_id AS VARCHAR)),
+               1, 12)) AS k1,
+             ('0x' || substr(md5('ep2|' || CAST(doc_id AS VARCHAR)),
+               1, 12)) AS k2
+      FROM documents),
+    ranked AS (
+      SELECT shard,
+             row_number() OVER (PARTITION BY shard
+               ORDER BY k1, doc_id) AS r1,
+             row_number() OVER (PARTITION BY shard
+               ORDER BY k2, doc_id) AS r2
+      FROM sharded),
+    agg AS (
+      SELECT shard, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST((r1 - r2) AS HUGEINT) * (r1 - r2))
+               AS HUGEINT) AS sum_d2
+      FROM ranked GROUP BY 1)
+    SELECT CAST(shard AS INT) AS shard, n, CAST(sum_d2 AS BIGINT) AS sum_d2,
+           CAST(CASE WHEN n < 2 THEN 1000
+             ELSE (CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) * n - 1)
+                   - 6 * sum_d2) * 1000
+                  // (CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) * n - 1))
+             END AS BIGINT) AS spearman_milli
+    FROM agg
+"""
+
+
+@register(
+    "p_epoch_shuffle_quality",
+    _EPOCH_SHUF_SQL,
+    "epoch-shuffle quality audit: per training shard, the Spearman "
+    "rank correlation between the epoch-1 and epoch-2 md5-keyed "
+    "curriculum orders (rho = 1 - 6*sum d^2 / (n(n^2-1)), reported "
+    "in milli with the n(n^2-1) term in int128 so 1e9-row shards "
+    "cannot wrap) — a GOOD keyed shuffle re-orders every epoch, so "
+    "rho should sit near 0; rho near 1000 means epochs replay the "
+    "same order (the seed was not folded in) and batch composition "
+    "never varies, a real and silent training-quality bug. The "
+    "determinism twin of p8: md5 ordering makes every epoch "
+    "reproducible AND distinct, and this measures the 'distinct'. "
+    "Shape: the two rank windows are per (shard) — the "
+    "text_seq_packing convention: shard count scales with the "
+    "corpus, so partitions stay bounded in production; one shard-dim "
+    "hash-agg after",
+)
+def p_epoch_shuffle_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = _t(spark, sf_dir, "documents")
+
+    def key(seed):
+        return F.concat(
+            F.lit("0x"),
+            F.substring(
+                F.md5(F.concat_ws("|", F.lit(seed), F.col("doc_id"))), 1, 12
+            ),
+        )
+
+    sharded = docs.select(
+        "doc_id",
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws("|", F.lit("shard"), F.col("doc_id"))
+                    ),
+                    1,
+                    12,
+                ),
+                16,
+                10,
+            ).cast("bigint"),
+            F.lit(8),
+        )
+        .cast("int")
+        .alias("shard"),
+        key("ep1").alias("k1"),
+        key("ep2").alias("k2"),
+    )
+    w1 = Window.partitionBy("shard").orderBy("k1", "doc_id")
+    w2 = Window.partitionBy("shard").orderBy("k2", "doc_id")
+    ranked = sharded.select(
+        "shard",
+        F.row_number().over(w1).alias("r1"),
+        F.row_number().over(w2).alias("r2"),
+    )
+    dec = "decimal(38,0)"
+    agg = ranked.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(
+            ((F.col("r1") - F.col("r2")).cast(dec))
+            * (F.col("r1") - F.col("r2"))
+        ).alias("sum_d2"),
+    )
+    return agg.select(
+        F.col("shard").cast("int").alias("shard"),
+        "n",
+        F.col("sum_d2").cast("bigint").alias("sum_d2"),
+        F.expr(
+            "CAST(CASE WHEN n < 2 THEN 1000"
+            " ELSE (CAST(n AS DECIMAL(38,0)) * (CAST(n AS DECIMAL(38,0))"
+            " * n - 1) - 6 * CAST(sum_d2 AS DECIMAL(38,0))) * 1000"
+            " div (CAST(n AS DECIMAL(38,0)) * (CAST(n AS DECIMAL(38,0))"
+            " * n - 1)) END AS BIGINT)"
+        ).alias("spearman_milli"),
+    )
+
+
+# rel_abc_migration --------------------------------------------------------
+
+_ABC_MIG_SQL = """
+    WITH o AS (
+      SELECT o_custkey,
+             epoch_us(o_orderdate) // 86400000000 AS day,
+             CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+      FROM orders),
+    span AS MATERIALIZED (
+      SELECT (min(day) + max(day)) // 2 + 1 AS cut FROM o),
+    halves AS (
+      SELECT o_custkey, day >= (SELECT cut FROM span) AS h2, cents
+      FROM o),
+    rev AS (
+      SELECT o_custkey, h2, CAST(sum(cents) AS BIGINT) AS cents
+      FROM halves GROUP BY 1, 2),
+    classed AS (
+      SELECT o_custkey, h2,
+             CASE WHEN CAST(cum_prev AS HUGEINT) * 100
+                       < CAST(total AS HUGEINT) * 80 THEN 'A'
+                  WHEN CAST(cum_prev AS HUGEINT) * 100
+                       < CAST(total AS HUGEINT) * 95 THEN 'B'
+                  ELSE 'C' END AS abc,
+             cents
+      FROM (
+        SELECT o_custkey, h2, cents,
+               sum(cents) OVER (PARTITION BY h2
+                 ORDER BY cents DESC, o_custkey
+                 ROWS UNBOUNDED PRECEDING) - cents AS cum_prev,
+               sum(cents) OVER (PARTITION BY h2) AS total
+        FROM rev) t),
+    c1 AS (SELECT o_custkey, abc FROM classed WHERE NOT h2),
+    c2 AS (SELECT o_custkey, abc, cents FROM classed WHERE h2)
+    SELECT coalesce(c1.abc, 'N') AS abc_h1,
+           coalesce(c2.abc, 'N') AS abc_h2,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(coalesce(sum(c2.cents), 0) AS BIGINT) AS h2_cents
+    FROM c1 FULL OUTER JOIN c2 ON c1.o_custkey = c2.o_custkey
+    GROUP BY 1, 2
+"""
+
+
+@register(
+    "rel_abc_migration",
+    _ABC_MIG_SQL,
+    "Pareto-class migration matrix: customers are ABC-classified by "
+    "revenue concentration (the rel_pareto_abc 80/95 cut) "
+    "independently in the FIRST and SECOND halves of the timeline "
+    "(span-midpoint cut, the temporal-split convention), and the "
+    "(class_h1 x class_h2) matrix counts who moved — plus 'N' rows "
+    "for customers present in only one half (churned A-customers and "
+    "newly-acquired ones land here, and those two N-flows are the "
+    "report's whole point: rel_pareto_abc says revenue is "
+    "concentrated, this says whether the SAME customers stay "
+    "concentrated). EXACT: integer cents, cross-multiplied class "
+    "cuts in int128/decimal (the rel_pareto_abc discipline). Shape: "
+    "one customer-half hash-agg, two per-half ranking windows over "
+    "the customer dim, one full-outer self-join on the customer key, "
+    "a <= 16-row matrix rollup",
+)
+def rel_abc_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = _t(spark, sf_dir, "orders")
+    o = orders.select(
+        "o_custkey",
+        F.expr(
+            "unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000"
+        ).alias("day"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias(
+            "cents"
+        ),
+    )
+    span = o.agg(F.expr("(min(day) + max(day)) div 2 + 1").alias("cut"))
+    rev = (
+        o.crossJoin(F.broadcast(span))
+        .select(
+            "o_custkey", (F.col("day") >= F.col("cut")).alias("h2"), "cents"
+        )
+        .groupBy("o_custkey", "h2")
+        .agg(F.sum("cents").cast("bigint").alias("cents"))
+    )
+    wc = (
+        Window.partitionBy("h2")
+        .orderBy(F.desc("cents"), "o_custkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = rev.select(
+        "o_custkey",
+        "h2",
+        "cents",
+        (F.sum("cents").over(wc) - F.col("cents")).alias("cum_prev"),
+        F.sum("cents").over(Window.partitionBy("h2")).alias("total"),
+    )
+    cum_d = F.col("cum_prev").cast("decimal(38,0)")
+    tot_d = F.col("total").cast("decimal(38,0)")
+    classed = cum.select(
+        "o_custkey",
+        "h2",
+        "cents",
+        F.when(cum_d * 100 < tot_d * 80, "A")
+        .when(cum_d * 100 < tot_d * 95, "B")
+        .otherwise("C")
+        .alias("abc"),
+    )
+    c1 = classed.filter(~F.col("h2")).select(
+        F.col("o_custkey").alias("k1"), F.col("abc").alias("abc1")
+    )
+    c2 = classed.filter(F.col("h2")).select(
+        F.col("o_custkey").alias("k2"),
+        F.col("abc").alias("abc2"),
+        "cents",
+    )
+    return (
+        c1.join(c2, c1["k1"] == c2["k2"], "full")
+        .groupBy(
+            F.coalesce("abc1", F.lit("N")).alias("abc_h1"),
+            F.coalesce("abc2", F.lit("N")).alias("abc_h2"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.coalesce(F.sum("cents"), F.lit(0))
+            .cast("bigint")
+            .alias("h2_cents"),
+        )
+    )
+
+
+# ml_kendall_tau -----------------------------------------------------------
+
+
+def _kendall_sql() -> str:
+    from jigsaw_spark.operators.text import tokens_sql
+
+    return f"""
+    WITH t AS (
+      SELECT doc_id, n_chars, {tokens_sql('text')} AS toks
+      FROM documents),
+    scored AS (
+      SELECT least(n_chars // 50, 19) AS bx,
+             least(CASE WHEN len(toks) = 0 THEN 0
+               ELSE len(list_distinct(toks)) * 1000 // len(toks) END
+               // 100, 9) AS by
+      FROM t),
+    f AS MATERIALIZED (
+      SELECT bx, by, CAST(count(*) AS BIGINT) AS c
+      FROM scored GROUP BY 1, 2),
+    n AS MATERIALIZED (SELECT CAST(sum(c) AS BIGINT) AS n FROM f),
+    pairs AS (
+      SELECT
+        CAST(sum(CASE WHEN b.bx > a.bx AND b.by > a.by
+          THEN CAST(a.c AS HUGEINT) * b.c ELSE 0 END) AS HUGEINT) AS conc,
+        CAST(sum(CASE WHEN b.bx > a.bx AND b.by < a.by
+          THEN CAST(a.c AS HUGEINT) * b.c ELSE 0 END) AS HUGEINT) AS disc
+      FROM f a CROSS JOIN f b)
+    SELECT (SELECT n FROM n) AS n,
+           CAST((SELECT count(*) FROM f) AS BIGINT) AS n_cells,
+           CAST(conc AS BIGINT) AS concordant,
+           CAST(disc AS BIGINT) AS discordant,
+           CAST((conc - disc) * 2 * 1000000
+             // (CAST((SELECT n FROM n) AS HUGEINT)
+                 * ((SELECT n FROM n) - 1)) AS BIGINT) AS tau_a_micro
+    FROM pairs
+"""
+
+
+@register(
+    "ml_kendall_tau",
+    _kendall_sql(),
+    "Kendall tau-a rank association between document length (50-char "
+    "bands) and lexical diversity (type-token-ratio deciles), "
+    "computed on the BANDED CONTINGENCY table: concordant/discordant "
+    "pair counts are sums of f_ij * f_i'j' over cell pairs, so the "
+    "O(n^2) pair space collapses to a <= 200 x 200 cell cross — the "
+    "rank-correlation companion of ml_linreg/ml_ols (Pearson sees "
+    "linear association; tau sees any monotone one, and doc "
+    "length vs vocabulary richness is the canonical "
+    "long-docs-get-repetitive curation question). EXACT: integer "
+    "pair counts in int128, tau-a (tied pairs in neither numerator) "
+    "reported in micro with one floor division — no sqrt, which "
+    "tau-b would need. Shape: one fact hash-agg into the bounded "
+    "band grid; the cell-pair cross is dim x dim, never rows",
+)
+def ml_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jigsaw_spark.operators.text import tokens_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = docs.select(
+        tokens_expr("text").alias("toks"), "n_chars"
+    ).select(
+        F.expr("least(n_chars div 50, 19)").alias("bx"),
+        F.expr(
+            "least(CASE WHEN size(toks) = 0 THEN 0"
+            " ELSE size(array_distinct(toks)) * 1000 div size(toks) END"
+            " div 100, 9)"
+        ).alias("by"),
+    )
+    f = scored.groupBy("bx", "by").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    n = f.agg(F.sum("c").cast("bigint").alias("n"))
+    a = f.select(
+        F.col("bx").alias("ax"), F.col("by").alias("ay"),
+        F.col("c").alias("ac"),
+    )
+    b = f.select(
+        F.col("bx").alias("bx2"), F.col("by").alias("by2"),
+        F.col("c").alias("bc"),
+    )
+    dec = "decimal(38,0)"
+    pairs = a.crossJoin(b).agg(
+        F.sum(
+            F.when(
+                (F.col("bx2") > F.col("ax")) & (F.col("by2") > F.col("ay")),
+                F.col("ac").cast(dec) * F.col("bc"),
+            ).otherwise(F.lit(0).cast(dec))
+        ).alias("conc"),
+        F.sum(
+            F.when(
+                (F.col("bx2") > F.col("ax")) & (F.col("by2") < F.col("ay")),
+                F.col("ac").cast(dec) * F.col("bc"),
+            ).otherwise(F.lit(0).cast(dec))
+        ).alias("disc"),
+    )
+    nc = f.agg(F.count(F.lit(1)).cast("bigint").alias("n_cells"))
+    return (
+        pairs.crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(nc))
+        .select(
+            "n",
+            "n_cells",
+            F.col("conc").cast("bigint").alias("concordant"),
+            F.col("disc").cast("bigint").alias("discordant"),
+            F.expr(
+                "CAST((conc - disc) * 2 * 1000000"
+                " div (CAST(n AS DECIMAL(38,0)) * (n - 1)) AS BIGINT)"
+            ).alias("tau_a_micro"),
+        )
+    )

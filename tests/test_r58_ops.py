@@ -17,6 +17,11 @@ def _tokens(text: str) -> list[str]:
     return [t for t in re.split("[^a-z0-9]+", (text or "").lower()) if t]
 
 
+def _tdiv(a: int, b: int) -> int:
+    q = abs(a) // abs(b)
+    return q if (a < 0) == (b < 0) else -q
+
+
 def _keeper_edges(spark):
     """Replay keeper_pairs via the production operator (itself covered
     by the dedup suite), returning the symmetric neighbor map."""
@@ -183,3 +188,75 @@ def test_max_drawdown_replays(spark):
     assert g["trough_day"] == best[1]
     assert g["peak_cents"] == best[2]
     assert g["trough_cents"] == best[3]
+
+
+def test_quota_sample_replays(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    strata = defaultdict(list)
+    for r in docs:
+        strata[r["lang"]].append(r["doc_id"])
+    total, budget = len(docs), 1000
+    base = {l: budget * len(ids) // total for l, ids in strata.items()}
+    rem = {l: (budget * len(ids)) % total for l, ids in strata.items()}
+    extra = budget - sum(base.values())
+    order = sorted(strata, key=lambda l: (-rem[l], l))
+    quota = {
+        l: base[l] + (1 if i < extra else 0) for i, l in enumerate(order)
+    }
+
+    def pri(d):
+        return hashlib.md5(f"quota|{d}".encode()).hexdigest()
+
+    got = {
+        r["lang"]: r
+        for r in entrymod.queries()["p_quota_sample"](spark, SF).collect()
+    }
+    assert set(got) == set(strata)
+    assert sum(r["quota"] for r in got.values()) == budget
+    for l, ids in strata.items():
+        picked = sorted(ids, key=lambda d: (pri(d), d))[: quota[l]]
+        g = got[l]
+        assert g["n_stratum"] == len(ids)
+        assert g["quota"] == quota[l]
+        assert g["n_sampled"] == len(picked)
+        assert g["sum_doc_id"] == sum(picked)
+
+
+def test_paired_ttest_replays(spark):
+    import math
+
+    events = spark.read.parquet(f"{SF}/events.parquet").collect()
+    rows = [
+        (
+            r["user_id"],
+            int(r["ts"].timestamp() * 1_000_000) // 86400000000,
+            int(round(r["value"] * 100)),
+        )
+        for r in events
+    ]
+    days = [d for _, d, _ in rows]
+    cut = (min(days) + max(days)) // 2 + 1
+    per = defaultdict(lambda: [0, 0, 0, 0])
+    for u, d, c in rows:
+        p = per[u]
+        if d < cut:
+            p[0] += c
+            p[1] += 1
+        else:
+            p[2] += c
+            p[3] += 1
+    ds = [
+        sy * 1000 // cy - sx * 1000 // cx
+        for sx, cx, sy, cy in per.values()
+        if cx > 0 and cy > 0
+    ]
+    n = len(ds)
+    sd, sdd = sum(ds), sum(x * x for x in ds)
+    [g] = entrymod.queries()["ab_paired_ttest"](spark, SF).collect()
+    assert g["n"] == n
+    assert g["mean_d_milli"] == _tdiv(sd, n)
+    if n >= 2 and n * sdd != sd * sd:
+        t = (sd / n) / math.sqrt((sdd - sd * sd / n) / (n - 1) / n)
+        assert abs(g["t_stat"] - round(t, 6)) < 1e-5
+    else:
+        assert g["t_stat"] == 0.0

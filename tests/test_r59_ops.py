@@ -18,6 +18,13 @@ def _tokens(text: str) -> list[str]:
     return [t for t in re.split("[^a-z0-9]+", (text or "").lower()) if t]
 
 
+def _tdiv(a: int, b: int) -> int:
+    """Truncating integer division — Spark `div` and DuckDB `//` both
+    truncate toward zero; Python `//` floors, which differs on negatives."""
+    q = abs(a) // abs(b)
+    return q if (a < 0) == (b < 0) else -q
+
+
 def test_dup_rate_trend_replays(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
     first = {}
@@ -131,3 +138,147 @@ def test_stream_ece_monitor_replays(spark):
         assert g["n"] == n
         assert g["pos"] == pos
         assert g["ece_micro"] == ece
+
+
+def test_srm_check_replays(spark):
+    events = spark.read.parquet(f"{SF}/events.parquet").collect()
+    arms = defaultdict(lambda: [0, 0])
+    seen = set()
+    for r in events:
+        key = (r["event_type"], r["user_id"])
+        if key in seen:
+            continue
+        seen.add(key)
+        arm = (
+            int(
+                hashlib.md5(f"srm|{r['user_id']}".encode()).hexdigest()[:12],
+                16,
+            )
+            % 2
+        )
+        arms[r["event_type"]][arm] += 1
+    got = {
+        r["event_type"]: r
+        for r in entrymod.queries()["ab_srm_check"](spark, SF).collect()
+    }
+    assert set(got) == set(arms)
+    for t, (na, nb) in arms.items():
+        g = got[t]
+        assert (g["n_a"], g["n_b"]) == (na, nb)
+        chi2 = (na - nb) ** 2 * 1000 // (na + nb)
+        assert g["chi2_milli"] == chi2
+        assert g["srm_alarm"] == (chi2 > 3841)
+
+
+def test_epoch_shuffle_quality_replays(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    def h(seed, did):
+        return hashlib.md5(f"{seed}|{did}".encode()).hexdigest()[:12]
+
+    shards = defaultdict(list)
+    for r in docs:
+        shard = int(h("shard", r["doc_id"]), 16) % 8
+        shards[shard].append(r["doc_id"])
+    got = {
+        r["shard"]: r
+        for r in entrymod.queries()["p_epoch_shuffle_quality"](
+            spark, SF
+        ).collect()
+    }
+    assert set(got) == set(shards)
+    for shard, ids in shards.items():
+        o1 = sorted(ids, key=lambda d: (h("ep1", d), d))
+        o2 = sorted(ids, key=lambda d: (h("ep2", d), d))
+        r1 = {d: i + 1 for i, d in enumerate(o1)}
+        r2 = {d: i + 1 for i, d in enumerate(o2)}
+        n = len(ids)
+        sum_d2 = sum((r1[d] - r2[d]) ** 2 for d in ids)
+        g = got[shard]
+        assert g["n"] == n
+        assert g["sum_d2"] == sum_d2
+        nn = n * (n * n - 1)
+        expect = 1000 if n < 2 else _tdiv((nn - 6 * sum_d2) * 1000, nn)
+        assert g["spearman_milli"] == expect
+        # a keyed shuffle should decorrelate epochs almost entirely
+        assert abs(g["spearman_milli"]) < 300
+
+
+def test_abc_migration_replays(spark):
+    orders = spark.read.parquet(f"{SF}/orders.parquet").collect()
+    rows = [
+        (
+            r["o_custkey"],
+            int(r["o_orderdate"].timestamp() * 1_000_000) // 86400000000,
+            int(round(r["o_totalprice"] * 100)),
+        )
+        for r in orders
+    ]
+    days = [d for _, d, _ in rows]
+    cut = (min(days) + max(days)) // 2 + 1
+
+    def classify(half_rows):
+        rev = defaultdict(int)
+        for ck, cents in half_rows:
+            rev[ck] += cents
+        total = sum(rev.values())
+        out, cum = {}, 0
+        for ck in sorted(rev, key=lambda k: (-rev[k], k)):
+            if cum * 100 < total * 80:
+                out[ck] = "A"
+            elif cum * 100 < total * 95:
+                out[ck] = "B"
+            else:
+                out[ck] = "C"
+            cum += rev[ck]
+        return out, rev
+
+    c1, _ = classify([(ck, c) for ck, d, c in rows if d < cut])
+    c2, rev2 = classify([(ck, c) for ck, d, c in rows if d >= cut])
+    mat = defaultdict(lambda: [0, 0])
+    for ck in set(c1) | set(c2):
+        key = (c1.get(ck, "N"), c2.get(ck, "N"))
+        mat[key][0] += 1
+        mat[key][1] += rev2.get(ck, 0)
+    got = {
+        (r["abc_h1"], r["abc_h2"]): r
+        for r in entrymod.queries()["rel_abc_migration"](
+            spark, SF
+        ).collect()
+    }
+    assert set(got) == set(mat)
+    for key, (n, cents) in mat.items():
+        assert got[key]["n_customers"] == n
+        assert got[key]["h2_cents"] == cents
+
+
+def test_kendall_tau_replays(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    cells = defaultdict(int)
+    n = 0
+    for r in docs:
+        toks = _tokens(r["text"])
+        bx = min(r["n_chars"] // 50, 19)
+        ttr = (
+            len(set(toks)) * 1000 // len(toks) if toks else 0
+        )
+        by = min(ttr // 100, 9)
+        cells[(bx, by)] += 1
+        n += 1
+    conc = sum(
+        ca * cb
+        for (ax, ay), ca in cells.items()
+        for (bx, by), cb in cells.items()
+        if bx > ax and by > ay
+    )
+    disc = sum(
+        ca * cb
+        for (ax, ay), ca in cells.items()
+        for (bx, by), cb in cells.items()
+        if bx > ax and by < ay
+    )
+    [g] = entrymod.queries()["ml_kendall_tau"](spark, SF).collect()
+    assert g["n"] == n
+    assert g["n_cells"] == len(cells)
+    assert g["concordant"] == conc
+    assert g["discordant"] == disc
+    assert g["tau_a_micro"] == _tdiv((conc - disc) * 2 * 1000000, n * (n - 1))

@@ -258,6 +258,23 @@ ALL_PAIRS_OK = {
     "dq_dup_rate_trend",
     # two 1-row aggregate scalars (usq x ssq) crossed into one row
     "ml_embedding_isotropy",
+    # broadcast 8-row IVF codebook cross for cell assignment/probes
+    # (the ann_ivf_topk class)
+    "dq_contamination_semantic",
+    # three 1-row rollup scalars (wedges x triangles x edge count)
+    # crossed into the single output row
+    "graph_transitivity",
+    # broadcast 14-row lag dim crossed into the day-grain series
+    # (the ts_acf_exact class)
+    "ts_dominant_period",
+    # the <= 200-cell contingency self-cross (dim x dim, never rows)
+    # + 1-row total scalars
+    "ml_kendall_tau",
+    # 1-row span-cut scalar crossed into the fact scan
+    "rel_abc_migration",
+    "ab_paired_ttest",
+    # 1-row total/seat scalars crossed into the |langs|-row allocation
+    "p_quota_sample",
 }
 # queries expected to push a filter into the parquet scan
 EXPECT_PUSHDOWN = {
@@ -388,6 +405,11 @@ GLOBAL_WINDOW_OK = {
     # running-max + argmax windows over the bounded calendar-day dim
     # (the MASE day-grain pre-agg discipline)
     "ts_max_drawdown",
+    # per-half Pareto ranking windows over the customer dim (the
+    # rel_pareto_abc class)
+    "rel_abc_migration",
+    # the largest-remainder seat window runs over the |langs| dim
+    "p_quota_sample",
 }
 # streaming queries execute on .start(), not .explain — audit skipped
 SKIP = {"stream_hourly_rollup", "stream_stateful_sessions"}

@@ -359,6 +359,16 @@ PROBES = [
     # shifted-key day-dim joins + per-type argmax
     "graph_transitivity",
     "ts_dominant_period",
+    # r10 batch 5: distinct-exposure SRM; per-shard double rank
+    # windows; per-half Pareto windows + customer self-join; the
+    # banded-contingency tau cross
+    "ab_srm_check",
+    "p_epoch_shuffle_quality",
+    "rel_abc_migration",
+    "ml_kendall_tau",
+    # r10 batch 6: lang-dim quota windows; one user-keyed paired agg
+    "p_quota_sample",
+    "ab_paired_ttest",
 ]
 
 TABLES = [
