@@ -1670,6 +1670,8 @@ _R10_NEW: list[str] = [
     "ml_kendall_tau",
     "p_quota_sample",
     "ab_paired_ttest",
+    "graph_community_conductance",
+    "ts_weekday_anova",
 ]
 
 _STALE_PADDING = [

@@ -56,11 +56,13 @@ from jigsaw_spark.plans.queries import _t, register
 # ---------------------------------------------------------------------------
 
 
-def _lpa_sql() -> str:
+def lpa_cte() -> str:
+    """Shared 2-round LPA CTE chain (keeper edges -> l2 labels) used by
+    ``graph_label_propagation`` and ``graph_community_conductance`` —
+    one definition so the vote convention cannot drift."""
     from jigsaw_spark.plans.queries_llm import _KEEPER_EDGES_CTE
 
-    return f"""
-    WITH {_KEEPER_EDGES_CTE},
+    return f"""{_KEEPER_EDGES_CTE},
     nodes AS (SELECT DISTINCT u FROM edges),
     v1 AS (
       SELECT e.u, e.v AS lbl FROM edges e
@@ -87,7 +89,32 @@ def _lpa_sql() -> str:
                row_number() OVER (PARTITION BY u
                  ORDER BY cnt DESC, lbl) AS rn
         FROM c2) t
-      WHERE rn = 1),
+      WHERE rn = 1)"""
+
+
+def lpa_two_rounds(edges: DataFrame) -> DataFrame:
+    """Spark twin of :func:`lpa_cte`: (u, lbl) after 2 synchronous LPA
+    rounds (votes = neighbor labels + own, ties to the smallest)."""
+    nodes = edges.select("u").distinct()
+
+    def lpa_round(labels: DataFrame) -> DataFrame:
+        votes = edges.join(
+            labels.select(F.col("u").alias("v"), "lbl"), "v"
+        ).select("u", "lbl").unionAll(labels.select("u", "lbl"))
+        c = votes.groupBy("u", "lbl").agg(F.count(F.lit(1)).alias("cnt"))
+        w = Window.partitionBy("u").orderBy(F.desc("cnt"), F.col("lbl"))
+        return (
+            c.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("u", "lbl")
+        )
+
+    return lpa_round(lpa_round(nodes.select("u", F.col("u").alias("lbl"))))
+
+
+def _lpa_sql() -> str:
+    return f"""
+    WITH {lpa_cte()},
     comm AS (
       SELECT lbl, CAST(count(*) AS BIGINT) AS size
       FROM l2 GROUP BY 1)
@@ -121,22 +148,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     edges = keeper_edges(docs, "doc_id")
-    nodes = edges.select("u").distinct()
-
-    def lpa_round(labels: DataFrame) -> DataFrame:
-        votes = edges.join(
-            labels.select(F.col("u").alias("v"), "lbl"), "v"
-        ).select("u", "lbl").unionAll(labels.select("u", "lbl"))
-        c = votes.groupBy("u", "lbl").agg(F.count(F.lit(1)).alias("cnt"))
-        w = Window.partitionBy("u").orderBy(F.desc("cnt"), F.col("lbl"))
-        return (
-            c.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("u", "lbl")
-        )
-
-    l1 = lpa_round(nodes.select("u", F.col("u").alias("lbl")))
-    l2 = lpa_round(l1)
+    l2 = lpa_two_rounds(edges)
     comm = l2.groupBy("lbl").agg(
         F.count(F.lit(1)).cast("bigint").alias("size")
     )
@@ -808,4 +820,240 @@ def ab_paired_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
             " - CAST(sd AS DOUBLE) * sd / n)"
             " / (n - 1) / n) END, 6)"
         ).alias("t_stat"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Round-10 batch 7.
+# ---------------------------------------------------------------------------
+
+# graph_community_conductance ----------------------------------------------
+
+
+def _conductance_sql() -> str:
+    return f"""
+    WITH {lpa_cte()},
+    deg AS (
+      SELECT u, CAST(count(*) AS BIGINT) AS d FROM edges GROUP BY 1),
+    comm AS (
+      SELECT lbl, CAST(count(*) AS BIGINT) AS size
+      FROM l2 GROUP BY 1),
+    top5 AS MATERIALIZED (
+      SELECT lbl, size,
+             CAST(row_number() OVER (ORDER BY size DESC, lbl) AS INT)
+               AS rnk
+      FROM comm QUALIFY rnk <= 5),
+    vol_all AS MATERIALIZED (
+      SELECT CAST(sum(d) AS BIGINT) AS v FROM deg),
+    ec AS (
+      SELECT t.lbl,
+             CAST(sum(CASE WHEN lu.lbl = lv.lbl THEN 1 ELSE 0 END)
+               AS BIGINT) AS internal_ends,
+             CAST(sum(CASE WHEN lu.lbl <> lv.lbl THEN 1 ELSE 0 END)
+               AS BIGINT) AS cut_ends
+      FROM edges e
+      JOIN l2 lu ON e.u = lu.u
+      JOIN l2 lv ON e.v = lv.u
+      JOIN top5 t ON lu.lbl = t.lbl
+      GROUP BY 1),
+    vol AS (
+      SELECT l.lbl, CAST(sum(d.d) AS BIGINT) AS vol
+      FROM l2 l JOIN deg d ON l.u = d.u
+      JOIN top5 t ON l.lbl = t.lbl
+      GROUP BY 1)
+    SELECT t.rnk, t.lbl AS community, t.size,
+           v.vol,
+           CAST(coalesce(e.cut_ends, 0) AS BIGINT) AS cut_edges,
+           CAST(CASE WHEN least(v.vol, (SELECT v FROM vol_all) - v.vol)
+                       = 0 THEN 0
+             ELSE coalesce(e.cut_ends, 0) * 1000
+                  // least(v.vol, (SELECT v FROM vol_all) - v.vol) END
+             AS BIGINT) AS conductance_milli
+    FROM top5 t
+    JOIN vol v ON t.lbl = v.lbl
+    LEFT JOIN ec e ON t.lbl = e.lbl
+"""
+
+
+@register(
+    "graph_community_conductance",
+    _conductance_sql(),
+    "cut conductance of the 5 largest LPA communities (the SHARED "
+    "2-round lpa_cte labels, so detector and grader certify the same "
+    "partition): per community — size, volume (sum of member "
+    "degrees), cut edge-endpoints (directed edges leaving the "
+    "community; the symmetric edge list counts each undirected cut "
+    "edge once per side), and conductance = cut div min(vol, "
+    "total_vol - vol) in milli — THE community-quality number "
+    "(graph_label_propagation finds the partition, modularity grades "
+    "it globally; conductance grades each cluster separately, and a "
+    "high-conductance 'community' is a hub artifact, not a template "
+    "family — exactly what decides cluster-level vs doc-level "
+    "dedup). EXACT: integer degree/cut counts, one floor division; "
+    "communities with zero min-volume report 0. Shape: the keeper "
+    "edge list joined twice against the label map (both "
+    "keeper-graph-sized), one degree agg, a 5-row top-k dim",
+)
+def graph_community_conductance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from jigsaw_spark.operators.dedup import keeper_edges
+
+    docs = _t(spark, sf_dir, "documents")
+    edges = keeper_edges(docs, "doc_id")
+    l2 = lpa_two_rounds(edges).localCheckpoint()
+    deg = edges.groupBy("u").agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    comm = l2.groupBy("lbl").agg(
+        F.count(F.lit(1)).cast("bigint").alias("size")
+    )
+    wt = Window.orderBy(F.desc("size"), F.col("lbl"))
+    top5 = (
+        comm.withColumn("rnk", F.row_number().over(wt).cast("int"))
+        .filter(F.col("rnk") <= 5)
+        .localCheckpoint()
+    )
+    vol_all = deg.agg(F.sum("d").cast("bigint").alias("v"))
+    lu = l2.select(F.col("u").alias("eu"), F.col("lbl").alias("lu"))
+    lv = l2.select(F.col("u").alias("ev"), F.col("lbl").alias("lv"))
+    ec = (
+        edges.join(lu, edges["u"] == lu["eu"])
+        .join(lv, edges["v"] == lv["ev"])
+        .join(
+            F.broadcast(top5.select(F.col("lbl").alias("tl"))),
+            F.col("lu") == F.col("tl"),
+        )
+        .groupBy(F.col("lu").alias("lbl"))
+        .agg(
+            F.sum(F.when(F.col("lu") != F.col("lv"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("cut_ends")
+        )
+    )
+    vol = (
+        l2.join(deg, l2["u"] == deg["u"])
+        .join(
+            F.broadcast(top5.select(F.col("lbl").alias("tl"))),
+            F.col("lbl") == F.col("tl"),
+        )
+        .groupBy("lbl")
+        .agg(F.sum("d").cast("bigint").alias("vol"))
+    )
+    return (
+        top5.join(vol, "lbl")
+        .join(ec, "lbl", "left")
+        .crossJoin(F.broadcast(vol_all))
+        .select(
+            "rnk",
+            F.col("lbl").alias("community"),
+            "size",
+            "vol",
+            F.coalesce("cut_ends", F.lit(0))
+            .cast("bigint")
+            .alias("cut_edges"),
+            F.expr(
+                "CAST(CASE WHEN least(vol, v - vol) = 0 THEN 0"
+                " ELSE coalesce(cut_ends, 0) * 1000"
+                " div least(vol, v - vol) END AS BIGINT)"
+            ).alias("conductance_milli"),
+        )
+    )
+
+
+# ts_weekday_anova ----------------------------------------------------------
+
+_ANOVA_SQL = """
+    WITH daily AS (
+      SELECT epoch_us(ts) // 86400000000 AS day,
+             CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events GROUP BY 1),
+    grp AS (
+      SELECT CAST(day % 7 AS INT) AS dow,
+             CAST(count(*) AS BIGINT) AS n_g,
+             CAST(sum(cents) AS HUGEINT) AS s_g,
+             CAST(sum(CAST(cents AS HUGEINT) * cents) AS HUGEINT) AS ss_g
+      FROM daily GROUP BY 1),
+    tot AS (
+      SELECT CAST(sum(n_g) AS BIGINT) AS n,
+             CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(s_g) AS HUGEINT) AS s,
+             CAST(sum(ss_g) AS HUGEINT) AS ssq,
+             sum(CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE)
+                 / CAST(n_g AS DOUBLE)) AS sb
+      FROM grp)
+    SELECT n, CAST(k AS INT) AS k,
+           round(sb - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n, 2)
+             AS ssb,
+           round(CAST(ssq AS DOUBLE) - sb, 2) AS ssw,
+           round(CASE WHEN k < 2 OR n <= k
+                      OR CAST(ssq AS DOUBLE) - sb <= 0 THEN 0.0
+             ELSE ((sb - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)
+                   / (k - 1))
+                  / ((CAST(ssq AS DOUBLE) - sb) / (n - k)) END, 6)
+             AS f_stat
+    FROM tot
+"""
+
+
+@register(
+    "ts_weekday_anova",
+    _ANOVA_SQL,
+    "one-way ANOVA of daily revenue by weekday (epoch-day mod 7 — a "
+    "fixed 7-group partition, anchor documented): between/within sum "
+    "of squares and the F statistic — rel_dow_hour_matrix SHOWS the "
+    "weekly pattern, ts_acf_exact correlates lag 7, this one says "
+    "whether the weekday means differ MORE than daily noise explains "
+    "(the significance gate before anyone ships a weekday-seasonal "
+    "model; F is a variance ratio, so no sqrt appears anywhere). "
+    "EXACT spine: per-group day counts, cent sums and squared sums "
+    "in int128 — the only doubles are the final SSB/SSW/F divisions "
+    "on identical exact operands (round-2/round-6, the ab_ttest_welch "
+    "float discipline); degenerate cases report 0. Shape: day-grain "
+    "pre-agg FIRST (the MASE discipline), one 7-row group hash-agg, "
+    "one 1-row rollup",
+)
+def ts_weekday_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.expr("unix_micros(ts) div 86400000000").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    dec = "decimal(38,0)"
+    grp = daily.groupBy(
+        F.expr("CAST(day % 7 AS INT)").alias("dow")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_g"),
+        F.sum(F.col("cents").cast(dec)).alias("s_g"),
+        F.sum(F.col("cents").cast(dec) * F.col("cents")).alias("ss_g"),
+    )
+    tot = grp.agg(
+        F.sum("n_g").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("s_g").alias("s"),
+        F.sum("ss_g").alias("ssq"),
+        F.sum(
+            F.col("s_g").cast("double")
+            * F.col("s_g").cast("double")
+            / F.col("n_g").cast("double")
+        ).alias("sb"),
+    )
+    return tot.select(
+        "n",
+        F.col("k").cast("int").alias("k"),
+        F.expr(
+            "round(sb - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n, 2)"
+        ).alias("ssb"),
+        F.expr("round(CAST(ssq AS DOUBLE) - sb, 2)").alias("ssw"),
+        F.expr(
+            "round(CASE WHEN k < 2 OR n <= k"
+            " OR CAST(ssq AS DOUBLE) - sb <= 0 THEN 0.0"
+            " ELSE ((sb - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n)"
+            " / (k - 1))"
+            " / ((CAST(ssq AS DOUBLE) - sb) / (n - k)) END, 6)"
+        ).alias("f_stat"),
     )

@@ -260,3 +260,65 @@ def test_paired_ttest_replays(spark):
         assert abs(g["t_stat"] - round(t, 6)) < 1e-5
     else:
         assert g["t_stat"] == 0.0
+
+
+def test_community_conductance_replays(spark):
+    nbrs = _keeper_edges(spark)
+    labels = {u: u for u in nbrs}
+    for _ in range(2):
+        new = {}
+        for u in nbrs:
+            votes = Counter(labels[v] for v in nbrs[u])
+            votes[labels[u]] += 1
+            top = max(votes.values())
+            new[u] = min(l for l, c in votes.items() if c == top)
+        labels = new
+    sizes = Counter(labels.values())
+    top5 = sorted(sizes.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    deg = {u: len(vs) for u, vs in nbrs.items()}
+    vol_all = sum(deg.values())
+    got = {
+        r["community"]: r
+        for r in entrymod.queries()["graph_community_conductance"](
+            spark, SF
+        ).collect()
+    }
+    assert set(got) == {lbl for lbl, _ in top5}
+    for rnk, (lbl, size) in enumerate(top5, 1):
+        members = {u for u, l in labels.items() if l == lbl}
+        vol = sum(deg[u] for u in members)
+        cut = sum(
+            1 for u in members for v in nbrs[u] if labels[v] != lbl
+        )
+        g = got[lbl]
+        assert g["rnk"] == rnk
+        assert g["size"] == size
+        assert g["vol"] == vol
+        assert g["cut_edges"] == cut
+        mv = min(vol, vol_all - vol)
+        assert g["conductance_milli"] == (cut * 1000 // mv if mv else 0)
+
+
+def test_weekday_anova_replays(spark):
+    events = spark.read.parquet(f"{SF}/events.parquet").collect()
+    daily = defaultdict(int)
+    for r in events:
+        day = int(r["ts"].timestamp() * 1_000_000) // 86400000000
+        daily[day] += int(round(r["value"] * 100))
+    groups = defaultdict(list)
+    for day, cents in daily.items():
+        groups[day % 7].append(cents)
+    n = len(daily)
+    k = len(groups)
+    s = sum(daily.values())
+    ssq = sum(c * c for c in daily.values())
+    sb = sum(sum(g) ** 2 / len(g) for g in groups.values())
+    ssb = sb - s * s / n
+    ssw = ssq - sb
+    [g] = entrymod.queries()["ts_weekday_anova"](spark, SF).collect()
+    assert g["n"] == n
+    assert g["k"] == k
+    assert abs(g["ssb"] - round(ssb, 2)) < 1
+    assert abs(g["ssw"] - round(ssw, 2)) < 1
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert abs(g["f_stat"] - round(f, 6)) < 1e-4

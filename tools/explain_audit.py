@@ -275,6 +275,8 @@ ALL_PAIRS_OK = {
     "ab_paired_ttest",
     # 1-row total/seat scalars crossed into the |langs|-row allocation
     "p_quota_sample",
+    # 1-row total-volume scalar crossed into the 5-row community dim
+    "graph_community_conductance",
 }
 # queries expected to push a filter into the parquet scan
 EXPECT_PUSHDOWN = {
@@ -410,6 +412,9 @@ GLOBAL_WINDOW_OK = {
     "rel_abc_migration",
     # the largest-remainder seat window runs over the |langs| dim
     "p_quota_sample",
+    # the top-5 community rank window runs over the community dim
+    # (bounded by near-dup density, the graph family's node-dim class)
+    "graph_community_conductance",
 }
 # streaming queries execute on .start(), not .explain — audit skipped
 SKIP = {"stream_hourly_rollup", "stream_stateful_sessions"}

@@ -369,6 +369,10 @@ PROBES = [
     # r10 batch 6: lang-dim quota windows; one user-keyed paired agg
     "p_quota_sample",
     "ab_paired_ttest",
+    # r10 batch 7: LPA labels joined twice against the keeper edges;
+    # day-grain 7-group ANOVA rollup
+    "graph_community_conductance",
+    "ts_weekday_anova",
 ]
 
 TABLES = [
