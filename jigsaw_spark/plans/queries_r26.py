@@ -265,7 +265,12 @@ _DPP_SQL = """
     "the dim filter prunes fact IO at PLANNING-result time instead of "
     "scanning everything into the join. Results = the plain filtered "
     "aggregate (the oracle); only the scan differs. Same stale-dir "
-    "Hadoop-FS cleanup discipline as j11",
+    "Hadoop-FS cleanup discipline as j11 — and the same SINGLE-WRITER "
+    "assumption: the managed table name is fixed, so two concurrent "
+    "SESSIONS running this query race on the warehouse dir (the "
+    "driver's serial gate never does; don't run two local gates at "
+    "once — measured as a chmod-on-missing-temp-file task failure "
+    "when pytest and verify_oracle overlapped, r10)",
 )
 def j13_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
