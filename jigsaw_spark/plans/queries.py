@@ -1672,6 +1672,8 @@ _R10_NEW: list[str] = [
     "ab_paired_ttest",
     "graph_community_conductance",
     "ts_weekday_anova",
+    "ml_bootstrap_f1",
+    "p_recency_weights",
 ]
 
 _STALE_PADDING = [

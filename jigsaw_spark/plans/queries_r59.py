@@ -907,3 +907,264 @@ def ml_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tau_a_micro"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-10 batch 8.
+# ---------------------------------------------------------------------------
+
+# ml_bootstrap_f1 ----------------------------------------------------------
+
+
+def _bootstrap_f1_sql() -> str:
+    from jigsaw_spark.plans.queries_r4 import _BOOT_B, _pois_case_sql
+
+    return f"""
+    WITH s AS (
+      SELECT event_id,
+             CAST(round(value * 100, 0) AS BIGINT) AS cents,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events),
+    t AS MATERIALIZED (
+      SELECT min(cents) AS lo, max(cents) AS hi FROM s),
+    p AS (
+      SELECT event_id, y,
+             CASE WHEN (SELECT hi - lo FROM t) = 0 THEN 1
+                  WHEN (cents - (SELECT lo FROM t)) * 1000000
+                       // (SELECT hi - lo FROM t) >= 500000 THEN 1
+                  ELSE 0 END AS pred,
+             md5('bootf1|' || CAST(event_id AS VARCHAR)) AS h
+      FROM s),
+    rep AS (
+      SELECT y, pred, h, unnest(range({_BOOT_B})) AS b FROM p),
+    w AS (
+      SELECT b, y, pred,
+             {_pois_case_sql(
+                 "(('0x' || substr(h, CAST(2*b+1 AS INT), 2))::INT"
+                 " / 256.0)")} AS wt
+      FROM rep),
+    cm AS (
+      SELECT b,
+             CAST(sum(CASE WHEN pred = 1 AND y = 1 THEN wt ELSE 0 END)
+               AS BIGINT) AS tp,
+             CAST(sum(CASE WHEN pred = 1 AND y = 0 THEN wt ELSE 0 END)
+               AS BIGINT) AS fp,
+             CAST(sum(CASE WHEN pred = 0 AND y = 1 THEN wt ELSE 0 END)
+               AS BIGINT) AS fn
+      FROM w GROUP BY 1),
+    f1 AS (
+      SELECT CAST(b AS INT) AS b, tp, fp, fn,
+             CAST(CASE WHEN 2 * tp + fp + fn = 0 THEN 0
+               ELSE 2 * tp * 1000 // (2 * tp + fp + fn) END AS BIGINT)
+               AS f1_milli
+      FROM cm)
+    SELECT b, tp, fp, fn, f1_milli,
+           CAST(sum(f1_milli) OVER () // count(*) OVER () AS BIGINT)
+             AS f1_mean_milli,
+           CAST(min(f1_milli) OVER () AS BIGINT) AS f1_lo_milli,
+           CAST(max(f1_milli) OVER () AS BIGINT) AS f1_hi_milli
+    FROM f1
+"""
+
+
+@register(
+    "ml_bootstrap_f1",
+    _bootstrap_f1_sql(),
+    "deterministic Poisson-bootstrap confidence band for F1 at the "
+    "fixed 0.5 operating point: 16 replicates draw per-example "
+    "Poisson(1) weights from md5 digest bytes (the agg_bootstrap_means "
+    "scheme — one digest per row, each replicate reads its own 2-hex "
+    "slice through the shared 256-entry CDF ladder), each replicate's "
+    "weighted confusion counts collapse to an integer F1, and the "
+    "min/mean/max band rides along — point metrics "
+    "(ml_confusion_metrics) say WHAT the F1 is; the bootstrap says "
+    "whether a 20-milli F1 delta between two models is real or "
+    "resampling noise, the question every eval comparison must answer "
+    "before shipping. EXACT: integer weights, integer weighted "
+    "counts, integer F1 per replicate — the band is exact given the "
+    "deterministic draw. Shape: ONE fact scan fanned x16 by the "
+    "replicate dim into a 16-row hash-agg; the band windows run over "
+    "those 16 bounded rows",
+)
+def ml_bootstrap_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jigsaw_spark.functions.hashing import md5_key
+    from jigsaw_spark.plans.queries_r4 import _BOOT_B, _POIS_CDF
+
+    ev = _t(spark, sf_dir, "events")
+    s = ev.select(
+        "event_id",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    t = s.agg(F.min("cents").alias("lo"), F.max("cents").alias("hi"))
+    p = s.crossJoin(F.broadcast(t)).select(
+        "y",
+        F.expr(
+            "CASE WHEN hi - lo = 0 THEN 1"
+            " WHEN (cents - lo) * 1000000 div (hi - lo) >= 500000 THEN 1"
+            " ELSE 0 END"
+        ).alias("pred"),
+        md5_key(
+            F.concat_ws("|", F.lit("bootf1"), F.col("event_id").cast("string"))
+        ).alias("h"),
+    )
+    lut = F.array(
+        *[
+            F.lit(
+                next(
+                    (k for k, c in enumerate(_POIS_CDF) if byte / 256.0 < c),
+                    7,
+                )
+            )
+            for byte in range(256)
+        ]
+    )
+    # hoist each replicate's weight into ONE projected column before the
+    # aggregate (the SCALE.md §7 node2vec lesson): the tp/fp/fn
+    # conditionals then reference wt{b} instead of re-deriving the
+    # substring→conv→LUT chain 3x per replicate per row (measured
+    # 6.1 s → 4.6 s min-of-2 at sf0.1; the rest is the genuine 48
+    # conditional sums)
+    p = p.select(
+        "y",
+        "pred",
+        *[
+            F.element_at(
+                lut,
+                F.conv(F.substring(F.col("h"), 2 * b + 1, 2), 16, 10)
+                .cast("int")
+                + 1,
+            ).alias(f"wt{b}")
+            for b in range(_BOOT_B)
+        ],
+    )
+    aggs = []
+    for b in range(_BOOT_B):
+        wt = F.col(f"wt{b}")
+        aggs.append(
+            F.sum(
+                F.when((F.col("pred") == 1) & (F.col("y") == 1), wt)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias(f"tp{b}")
+        )
+        aggs.append(
+            F.sum(
+                F.when((F.col("pred") == 1) & (F.col("y") == 0), wt)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias(f"fp{b}")
+        )
+        aggs.append(
+            F.sum(
+                F.when((F.col("pred") == 0) & (F.col("y") == 1), wt)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias(f"fn{b}")
+        )
+    row = p.agg(*aggs)
+    pairs = ", ".join(f"{b}, tp{b}, fp{b}, fn{b}" for b in range(_BOOT_B))
+    f1 = row.selectExpr(
+        f"stack({_BOOT_B}, {pairs}) AS (b, tp, fp, fn)"
+    ).select(
+        F.col("b").cast("int").alias("b"),
+        "tp",
+        "fp",
+        "fn",
+        F.expr(
+            "CAST(CASE WHEN 2 * tp + fp + fn = 0 THEN 0"
+            " ELSE 2 * tp * 1000 div (2 * tp + fp + fn) END AS BIGINT)"
+        ).alias("f1_milli"),
+    )
+    return f1.select(
+        "*",
+        F.expr(
+            "CAST(sum(f1_milli) OVER () div count(1) OVER () AS BIGINT)"
+        ).alias("f1_mean_milli"),
+        F.expr("CAST(min(f1_milli) OVER () AS BIGINT)").alias(
+            "f1_lo_milli"
+        ),
+        F.expr("CAST(max(f1_milli) OVER () AS BIGINT)").alias(
+            "f1_hi_milli"
+        ),
+    )
+
+
+# p_recency_weights --------------------------------------------------------
+
+_RECENCY_SQL = """
+    WITH o AS (
+      SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+             CAST(extract(year FROM o_orderdate) * 12
+               + extract(month FROM o_orderdate) - 1 AS BIGINT) AS m
+      FROM orders),
+    mx AS MATERIALIZED (SELECT max(day) AS mday FROM o),
+    wtd AS (
+      SELECT m,
+             CAST(1000000 // (CAST(1 AS BIGINT) << CAST(least(
+               ((SELECT mday FROM mx) - day) // 30, 40) AS INT))
+               AS BIGINT) AS w_micro
+      FROM o),
+    agg AS (
+      SELECT m, CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(w_micro) AS BIGINT) AS w_sum
+      FROM wtd GROUP BY 1),
+    tot AS MATERIALIZED (
+      SELECT CAST(sum(w_sum) AS BIGINT) AS tw FROM agg)
+    SELECT CAST(m AS BIGINT) AS month_idx, n_orders, w_sum,
+           CAST(w_sum * 1000000 // (SELECT tw FROM tot) AS BIGINT)
+             AS share_micro
+    FROM agg
+"""
+
+
+@register(
+    "p_recency_weights",
+    _RECENCY_SQL,
+    "recency-decayed sampling weights with a 30-day half-life: each "
+    "order weighs 2^-(age_days div 30) in micro (EXACT — the power of "
+    "two is an integer shift, capped at 2^40, so no float pow ever "
+    "appears), rolled up per month with each month's share of the "
+    "total decayed mass — the freshness-weighted mixture ledger next "
+    "to p_mixture_reweight (balance) and p_drift_reweight "
+    "(stability): training-data pipelines age out stale crawls by "
+    "exactly this kind of half-life schedule, and the share column "
+    "IS the per-month sampling rate it implies. Shape: one 1-row max "
+    "broadcast, a map-side weight expression, one month-dim "
+    "hash-agg",
+)
+def p_recency_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    o = orders.select(
+        F.expr(
+            "unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000"
+        ).alias("day"),
+        F.expr(
+            "CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1"
+            " AS BIGINT)"
+        ).alias("m"),
+    )
+    mx = o.agg(F.max("day").alias("mday"))
+    wtd = o.crossJoin(F.broadcast(mx)).select(
+        "m",
+        F.expr(
+            "CAST(1000000 div shiftleft(CAST(1 AS BIGINT),"
+            " CAST(least((mday - day) div 30, 40) AS INT)) AS BIGINT)"
+        ).alias("w_micro"),
+    )
+    agg = wtd.groupBy("m").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum("w_micro").cast("bigint").alias("w_sum"),
+    )
+    tot = agg.agg(F.sum("w_sum").cast("bigint").alias("tw"))
+    return agg.crossJoin(F.broadcast(tot)).select(
+        F.col("m").cast("bigint").alias("month_idx"),
+        "n_orders",
+        "w_sum",
+        F.expr("CAST(w_sum * 1000000 div tw AS BIGINT)").alias(
+            "share_micro"
+        ),
+    )

@@ -282,3 +282,86 @@ def test_kendall_tau_replays(spark):
     assert g["concordant"] == conc
     assert g["discordant"] == disc
     assert g["tau_a_micro"] == _tdiv((conc - disc) * 2 * 1000000, n * (n - 1))
+
+
+def test_bootstrap_f1_replays(spark):
+    events = spark.read.parquet(f"{SF}/events.parquet").collect()
+    from jigsaw_spark.plans.queries_r4 import _BOOT_B, _POIS_CDF
+
+    cents = [int(round(r["value"] * 100)) for r in events]
+    lo, hi = min(cents), max(cents)
+    rows = []
+    for r, c in zip(events, cents):
+        pred = (
+            1
+            if hi == lo or (c - lo) * 1000000 // (hi - lo) >= 500000
+            else 0
+        )
+        y = 1 if r["event_type"] == "purchase" else 0
+        h = hashlib.md5(f"bootf1|{r['event_id']}".encode()).hexdigest()
+        rows.append((y, pred, h))
+
+    def wt(h, b):
+        byte = int(h[2 * b : 2 * b + 2], 16)
+        return next(
+            (k for k, cdf in enumerate(_POIS_CDF) if byte / 256.0 < cdf), 7
+        )
+
+    f1s = {}
+    for b in range(_BOOT_B):
+        tp = sum(wt(h, b) for y, p, h in rows if p == 1 and y == 1)
+        fp = sum(wt(h, b) for y, p, h in rows if p == 1 and y == 0)
+        fn = sum(wt(h, b) for y, p, h in rows if p == 0 and y == 1)
+        f1s[b] = (
+            tp,
+            fp,
+            fn,
+            2 * tp * 1000 // (2 * tp + fp + fn) if 2 * tp + fp + fn else 0,
+        )
+    got = {
+        r["b"]: r
+        for r in entrymod.queries()["ml_bootstrap_f1"](spark, SF).collect()
+    }
+    assert set(got) == set(f1s)
+    lo_f = min(v[3] for v in f1s.values())
+    hi_f = max(v[3] for v in f1s.values())
+    mean_f = sum(v[3] for v in f1s.values()) // len(f1s)
+    for b, (tp, fp, fn, f1) in f1s.items():
+        g = got[b]
+        assert (g["tp"], g["fp"], g["fn"], g["f1_milli"]) == (tp, fp, fn, f1)
+        assert g["f1_lo_milli"] == lo_f
+        assert g["f1_hi_milli"] == hi_f
+        assert g["f1_mean_milli"] == mean_f
+
+
+def test_recency_weights_replays(spark):
+    orders = spark.read.parquet(f"{SF}/orders.parquet").collect()
+    days = [
+        int(r["o_orderdate"].timestamp() * 1_000_000) // 86400000000
+        for r in orders
+    ]
+    mday = max(days)
+    agg = defaultdict(lambda: [0, 0])
+    for r, day in zip(orders, days):
+        m = r["o_orderdate"].year * 12 + r["o_orderdate"].month - 1
+        w = 1000000 // (1 << min((mday - day) // 30, 40))
+        agg[m][0] += 1
+        agg[m][1] += w
+    tw = sum(a[1] for a in agg.values())
+    got = {
+        r["month_idx"]: r
+        for r in entrymod.queries()["p_recency_weights"](
+            spark, SF
+        ).collect()
+    }
+    assert set(got) == set(agg)
+    for m, (n, w) in agg.items():
+        g = got[m]
+        assert g["n_orders"] == n
+        assert g["w_sum"] == w
+        assert g["share_micro"] == w * 1000000 // tw
+    # the decay actually decays: earliest month's share beneath latest's
+    first, last = min(agg), max(agg)
+    assert got[first]["share_micro"] <= got[last]["share_micro"] or (
+        agg[first][0] > 10 * agg[last][0]
+    )

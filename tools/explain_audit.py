@@ -277,6 +277,9 @@ ALL_PAIRS_OK = {
     "p_quota_sample",
     # 1-row total-volume scalar crossed into the 5-row community dim
     "graph_community_conductance",
+    # 1-row score-bounds / max-day / total scalars crossed into scans
+    "ml_bootstrap_f1",
+    "p_recency_weights",
 }
 # queries expected to push a filter into the parquet scan
 EXPECT_PUSHDOWN = {
@@ -415,6 +418,8 @@ GLOBAL_WINDOW_OK = {
     # the top-5 community rank window runs over the community dim
     # (bounded by near-dup density, the graph family's node-dim class)
     "graph_community_conductance",
+    # the band windows run over the 16-row replicate dim
+    "ml_bootstrap_f1",
 }
 # streaming queries execute on .start(), not .explain — audit skipped
 SKIP = {"stream_hourly_rollup", "stream_stateful_sessions"}

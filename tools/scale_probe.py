@@ -373,6 +373,10 @@ PROBES = [
     # day-grain 7-group ANOVA rollup
     "graph_community_conductance",
     "ts_weekday_anova",
+    # r10 batch 8: one fact scan x16 replicate fan-out; map-side
+    # shift-decay weights into a month rollup
+    "ml_bootstrap_f1",
+    "p_recency_weights",
 ]
 
 TABLES = [
