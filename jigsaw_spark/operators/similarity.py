@@ -82,15 +82,60 @@ def cosine_topk(
     k rows of this batch beat it strictly on round-9, so it cannot be
     in the global top-k — the union of batch-local keeps is therefore a
     superset of the global top-k for ANY batch split (AQE/partitioning
-    proof), and the final window reproduces the old plan's output
-    bit-for-bit."""
+    proof). The final window then reproduces the interpreted plan's
+    ordering exactly under the round-9 tie key for non-straddling
+    cosines: the kernel's numpy pairwise-summed dot products can differ
+    from Catalyst ``zip_with``/``aggregate`` sums at ulp level, so a
+    cosine sitting EXACTLY on a round-9 boundary could round differently
+    between engines (advisor r10 #3 — never observed on the registry
+    data; the 1e-8 superset proof covers batch-split invariance, not
+    engine-sum-order equality).
+
+    Contract (advisor r10 #1; all explicit, each previously implicit):
+
+    - ``id_col`` must be bigint-castable on BOTH sides. A panel id that
+      casts to NULL raises ``ValueError`` here; corpus ids are cast the
+      same way and a NULL id row is excluded (it could never be ranked
+      deterministically).
+    - The panel is collected eagerly at construction time (it is a
+      bounded eval set by contract — 200 rows in the registry queries).
+      An EMPTY panel returns an empty, correctly-typed result lazily —
+      matching the pre-round-10 Catalyst plan — instead of raising.
+    - A NULL panel embedding raises ``ValueError`` (a null eval vector
+      is a data bug, not a rankable query); NULL corpus embeddings are
+      excluded by a pushed-down filter.
+    - Zero-norm vectors have no defined cosine: such corpus rows are
+      EXCLUDED from candidacy, and a zero-norm panel vector yields no
+      output rows for that query. The old interpreted plan ranked those
+      NaN cosines FIRST (Spark treats NaN as greatest under DESC); that
+      ordering was an artifact, not a semantic, and the kernel makes
+      the exclusion deliberate. Registry tables contain neither nulls
+      nor zero vectors, so certified results are unchanged.
+    """
+    import numpy as np
+
+    out_schema = "query_id bigint, vec_id bigint, cos double"
     rows = queries.select(
         F.col(id_col).cast("bigint").alias("qid"),
         _to_double(vec_col).alias("qv"),
     ).collect()
     if not rows:
-        raise ValueError("cosine_topk: empty query panel")
-    import numpy as np
+        # lazy empty result with the final schema (pre-r10 behavior)
+        return (
+            corpus.sparkSession.createDataFrame([], out_schema)
+            .select(
+                "query_id",
+                "vec_id",
+                F.round("cos", 4).alias("cosine"),
+                F.lit(1).alias("rank"),
+            )
+        )
+    if any(r["qid"] is None for r in rows):
+        raise ValueError(
+            "cosine_topk: panel ids must be bigint-castable and non-null"
+        )
+    if any(r["qv"] is None or any(x is None for x in r["qv"]) for r in rows):
+        raise ValueError("cosine_topk: panel embeddings must be non-null")
 
     qids = np.array([r["qid"] for r in rows], dtype=np.int64)
     Q = np.array([r["qv"] for r in rows], dtype=np.float64)
@@ -103,17 +148,29 @@ def cosine_topk(
             if pdf.empty:
                 continue
             ids = pdf[id_col].to_numpy(dtype=np.int64)
+            # float32 -> float64 widening here is exact, identical to a
+            # Catalyst element cast but vectorized (same as the documented
+            # kernel-side cast in cosine_near_dup_pairs)
             M = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
-            sims = (Q @ M.T) / np.outer(Qn, np.linalg.norm(M, axis=1))
+            with np.errstate(invalid="ignore", divide="ignore"):
+                sims = (Q @ M.T) / np.outer(Qn, np.linalg.norm(M, axis=1))
+            # zero-norm on either side -> NaN cosine -> excluded (see
+            # docstring contract); NaN compares False below so the keep
+            # mask drops it without a branch
             self_mask = qids[:, None] == ids[None, :]
             sims[self_mask] = -np.inf
+            # neutralize NaNs BEFORE the kth-partition: numpy sorts NaN
+            # as greatest, so >= k zero-norm rows in one batch would make
+            # kth itself NaN and silently drop every VALID candidate
+            nan_mask = np.isnan(sims)
+            sims[nan_mask] = -np.inf
             n = sims.shape[1]
             if n > k:
                 kth = np.partition(sims, n - k, axis=1)[:, n - k]
                 keep = sims >= (kth - 1e-8)[:, None]
             else:
                 keep = np.ones_like(sims, dtype=bool)
-            keep &= ~self_mask
+            keep &= ~self_mask & ~nan_mask
             qi, ci = np.nonzero(keep)
             yield pd.DataFrame(
                 {
@@ -123,9 +180,14 @@ def cosine_topk(
                 }
             )
 
-    cand = corpus.select(
-        F.col(id_col).cast("bigint").alias(id_col), vec_col
-    ).mapInPandas(kernel, "query_id bigint, vec_id bigint, cos double")
+    cand = (
+        corpus.select(F.col(id_col).cast("bigint").alias(id_col), vec_col)
+        # contract: NULL ids / NULL embeddings are not rankable — exclude
+        # them at the scan (pushed-down filter) instead of crashing the
+        # kernel's int64/vstack conversions
+        .filter(F.col(id_col).isNotNull() & F.col(vec_col).isNotNull())
+        .mapInPandas(kernel, out_schema)
+    )
     w = Window.partitionBy("query_id").orderBy(
         F.round("cos", 9).desc(), F.col("vec_id")
     )
