@@ -1594,35 +1594,36 @@ from jigsaw_spark.plans import queries_r56  # noqa: E402,F401
 from jigsaw_spark.plans import queries_r57  # noqa: E402,F401
 from jigsaw_spark.plans import queries_r58  # noqa: E402,F401
 from jigsaw_spark.plans import queries_r59  # noqa: E402,F401
-# r60 is the ROUND-11 QUEUE (overflow module at _OVERFLOW_BOUNDARY,
-# behind the 50-slot window by policy — the r40/r55 pattern):
-# replica-verified this round, first driver row next round.
+# r60 was the round-11 queue; its 2 queries now head the r11 window.
 from jigsaw_spark.plans import queries_r60  # noqa: E402,F401
+from jigsaw_spark.plans import queries_r61  # noqa: E402,F401
 
 
 # ---------------------------------------------------------------------------
 # Registration order == driver certification order. The driver's correctness
 # gate walks QUERIES in insertion order with a bounded window (exactly the
-# first 50 names every round so far). Round-10 rotation (verdict r9
-# directive #1) — CORRECTNESS_r09 came back 51/51 green, so the only
-# remaining debt is the 2-query r55 queue registered behind the r9 window
-# (the documented round-10 queue, 1752ed3):
-#   slots 1-2   — ml_calibration_drift + text_vocab_growth (first driver
-#                 rows for the r55 queue pair).
-#   slots 3+    — round-10-new queries (modules queries_r56+) inserted
-#                 here as they are built, displacing padding down.
-#   tail to 50  — padding: stalest-first re-certs — the 27 oracle-backed
+# first 50 names every round so far). Round-11 rotation (verdict r10
+# directive #1) — CORRECTNESS_r10 came back 50/50 green, so the only
+# remaining debt is the 2-query r60 queue registered behind the r10 window
+# (the documented round-11 queue):
+#   slots 1-2   — graph_transitivity + ts_dominant_period (first driver
+#                 rows for the r60 queue pair).
+#   slots 3+    — round-11-new queries (modules queries_r61+) inserted
+#                 here as they are built.
+#   next        — changed-code re-certs (advisor r10 #2): the certified
+#                 queries whose EXECUTING code changed in the r10
+#                 keeper/eval/ivf refactors or the r11 cosine_topk
+#                 contract hardening get fresh driver rows ahead of
+#                 stalest-first padding.
+#   tail to 50  — padding: stalest-first re-certs — the 8 oracle-backed
 #                 queries whose latest driver row is still r01, then the
-#                 43 whose latest row is r02 — so every window slot is an
-#                 oracle-backed row and old code keeps getting
-#                 re-validated on a rolling basis. (The full 70-name pool
-#                 is listed; only the first 50 registry slots form the
-#                 window, the rest keep their certified rows and order.)
+#                 stalest of the 43 r02 rows. (The pool is longer than
+#                 the window on purpose; only the first 50 registry slots
+#                 form the window, the rest keep their certified rows.)
 # Overflow boundary: modules queries_r{_OVERFLOW_BOUNDARY}+ queue behind
-# slot 50 for the next round. The window is EXACTLY 50 slots this round
-# (r9 drifted to 51 debt rows; verdict r9 #6 restores the invariant —
-# if _R10_NEW outgrows 48 entries, move whole batch modules past the
-# boundary instead of widening the window).
+# slot 50 for the next round (the r40/r55/r60 pattern). The window is
+# EXACTLY 50 slots; if _R11_NEW outgrows the space, move whole batch
+# modules past the boundary instead of widening the window.
 # The 6 clean rows-only entries (text_bpe_encode, mm_decode_meta, ...)
 # each have their one driver row and are NOT re-rotated (they can never be
 # hash-certified). Everything already certified falls to the back in
@@ -1635,68 +1636,42 @@ from jigsaw_spark.plans import queries_r60  # noqa: E402,F401
 # First queries_r{N} module that queues BEHIND the 50-slot window for the
 # NEXT round's certification. tests/test_entry.py imports this so the
 # policy test and the registry cannot drift (advisor r9 #5).
-_OVERFLOW_BOUNDARY = 60
+_OVERFLOW_BOUNDARY = 65
 
-_R10_QUEUE = [
-    "ml_calibration_drift",
-    "text_vocab_growth",
+_R11_QUEUE = [
+    "graph_transitivity",
+    "ts_dominant_period",
 ]
 
-_R10_NEW: list[str] = [
-    # round-10-new queries are appended here by their batch modules' order
-    # as they are built (queries_r56+)
-    "dq_contamination_semantic",
-    "dq_decontam_skipgram",
-    "text_packing_efficiency",
-    "p_drift_reweight",
+_R11_NEW: list[str] = [
+    # round-11-new queries are appended here by their batch modules' order
+    # as they are built (queries_r61+)
+    "dq_contamination_by_source",
+    "p_token_budget_mix",
+    "ann_codec_recall",
+    "ann_ivf_balance",
+]
+
+# Changed-code re-certs (advisor r10 #2): certified names whose executing
+# code changed — the r10 cosine_topk Arrow kernel + eval_panel/keeper/ivf
+# refactors, and the r11 cosine_topk contract hardening (bd7b3f3). A green
+# old row certifies the OLD code; these get fresh rows this round.
+_R11_CHANGED_RECERT = [
+    "ann_cosine_topk",
+    "ann_recall_curve",
+    "ann_ivf_recall",
+    "rag_pipeline",
+    "ml_mrr_exact",
+    "ml_precision_at_k",
     "ml_recall_at_k",
-    "ml_fairness_parity",
-    "ml_brier_decomp",
-    "ml_auc_by_group",
-    "ml_risk_coverage",
-    "ml_confident_learning",
-    "graph_label_propagation",
-    "dq_label_conflict",
-    "er_threshold_sweep",
-    "dedup_shingle_sweep",
-    "ts_max_drawdown",
-    "dq_dup_rate_trend",
-    "rel_repeat_revenue",
-    "ml_embedding_isotropy",
-    "stream_ece_monitor",
-    "ab_srm_check",
-    "p_epoch_shuffle_quality",
-    "rel_abc_migration",
-    "ml_kendall_tau",
-    "p_quota_sample",
-    "ab_paired_ttest",
-    "graph_community_conductance",
-    "ts_weekday_anova",
-    "ml_bootstrap_f1",
-    "p_recency_weights",
+    "graph_degree_assortativity",
+    "graph_rich_club",
+    "graph_hub_removal_impact",
+    "text_seq_packing",
 ]
 
 _STALE_PADDING = [
-    # latest driver row r01 (27 oracle-backed)
-    "a5_extent_merge",
-    "fn_scalar",
-    "w1_sessionize",
-    "w2_topk_per_group",
-    "w3_hourly_rollup",
-    "w4_session_window",
-    "agg_salted",
-    "agg_distinct_twophase",
-    "j5_asof_join",
-    "j6_range_join",
-    "agg_rollup",
-    "agg_cube",
-    "agg_count_distinct",
-    "p1_stratified_sample",
-    "a3_vector_moments",
-    "agg_percentiles",
-    "agg_pivot",
-    "agg_unpivot",
-    "fn_datetime",
+    # latest driver row r01 (the 8 remaining oracle-backed)
     "w5_moving_avg",
     "fn_json",
     "fn_higher_order",
@@ -1705,7 +1680,8 @@ _STALE_PADDING = [
     "fn_subquery",
     "text_tokens",
     "text_quality",
-    # latest driver row r02 (43 oracle-backed)
+    # latest driver row r02 (stalest-first pool; rag_pipeline is in the
+    # changed-code block above, so it is not repeated here)
     "flagship_pipeline",
     "merge_upsert",
     "dedup_lsh_capped",
@@ -1725,7 +1701,6 @@ _STALE_PADDING = [
     "w9_distinct_window",
     "fn_variant",
     "fn_hashes",
-    "rag_pipeline",
     "dedup_lines",
     "fn_udtf_lateral",
     "dedup_lsh_recall",
@@ -1736,22 +1711,11 @@ _STALE_PADDING = [
     "rel_snapshot_diff",
     "rel_scd2_intervals",
     "ts_ewma",
-    "curation_pipeline_v2",
-    "ts_interval_union",
-    "sql_scripting_threshold",
-    "p_group_split",
-    "mine_assoc_pairs",
-    "agg_gini",
-    "text_bigram_logprob",
-    "fn_collation",
-    "dq_psi_drift",
-    "text_rake_keyphrase",
-    "agg_moments_34",
-    "agg_bootstrap_means",
-    "agg_weighted_percentile",
 ]
 
-_CERTIFICATION_PRIORITY = _R10_QUEUE + _R10_NEW + _STALE_PADDING
+_CERTIFICATION_PRIORITY = (
+    _R11_QUEUE + _R11_NEW + _R11_CHANGED_RECERT + _STALE_PADDING
+)
 
 
 def _reorder_registry() -> None:

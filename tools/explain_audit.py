@@ -34,6 +34,16 @@ SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 # against a tiny side (query set / band dim / IVF codebook / 1-row scalar)
 ALL_PAIRS_OK = {
     "ann_cosine_topk",
+    # r61: 1-row n_hold scalar crossed into the |sources| attribution dim
+    "dq_contamination_by_source",
+    # r61: 1-row budget + 1-row kstat aggregates crossed into the
+    # |sources|-row water-filling dim — degenerate O(|sources|) NLJs
+    "p_token_budget_mix",
+    # r61: 3-row k dim x 2-row codec dim crossed into k-bounded rank
+    # tables (<= 10 rows per query per arm) — the ann_recall_curve shape
+    "ann_codec_recall",
+    # r61: 1-row (total, ncells) aggregate crossed into the |cells| dim
+    "ann_ivf_balance",
     # RAG retrieval stage IS cosine_topk: broadcast query side crossed
     # against the corpus — the documented brute-force baseline shape
     "rag_pipeline",
@@ -304,6 +314,10 @@ EXPECT_BROADCAST = {
 # else with a global window is flagged (the r4 verdict asked for this
 # audit — boundedness was previously argued per-query but never enforced).
 GLOBAL_WINDOW_OK = {
+    # r61: water-filling rank/prefix windows run over the per-source
+    # AGGREGATE (|sources| rows, never the corpus) — the bounded-dim
+    # class like agg_gini / w10_share_of_total
+    "p_token_budget_mix",
     # samples._ranked "local" strategy: the global-order window is only
     # chosen after a code-enforced limit(5M+1).count() probe says the
     # input fits one task; above the threshold the distributed
