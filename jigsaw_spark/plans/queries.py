@@ -1597,6 +1597,7 @@ from jigsaw_spark.plans import queries_r59  # noqa: E402,F401
 # r60 was the round-11 queue; its 2 queries now head the r11 window.
 from jigsaw_spark.plans import queries_r60  # noqa: E402,F401
 from jigsaw_spark.plans import queries_r61  # noqa: E402,F401
+from jigsaw_spark.plans import queries_r62  # noqa: E402,F401
 
 
 # ---------------------------------------------------------------------------
@@ -1650,6 +1651,10 @@ _R11_NEW: list[str] = [
     "p_token_budget_mix",
     "ann_codec_recall",
     "ann_ivf_balance",
+    "dq_contamination_ngram_curve",
+    "text_dup_gram_mass",
+    "curation_gate_attribution",
+    "mm_phash_components",
 ]
 
 # Changed-code re-certs (advisor r10 #2): certified names whose executing

@@ -1,0 +1,560 @@
+"""Round-11 batch 2: contamination/dedup economics and the image arm
+of cluster accounting.
+
+- ``dq_contamination_ngram_curve``: contamination as a function of the
+  n-gram size — ``dq_contamination`` fixes n=8 (the GPT-3 rule) and
+  ``dq_decontam_skipgram`` fixes n=13 (the PaLM rule); this sweeps
+  n in {4, 6, 8, 10, 13} on the SAME 'contam' md5 split and reports,
+  per n, distinct holdout grams, how many collide with train, and how
+  many holdout docs are touched — the sensitivity curve that justifies
+  the n a decontamination pipeline standardizes on (small n
+  over-flags common phrases, large n under-flags; the knee is the
+  defensible setting — the dedup_shingle_sweep question asked of the
+  contamination rule).
+- ``text_dup_gram_mass``: corpus-level duplicate 8-gram mass per lang —
+  what fraction of all 8-gram OCCURRENCES sits in grams that appear in
+  >= 2 docs (cross-doc duplication) or >= 2 times anywhere (any
+  repetition). ``text_repetition`` scores each doc's INTERNAL dup-gram
+  fraction (the Gopher rule); this is the corpus view that prices how
+  much of the token mass near-dup dedup can possibly reclaim — the
+  RefinedWeb-style duplicate-mass ledger read before choosing dedup
+  aggressiveness.
+- ``curation_gate_attribution``: which quality gate does the work —
+  for the v1 curation battery (length >= 20 tokens, alnum ratio >=
+  0.5, lang-predict == 'en', plus the Gopher repetition rule stated in
+  exact integers: 2*(n_grams - n_distinct) > n_grams), per rule: docs
+  failing it, docs failing ONLY it (the sole-reason count — dropping
+  the rule readmits exactly these), and milli shares. The
+  inclusion-exclusion ledger behind curation_pipeline's end-to-end
+  keep rate: a rule with zero sole-fails is redundant at this corpus.
+- ``mm_phash_components``: duplicate-cluster size histogram for the
+  IMAGE arm — connected components (min reachable id) over
+  ``mm_phash_near_dup``'s dHash Hamming<=6 pairs, singletons included,
+  reported as (cluster_size, n_clusters, n_images): the
+  dedup_components/dedup_end_to_end accounting applied to the phash
+  family (verdict r10 #4's image-near-dup arm extended from pairs to
+  cluster economics).
+
+Scale notes (100 TB): the n-gram curve is one tokenize with five
+shingle explodes, each a distinct-gram hash-agg + one gram-keyed join
+(no pair enumeration; gram count grows linearly in n's arm count); the
+dup-mass ledger is one explode + one (lang, gram) hash-agg + a
+lang rollup; gate attribution is a map-only projection of four
+booleans + one 1-row aggregate unpivoted over a 4-row rule dim; phash
+components run on the BANDED candidate pairs (pigeonhole join, never
+all-pairs) and the component step uses the production
+connected_components operator (single-task union-find under the edge
+threshold, pointer-jumping label propagation above it)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jigsaw_spark.plans.queries import _t, register
+
+_NS = (4, 6, 8, 10, 13)
+
+# ---------------------------------------------------------------------------
+# dq_contamination_ngram_curve
+# ---------------------------------------------------------------------------
+
+
+def _contam_curve_sql() -> str:
+    from jigsaw_spark.operators.text import shingles_sql, tokens_sql
+
+    arms = []
+    for n in _NS:
+        arms.append(
+            f"""
+    hold_{n} AS (
+      SELECT DISTINCT doc_id, unnest({shingles_sql('t', n)}) AS sh
+      FROM toks WHERE is_holdout),
+    train_{n} AS (
+      SELECT DISTINCT unnest({shingles_sql('t', n)}) AS sh
+      FROM toks WHERE NOT is_holdout),
+    hit_{n} AS (
+      SELECT h.doc_id, h.sh, t.sh IS NOT NULL AS hit
+      FROM hold_{n} h LEFT JOIN train_{n} t ON h.sh = t.sh),
+    row_{n} AS (
+      SELECT {n} AS n,
+             CAST(count(DISTINCT sh) AS BIGINT) AS n_holdout_grams,
+             CAST(count(DISTINCT CASE WHEN hit THEN sh END) AS BIGINT)
+               AS n_contaminated_grams,
+             CAST(count(DISTINCT CASE WHEN hit THEN doc_id END)
+               AS BIGINT) AS n_contaminated_docs
+      FROM hit_{n})"""
+        )
+    unions = "\n      UNION ALL\n      ".join(
+        f"SELECT * FROM row_{n}" for n in _NS
+    )
+    return f"""
+    WITH split AS (
+      SELECT doc_id, text,
+             CAST(CAST(('0x' || substr(md5('contam|'
+               || CAST(doc_id AS VARCHAR)), 1, 12)) AS UBIGINT)
+               % CAST(20 AS UBIGINT) AS BIGINT) = 0 AS is_holdout
+      FROM documents),
+    toks AS MATERIALIZED (
+      SELECT doc_id, is_holdout, {tokens_sql('text')} AS t FROM split),
+    {','.join(arms)}
+    SELECT CAST(n AS INT) AS n, n_holdout_grams, n_contaminated_grams,
+           n_contaminated_docs,
+           CAST(CASE WHEN n_holdout_grams = 0 THEN 0
+             ELSE n_contaminated_grams * 1000 // n_holdout_grams
+             END AS BIGINT) AS rate_milli
+    FROM ({unions})
+"""
+
+
+@register(
+    "dq_contamination_ngram_curve",
+    _contam_curve_sql(),
+    "contamination sensitivity curve: the 8-gram rule "
+    "(dq_contamination) and the 13-gram skip rule "
+    "(dq_decontam_skipgram) are two points of a curve — this sweeps "
+    "n in {4,6,8,10,13} on the SAME 'contam' md5 split and reports "
+    "per n: distinct holdout grams, train collisions, touched holdout "
+    "docs, and the milli collision rate. Small n over-flags common "
+    "phrases, large n under-flags; the knee is the defensible "
+    "decontamination setting (dedup_shingle_sweep's economics applied "
+    "to the contamination rule). Shape: ONE tokenize, five shingle "
+    "explodes each feeding a distinct-gram hash-agg + one gram-keyed "
+    "join — no pair enumeration, arm count fixed at 5",
+)
+def dq_contamination_ngram_curve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from jigsaw_spark.operators.text import shingles_expr, tokens_expr
+    from jigsaw_spark.session import widen
+
+    docs = widen(_t(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id",
+        (
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                "|", F.lit("contam"), F.col("doc_id")
+                            )
+                        ),
+                        1,
+                        12,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint"),
+                F.lit(20),
+            )
+            == 0
+        ).alias("is_holdout"),
+        tokens_expr("text").alias("t"),
+    ).localCheckpoint()
+
+    arms = []
+    for n in _NS:
+        sh = toks.select(
+            "doc_id",
+            "is_holdout",
+            F.explode(shingles_expr("t", n)).alias("sh"),
+        )
+        hold = (
+            sh.filter(F.col("is_holdout"))
+            .select("doc_id", "sh")
+            .distinct()
+        )
+        train = (
+            sh.filter(~F.col("is_holdout"))
+            .select(F.col("sh").alias("tsh"))
+            .distinct()
+        )
+        hit = hold.join(train, hold["sh"] == F.col("tsh"), "left")
+        arms.append(
+            hit.agg(
+                F.lit(n).cast("int").alias("n"),
+                F.count_distinct("sh").cast("bigint").alias(
+                    "n_holdout_grams"
+                ),
+                F.count_distinct(
+                    F.when(F.col("tsh").isNotNull(), F.col("sh"))
+                )
+                .cast("bigint")
+                .alias("n_contaminated_grams"),
+                F.count_distinct(
+                    F.when(F.col("tsh").isNotNull(), F.col("doc_id"))
+                )
+                .cast("bigint")
+                .alias("n_contaminated_docs"),
+            )
+        )
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionByName(a)
+    return out.select(
+        "n",
+        "n_holdout_grams",
+        "n_contaminated_grams",
+        "n_contaminated_docs",
+        F.expr(
+            "CAST(CASE WHEN n_holdout_grams = 0 THEN 0"
+            " ELSE n_contaminated_grams * 1000 div n_holdout_grams"
+            " END AS BIGINT)"
+        ).alias("rate_milli"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# text_dup_gram_mass
+# ---------------------------------------------------------------------------
+
+
+def _dup_mass_sql() -> str:
+    from jigsaw_spark.operators.text import shingles_sql, tokens_sql
+
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, lang, {tokens_sql('text')} AS t FROM documents),
+    grams AS (
+      SELECT doc_id, lang, unnest({shingles_sql('t', 8)}) AS g
+      FROM toks),
+    per_gram AS MATERIALIZED (
+      SELECT lang, g,
+             CAST(count(*) AS BIGINT) AS c,
+             CAST(count(DISTINCT doc_id) AS BIGINT) AS d
+      FROM grams GROUP BY 1, 2)
+    SELECT lang,
+           CAST(sum(c) AS BIGINT) AS total_gram_occ,
+           CAST(coalesce(sum(CASE WHEN d >= 2 THEN c END), 0) AS BIGINT)
+             AS crossdoc_mass,
+           CAST(coalesce(sum(CASE WHEN c >= 2 THEN c END), 0) AS BIGINT)
+             AS repeated_mass,
+           CAST(coalesce(sum(CASE WHEN d >= 2 THEN c END), 0) * 1000
+             // sum(c) AS BIGINT) AS crossdoc_milli,
+           CAST(coalesce(sum(CASE WHEN c >= 2 THEN c END), 0) * 1000
+             // sum(c) AS BIGINT) AS repeated_milli
+    FROM per_gram GROUP BY lang
+"""
+
+
+@register(
+    "text_dup_gram_mass",
+    _dup_mass_sql(),
+    "corpus-level duplicate 8-gram mass per lang: fraction of all "
+    "8-gram OCCURRENCES in grams seen in >= 2 docs (cross-doc "
+    "duplication — the mass near-dup dedup can possibly reclaim) and "
+    "in grams seen >= 2 times anywhere (any repetition, within-doc "
+    "included). text_repetition scores each doc's INTERNAL dup-gram "
+    "fraction (the per-doc Gopher rule); this is the corpus ledger "
+    "(the RefinedWeb duplicate-mass view) that prices dedup "
+    "aggressiveness before any pair is enumerated. Shape: one explode "
+    "-> one (lang, gram) hash-agg -> a |langs|-row rollup; exact "
+    "integer masses",
+)
+def text_dup_gram_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jigsaw_spark.operators.text import shingles_expr, tokens_expr
+    from jigsaw_spark.session import widen
+
+    docs = widen(_t(spark, sf_dir, "documents"))
+    grams = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(shingles_expr(tokens_expr("text"), 8)).alias("g"),
+    )
+    per_gram = grams.groupBy("lang", "g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c"),
+        F.count_distinct("doc_id").cast("bigint").alias("d"),
+    )
+    return per_gram.groupBy("lang").agg(
+        F.sum("c").cast("bigint").alias("total_gram_occ"),
+        F.coalesce(F.sum(F.when(F.col("d") >= 2, F.col("c"))), F.lit(0))
+        .cast("bigint")
+        .alias("crossdoc_mass"),
+        F.coalesce(F.sum(F.when(F.col("c") >= 2, F.col("c"))), F.lit(0))
+        .cast("bigint")
+        .alias("repeated_mass"),
+        F.expr(
+            "CAST(coalesce(sum(CASE WHEN d >= 2 THEN c END), 0) * 1000"
+            " div sum(c) AS BIGINT)"
+        ).alias("crossdoc_milli"),
+        F.expr(
+            "CAST(coalesce(sum(CASE WHEN c >= 2 THEN c END), 0) * 1000"
+            " div sum(c) AS BIGINT)"
+        ).alias("repeated_milli"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# curation_gate_attribution
+# ---------------------------------------------------------------------------
+
+
+def _gate_attr_sql() -> str:
+    from jigsaw_spark.operators.text import (
+        alnum_ratio_sql,
+        lang_hits_sql,
+        lang_predict_sql,
+        shingles_sql,
+        tokens_sql,
+    )
+
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, {tokens_sql('text')} AS t,
+             {alnum_ratio_sql('text')} AS alnum
+      FROM documents),
+    flags AS MATERIALIZED (
+      SELECT doc_id,
+             len(t) < 20 AS f_len,
+             alnum < 0.5 AS f_alnum,
+             {lang_predict_sql(
+                 f"CAST({lang_hits_sql('t', 'en')} AS INT)",
+                 f"CAST({lang_hits_sql('t', 'es')} AS INT)",
+                 f"CAST({lang_hits_sql('t', 'fr')} AS INT)",
+             )} <> 'en' AS f_lang,
+             len(t) >= 3 AND
+               2 * (len({shingles_sql('t', 3)})
+                    - len(list_distinct({shingles_sql('t', 3)})))
+               > len({shingles_sql('t', 3)}) AS f_rep
+      FROM toks),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN f_len THEN 1 ELSE 0 END) AS BIGINT)
+               AS fail_len,
+             CAST(sum(CASE WHEN f_alnum THEN 1 ELSE 0 END) AS BIGINT)
+               AS fail_alnum,
+             CAST(sum(CASE WHEN f_lang THEN 1 ELSE 0 END) AS BIGINT)
+               AS fail_lang,
+             CAST(sum(CASE WHEN f_rep THEN 1 ELSE 0 END) AS BIGINT)
+               AS fail_rep,
+             CAST(sum(CASE WHEN f_len AND NOT f_alnum AND NOT f_lang
+               AND NOT f_rep THEN 1 ELSE 0 END) AS BIGINT) AS sole_len,
+             CAST(sum(CASE WHEN f_alnum AND NOT f_len AND NOT f_lang
+               AND NOT f_rep THEN 1 ELSE 0 END) AS BIGINT) AS sole_alnum,
+             CAST(sum(CASE WHEN f_lang AND NOT f_len AND NOT f_alnum
+               AND NOT f_rep THEN 1 ELSE 0 END) AS BIGINT) AS sole_lang,
+             CAST(sum(CASE WHEN f_rep AND NOT f_len AND NOT f_alnum
+               AND NOT f_lang THEN 1 ELSE 0 END) AS BIGINT) AS sole_rep,
+             CAST(sum(CASE WHEN NOT f_len AND NOT f_alnum AND NOT f_lang
+               AND NOT f_rep THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+      FROM flags)
+    SELECT r.rule, a.n_docs, a.n_pass,
+           CASE r.rule WHEN 'min_tokens' THEN a.fail_len
+                       WHEN 'alnum_ratio' THEN a.fail_alnum
+                       WHEN 'lang_en' THEN a.fail_lang
+                       ELSE a.fail_rep END AS n_fail,
+           CASE r.rule WHEN 'min_tokens' THEN a.sole_len
+                       WHEN 'alnum_ratio' THEN a.sole_alnum
+                       WHEN 'lang_en' THEN a.sole_lang
+                       ELSE a.sole_rep END AS n_sole_fail,
+           CAST((CASE r.rule WHEN 'min_tokens' THEN a.fail_len
+                             WHEN 'alnum_ratio' THEN a.fail_alnum
+                             WHEN 'lang_en' THEN a.fail_lang
+                             ELSE a.fail_rep END) * 1000 // a.n_docs
+             AS BIGINT) AS fail_milli
+    FROM agg a
+    CROSS JOIN (SELECT unnest(['min_tokens', 'alnum_ratio', 'lang_en',
+                               'repetition']) AS rule) r
+"""
+
+
+@register(
+    "curation_gate_attribution",
+    _gate_attr_sql(),
+    "which quality gate does the work: for the v1 curation battery "
+    "(min 20 tokens, alnum ratio >= 0.5, lang-predict == 'en') plus "
+    "the Gopher repetition rule in exact integer form "
+    "(2*(n_grams - n_distinct) > n_grams — text_repetition's 0.5 "
+    "threshold without a float), per rule: docs failing it, docs "
+    "failing ONLY it (dropping the rule readmits exactly these — a "
+    "zero sole-fail rule is redundant at this corpus), the shared "
+    "pass count, and the milli fail share. The inclusion-exclusion "
+    "ledger behind curation_pipeline's end-to-end keep rate. Shape: "
+    "map-only 4-boolean projection -> ONE 1-row aggregate -> a 4-row "
+    "rule dim cross — zero shuffles beyond the scalar agg",
+)
+def curation_gate_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from jigsaw_spark.operators.text import (
+        alnum_ratio_expr,
+        lang_hits_expr,
+        lang_predict_expr,
+        shingles_expr,
+        tokens_expr,
+    )
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "t", tokens_expr("text")
+    )
+    grams = shingles_expr("t", 3)
+    flags = docs.select(
+        (F.size("t") < 20).alias("f_len"),
+        (alnum_ratio_expr("text") < 0.5).alias("f_alnum"),
+        (
+            lang_predict_expr(
+                lang_hits_expr("t", "en"),
+                lang_hits_expr("t", "es"),
+                lang_hits_expr("t", "fr"),
+            )
+            != "en"
+        ).alias("f_lang"),
+        (
+            (F.size("t") >= 3)
+            & (
+                2 * (F.size(grams) - F.size(F.array_distinct(grams)))
+                > F.size(grams)
+            )
+        ).alias("f_rep"),
+    )
+
+    def cnt(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")
+
+    f_len, f_alnum = F.col("f_len"), F.col("f_alnum")
+    f_lang, f_rep = F.col("f_lang"), F.col("f_rep")
+    agg = flags.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        cnt(f_len).alias("fail_len"),
+        cnt(f_alnum).alias("fail_alnum"),
+        cnt(f_lang).alias("fail_lang"),
+        cnt(f_rep).alias("fail_rep"),
+        cnt(f_len & ~f_alnum & ~f_lang & ~f_rep).alias("sole_len"),
+        cnt(f_alnum & ~f_len & ~f_lang & ~f_rep).alias("sole_alnum"),
+        cnt(f_lang & ~f_len & ~f_alnum & ~f_rep).alias("sole_lang"),
+        cnt(f_rep & ~f_len & ~f_alnum & ~f_lang).alias("sole_rep"),
+        cnt(~f_len & ~f_alnum & ~f_lang & ~f_rep).alias("n_pass"),
+    )
+    rules = F.broadcast(
+        spark.createDataFrame(
+            [("min_tokens",), ("alnum_ratio",), ("lang_en",),
+             ("repetition",)],
+            "rule string",
+        )
+    )
+    pick = (
+        "CASE rule WHEN 'min_tokens' THEN {p}_len"
+        " WHEN 'alnum_ratio' THEN {p}_alnum"
+        " WHEN 'lang_en' THEN {p}_lang ELSE {p}_rep END"
+    )
+    return agg.crossJoin(rules).select(
+        "rule",
+        "n_docs",
+        "n_pass",
+        F.expr(pick.format(p="fail")).alias("n_fail"),
+        F.expr(pick.format(p="sole")).alias("n_sole_fail"),
+        F.expr(
+            f"CAST(({pick.format(p='fail')}) * 1000 div n_docs"
+            " AS BIGINT)"
+        ).alias("fail_milli"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# mm_phash_components
+# ---------------------------------------------------------------------------
+
+
+def _phash_components_sql() -> str:
+    from jigsaw_spark.plans.queries_r6 import _PHASH_BYTES_CTE
+
+    return f"""
+    WITH RECURSIVE {_PHASH_BYTES_CTE},
+    cand AS (
+      SELECT DISTINCT x.i AS ia, y.i AS ib
+      FROM ph_bytes x
+      JOIN ph_bytes y ON x.byte_idx = y.byte_idx
+                     AND x.byte_val = y.byte_val AND x.i < y.i),
+    ham AS (
+      SELECT c.ia, c.ib
+      FROM cand c
+      JOIN ph_bytes x ON x.i = c.ia
+      JOIN ph_bytes y ON y.i = c.ib AND y.byte_idx = x.byte_idx
+      GROUP BY 1, 2
+      HAVING CAST(sum(bit_count(xor(x.byte_val, y.byte_val))) AS BIGINT)
+             <= 6),
+    edges AS (
+      SELECT ia AS u, ib AS v FROM ham
+      UNION SELECT ib AS u, ia AS v FROM ham),
+    reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+      WHERE e.v <> r.u),
+    comp AS (
+      SELECT u AS img, least(u, min(v)) AS component
+      FROM reach GROUP BY u),
+    universe AS (SELECT DISTINCT i AS img FROM ph_bytes),
+    labeled AS (
+      SELECT un.img, coalesce(c.component, un.img) AS component
+      FROM universe un LEFT JOIN comp c ON un.img = c.img),
+    sizes AS (
+      SELECT component, CAST(count(*) AS BIGINT) AS size
+      FROM labeled GROUP BY 1)
+    SELECT CAST(size AS BIGINT) AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(size * count(*) AS BIGINT) AS n_images
+    FROM sizes GROUP BY size
+"""
+
+
+@register(
+    "mm_phash_components",
+    _phash_components_sql(),
+    "image duplicate-cluster economics: connected components (min "
+    "reachable id) over mm_phash_near_dup's dHash Hamming<=6 banded "
+    "pairs, singletons included, as a (cluster_size, n_clusters, "
+    "n_images) histogram — dedup_components/dedup_end_to_end's "
+    "accounting applied to the IMAGE arm (verdict r10 #4: the phash "
+    "band join has been first-class since r6; this adds the cluster "
+    "ledger a dedup pass acts on — keepers = n_clusters, dropped = "
+    "n_images - n_clusters). Shape: pigeonhole (byte_idx, byte_val) "
+    "band join (never all-pairs) -> exact Hamming verify -> the "
+    "production connected_components operator (single-task union-find "
+    "under the edge threshold, pointer-jumping label propagation "
+    "above) -> two tiny hash-aggs",
+)
+def mm_phash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jigsaw_spark.multimodal.binary_ops import phash_dhash
+    from jigsaw_spark.operators.dedup import connected_components
+    from jigsaw_spark.plans.queries_r6 import (
+        _phash_images,
+        mm_phash_near_dup,
+    )
+
+    pairs = mm_phash_near_dup(spark, sf_dir).select(
+        F.col("img_a").cast("bigint").alias("doc_a"),
+        F.col("img_b").cast("bigint").alias("doc_b"),
+    )
+    comp = connected_components(pairs)
+    universe = (
+        phash_dhash(_phash_images(spark, sf_dir))
+        .select(F.col("image_id").cast("bigint").alias("img"))
+        .distinct()
+    )
+    labeled = (
+        universe.join(
+            comp.select(
+                F.col("doc_id").alias("img"), F.col("component")
+            ),
+            "img",
+            "left",
+        )
+        .select(
+            "img",
+            F.coalesce("component", F.col("img")).alias("component"),
+        )
+    )
+    sizes = labeled.groupBy("component").agg(
+        F.count(F.lit(1)).cast("bigint").alias("size")
+    )
+    return sizes.groupBy("size").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+    ).select(
+        F.col("size").cast("bigint").alias("cluster_size"),
+        "n_clusters",
+        (F.col("size") * F.col("n_clusters"))
+        .cast("bigint")
+        .alias("n_images"),
+    )

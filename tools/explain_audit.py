@@ -44,6 +44,8 @@ ALL_PAIRS_OK = {
     "ann_codec_recall",
     # r61: 1-row (total, ncells) aggregate crossed into the |cells| dim
     "ann_ivf_balance",
+    # r62: ONE 1-row gate aggregate crossed into the 4-row rule dim
+    "curation_gate_attribution",
     # RAG retrieval stage IS cosine_topk: broadcast query side crossed
     # against the corpus — the documented brute-force baseline shape
     "rag_pipeline",
