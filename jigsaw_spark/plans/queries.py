@@ -1598,6 +1598,7 @@ from jigsaw_spark.plans import queries_r59  # noqa: E402,F401
 from jigsaw_spark.plans import queries_r60  # noqa: E402,F401
 from jigsaw_spark.plans import queries_r61  # noqa: E402,F401
 from jigsaw_spark.plans import queries_r62  # noqa: E402,F401
+from jigsaw_spark.plans import queries_r63  # noqa: E402,F401
 
 
 # ---------------------------------------------------------------------------
@@ -1655,6 +1656,10 @@ _R11_NEW: list[str] = [
     "text_dup_gram_mass",
     "curation_gate_attribution",
     "mm_phash_components",
+    "graph_degree_gini",
+    "graph_lang_assortativity",
+    "ts_turning_points",
+    "ts_gap_stats",
 ]
 
 # Changed-code re-certs (advisor r10 #2): certified names whose executing

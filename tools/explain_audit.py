@@ -46,6 +46,9 @@ ALL_PAIRS_OK = {
     "ann_ivf_balance",
     # r62: ONE 1-row gate aggregate crossed into the 4-row rule dim
     "curation_gate_attribution",
+    # r63: 1-row edge-total aggregate crossed with the 1-row marginal
+    # rollup — two scalar dims
+    "graph_lang_assortativity",
     # RAG retrieval stage IS cosine_topk: broadcast query side crossed
     # against the corpus — the documented brute-force baseline shape
     "rag_pipeline",
@@ -320,6 +323,10 @@ GLOBAL_WINDOW_OK = {
     # AGGREGATE (|sources| rows, never the corpus) — the bounded-dim
     # class like agg_gini / w10_share_of_total
     "p_token_budget_mix",
+    # r63: prefix window over the DISTINCT-DEGREE histogram
+    # (value-domain bounded, the ml_auc_exact class) — explicitly NOT
+    # a per-node rank
+    "graph_degree_gini",
     # samples._ranked "local" strategy: the global-order window is only
     # chosen after a code-enforced limit(5M+1).count() probe says the
     # input fits one task; above the threshold the distributed
