@@ -1599,6 +1599,7 @@ from jigsaw_spark.plans import queries_r60  # noqa: E402,F401
 from jigsaw_spark.plans import queries_r61  # noqa: E402,F401
 from jigsaw_spark.plans import queries_r62  # noqa: E402,F401
 from jigsaw_spark.plans import queries_r63  # noqa: E402,F401
+from jigsaw_spark.plans import queries_r64  # noqa: E402,F401
 
 
 # ---------------------------------------------------------------------------
@@ -1660,6 +1661,10 @@ _R11_NEW: list[str] = [
     "graph_lang_assortativity",
     "ts_turning_points",
     "ts_gap_stats",
+    "ml_fold_stability",
+    "ml_label_shift_weights",
+    "p_ess_weight_clip",
+    "stream_psi_monitor",
 ]
 
 # Changed-code re-certs (advisor r10 #2): certified names whose executing

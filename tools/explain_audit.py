@@ -49,6 +49,14 @@ ALL_PAIRS_OK = {
     # r63: 1-row edge-total aggregate crossed with the 1-row marginal
     # rollup — two scalar dims
     "graph_lang_assortativity",
+    # r64: 1-row median dim + 1-row spread dim crossed into scan/5-row agg
+    "ml_fold_stability",
+    # r64: 1-row (nt, ne) totals dim crossed into the |types| agg
+    "ml_label_shift_weights",
+    # r64: 1-row n dim + 1-row p95 cap dim crossed into the scan
+    "p_ess_weight_clip",
+    # r64: 10-row frozen-card dim crossed into the drained day dim
+    "stream_psi_monitor",
     # RAG retrieval stage IS cosine_topk: broadcast query side crossed
     # against the corpus — the documented brute-force baseline shape
     "rag_pipeline",
@@ -327,6 +335,12 @@ GLOBAL_WINDOW_OK = {
     # (value-domain bounded, the ml_auc_exact class) — explicitly NOT
     # a per-node rank
     "graph_degree_gini",
+    # r64: cumulative window over the DISTINCT-CENTS dim for the exact
+    # median (value-domain bounded, the ml_auc_exact class)
+    "ml_fold_stability",
+    # r64: cumulative window over the DISTINCT-n_chars dim for the
+    # exact p95 cap (value-domain bounded)
+    "p_ess_weight_clip",
     # samples._ranked "local" strategy: the global-order window is only
     # chosen after a code-enforced limit(5M+1).count() probe says the
     # input fits one task; above the threshold the distributed
