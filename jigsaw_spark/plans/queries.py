@@ -1665,6 +1665,9 @@ _R11_NEW: list[str] = [
     "ml_label_shift_weights",
     "p_ess_weight_clip",
     "stream_psi_monitor",
+    "dedup_prefix_clusters",
+    "dedup_edge_source_mix",
+    "text_oov_rate",
 ]
 
 # Changed-code re-certs (advisor r10 #2): certified names whose executing

@@ -541,3 +541,236 @@ def stream_psi_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("psi_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-11 batch 5 (same module — the window is governed by _R11_NEW in
+# plans/queries; modules at/after _OVERFLOW_BOUNDARY queue behind it).
+# ---------------------------------------------------------------------------
+
+# dedup_prefix_clusters ------------------------------------------------------
+
+
+def _prefix_clusters_sql() -> str:
+    from jigsaw_spark.operators.text import tokens_sql
+
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, {tokens_sql('text')} AS t FROM documents),
+    keyed AS (
+      SELECT doc_id, md5(array_to_string(t[1:8], ' ')) AS pfx
+      FROM toks WHERE len(t) >= 8),
+    sizes AS (
+      SELECT pfx, CAST(count(*) AS BIGINT) AS size
+      FROM keyed GROUP BY 1)
+    SELECT CAST(size AS BIGINT) AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(size * count(*) AS BIGINT) AS n_docs
+    FROM sizes GROUP BY size
+"""
+
+
+@register(
+    "dedup_prefix_clusters",
+    _prefix_clusters_sql(),
+    "template detection by shared opening: docs grouped by the md5 of "
+    "their FIRST 8 tokens (boilerplate headers, form letters, scraped "
+    "templates share openings long before they share full "
+    "fingerprints), reported as a (cluster_size, n_clusters, n_docs) "
+    "histogram with singletons included. dedup_lines removes repeated "
+    "LINES anywhere, dedup_exact needs the WHOLE text equal; the "
+    "prefix key catches the template family in ONE hash-agg with no "
+    "banding at all — the cheapest first pass of the dedup ladder. "
+    "Docs under 8 tokens have no prefix key and are excluded "
+    "(documented; they cannot be templates). Shape: map-only key "
+    "projection -> one key hash-agg -> one size histogram agg",
+)
+def dedup_prefix_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jigsaw_spark.operators.text import tokens_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens_expr("text").alias("t"))
+    keyed = toks.filter(F.size("t") >= 8).select(
+        F.md5(F.concat_ws(" ", F.slice(F.col("t"), 1, 8))).alias("pfx")
+    )
+    sizes = keyed.groupBy("pfx").agg(
+        F.count(F.lit(1)).cast("bigint").alias("size")
+    )
+    return sizes.groupBy("size").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters")
+    ).select(
+        F.col("size").cast("bigint").alias("cluster_size"),
+        "n_clusters",
+        (F.col("size") * F.col("n_clusters"))
+        .cast("bigint")
+        .alias("n_docs"),
+    )
+
+
+# dedup_edge_source_mix ------------------------------------------------------
+
+
+def _edge_source_mix_sql() -> str:
+    from jigsaw_spark.plans.queries_llm import _KEEPER_EDGES_CTE
+
+    return f"""
+    WITH {_KEEPER_EDGES_CTE},
+    lab AS (SELECT doc_id, source FROM documents),
+    el AS (
+      SELECT la.source AS src_u, lb.source AS src_v
+      FROM edges e
+      JOIN lab la ON la.doc_id = e.u
+      JOIN lab lb ON lb.doc_id = e.v)
+    SELECT src_u AS source,
+           CAST(count(*) AS BIGINT) AS n_edges_directed,
+           CAST(sum(CASE WHEN src_u = src_v THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_within,
+           CAST(sum(CASE WHEN src_u = src_v THEN 0 ELSE 1 END)
+             AS BIGINT) AS n_cross,
+           CAST(sum(CASE WHEN src_u = src_v THEN 1 ELSE 0 END) * 1000
+             // count(*) AS BIGINT) AS within_milli
+    FROM el GROUP BY 1
+"""
+
+
+@register(
+    "dedup_edge_source_mix",
+    _edge_source_mix_sql(),
+    "near-dup edge provenance per source: of the keeper-graph edges "
+    "touching each source, how many stay WITHIN it vs reach across "
+    "(directed counts, so every source sees all its edges). "
+    "dedup_source_overlap compares sources by SHINGLE sets (could "
+    "they mirror each other); this counts the near-dup edges that "
+    "actually formed — a source with high cross share duplicates "
+    "OTHER feeds and is the drop candidate; graph_lang_assortativity "
+    "is the one-number lang twin of this per-source source view. "
+    "Shape: keeper edge list joined twice to the doc->source "
+    "projection, one |sources| hash-agg",
+)
+def dedup_edge_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jigsaw_spark.operators.dedup import keeper_edges
+
+    docs = _t(spark, sf_dir, "documents")
+    lab = docs.select("doc_id", "source")
+    edges = keeper_edges(docs, "doc_id").localCheckpoint()
+    el = (
+        edges.join(
+            lab.select(
+                F.col("doc_id").alias("u"),
+                F.col("source").alias("src_u"),
+            ),
+            "u",
+        )
+        .join(
+            lab.select(
+                F.col("doc_id").alias("v"),
+                F.col("source").alias("src_v"),
+            ),
+            "v",
+        )
+        .select("src_u", "src_v")
+    )
+    return el.groupBy(F.col("src_u").alias("source")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_edges_directed"),
+        F.sum(F.when(F.col("src_u") == F.col("src_v"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_within"),
+        F.sum(F.when(F.col("src_u") == F.col("src_v"), 0).otherwise(1))
+        .cast("bigint")
+        .alias("n_cross"),
+        F.expr(
+            "CAST(sum(CASE WHEN src_u = src_v THEN 1 ELSE 0 END)"
+            " * 1000 div count(1) AS BIGINT)"
+        ).alias("within_milli"),
+    )
+
+
+# text_oov_rate --------------------------------------------------------------
+
+
+def _oov_rate_sql() -> str:
+    from jigsaw_spark.operators.text import tokens_sql
+
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, lang, doc_id % 2 = 0 AS is_train,
+             unnest({tokens_sql('text')}) AS tok
+      FROM documents),
+    vocab AS MATERIALIZED (
+      SELECT tok FROM (
+        SELECT tok, CAST(count(*) AS BIGINT) AS c
+        FROM toks WHERE is_train GROUP BY 1
+        ORDER BY c DESC, tok LIMIT 1000) t),
+    vs AS (SELECT CAST(count(*) AS BIGINT) AS vocab_size FROM vocab),
+    test AS (
+      SELECT t.lang, t.tok, v.tok IS NOT NULL AS known
+      FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+      WHERE NOT t.is_train)
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN known THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_oov,
+           CAST(sum(CASE WHEN known THEN 0 ELSE 1 END) * 1000
+             // count(*) AS BIGINT) AS oov_milli,
+           (SELECT vocab_size FROM vs) AS vocab_size
+    FROM test GROUP BY lang
+"""
+
+
+@register(
+    "text_oov_rate",
+    _oov_rate_sql(),
+    "out-of-vocabulary rate against a frozen top-1000 train vocab: "
+    "tokens counted on the doc_id%2 train half, the top-1000 by "
+    "(count DESC, token ASC — a total order, so the LIMIT boundary "
+    "cannot flake), then the held-out half's token occurrences scored "
+    "per lang: total, OOV count, milli OOV rate. text_vocab_growth "
+    "measures how fast vocabulary GROWS; this measures how much a "
+    "FIXED vocabulary misses — the tokenizer-coverage number that "
+    "decides vocab size and flags langs a vocab underserves (high "
+    "OOV = fertility blow-up downstream, text_token_fertility's "
+    "cause). Shape: one explode, one train-vocab hash-agg + "
+    "TakeOrdered(1000), one vocab-keyed left join, one |langs| rollup",
+)
+def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jigsaw_spark.operators.text import tokens_expr
+    from jigsaw_spark.session import widen
+
+    docs = widen(_t(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "lang",
+        (F.col("doc_id") % 2 == 0).alias("is_train"),
+        F.explode(tokens_expr("text")).alias("tok"),
+    ).localCheckpoint()
+    vocab = (
+        toks.filter(F.col("is_train"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .orderBy(F.desc("c"), F.col("tok"))
+        .limit(1000)
+        .select(F.col("tok").alias("vtok"))
+    )
+    vs = vocab.agg(
+        F.count(F.lit(1)).cast("bigint").alias("vocab_size")
+    )
+    test = (
+        toks.filter(~F.col("is_train"))
+        .join(F.broadcast(vocab), toks["tok"] == F.col("vtok"), "left")
+    )
+    return (
+        test.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum(F.when(F.col("vtok").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_oov"),
+            F.expr(
+                "CAST(sum(CASE WHEN vtok IS NULL THEN 1 ELSE 0 END)"
+                " * 1000 div count(1) AS BIGINT)"
+            ).alias("oov_milli"),
+        )
+        .crossJoin(F.broadcast(vs))
+        .select(
+            "lang", "n_tokens", "n_oov", "oov_milli", "vocab_size"
+        )
+    )

@@ -179,3 +179,121 @@ def test_stream_psi_monitor_replays(spark):
         # same +-1 milli slop the PSI family's replays use
         assert abs(g["psi_milli"] - round(psi * 1000)) <= 1
         assert g["psi_milli"] >= 0 or n_day < 10
+
+
+# --- batch 5 ---------------------------------------------------------------
+
+
+def _tokens(text: str) -> list[str]:
+    import re as _re
+
+    return [
+        t for t in _re.split("[^a-z0-9]+", (text or "").lower()) if t
+    ]
+
+
+def test_prefix_clusters_replays(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    sizes = defaultdict(int)
+    n_keyed = 0
+    for r in docs:
+        t = _tokens(r["text"])
+        if len(t) >= 8:
+            sizes[" ".join(t[:8])] += 1
+            n_keyed += 1
+    hist = defaultdict(int)
+    for sz in sizes.values():
+        hist[sz] += 1
+    got = {
+        r["cluster_size"]: r
+        for r in entrymod.queries()["dedup_prefix_clusters"](
+            spark, SF
+        ).collect()
+    }
+    assert set(got) == set(hist)
+    for sz, cnt in hist.items():
+        assert got[sz]["n_clusters"] == cnt
+        assert got[sz]["n_docs"] == sz * cnt
+    assert sum(r["n_docs"] for r in got.values()) == n_keyed
+
+
+def test_edge_source_mix_replays(spark):
+    from pyspark.sql import functions as F
+
+    from jigsaw_spark.operators.dedup import exact_dedup, simhash_pairs
+
+    docs_df = spark.read.parquet(f"{SF}/documents.parquet")
+    keepers = (
+        exact_dedup(docs_df, "doc_id")
+        .filter(~F.col("is_dup"))
+        .select("doc_id", "text")
+    )
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in simhash_pairs(keepers, "doc_id", max_hamming=2)
+        .select("doc_a", "doc_b")
+        .collect()
+    }
+    src = {
+        r["doc_id"]: r["source"]
+        for r in docs_df.select("doc_id", "source").collect()
+    }
+    per = defaultdict(lambda: [0, 0])  # source -> [within, cross]
+    for a, b in pairs:
+        for u, v in ((a, b), (b, a)):
+            if src[u] == src[v]:
+                per[src[u]][0] += 1
+            else:
+                per[src[u]][1] += 1
+    got = {
+        r["source"]: r
+        for r in entrymod.queries()["dedup_edge_source_mix"](
+            spark, SF
+        ).collect()
+    }
+    assert set(got) == set(per)
+    for s, (w, c) in per.items():
+        g = got[s]
+        assert g["n_edges_directed"] == w + c
+        assert g["n_within"] == w
+        assert g["n_cross"] == c
+        assert g["within_milli"] == w * 1000 // (w + c)
+
+
+def test_oov_rate_replays(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    train_counts = defaultdict(int)
+    for r in docs:
+        if r["doc_id"] % 2 == 0:
+            for t in _tokens(r["text"]):
+                train_counts[t] += 1
+    vocab = {
+        t
+        for t, _ in sorted(
+            train_counts.items(), key=lambda kv: (-kv[1], kv[0])
+        )[:1000]
+    }
+    per = defaultdict(lambda: [0, 0])
+    for r in docs:
+        if r["doc_id"] % 2 != 0:
+            for t in _tokens(r["text"]):
+                per[r["lang"]][0] += 1
+                if t not in vocab:
+                    per[r["lang"]][1] += 1
+    got = {
+        r["lang"]: r
+        for r in entrymod.queries()["text_oov_rate"](
+            spark, SF
+        ).collect()
+    }
+    assert set(got) == {
+        lang for lang, (n, _) in per.items() if n > 0
+    }
+    for lang, (n, oov) in per.items():
+        if n == 0:
+            continue
+        g = got[lang]
+        assert g["n_tokens"] == n
+        assert g["n_oov"] == oov
+        assert g["oov_milli"] == oov * 1000 // n
+        assert g["vocab_size"] == len(vocab)

@@ -57,6 +57,8 @@ ALL_PAIRS_OK = {
     "p_ess_weight_clip",
     # r64: 10-row frozen-card dim crossed into the drained day dim
     "stream_psi_monitor",
+    # r64b: 1-row vocab-size dim crossed into the |langs| rollup
+    "text_oov_rate",
     # RAG retrieval stage IS cosine_topk: broadcast query side crossed
     # against the corpus — the documented brute-force baseline shape
     "rag_pipeline",
