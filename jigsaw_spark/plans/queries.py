@@ -1600,6 +1600,10 @@ from jigsaw_spark.plans import queries_r61  # noqa: E402,F401
 from jigsaw_spark.plans import queries_r62  # noqa: E402,F401
 from jigsaw_spark.plans import queries_r63  # noqa: E402,F401
 from jigsaw_spark.plans import queries_r64  # noqa: E402,F401
+# r65 is the ROUND-12 QUEUE (overflow module at _OVERFLOW_BOUNDARY,
+# behind the 50-slot window by policy — the r40/r55/r60 pattern):
+# replica-verified this round, first driver row next round.
+from jigsaw_spark.plans import queries_r65  # noqa: E402,F401
 
 
 # ---------------------------------------------------------------------------

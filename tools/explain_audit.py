@@ -59,6 +59,8 @@ ALL_PAIRS_OK = {
     "stream_psi_monitor",
     # r64b: 1-row vocab-size dim crossed into the |langs| rollup
     "text_oov_rate",
+    # r65 queue: two 1-row rollups (edge total, closed total) crossed
+    "graph_local_bridges",
     # RAG retrieval stage IS cosine_topk: broadcast query side crossed
     # against the corpus — the documented brute-force baseline shape
     "rag_pipeline",
