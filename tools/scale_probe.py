@@ -377,6 +377,40 @@ PROBES = [
     # shift-decay weights into a month rollup
     "ml_bootstrap_f1",
     "p_recency_weights",
+    # r11 batch 1: shingle-keyed attribution join; |sources| windows;
+    # two codec-arm corpus scans through the Arrow kernel; map-only
+    # assignment + |cells| rollup
+    "dq_contamination_by_source",
+    "p_token_budget_mix",
+    "ann_codec_recall",
+    "ann_ivf_balance",
+    # r11 batch 2: five shingle explodes; one (lang, gram) hash-agg;
+    # scalar gate agg; banded phash pairs -> components
+    "dq_contamination_ngram_curve",
+    "text_dup_gram_mass",
+    "curation_gate_attribution",
+    "mm_phash_components",
+    # r11 batch 3: degree histogram window; edge/lang joins; day-grain
+    # lag/lead windows
+    "graph_degree_gini",
+    "graph_lang_assortativity",
+    "ts_turning_points",
+    "ts_gap_stats",
+    # r11 batch 4: distinct-value median/p95 windows; (type, half)
+    # hash-agg; streaming drain + frozen-card join
+    "ml_fold_stability",
+    "ml_label_shift_weights",
+    "p_ess_weight_clip",
+    "stream_psi_monitor",
+    # r11 batch 5: prefix hash-agg; keeper-edge source joins;
+    # train-vocab TakeOrdered + token join
+    "dedup_prefix_clusters",
+    "dedup_edge_source_mix",
+    "text_oov_rate",
+    # r65 (round-12 queue): adjacency-pair anti evidence; day-count
+    # moment rollup
+    "graph_local_bridges",
+    "ts_fano_factor",
 ]
 
 TABLES = [
