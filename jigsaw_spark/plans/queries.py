@@ -1672,6 +1672,10 @@ _R11_NEW: list[str] = [
     "dedup_prefix_clusters",
     "dedup_edge_source_mix",
     "text_oov_rate",
+    "p_shard_balance",
+    "dq_near_zero_variance",
+    "ab_power_mde",
+    "text_hapax_rate",
 ]
 
 # Changed-code re-certs (advisor r10 #2): certified names whose executing

@@ -431,3 +431,367 @@ def ts_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("longest_gap"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-11 batch 6 (same module — the window is governed by _R11_NEW in
+# plans/queries; modules at/after _OVERFLOW_BOUNDARY queue behind it).
+# ---------------------------------------------------------------------------
+
+# p_shard_balance ------------------------------------------------------------
+
+
+def _shard_balance_sql() -> str:
+    from jigsaw_spark.operators.text import tokens_sql
+
+    return f"""
+    WITH s AS (
+      SELECT CAST(CAST(('0x' || substr(md5('shard|'
+               || CAST(doc_id AS VARCHAR)), 1, 15)) AS UBIGINT)
+               % CAST(8 AS UBIGINT) AS BIGINT) AS shard,
+             CAST(len({tokens_sql('text')}) AS BIGINT) AS toks
+      FROM documents),
+    per AS (
+      SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(toks) AS BIGINT) AS n_tokens
+      FROM s GROUP BY 1),
+    tot AS (
+      SELECT CAST(sum(n_tokens) AS BIGINT) AS total,
+             CAST(count(*) AS BIGINT) AS n_shards
+      FROM per)
+    SELECT p.shard, p.n_docs, p.n_tokens,
+           CAST(CASE WHEN t.total = 0 THEN 0
+             ELSE p.n_tokens * t.n_shards * 1000 // t.total
+             END AS BIGINT) AS load_milli
+    FROM per p CROSS JOIN tot t
+"""
+
+
+@register(
+    "p_shard_balance",
+    _shard_balance_sql(),
+    "shard TOKEN balance: per md5-hash shard (fixed 8 here — the "
+    "production n//1000+1 rule of p7_shard_assign yields one shard at "
+    "test SF, so the diagnostic pins the count), docs, token mass, "
+    "and load vs uniform (1000 = balanced). p7 balances DOC counts by "
+    "construction; training-data shards must balance TOKENS or the "
+    "largest shard gates every epoch (the straggler the "
+    "ann_ivf_balance report catches for ANN cells, here for the "
+    "packing/export path). Shape: map-side shard key, one 8-row "
+    "hash-agg, one scalar cross",
+)
+def p_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jigsaw_spark.operators.text import tokens_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    shard = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.lit("shard"), F.col("doc_id"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint"),
+        F.lit(8),
+    )
+    s = docs.select(
+        shard.alias("shard"),
+        F.size(tokens_expr("text")).cast("bigint").alias("toks"),
+    )
+    per = s.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("toks").cast("bigint").alias("n_tokens"),
+    )
+    tot = per.agg(
+        F.sum("n_tokens").cast("bigint").alias("total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_shards"),
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "shard",
+        "n_docs",
+        "n_tokens",
+        F.expr(
+            "CAST(CASE WHEN total = 0 THEN 0"
+            " ELSE n_tokens * n_shards * 1000 div total END AS BIGINT)"
+        ).alias("load_milli"),
+    )
+
+
+# dq_near_zero_variance ------------------------------------------------------
+
+_NZV_SQL = """
+    WITH vals AS (
+      SELECT 'l_quantity' AS col,
+             CAST(round(l_quantity * 100, 0) AS BIGINT) AS v
+      FROM lineitem
+      UNION ALL
+      SELECT 'l_discount', CAST(round(l_discount * 100, 0) AS BIGINT)
+      FROM lineitem
+      UNION ALL
+      SELECT 'l_tax', CAST(round(l_tax * 100, 0) AS BIGINT)
+      FROM lineitem),
+    freq AS (
+      SELECT col, v, CAST(count(*) AS BIGINT) AS c
+      FROM vals GROUP BY 1, 2),
+    ranked AS (
+      SELECT col, c,
+             row_number() OVER (PARTITION BY col ORDER BY c DESC, v)
+               AS rk
+      FROM freq),
+    tops AS (
+      SELECT col,
+             CAST(max(CASE WHEN rk = 1 THEN c END) AS BIGINT) AS top1,
+             CAST(coalesce(max(CASE WHEN rk = 2 THEN c END), 0)
+               AS BIGINT) AS top2
+      FROM ranked GROUP BY 1),
+    stats AS (
+      SELECT col, CAST(count(*) AS BIGINT) AS n_distinct,
+             CAST(sum(c) AS BIGINT) AS n
+      FROM freq GROUP BY 1)
+    SELECT s.col, s.n, s.n_distinct, t.top1, t.top2,
+           CAST(t.top1 * 1000 // greatest(t.top2, 1) AS BIGINT)
+             AS freq_ratio_milli,
+           CAST(s.n_distinct * 1000 // s.n AS BIGINT)
+             AS distinct_per_mille,
+           (t.top1 * 1000 // greatest(t.top2, 1) >= 19000
+            AND s.n_distinct * 1000 // s.n < 100) AS near_zero_var
+    FROM stats s JOIN tops t ON s.col = t.col
+"""
+
+
+@register(
+    "dq_near_zero_variance",
+    _NZV_SQL,
+    "near-zero-variance feature screen (the caret nearZeroVar rule in "
+    "exact integers): per numeric lineitem column (cents-snapped for "
+    "exact grouping), n, distinct count, top-1/top-2 value "
+    "frequencies, the freq ratio and distinct-per-mille, and the NZV "
+    "flag (ratio >= 19 AND unique share < 10%) — a feature that is "
+    "one value 95% of the time carries no signal and breaks "
+    "cross-validation folds; this is the screen run before any "
+    "ml_woe_iv / ml_best_split treats a column as a feature. Shape: "
+    "three column arms unioned into ONE (col, value) hash-agg; the "
+    "rank window runs per column over its DISTINCT-VALUE dim "
+    "(value-domain bounded)",
+)
+def dq_near_zero_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    li = _t(spark, sf_dir, "lineitem")
+
+    def arm(col: str) -> DataFrame:
+        return li.select(
+            F.lit(col).alias("col"),
+            F.round(F.col(col) * 100, 0).cast("bigint").alias("v"),
+        )
+
+    vals = (
+        arm("l_quantity")
+        .unionByName(arm("l_discount"))
+        .unionByName(arm("l_tax"))
+    )
+    freq = vals.groupBy("col", "v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    w = Window.partitionBy("col").orderBy(F.desc("c"), F.col("v"))
+    ranked = freq.select(
+        "col", "c", F.row_number().over(w).alias("rk")
+    )
+    tops = ranked.groupBy("col").agg(
+        F.max(F.when(F.col("rk") == 1, F.col("c")))
+        .cast("bigint")
+        .alias("top1"),
+        F.coalesce(
+            F.max(F.when(F.col("rk") == 2, F.col("c"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("top2"),
+    )
+    stats = freq.groupBy("col").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        F.sum("c").cast("bigint").alias("n"),
+    )
+    return stats.join(tops, "col").select(
+        "col",
+        "n",
+        "n_distinct",
+        "top1",
+        "top2",
+        F.expr(
+            "CAST(top1 * 1000 div greatest(top2, 1) AS BIGINT)"
+        ).alias("freq_ratio_milli"),
+        F.expr("CAST(n_distinct * 1000 div n AS BIGINT)").alias(
+            "distinct_per_mille"
+        ),
+        F.expr(
+            "top1 * 1000 div greatest(top2, 1) >= 19000"
+            " AND n_distinct * 1000 div n < 100"
+        ).alias("near_zero_var"),
+    )
+
+
+# ab_power_mde ---------------------------------------------------------------
+
+_POWER_SQL = """
+    WITH s AS (
+      SELECT CAST(CAST(('0x' || substr(md5('power|'
+               || CAST(event_id AS VARCHAR)), 1, 15)) AS UBIGINT)
+               % CAST(2 AS UBIGINT) AS BIGINT) AS arm,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events),
+    agg AS (
+      SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_a,
+             CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_b,
+             CAST(sum(y) AS BIGINT) AS pos,
+             CAST(count(*) AS BIGINT) AS n
+      FROM s)
+    SELECT n_a, n_b,
+           CAST(pos * 1000000 // n AS BIGINT) AS p_pooled_micro,
+           CAST(round(2.801585218
+             * sqrt(2.0 * (pos * 1000000 // n)
+                    * (1000000 - pos * 1000000 // n) / 1000000.0
+                    / least(n_a, n_b)), 0) AS BIGINT) AS mde_abs_micro,
+           CAST(CASE WHEN pos = 0 THEN 0
+             ELSE CAST(round(2.801585218
+               * sqrt(2.0 * (pos * 1000000 // n)
+                      * (1000000 - pos * 1000000 // n) / 1000000.0
+                      / least(n_a, n_b)), 0) AS BIGINT) * 1000
+               // (pos * 1000000 // n) END AS BIGINT) AS mde_rel_milli
+    FROM agg
+"""
+
+
+@register(
+    "ab_power_mde",
+    _POWER_SQL,
+    "pre-experiment power check: minimum detectable effect of a 50/50 "
+    "md5 split at alpha=0.05 (two-sided) and 80% power — "
+    "MDE = (z_{0.975} + z_{0.8}) * sqrt(2 p(1-p) / n_min) with the "
+    "pooled rate snapped to integer micro FIRST so the only floats "
+    "are the constant z-sum and one IEEE sqrt (correctly rounded in "
+    "both engines — the Welch-t precedent), then round-snapped. "
+    "ab_srm_check validates the split AFTER the fact; this is the "
+    "question asked BEFORE: can this experiment even see the effect "
+    "size we care about, or is it theater. Shape: one map-side arm "
+    "assignment, ONE 1-row aggregate",
+)
+def ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    arm = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws("|", F.lit("power"), F.col("event_id"))
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint"),
+        F.lit(2),
+    )
+    s = ev.select(
+        arm.alias("arm"),
+        F.when(F.col("event_type") == "purchase", 1)
+        .otherwise(0)
+        .alias("y"),
+    )
+    agg = s.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_b"),
+        F.sum("y").cast("bigint").alias("pos"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    mde = (
+        "CAST(round(2.801585218"
+        " * sqrt(2.0 * (pos * 1000000 div n)"
+        " * (1000000 - pos * 1000000 div n) / 1000000.0"
+        " / least(n_a, n_b)), 0) AS BIGINT)"
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.expr("CAST(pos * 1000000 div n AS BIGINT)").alias(
+            "p_pooled_micro"
+        ),
+        F.expr(mde).alias("mde_abs_micro"),
+        F.expr(
+            f"CAST(CASE WHEN pos = 0 THEN 0 ELSE {mde} * 1000"
+            " div (pos * 1000000 div n) END AS BIGINT)"
+        ).alias("mde_rel_milli"),
+    )
+
+
+# text_hapax_rate ------------------------------------------------------------
+
+
+def _hapax_sql() -> str:
+    from jigsaw_spark.operators.text import tokens_sql
+
+    return f"""
+    WITH toks AS (
+      SELECT lang, unnest({tokens_sql('text')}) AS tok
+      FROM documents),
+    freq AS (
+      SELECT lang, tok, CAST(count(*) AS BIGINT) AS c
+      FROM toks GROUP BY 1, 2)
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS vocab_size,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hapax,
+           CAST(sum(c) AS BIGINT) AS total_occ,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000
+             // count(*) AS BIGINT) AS hapax_vocab_milli,
+           CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000
+             // sum(c) AS BIGINT) AS hapax_mass_milli
+    FROM freq GROUP BY lang
+"""
+
+
+@register(
+    "text_hapax_rate",
+    _hapax_sql(),
+    "hapax legomena profile per lang: vocabulary size, once-seen "
+    "tokens, and the hapax share of the vocabulary and of the token "
+    "mass — a healthy natural corpus runs ~400-600 milli hapax vocab "
+    "(Zipf); far BELOW means templated/duplicated text (the dedup "
+    "signal before any pair is built), far ABOVE means OCR noise or "
+    "tokenizer misfires (text_oov_rate's cause upstream). "
+    "text_lexical_diversity is per-doc TTR; this is the corpus-level "
+    "tail profile next to text_zipf_slope's head fit. Shape: one "
+    "explode -> one (lang, token) hash-agg -> a |langs| rollup",
+)
+def text_hapax_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jigsaw_spark.operators.text import tokens_expr
+    from jigsaw_spark.session import widen
+
+    docs = widen(_t(spark, sf_dir, "documents"))
+    freq = docs.select(
+        "lang", F.explode(tokens_expr("text")).alias("tok")
+    ).groupBy("lang", "tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    return freq.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("vocab_size"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_hapax"),
+        F.sum("c").cast("bigint").alias("total_occ"),
+        F.expr(
+            "CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000"
+            " div count(1) AS BIGINT)"
+        ).alias("hapax_vocab_milli"),
+        F.expr(
+            "CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000"
+            " div sum(c) AS BIGINT)"
+        ).alias("hapax_mass_milli"),
+    )

@@ -147,3 +147,139 @@ def test_gap_stats_replays(spark):
         assert g["longest_gap"] == (max(gaps) if gaps else 0)
         # books must balance: missing days = sum of the gaps
         assert g["n_missing"] == sum(gaps)
+
+
+# --- batch 6 ---------------------------------------------------------------
+
+
+def test_shard_balance_replays(spark):
+    import hashlib
+    import re as _re
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    per = defaultdict(lambda: [0, 0])
+    total = 0
+    for r in docs:
+        h = hashlib.md5(f"shard|{r['doc_id']}".encode()).hexdigest()[:15]
+        shard = int(h, 16) % 8
+        toks = len(
+            [t for t in _re.split("[^a-z0-9]+", (r["text"] or "").lower()) if t]
+        )
+        per[shard][0] += 1
+        per[shard][1] += toks
+        total += toks
+    got = {
+        r["shard"]: r
+        for r in entrymod.queries()["p_shard_balance"](
+            spark, SF
+        ).collect()
+    }
+    assert set(got) == set(per)
+    n_shards = len(per)
+    for shard, (nd, nt) in per.items():
+        g = got[shard]
+        assert g["n_docs"] == nd
+        assert g["n_tokens"] == nt
+        assert g["load_milli"] == (
+            0 if total == 0 else nt * n_shards * 1000 // total
+        )
+    # token mass is conserved across shards
+    assert sum(r["n_tokens"] for r in got.values()) == total
+
+
+def test_near_zero_variance_replays(spark):
+    from collections import Counter
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").collect()
+    got = {
+        r["col"]: r
+        for r in entrymod.queries()["dq_near_zero_variance"](
+            spark, SF
+        ).collect()
+    }
+    assert set(got) == {"l_quantity", "l_discount", "l_tax"}
+    for col in got:
+        vals = Counter(round(r[col] * 100) for r in li)
+        n = sum(vals.values())
+        ordered = sorted(vals.items(), key=lambda kv: (-kv[1], kv[0]))
+        top1 = ordered[0][1]
+        top2 = ordered[1][1] if len(ordered) > 1 else 0
+        g = got[col]
+        assert g["n"] == n
+        assert g["n_distinct"] == len(vals)
+        assert g["top1"] == top1
+        assert g["top2"] == top2
+        fr = top1 * 1000 // max(top2, 1)
+        dp = len(vals) * 1000 // n
+        assert g["freq_ratio_milli"] == fr
+        assert g["distinct_per_mille"] == dp
+        assert g["near_zero_var"] == (fr >= 19000 and dp < 100)
+
+
+def test_power_mde_replays(spark):
+    import hashlib
+    import math
+
+    rows = spark.read.parquet(f"{SF}/events.parquet").collect()
+    n_a = n_b = pos = 0
+    for r in rows:
+        h = hashlib.md5(
+            f"power|{r['event_id']}".encode()
+        ).hexdigest()[:15]
+        if int(h, 16) % 2 == 0:
+            n_a += 1
+        else:
+            n_b += 1
+        pos += 1 if r["event_type"] == "purchase" else 0
+    n = n_a + n_b
+    p_micro = pos * 1_000_000 // n
+    mde = round(
+        2.801585218
+        * math.sqrt(
+            2.0 * p_micro * (1_000_000 - p_micro) / 1e6 / min(n_a, n_b)
+        )
+    )
+    [g] = entrymod.queries()["ab_power_mde"](spark, SF).collect()
+    assert g["n_a"] == n_a
+    assert g["n_b"] == n_b
+    assert g["p_pooled_micro"] == p_micro
+    # one IEEE sqrt + round snap on both sides: exact in practice,
+    # allow the same +-1 ulp-at-the-boundary slop the Welch replays use
+    assert abs(g["mde_abs_micro"] - mde) <= 1
+    assert g["mde_rel_milli"] == (
+        0 if pos == 0 else g["mde_abs_micro"] * 1000 // p_micro
+    )
+    # a detectable effect exists and shrinks with n: sanity bounds
+    assert 0 < g["mde_abs_micro"] < 1_000_000
+
+
+def test_hapax_rate_replays(spark):
+    import re as _re
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    freq = defaultdict(lambda: defaultdict(int))
+    for r in docs:
+        for t in _re.split("[^a-z0-9]+", (r["text"] or "").lower()):
+            if t:
+                freq[r["lang"]][t] += 1
+    got = {
+        r["lang"]: r
+        for r in entrymod.queries()["text_hapax_rate"](
+            spark, SF
+        ).collect()
+    }
+    assert set(got) == {lang for lang, f in freq.items() if f}
+    for lang, f in freq.items():
+        if not f:
+            continue
+        vocab = len(f)
+        hapax = sum(1 for c in f.values() if c == 1)
+        occ = sum(f.values())
+        g = got[lang]
+        assert g["vocab_size"] == vocab
+        assert g["n_hapax"] == hapax
+        assert g["total_occ"] == occ
+        assert g["hapax_vocab_milli"] == hapax * 1000 // vocab
+        assert g["hapax_mass_milli"] == hapax * 1000 // occ
+        # hapax mass share can never exceed hapax vocab share
+        assert g["hapax_mass_milli"] <= g["hapax_vocab_milli"]

@@ -61,6 +61,9 @@ ALL_PAIRS_OK = {
     "text_oov_rate",
     # r65 queue: two 1-row rollups (edge total, closed total) crossed
     "graph_local_bridges",
+    # r63b: 1-row (total, n_shards) aggregate crossed into the 8-row
+    # shard dim
+    "p_shard_balance",
     # RAG retrieval stage IS cosine_topk: broadcast query side crossed
     # against the corpus — the documented brute-force baseline shape
     "rag_pipeline",

@@ -411,6 +411,12 @@ PROBES = [
     # moment rollup
     "graph_local_bridges",
     "ts_fano_factor",
+    # r11 batch 6: 8-row shard hash-agg; (col, value) freq dims; 1-row
+    # power agg; (lang, token) hash-agg
+    "p_shard_balance",
+    "dq_near_zero_variance",
+    "ab_power_mde",
+    "text_hapax_rate",
 ]
 
 TABLES = [
