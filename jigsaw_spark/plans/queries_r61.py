@@ -158,12 +158,23 @@ def dq_contamination_by_source(
             == 0
         ).alias("is_holdout"),
     )
-    sh = split.select(
+    # checkpoint the TOKENIZED rows, not the 8-gram explode: the explode
+    # is ~|tokens| rows (x8 text volume) and materializing it at 100 TB
+    # is a storage cliff — the three consumers below re-derive it from
+    # the (much smaller) token arrays instead, the dq_contamination
+    # discipline
+    toks = split.select(
         "doc_id",
         "source",
         "is_holdout",
-        F.explode(shingles_expr(tokens_expr("text"), 8)).alias("sh"),
+        tokens_expr("text").alias("t"),
     ).localCheckpoint()
+    sh = toks.select(
+        "doc_id",
+        "source",
+        "is_holdout",
+        F.explode(shingles_expr("t", 8)).alias("sh"),
+    )
     hold_sh = (
         sh.filter(F.col("is_holdout")).select("sh").distinct()
     ).localCheckpoint()
