@@ -1676,6 +1676,9 @@ _R11_NEW: list[str] = [
     "dq_near_zero_variance",
     "ab_power_mde",
     "text_hapax_rate",
+    "dq_contamination_bias",
+    "ann_nprobe_tradeoff",
+    "dedup_band_sweep",
 ]
 
 # Changed-code re-certs (advisor r10 #2): certified names whose executing

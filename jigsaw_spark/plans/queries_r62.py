@@ -558,3 +558,431 @@ def mm_phash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_images"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-11 batch 7 (same module — the window is governed by _R11_NEW in
+# plans/queries; modules at/after _OVERFLOW_BOUNDARY queue behind it).
+# ---------------------------------------------------------------------------
+
+# dq_contamination_bias ------------------------------------------------------
+
+
+def _contam_bias_sql() -> str:
+    from jigsaw_spark.operators.text import (
+        alnum_ratio_sql,
+        lang_hits_sql,
+        lang_predict_sql,
+        shingles_sql,
+        tokens_sql,
+    )
+
+    return f"""
+    WITH split AS (
+      SELECT doc_id, text, n_chars,
+             CAST(CAST(('0x' || substr(md5('contam|'
+               || CAST(doc_id AS VARCHAR)), 1, 12)) AS UBIGINT)
+               % CAST(20 AS UBIGINT) AS BIGINT) = 0 AS is_holdout
+      FROM documents),
+    toks AS (
+      SELECT doc_id, n_chars, is_holdout, {tokens_sql('text')} AS t,
+             {alnum_ratio_sql('text')} AS alnum
+      FROM split),
+    sh AS (
+      SELECT doc_id, is_holdout, unnest({shingles_sql('t', 8)}) AS sh
+      FROM toks),
+    train_sh AS MATERIALIZED (
+      SELECT DISTINCT sh FROM sh WHERE NOT is_holdout),
+    hit_docs AS MATERIALIZED (
+      SELECT DISTINCT h.doc_id
+      FROM sh h JOIN train_sh t ON h.sh = t.sh
+      WHERE h.is_holdout),
+    flags AS (
+      SELECT tk.doc_id, tk.n_chars,
+             hd.doc_id IS NOT NULL AS is_contaminated,
+             (len(tk.t) >= 20 AND tk.alnum >= 0.5 AND
+              {lang_predict_sql(
+                  f"CAST({lang_hits_sql('tk.t', 'en')} AS INT)",
+                  f"CAST({lang_hits_sql('tk.t', 'es')} AS INT)",
+                  f"CAST({lang_hits_sql('tk.t', 'fr')} AS INT)",
+              )} = 'en') AS passes
+      FROM toks tk LEFT JOIN hit_docs hd ON tk.doc_id = hd.doc_id
+      WHERE tk.is_holdout),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_hold FROM flags)
+    SELECT f.is_contaminated,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) * 1000 // (SELECT n_hold FROM tot) AS BIGINT)
+             AS share_milli,
+           CAST(sum(CASE WHEN f.passes THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pass,
+           CAST(sum(CASE WHEN f.passes THEN 1 ELSE 0 END) * 1000
+             // count(*) AS BIGINT) AS pass_milli,
+           CAST(sum(f.n_chars) AS BIGINT) AS sum_chars,
+           CAST(sum(f.n_chars) // count(*) AS BIGINT) AS mean_chars
+    FROM flags f GROUP BY 1
+"""
+
+
+@register(
+    "dq_contamination_bias",
+    _contam_bias_sql(),
+    "is the leak RANDOM or SELECTIVE: holdout docs split by the "
+    "dq_contamination flag (>= 1 train 8-gram collision, same "
+    "'contam' md5 split), per group: count, share, v1-gate pass rate, "
+    "and mean length — if contaminated docs pass quality gates at a "
+    "different rate or run longer than clean ones, the contamination "
+    "is correlated with exactly the docs an eval keeps, and the "
+    "measured metric inherits the bias (the reason decontamination "
+    "is a correctness issue, not hygiene). Shape: the certified "
+    "contamination join reduced to a per-doc flag (distinct "
+    "doc-level semi-join), one 2-row group rollup",
+)
+def dq_contamination_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jigsaw_spark.operators.text import (
+        alnum_ratio_expr,
+        lang_hits_expr,
+        lang_predict_expr,
+        shingles_expr,
+        tokens_expr,
+    )
+    from jigsaw_spark.session import widen
+
+    docs = widen(_t(spark, sf_dir, "documents"))
+    split = docs.select(
+        "doc_id",
+        "text",
+        "n_chars",
+        (
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                "|", F.lit("contam"), F.col("doc_id")
+                            )
+                        ),
+                        1,
+                        12,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint"),
+                F.lit(20),
+            )
+            == 0
+        ).alias("is_holdout"),
+    )
+    toks = split.select(
+        "doc_id",
+        "n_chars",
+        "is_holdout",
+        tokens_expr("text").alias("t"),
+        alnum_ratio_expr("text").alias("alnum"),
+    ).localCheckpoint()
+    sh = toks.select(
+        "doc_id",
+        "is_holdout",
+        F.explode(shingles_expr("t", 8)).alias("sh"),
+    )
+    train_sh = sh.filter(~F.col("is_holdout")).select("sh").distinct()
+    hit_docs = (
+        sh.filter(F.col("is_holdout"))
+        .join(train_sh.select(F.col("sh").alias("tsh")),
+              F.col("sh") == F.col("tsh"))
+        .select("doc_id")
+        .distinct()
+        .withColumn("hit", F.lit(True))
+    )
+    flags = (
+        toks.filter(F.col("is_holdout"))
+        .join(hit_docs, "doc_id", "left")
+        .select(
+            "n_chars",
+            F.coalesce("hit", F.lit(False)).alias("is_contaminated"),
+            (
+                (F.size("t") >= 20)
+                & (F.col("alnum") >= 0.5)
+                & (
+                    lang_predict_expr(
+                        lang_hits_expr("t", "en"),
+                        lang_hits_expr("t", "es"),
+                        lang_hits_expr("t", "fr"),
+                    )
+                    == "en"
+                )
+            ).alias("passes"),
+        )
+    )
+    tot = flags.agg(F.count(F.lit(1)).cast("bigint").alias("n_hold"))
+    return (
+        flags.groupBy("is_contaminated")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("passes"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_pass"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "is_contaminated",
+            "n_docs",
+            F.expr("CAST(n_docs * 1000 div n_hold AS BIGINT)").alias(
+                "share_milli"
+            ),
+            "n_pass",
+            F.expr(
+                "CAST(n_pass * 1000 div n_docs AS BIGINT)"
+            ).alias("pass_milli"),
+            "sum_chars",
+            F.expr("CAST(sum_chars div n_docs AS BIGINT)").alias(
+                "mean_chars"
+            ),
+        )
+    )
+
+
+# ann_nprobe_tradeoff --------------------------------------------------------
+
+_NPROBES = (1, 2, 4)
+
+
+def _nprobe_tradeoff_sql() -> str:
+    arms = []
+    for np_ in _NPROBES:
+        arms.append(f"""
+    probes_{np_} AS (
+      SELECT query_id, cell FROM probes_all WHERE rn <= {np_}),
+    cand_{np_} AS (
+      SELECT p.query_id, a.vec_id
+      FROM probes_{np_} p JOIN assign a ON a.cell = p.cell
+      WHERE a.vec_id <> p.query_id),
+    scored_{np_} AS (
+      SELECT query_id, vec_id, rank FROM (
+        SELECT c.query_id, c.vec_id,
+               row_number() OVER (PARTITION BY c.query_id
+                 ORDER BY round(list_cosine_similarity(
+                   q.embedding::DOUBLE[], e.embedding::DOUBLE[]), 9)
+                 DESC, c.vec_id) AS rank
+        FROM cand_{np_} c
+        JOIN embeddings q ON q.vec_id = c.query_id
+        JOIN embeddings e ON e.vec_id = c.vec_id) t
+      WHERE rank <= 10),
+    row_{np_} AS (
+      SELECT {np_} AS nprobe,
+             (SELECT CAST(count(*) AS BIGINT) FROM cand_{np_})
+               AS n_scored,
+             (SELECT CAST(count(*) AS BIGINT)
+              FROM truth t JOIN scored_{np_} s
+                ON t.query_id = s.query_id AND t.vec_id = s.vec_id)
+               AS hits)""")
+    unions = "\n      UNION ALL\n      ".join(
+        f"SELECT * FROM row_{np_}" for np_ in _NPROBES
+    )
+    return f"""
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding::DOUBLE[] AS cvec
+      FROM embeddings WHERE vec_id < 8),
+    assign AS MATERIALIZED (
+      SELECT vec_id, cid AS cell FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY round(list_cosine_similarity(
+                   e.embedding::DOUBLE[], c.cvec), 9) DESC, c.cid) AS rn
+        FROM embeddings e CROSS JOIN cent c) t WHERE rn = 1),
+    probes_all AS MATERIALIZED (
+      SELECT query_id, cell, rn FROM (
+        SELECT q.vec_id AS query_id, c.cid AS cell,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY round(list_cosine_similarity(
+                   q.embedding::DOUBLE[], c.cvec), 9) DESC, c.cid) AS rn
+        FROM embeddings q CROSS JOIN cent c
+        WHERE q.vec_id < 5) t),
+    truth AS MATERIALIZED (
+      SELECT query_id, vec_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id,
+               row_number() OVER (PARTITION BY q.vec_id
+                 ORDER BY round(list_cosine_similarity(
+                   q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 9)
+                 DESC, c.vec_id) AS rank
+        FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id < 5) t
+      WHERE rank <= 10),
+    brute AS (
+      SELECT CAST(5 * (count(*) - 1) AS BIGINT) AS n_brute
+      FROM embeddings),
+    {','.join(arms)}
+    SELECT CAST(r.nprobe AS INT) AS nprobe,
+           r.n_scored, r.hits,
+           CAST(r.hits * 1000 // 50 AS BIGINT) AS recall_milli,
+           CAST(r.n_scored * 1000 // b.n_brute AS BIGINT)
+             AS scan_share_milli
+    FROM ({unions}) r CROSS JOIN brute b
+"""
+
+
+@register(
+    "ann_nprobe_tradeoff",
+    _nprobe_tradeoff_sql(),
+    "the IVF Pareto table: for nprobe in {{1,2,4}}, candidates SCORED "
+    "(the exact scan-cost ledger — distance computations the index "
+    "pays) and recall@10 vs the brute truth over the 5-query panel, "
+    "plus the scan share vs brute-force's 5*(N-1). ann_recall_curve "
+    "fixes nprobe=2 and sweeps k; ann_codec_recall sweeps the codec; "
+    "this sweeps the PROBE axis with quality AND cost in one relation "
+    "— the table an index tuner actually reads (recall per scanned "
+    "candidate). Shape: ONE shared assignment + probe ranking, three "
+    "cell-restricted candidate joins (never the full corpus per arm), "
+    "k-bounded rank tables",
+)
+def ann_nprobe_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jigsaw_spark.operators.similarity import cosine_topk, ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    panel = emb.filter(F.col("vec_id") < 5)
+    centroids = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < 8)
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    truth = cosine_topk(emb, panel, k=10).select(
+        "query_id", F.col("vec_id").alias("tvec")
+    )
+    n_brute = emb.agg(
+        (F.lit(5) * (F.count(F.lit(1)) - 1))
+        .cast("bigint")
+        .alias("n_brute")
+    )
+    from jigsaw_spark.operators.similarity import _ivf_scored_candidates
+
+    arms = []
+    for np_ in _NPROBES:
+        scored = _ivf_scored_candidates(
+            emb, panel, centroids, np_, "vec_id", "embedding"
+        ).localCheckpoint()
+        n_scored = scored.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_scored")
+        )
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("query_id").orderBy(
+            F.round("cos", 9).desc(), F.col("vec_id")
+        )
+        top = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 10)
+            .select("query_id", "vec_id")
+        )
+        hits = truth.join(
+            top,
+            (truth["query_id"] == top["query_id"])
+            & (truth["tvec"] == top["vec_id"]),
+        ).agg(F.count(F.lit(1)).cast("bigint").alias("hits"))
+        arms.append(
+            n_scored.crossJoin(F.broadcast(hits)).select(
+                F.lit(np_).cast("int").alias("nprobe"),
+                "n_scored",
+                "hits",
+            )
+        )
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionByName(a)
+    return out.crossJoin(F.broadcast(n_brute)).select(
+        "nprobe",
+        "n_scored",
+        "hits",
+        F.expr("CAST(hits * 1000 div 50 AS BIGINT)").alias(
+            "recall_milli"
+        ),
+        F.expr(
+            "CAST(n_scored * 1000 div n_brute AS BIGINT)"
+        ).alias("scan_share_milli"),
+    )
+
+
+# dedup_band_sweep -----------------------------------------------------------
+
+_BAND_CFGS = ((2, 8), (4, 4), (8, 2))  # (bands, rows_per_band), b*r = 16
+
+
+def _band_sweep_sql() -> str:
+    from jigsaw_spark.plans.queries_llm import _SHINGLES_CTE, _TOKS_CTE
+
+    arms = []
+    for b, r in _BAND_CFGS:
+        thr = round(1000 * (1.0 / b) ** (1.0 / r))
+        arms.append(f"""
+    bands_{b} AS (
+      SELECT doc_id, seed // {r} AS band,
+             string_agg(mh, ',' ORDER BY seed) AS sig
+      FROM mh GROUP BY doc_id, band),
+    pairs_{b} AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b
+      FROM bands_{b} a
+      JOIN bands_{b} b2 ON a.band = b2.band AND a.sig = b2.sig
+                        AND a.doc_id < b2.doc_id),
+    row_{b} AS (
+      SELECT {b} AS bands, {r} AS rows_per_band,
+             CAST({thr} AS BIGINT) AS threshold_milli,
+             (SELECT CAST(count(*) AS BIGINT) FROM pairs_{b})
+               AS n_candidate_pairs)""")
+    unions = "\n      UNION ALL\n      ".join(
+        f"SELECT * FROM row_{b}" for b, _ in _BAND_CFGS
+    )
+    return f"""
+    WITH {_TOKS_CTE}, {_SHINGLES_CTE},
+    mh AS MATERIALIZED (
+      SELECT doc_id, seed,
+             min(md5(CAST(seed AS VARCHAR) || '|' || shingle)) AS mh
+      FROM sh CROSS JOIN (SELECT unnest(range(16)) AS seed) seeds
+      GROUP BY doc_id, seed),
+    {','.join(arms)}
+    SELECT CAST(bands AS INT) AS bands,
+           CAST(rows_per_band AS INT) AS rows_per_band,
+           threshold_milli, n_candidate_pairs
+    FROM ({unions})
+"""
+
+
+@register(
+    "dedup_band_sweep",
+    _band_sweep_sql(),
+    "LSH band-configuration economics: over the SAME 16 md5-seeded "
+    "minhashes (dedup_minhash_lsh's signatures — the 4x4 row "
+    "reproduces its certified pair count), candidate pair counts for "
+    "(bands, rows) in {{2x8, 4x4, 8x2}} next to each config's "
+    "S-curve threshold s* = (1/b)^(1/r) (inlined as an exact literal, "
+    "computed once at plan build): 8x2 fires at ~354 milli Jaccard "
+    "(recall-heavy, most candidates), 2x8 at ~917 (precision-heavy, "
+    "fewest) — the tuning table that prices recall against candidate "
+    "volume BEFORE any exact verification runs. dedup_shingle_sweep "
+    "sweeps the shingle axis; this sweeps the banding axis. Shape: "
+    "ONE signature hash-agg shared by three banded bucket joins — "
+    "never all-pairs",
+)
+def dedup_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jigsaw_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = _t(spark, sf_dir, "documents").localCheckpoint()
+    arms = []
+    for b, r in _BAND_CFGS:
+        thr = round(1000 * (1.0 / b) ** (1.0 / r))
+        n = minhash_lsh_pairs(
+            docs, "doc_id", num_hashes=16, bands=b
+        ).agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_candidate_pairs")
+        )
+        arms.append(
+            n.select(
+                F.lit(b).cast("int").alias("bands"),
+                F.lit(r).cast("int").alias("rows_per_band"),
+                F.lit(thr).cast("bigint").alias("threshold_milli"),
+                "n_candidate_pairs",
+            )
+        )
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionByName(a)
+    return out

@@ -64,6 +64,11 @@ ALL_PAIRS_OK = {
     # r63b: 1-row (total, n_shards) aggregate crossed into the 8-row
     # shard dim
     "p_shard_balance",
+    # r62b: 1-row holdout-total dim crossed into the 2-row group rollup
+    "dq_contamination_bias",
+    # r62b: per-arm 1-row n_scored x 1-row hits crosses + the 1-row
+    # brute-denominator dim — all scalar aggregates
+    "ann_nprobe_tradeoff",
     # RAG retrieval stage IS cosine_topk: broadcast query side crossed
     # against the corpus — the documented brute-force baseline shape
     "rag_pipeline",

@@ -417,6 +417,11 @@ PROBES = [
     "dq_near_zero_variance",
     "ab_power_mde",
     "text_hapax_rate",
+    # r11 batch 7: per-doc contamination flag rollup; shared IVF
+    # assignment x3 probe arms; one signature hash-agg x3 band joins
+    "dq_contamination_bias",
+    "ann_nprobe_tradeoff",
+    "dedup_band_sweep",
 ]
 
 TABLES = [
