@@ -1679,6 +1679,8 @@ _R11_NEW: list[str] = [
     "dq_contamination_bias",
     "ann_nprobe_tradeoff",
     "dedup_band_sweep",
+    "dq_dedup_bias",
+    "dq_split_smd",
 ]
 
 # Changed-code re-certs (advisor r10 #2): certified names whose executing

@@ -716,3 +716,307 @@ def ann_ivf_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("coherence_milli"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-11 batch 8 (same module — the window is governed by _R11_NEW in
+# plans/queries; modules at/after _OVERFLOW_BOUNDARY queue behind it).
+# ---------------------------------------------------------------------------
+
+# dq_dedup_bias --------------------------------------------------------------
+
+
+def _dedup_bias_sql() -> str:
+    from jigsaw_spark.operators.text import (
+        alnum_ratio_sql,
+        lang_hits_sql,
+        lang_predict_sql,
+        tokens_sql,
+    )
+    from jigsaw_spark.plans.queries_llm import _KEEPER_EDGES_CTE
+
+    return f"""
+    WITH RECURSIVE {_KEEPER_EDGES_CTE},
+    reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+      WHERE e.v <> r.u),
+    comp AS (
+      SELECT u AS doc_id, least(u, min(v)) AS component
+      FROM reach GROUP BY u),
+    labeled AS (
+      SELECT d.doc_id, d.n_chars, d.text,
+             coalesce(c.component, d.doc_id) AS component
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id),
+    flags AS (
+      SELECT doc_id <> component AS is_dropped, n_chars,
+             (len({tokens_sql('text')}) >= 20
+              AND {alnum_ratio_sql('text')} >= 0.5 AND
+              {lang_predict_sql(
+                  f"CAST({lang_hits_sql(tokens_sql('text'), 'en')} AS INT)",
+                  f"CAST({lang_hits_sql(tokens_sql('text'), 'es')} AS INT)",
+                  f"CAST({lang_hits_sql(tokens_sql('text'), 'fr')} AS INT)",
+              )} = 'en') AS passes
+      FROM labeled),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_all FROM flags)
+    SELECT f.is_dropped,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) * 1000 // (SELECT n_all FROM tot) AS BIGINT)
+             AS share_milli,
+           CAST(sum(CASE WHEN f.passes THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pass,
+           CAST(sum(CASE WHEN f.passes THEN 1 ELSE 0 END) * 1000
+             // count(*) AS BIGINT) AS pass_milli,
+           CAST(sum(f.n_chars) // count(*) AS BIGINT) AS mean_chars
+    FROM flags f GROUP BY 1
+"""
+
+
+@register(
+    "dq_dedup_bias",
+    _dedup_bias_sql(),
+    "does min-id keeper selection throw away quality: every doc "
+    "labeled by its near-dup component (keeper graph -> min reachable "
+    "id; singletons keep themselves), then survivors vs dropped "
+    "compared on the v1 gate pass rate and mean length. Exact dedup "
+    "drops BYTE-IDENTICAL copies (no bias possible); NEAR-dup keepers "
+    "are chosen by id, so a systematic pass-rate gap between kept and "
+    "dropped is dedup-induced selection bias — the measurement that "
+    "justifies dedup_exact_keep_best's keep-the-best policy at the "
+    "near-dup tier. Shape: the shared keeper graph -> the production "
+    "components shape -> one map-side gate projection -> a 2-row "
+    "rollup",
+)
+def dq_dedup_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jigsaw_spark.operators.dedup import (
+        connected_components,
+        keeper_pairs,
+    )
+    from jigsaw_spark.operators.text import (
+        alnum_ratio_expr,
+        lang_hits_expr,
+        lang_predict_expr,
+        tokens_expr,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = keeper_pairs(docs, "doc_id").localCheckpoint()
+    comp = connected_components(pairs)
+    labeled = docs.join(comp, "doc_id", "left").select(
+        "n_chars",
+        "text",
+        (
+            F.col("doc_id")
+            != F.coalesce("component", F.col("doc_id"))
+        ).alias("is_dropped"),
+    )
+    t = tokens_expr("text")
+    flags = labeled.select(
+        "is_dropped",
+        "n_chars",
+        (
+            (F.size(t) >= 20)
+            & (alnum_ratio_expr("text") >= 0.5)
+            & (
+                lang_predict_expr(
+                    lang_hits_expr(t, "en"),
+                    lang_hits_expr(t, "es"),
+                    lang_hits_expr(t, "fr"),
+                )
+                == "en"
+            )
+        ).alias("passes"),
+    )
+    tot = flags.agg(F.count(F.lit(1)).cast("bigint").alias("n_all"))
+    return (
+        flags.groupBy("is_dropped")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("passes"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_pass"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "is_dropped",
+            "n_docs",
+            F.expr("CAST(n_docs * 1000 div n_all AS BIGINT)").alias(
+                "share_milli"
+            ),
+            "n_pass",
+            F.expr("CAST(n_pass * 1000 div n_docs AS BIGINT)").alias(
+                "pass_milli"
+            ),
+            F.expr("CAST(sum_chars div n_docs AS BIGINT)").alias(
+                "mean_chars"
+            ),
+        )
+    )
+
+
+# dq_split_smd ---------------------------------------------------------------
+
+
+def _split_smd_sql() -> str:
+    from jigsaw_spark.operators.text import alnum_ratio_sql, tokens_sql
+
+    return f"""
+    WITH split AS (
+      SELECT doc_id,
+             CAST(n_chars AS BIGINT) AS c_chars,
+             CAST(len({tokens_sql('text')}) AS BIGINT) AS c_tokens,
+             CAST(round({alnum_ratio_sql('text')} * 1000, 0) AS BIGINT)
+               AS c_alnum,
+             CAST(CAST(('0x' || substr(md5('contam|'
+               || CAST(doc_id AS VARCHAR)), 1, 12)) AS UBIGINT)
+               % CAST(20 AS UBIGINT) AS BIGINT) = 0 AS is_holdout
+      FROM documents),
+    long AS (
+      SELECT is_holdout, 'n_chars' AS covariate, c_chars AS x FROM split
+      UNION ALL
+      SELECT is_holdout, 'n_tokens', c_tokens FROM split
+      UNION ALL
+      SELECT is_holdout, 'alnum_milli', c_alnum FROM split),
+    m AS (
+      SELECT covariate,
+             CAST(sum(CASE WHEN is_holdout THEN 0 ELSE 1 END)
+               AS BIGINT) AS n_tr,
+             CAST(sum(CASE WHEN is_holdout THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_ho,
+             CAST(sum(CASE WHEN is_holdout THEN 0 ELSE x END)
+               AS HUGEINT) AS s_tr,
+             CAST(sum(CASE WHEN is_holdout THEN x ELSE 0 END)
+               AS HUGEINT) AS s_ho,
+             CAST(sum(CASE WHEN is_holdout THEN 0 ELSE x * x END)
+               AS HUGEINT) AS q_tr,
+             CAST(sum(CASE WHEN is_holdout THEN x * x ELSE 0 END)
+               AS HUGEINT) AS q_ho
+      FROM long GROUP BY 1)
+    SELECT covariate, n_tr, n_ho,
+           CAST(s_tr // n_tr AS BIGINT) AS mean_train,
+           CAST(s_ho // n_ho AS BIGINT) AS mean_holdout,
+           CAST(round(CASE
+             WHEN (CAST(n_tr AS DOUBLE) * q_tr - CAST(s_tr * s_tr AS DOUBLE))
+                  / (CAST(n_tr AS DOUBLE) * n_tr)
+                + (CAST(n_ho AS DOUBLE) * q_ho - CAST(s_ho * s_ho AS DOUBLE))
+                  / (CAST(n_ho AS DOUBLE) * n_ho) = 0 THEN 0
+             ELSE abs(CAST(s_tr AS DOUBLE) / n_tr
+                      - CAST(s_ho AS DOUBLE) / n_ho)
+                  / sqrt((
+                    (CAST(n_tr AS DOUBLE) * q_tr
+                     - CAST(s_tr * s_tr AS DOUBLE))
+                    / (CAST(n_tr AS DOUBLE) * n_tr)
+                  + (CAST(n_ho AS DOUBLE) * q_ho
+                     - CAST(s_ho * s_ho AS DOUBLE))
+                    / (CAST(n_ho AS DOUBLE) * n_ho)) / 2.0)
+             END * 1000, 0) AS BIGINT) AS smd_milli
+    FROM m
+"""
+
+
+@register(
+    "dq_split_smd",
+    _split_smd_sql(),
+    "holdout-balance audit: standardized mean difference of each doc "
+    "covariate (n_chars, token count, milli alnum ratio) between the "
+    "'contam' md5 train/holdout split — |mean_tr - mean_ho| / "
+    "sqrt((var_tr + var_ho)/2), the covariate-balance statistic "
+    "(SMD > 100 milli is the standard imbalance flag): a 5% holdout "
+    "that is longer or cleaner than train measures a different "
+    "population and every eval on it inherits the tilt. All moments "
+    "are exact integer/HUGEINT sums; the only floats are the final "
+    "variance ratio and ONE IEEE sqrt (the Welch precedent), "
+    "milli-snapped on both engines. Shape: one scan into a 3-arm "
+    "union, one (covariate)-keyed moment hash-agg — 3 rows out",
+)
+def dq_split_smd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jigsaw_spark.operators.text import alnum_ratio_expr, tokens_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    split = docs.select(
+        F.col("n_chars").cast("bigint").alias("c_chars"),
+        F.size(tokens_expr("text")).cast("bigint").alias("c_tokens"),
+        F.round(alnum_ratio_expr("text") * 1000, 0)
+        .cast("bigint")
+        .alias("c_alnum"),
+        (
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                "|", F.lit("contam"), F.col("doc_id")
+                            )
+                        ),
+                        1,
+                        12,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint"),
+                F.lit(20),
+            )
+            == 0
+        ).alias("is_holdout"),
+    ).localCheckpoint()
+
+    def arm(name: str, col: str) -> DataFrame:
+        return split.select(
+            "is_holdout",
+            F.lit(name).alias("covariate"),
+            F.col(col).alias("x"),
+        )
+
+    long = (
+        arm("n_chars", "c_chars")
+        .unionByName(arm("n_tokens", "c_tokens"))
+        .unionByName(arm("alnum_milli", "c_alnum"))
+    )
+    dec = "decimal(38,0)"
+    m = long.groupBy("covariate").agg(
+        F.sum(F.when(F.col("is_holdout"), 0).otherwise(1))
+        .cast("bigint")
+        .alias("n_tr"),
+        F.sum(F.when(F.col("is_holdout"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_ho"),
+        F.sum(
+            F.when(F.col("is_holdout"), F.lit(0)).otherwise(F.col("x"))
+            .cast(dec)
+        ).alias("s_tr"),
+        F.sum(
+            F.when(F.col("is_holdout"), F.col("x")).otherwise(F.lit(0))
+            .cast(dec)
+        ).alias("s_ho"),
+        F.sum(
+            F.when(F.col("is_holdout"), F.lit(0))
+            .otherwise(F.col("x") * F.col("x"))
+            .cast(dec)
+        ).alias("q_tr"),
+        F.sum(
+            F.when(F.col("is_holdout"), F.col("x") * F.col("x"))
+            .otherwise(F.lit(0))
+            .cast(dec)
+        ).alias("q_ho"),
+    )
+    var_expr = (
+        "(CAST(n_tr AS DOUBLE) * q_tr - CAST(s_tr * s_tr AS DOUBLE))"
+        " / (CAST(n_tr AS DOUBLE) * n_tr)"
+        " + (CAST(n_ho AS DOUBLE) * q_ho - CAST(s_ho * s_ho AS DOUBLE))"
+        " / (CAST(n_ho AS DOUBLE) * n_ho)"
+    )
+    return m.select(
+        "covariate",
+        "n_tr",
+        "n_ho",
+        F.expr("CAST(s_tr div n_tr AS BIGINT)").alias("mean_train"),
+        F.expr("CAST(s_ho div n_ho AS BIGINT)").alias("mean_holdout"),
+        F.expr(
+            f"CAST(round(CASE WHEN {var_expr} = 0 THEN 0"
+            " ELSE abs(CAST(s_tr AS DOUBLE) / n_tr"
+            " - CAST(s_ho AS DOUBLE) / n_ho)"
+            f" / sqrt(({var_expr}) / 2.0) END * 1000, 0) AS BIGINT)"
+        ).alias("smd_milli"),
+    )

@@ -242,3 +242,131 @@ def test_ivf_balance_replays(spark):
             # positive here so // agrees
             assert g["coherence_milli"] == nano // (n * 1_000_000)
     assert sum(r["n_vectors"] for r in got.values()) == total
+
+
+# --- batch 8 ---------------------------------------------------------------
+
+
+def _gate_passes(text, toks):
+    from jigsaw_spark.operators.text import LANG_MARKERS
+
+    lowered = (text or "").lower()
+    kept = len(re.sub("[^a-z0-9 ]", "", lowered))
+    alnum = kept / len(lowered) if lowered else float("nan")
+    hits = {
+        lang: sum(1 for x in toks if x in set(ms))
+        for lang, ms in LANG_MARKERS.items()
+    }
+    if hits["en"] >= hits["es"] and hits["en"] >= hits["fr"]:
+        pred = "en"
+    elif hits["es"] >= hits["fr"]:
+        pred = "es"
+    else:
+        pred = "fr"
+    return len(toks) >= 20 and alnum >= 0.5 and pred == "en"
+
+
+import re  # noqa: E402
+
+
+def test_dedup_bias_replays(spark):
+    from pyspark.sql import functions as F
+
+    from jigsaw_spark.operators.dedup import exact_dedup, simhash_pairs
+
+    docs_df = spark.read.parquet(f"{SF}/documents.parquet")
+    keepers = (
+        exact_dedup(docs_df, "doc_id")
+        .filter(~F.col("is_dup"))
+        .select("doc_id", "text")
+    )
+    pairs = [
+        (r["doc_a"], r["doc_b"])
+        for r in simhash_pairs(keepers, "doc_id", max_hamming=2)
+        .select("doc_a", "doc_b")
+        .collect()
+    ]
+    docs = docs_df.collect()
+    parent = {r["doc_id"]: r["doc_id"] for r in docs}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    groups = {True: [0, 0, 0], False: [0, 0, 0]}
+    for r in docs:
+        dropped = find(r["doc_id"]) != r["doc_id"]
+        g = groups[dropped]
+        g[0] += 1
+        g[1] += 1 if _gate_passes(r["text"], _tokens(r["text"])) else 0
+        g[2] += r["n_chars"]
+    n_all = len(docs)
+    got = {
+        r["is_dropped"]: r
+        for r in entrymod.queries()["dq_dedup_bias"](
+            spark, SF
+        ).collect()
+    }
+    expected_flags = {k for k, v in groups.items() if v[0] > 0}
+    assert set(got) == expected_flags
+    for flag in expected_flags:
+        n, np_, sc = groups[flag]
+        g = got[flag]
+        assert g["n_docs"] == n
+        assert g["share_milli"] == n * 1000 // n_all
+        assert g["n_pass"] == np_
+        assert g["pass_milli"] == np_ * 1000 // n
+        assert g["mean_chars"] == sc // n
+    assert sum(g["n_docs"] for g in got.values()) == n_all
+
+
+def test_split_smd_replays(spark):
+    import math
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    covs = {"n_chars": [], "n_tokens": [], "alnum_milli": []}
+    flags = []
+    for r in docs:
+        t = _tokens(r["text"])
+        lowered = (r["text"] or "").lower()
+        kept = len(re.sub("[^a-z0-9 ]", "", lowered))
+        alnum_milli = round(kept / len(lowered) * 1000) if lowered else 0
+        covs["n_chars"].append(r["n_chars"])
+        covs["n_tokens"].append(len(t))
+        covs["alnum_milli"].append(alnum_milli)
+        flags.append(_is_holdout(r["doc_id"]))
+    got = {
+        r["covariate"]: r
+        for r in entrymod.queries()["dq_split_smd"](spark, SF).collect()
+    }
+    assert set(got) == set(covs)
+    for cov, xs in covs.items():
+        tr = [x for x, h in zip(xs, flags) if not h]
+        ho = [x for x, h in zip(xs, flags) if h]
+        g = got[cov]
+        assert g["n_tr"] == len(tr)
+        assert g["n_ho"] == len(ho)
+        assert g["mean_train"] == sum(tr) // len(tr)
+        assert g["mean_holdout"] == sum(ho) // len(ho)
+        vt = (len(tr) * sum(x * x for x in tr) - sum(tr) ** 2) / (
+            len(tr) ** 2
+        )
+        vh = (len(ho) * sum(x * x for x in ho) - sum(ho) ** 2) / (
+            len(ho) ** 2
+        )
+        pooled = (vt + vh) / 2.0
+        smd = (
+            0
+            if pooled == 0
+            else abs(sum(tr) / len(tr) - sum(ho) / len(ho))
+            / math.sqrt(pooled)
+        )
+        # float variance ratio + one sqrt, milli-snapped both sides
+        assert abs(g["smd_milli"] - round(smd * 1000)) <= 1
+        assert g["smd_milli"] >= 0

@@ -66,6 +66,8 @@ ALL_PAIRS_OK = {
     "p_shard_balance",
     # r62b: 1-row holdout-total dim crossed into the 2-row group rollup
     "dq_contamination_bias",
+    # r61b: 1-row corpus-total dim crossed into the 2-row group rollup
+    "dq_dedup_bias",
     # r62b: per-arm 1-row n_scored x 1-row hits crosses + the 1-row
     # brute-denominator dim — all scalar aggregates
     "ann_nprobe_tradeoff",

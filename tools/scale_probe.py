@@ -422,6 +422,9 @@ PROBES = [
     "dq_contamination_bias",
     "ann_nprobe_tradeoff",
     "dedup_band_sweep",
+    # r11 batch 8: keeper components + gate rollup; 3-arm moment agg
+    "dq_dedup_bias",
+    "dq_split_smd",
 ]
 
 TABLES = [
