@@ -1600,36 +1600,36 @@ from jigsaw_spark.plans import queries_r61  # noqa: E402,F401
 from jigsaw_spark.plans import queries_r62  # noqa: E402,F401
 from jigsaw_spark.plans import queries_r63  # noqa: E402,F401
 from jigsaw_spark.plans import queries_r64  # noqa: E402,F401
-# r65 is the ROUND-12 QUEUE (overflow module at _OVERFLOW_BOUNDARY,
-# behind the 50-slot window by policy — the r40/r55/r60 pattern):
-# replica-verified this round, first driver row next round.
+# r65 was the round-12 queue; its 2 queries now head the r12 window.
 from jigsaw_spark.plans import queries_r65  # noqa: E402,F401
+from jigsaw_spark.plans import queries_r66  # noqa: E402,F401
 
 
 # ---------------------------------------------------------------------------
 # Registration order == driver certification order. The driver's correctness
 # gate walks QUERIES in insertion order with a bounded window (exactly the
-# first 50 names every round so far). Round-11 rotation (verdict r10
-# directive #1) — CORRECTNESS_r10 came back 50/50 green, so the only
-# remaining debt is the 2-query r60 queue registered behind the r10 window
-# (the documented round-11 queue):
-#   slots 1-2   — graph_transitivity + ts_dominant_period (first driver
-#                 rows for the r60 queue pair).
-#   slots 3+    — round-11-new queries (modules queries_r61+) inserted
+# first 50 names every round so far). Round-12 rotation (verdict r11
+# directive #1) — CORRECTNESS_r11 came back 50/50 green, so the only
+# remaining debt is the 2-query r65 queue registered behind the r11 window
+# (the documented round-12 queue):
+#   slots 1-2   — graph_local_bridges + ts_fano_factor (first driver
+#                 rows for the r65 queue pair).
+#   slots 3+    — round-12-new queries (modules queries_r66+) inserted
 #                 here as they are built.
-#   next        — changed-code re-certs (advisor r10 #2): the certified
-#                 queries whose EXECUTING code changed in the r10
-#                 keeper/eval/ivf refactors or the r11 cosine_topk
-#                 contract hardening get fresh driver rows ahead of
-#                 stalest-first padding.
-#   tail to 50  — padding: stalest-first re-certs — the 8 oracle-backed
-#                 queries whose latest driver row is still r01, then the
-#                 stalest of the 43 r02 rows. (The pool is longer than
-#                 the window on purpose; only the first 50 registry slots
-#                 form the window, the rest keep their certified rows.)
+#   next        — changed-code re-certs: certified queries whose EXECUTING
+#                 code changes this round (the ml_learning_curve banded
+#                 quartile window, verdict r11 #2; the ab_power_mde empty-
+#                 arm guard, advisor r11 #2) get fresh driver rows ahead
+#                 of stalest-first padding (the advisor-r10 rule, now
+#                 precedent).
+#   tail to 50  — padding: stalest-first re-certs — the 40 oracle-backed
+#                 queries whose latest driver row is r02, then the stalest
+#                 of the r03 rows. (The pool is longer than the window on
+#                 purpose; only the first 50 registry slots form the
+#                 window, the rest keep their certified rows.)
 # Overflow boundary: modules queries_r{_OVERFLOW_BOUNDARY}+ queue behind
-# slot 50 for the next round (the r40/r55/r60 pattern). The window is
-# EXACTLY 50 slots; if _R11_NEW outgrows the space, move whole batch
+# slot 50 for the next round (the r40/r55/r60/r65 pattern). The window is
+# EXACTLY 50 slots; if _R12_NEW outgrows the space, move whole batch
 # modules past the boundary instead of widening the window.
 # The 6 clean rows-only entries (text_bpe_encode, mm_decode_meta, ...)
 # each have their one driver row and are NOT re-rotated (they can never be
@@ -1643,109 +1643,87 @@ from jigsaw_spark.plans import queries_r65  # noqa: E402,F401
 # First queries_r{N} module that queues BEHIND the 50-slot window for the
 # NEXT round's certification. tests/test_entry.py imports this so the
 # policy test and the registry cannot drift (advisor r9 #5).
-_OVERFLOW_BOUNDARY = 65
+_OVERFLOW_BOUNDARY = 70
 
-_R11_QUEUE = [
-    "graph_transitivity",
-    "ts_dominant_period",
+_R12_QUEUE = [
+    "graph_local_bridges",
+    "ts_fano_factor",
 ]
 
-_R11_NEW: list[str] = [
-    # round-11-new queries are appended here by their batch modules' order
-    # as they are built (queries_r61+)
-    "dq_contamination_by_source",
-    "p_token_budget_mix",
-    "ann_codec_recall",
-    "ann_ivf_balance",
-    "dq_contamination_ngram_curve",
-    "text_dup_gram_mass",
-    "curation_gate_attribution",
-    "mm_phash_components",
-    "graph_degree_gini",
-    "graph_lang_assortativity",
-    "ts_turning_points",
-    "ts_gap_stats",
-    "ml_fold_stability",
-    "ml_label_shift_weights",
-    "p_ess_weight_clip",
-    "stream_psi_monitor",
-    "dedup_prefix_clusters",
-    "dedup_edge_source_mix",
-    "text_oov_rate",
-    "p_shard_balance",
-    "dq_near_zero_variance",
+_R12_NEW: list[str] = [
+    # round-12-new queries are appended here by their batch modules' order
+    # as they are built (queries_r66+)
+    "dedup_cross_modal",
+    "dq_split_repair",
+    "ann_pareto_frontier",
+    "stream_watermark_advisor",
+]
+
+# Changed-code re-certs (advisor r10 #2, now standing policy): certified
+# names whose executing code changes this round — the ml_learning_curve
+# banded quartile window (verdict r11 #2) and the ab_power_mde empty-arm
+# guard (advisor r11 #2). A green old row certifies the OLD code; these
+# get fresh rows this round.
+_R12_CHANGED_RECERT = [
+    "ml_learning_curve",
     "ab_power_mde",
-    "text_hapax_rate",
-    "dq_contamination_bias",
-    "ann_nprobe_tradeoff",
-    "dedup_band_sweep",
-    "dq_dedup_bias",
-    "dq_split_smd",
-]
-
-# Changed-code re-certs (advisor r10 #2): certified names whose executing
-# code changed — the r10 cosine_topk Arrow kernel + eval_panel/keeper/ivf
-# refactors, and the r11 cosine_topk contract hardening (bd7b3f3). A green
-# old row certifies the OLD code; these get fresh rows this round.
-_R11_CHANGED_RECERT = [
-    "ann_cosine_topk",
-    "ann_recall_curve",
-    "ann_ivf_recall",
-    "rag_pipeline",
-    "ml_mrr_exact",
-    "ml_precision_at_k",
-    "ml_recall_at_k",
-    "graph_degree_assortativity",
-    "graph_rich_club",
-    "graph_hub_removal_impact",
-    "text_seq_packing",
 ]
 
 _STALE_PADDING = [
-    # latest driver row r01 (the 8 remaining oracle-backed)
-    "w5_moving_avg",
-    "fn_json",
-    "fn_higher_order",
-    "agg_zscore_pandas",
-    "w6_range_frame",
-    "fn_subquery",
-    "text_tokens",
-    "text_quality",
-    # latest driver row r02 (stalest-first pool; rag_pipeline is in the
-    # changed-code block above, so it is not repeated here)
-    "flagship_pipeline",
-    "merge_upsert",
-    "dedup_lsh_capped",
-    "mm_png_mask_bboxes",
-    "k6_bbox_norm",
-    "k6_feature_points",
-    "mm_png_instance_bboxes",
-    "dedup_semantic",
-    "text_boilerplate",
-    "profile_table",
-    "rel_recursive_rollup",
-    "stream_static_join",
-    "text_topgram_coverage",
-    "ts_ohlc",
-    "agg_mode",
-    "j5_asof_forward_tol",
-    "w9_distinct_window",
-    "fn_variant",
-    "fn_hashes",
-    "dedup_lines",
-    "fn_udtf_lateral",
-    "dedup_lsh_recall",
-    "dedup_incremental",
+    # latest driver row r02 (stalest-first pool, alphabetical within round)
+    "agg_bootstrap_means",
     "agg_countmin_hh",
     "agg_equidepth",
+    "agg_gini",
+    "agg_mode",
+    "agg_moments_34",
+    "agg_weighted_percentile",
+    "curation_pipeline_v2",
+    "dedup_incremental",
+    "dedup_lines",
+    "dedup_lsh_capped",
+    "dedup_lsh_recall",
+    "dedup_semantic",
     "dq_expectations",
-    "rel_snapshot_diff",
+    "dq_psi_drift",
+    "fn_collation",
+    "fn_hashes",
+    "fn_udtf_lateral",
+    "fn_variant",
+    "j5_asof_forward_tol",
+    "k6_bbox_norm",
+    "k6_feature_points",
+    "merge_upsert",
+    "mine_assoc_pairs",
+    "mm_png_instance_bboxes",
+    "mm_png_mask_bboxes",
+    "p_group_split",
+    "profile_table",
+    "rel_recursive_rollup",
     "rel_scd2_intervals",
+    "rel_snapshot_diff",
+    "sql_scripting_threshold",
+    "stream_static_join",
+    "text_bigram_logprob",
+    "text_boilerplate",
+    "text_rake_keyphrase",
+    "text_topgram_coverage",
     "ts_ewma",
+    "ts_interval_union",
+    "ts_ohlc",
+    "w9_distinct_window",
+    # latest driver row r03 (next-stalest continuation)
+    "ab_cuped_adjust",
+    "ann_ivf_assign",
+    "ann_ivf_topk",
+    "ann_sq8",
+    "ann_srp_buckets",
+    "curation_pipeline",
+    "dedup_components",
 ]
 
 _CERTIFICATION_PRIORITY = (
-    _R11_QUEUE + _R11_NEW + _R11_CHANGED_RECERT + _STALE_PADDING
+    _R12_QUEUE + _R12_NEW + _R12_CHANGED_RECERT + _STALE_PADDING
 )
 
 

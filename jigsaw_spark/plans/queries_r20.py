@@ -218,18 +218,42 @@ def ml_learning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = docs.filter(F.col("doc_id") % 2 == 0).select(
         "doc_id", (F.col("lang") == "en").cast("int").alias("is_en")
     )
-    wq = Window.orderBy(md5_key(F.col("doc_id"), seed="lc"), "doc_id")
-    evens = ev.select(
-        "doc_id",
-        "is_en",
-        F.row_number().over(wq).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n_even"),
-    ).selectExpr(
-        "doc_id",
-        "is_en",
-        # integer floor division on both engines — a double `/` + cast
-        # would ROUND in DuckDB and TRUNCATE in Spark
-        "CAST(((rn - 1) * 4) div n_even AS INT) + 1 AS quartile",
+    # banded exact rank (verdict r11 #2): the md5 key is uniform hex by
+    # construction, so its first two hex chars cut the fit half into 256
+    # fixed-width bands that cannot skew. Rank = per-band offset
+    # (exclusive prefix over the <=256-row band dim) + row_number
+    # PARTITIONED by band; band order == md5 lexicographic order, so the
+    # composed rank is bit-identical to the oracle's single row_number —
+    # same driver hash, but no raw-fact single-partition window (the
+    # _exact_rank_banded shape of queries_r27, keyed on the hex prefix
+    # instead of an integer width). n_even comes from the same band
+    # counts as a broadcast 1-row cross, not a count-over-empty-window.
+    keyed = ev.withColumn(
+        "_h", md5_key(F.col("doc_id"), seed="lc")
+    ).withColumn("_band", F.substring("_h", 1, 2))
+    bcounts = keyed.groupBy("_band").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    wb = Window.orderBy("_band").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    boff = bcounts.select(
+        "_band",
+        F.coalesce(F.sum("_c").over(wb), F.lit(0)).alias("_off"),
+    )
+    ntot = bcounts.agg(F.sum("_c").cast("bigint").alias("n_even"))
+    wrank = Window.partitionBy("_band").orderBy("_h", "doc_id")
+    evens = (
+        keyed.join(F.broadcast(boff), "_band")
+        .withColumn("rn", F.col("_off") + F.row_number().over(wrank))
+        .crossJoin(F.broadcast(ntot))
+        .selectExpr(
+            "doc_id",
+            "is_en",
+            # integer floor division on both engines — a double `/` +
+            # cast would ROUND in DuckDB and TRUNCATE in Spark
+            "CAST(((rn - 1) * 4) div n_even AS INT) + 1 AS quartile",
+        )
     )
     fitg = bucketed.join(
         evens.select("doc_id", "quartile"), "doc_id"

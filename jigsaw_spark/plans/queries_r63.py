@@ -650,12 +650,15 @@ _POWER_SQL = """
              CAST(count(*) AS BIGINT) AS n
       FROM s)
     SELECT n_a, n_b,
-           CAST(pos * 1000000 // n AS BIGINT) AS p_pooled_micro,
-           CAST(round(2.801585218
-             * sqrt(2.0 * (pos * 1000000 // n)
-                    * (1000000 - pos * 1000000 // n) / 1000000.0
-                    / least(n_a, n_b)), 0) AS BIGINT) AS mde_abs_micro,
-           CAST(CASE WHEN pos = 0 THEN 0
+           CAST(CASE WHEN n = 0 THEN 0
+             ELSE pos * 1000000 // n END AS BIGINT) AS p_pooled_micro,
+           CAST(CASE WHEN n = 0 OR least(n_a, n_b) = 0 THEN 0
+             ELSE CAST(round(2.801585218
+               * sqrt(2.0 * (pos * 1000000 // n)
+                      * (1000000 - pos * 1000000 // n) / 1000000.0
+                      / least(n_a, n_b)), 0) AS BIGINT)
+             END AS BIGINT) AS mde_abs_micro,
+           CAST(CASE WHEN n = 0 OR least(n_a, n_b) = 0 OR pos = 0 THEN 0
              ELSE CAST(round(2.801585218
                * sqrt(2.0 * (pos * 1000000 // n)
                       * (1000000 - pos * 1000000 // n) / 1000000.0
@@ -717,15 +720,24 @@ def ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
         " * (1000000 - pos * 1000000 div n) / 1000000.0"
         " / least(n_a, n_b)), 0) AS BIGINT)"
     )
+    # empty-arm / empty-table guard (advisor r11 #2): sqrt(.../0) is a
+    # float div-by-zero and pos*1000000 div 0 an integer one — DuckDB
+    # raises while Spark returns NULL, so both engines agree on the 0
+    # sentinel instead (the mde_rel_milli CASE pattern, extended)
     return agg.select(
         "n_a",
         "n_b",
-        F.expr("CAST(pos * 1000000 div n AS BIGINT)").alias(
-            "p_pooled_micro"
-        ),
-        F.expr(mde).alias("mde_abs_micro"),
         F.expr(
-            f"CAST(CASE WHEN pos = 0 THEN 0 ELSE {mde} * 1000"
+            "CAST(CASE WHEN n = 0 THEN 0"
+            " ELSE pos * 1000000 div n END AS BIGINT)"
+        ).alias("p_pooled_micro"),
+        F.expr(
+            f"CAST(CASE WHEN n = 0 OR least(n_a, n_b) = 0 THEN 0"
+            f" ELSE {mde} END AS BIGINT)"
+        ).alias("mde_abs_micro"),
+        F.expr(
+            f"CAST(CASE WHEN n = 0 OR least(n_a, n_b) = 0 OR pos = 0"
+            f" THEN 0 ELSE {mde} * 1000"
             " div (pos * 1000000 div n) END AS BIGINT)"
         ).alias("mde_rel_milli"),
     )

@@ -149,6 +149,92 @@ def test_cosine_topk_ranks(vecs):
     assert len(out) == 2 and all(r.vec_id != 0 for r in out)
 
 
+def test_cosine_topk_zero_norm_rows_do_not_poison_kth(spark):
+    """Advisor r11 #1: >= k zero-norm rows in ONE batch once made the
+    kth-partition threshold NaN, silently dropping every valid
+    candidate. The fixture puts 3 zero vectors (>= k=2) and 3 valid
+    vectors in a single Arrow batch and expects the valid top-2."""
+    rows = [
+        (10, [0.0, 0.0, 0.0]),
+        (11, [0.0, 0.0, 0.0]),
+        (12, [0.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0]),
+        (3, [0.0, 1.0, 0.0]),
+    ]
+    corpus = spark.createDataFrame(
+        rows, "vec_id int, embedding array<float>"
+    )
+    panel = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0])], "vec_id int, embedding array<float>"
+    )
+    out = cosine_topk(corpus, panel, k=2).collect()
+    got = {(r.rank, r.vec_id) for r in out}
+    assert got == {(1, 1), (2, 2)}
+    assert all(r.vec_id not in (10, 11, 12) for r in out)
+
+
+def test_cosine_topk_zero_norm_panel_vector_yields_no_rows(spark, vecs):
+    """Contract: a zero-norm panel vector has no defined cosine — that
+    query contributes NO output rows (not NaN-first rows)."""
+    panel = spark.createDataFrame(
+        [(99, [0.0, 0.0, 0.0]), (0, [1.0, 0.0, 0.0])],
+        "vec_id int, embedding array<float>",
+    )
+    out = cosine_topk(vecs, panel, k=2).collect()
+    assert {r.query_id for r in out} == {0}
+    assert len(out) == 2
+
+
+def test_cosine_topk_empty_panel_is_lazy_empty(vecs):
+    """Contract: an empty panel returns an empty, correctly-typed
+    result lazily (the pre-round-10 Catalyst behavior)."""
+    out_df = cosine_topk(vecs, vecs.filter(F.col("vec_id") == 999), k=2)
+    assert out_df.columns == ["query_id", "vec_id", "cosine", "rank"]
+    assert out_df.collect() == []
+
+
+def test_cosine_topk_null_panel_id_raises(spark, vecs):
+    panel = spark.createDataFrame(
+        [(None, [1.0, 0.0, 0.0])], "vec_id int, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="panel ids"):
+        cosine_topk(vecs, panel, k=2)
+
+
+def test_cosine_topk_null_panel_embedding_raises(spark, vecs):
+    panel = spark.createDataFrame(
+        [(7, None)], "vec_id int, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="panel embeddings"):
+        cosine_topk(vecs, panel, k=2)
+    # a NULL element inside a present panel vector raises too
+    panel2 = spark.createDataFrame(
+        [(7, [1.0, None, 0.0])], "vec_id int, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="panel embeddings"):
+        cosine_topk(vecs, panel2, k=2)
+
+
+def test_cosine_topk_null_corpus_rows_excluded(spark):
+    """Contract: NULL corpus ids / embeddings are filtered at the scan
+    instead of crashing the kernel's int64/vstack conversions."""
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.9, 0.1, 0.0]),
+            (None, [0.8, 0.2, 0.0]),
+            (3, None),
+        ],
+        "vec_id int, embedding array<float>",
+    )
+    panel = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0])], "vec_id int, embedding array<float>"
+    )
+    out = cosine_topk(corpus, panel, k=3).collect()
+    assert {r.vec_id for r in out} == {1, 2}
+
+
 def test_cosine_near_dup_threshold(vecs):
     pairs = {(r.id_a, r.id_b) for r in cosine_near_dup_pairs(vecs, 0.9).collect()}
     assert pairs == {(0, 1)}

@@ -11,6 +11,7 @@ from collections import defaultdict
 import numpy as np
 
 import __spark_entry__ as entrymod
+from tests.test_r60_ops import _trunc_div
 
 SF = "/root/testdata/sf0.001"
 
@@ -238,9 +239,12 @@ def test_ivf_balance_replays(spark):
             nano = int(
                 np.rint(member_cos[members] * 1_000_000_000).sum()
             )
-            # trunc-toward-zero division (Spark div); nano sums are
-            # positive here so // agrees
-            assert g["coherence_milli"] == nano // (n * 1_000_000)
+            # trunc-toward-zero division to match Spark `div` / DuckDB
+            # `//` even if a fixture ever yields a negative cosine sum
+            # (advisor r11 #3)
+            assert g["coherence_milli"] == _trunc_div(
+                nano, n * 1_000_000
+            )
     assert sum(r["n_vectors"] for r in got.values()) == total
 
 

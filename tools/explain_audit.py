@@ -34,6 +34,12 @@ SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 # against a tiny side (query set / band dim / IVF codebook / 1-row scalar)
 ALL_PAIRS_OK = {
     "ann_cosine_topk",
+    # r66: 2x2 evidence grid (4 rows by construction) crossed with the
+    # 1-row n_images aggregate — both sides constant-bounded
+    "dedup_cross_modal",
+    # r66: per-arm 1-row (hits x n_scored) aggregate crosses + the
+    # 6-row arm union crossed with the 1-row n_brute scalar
+    "ann_pareto_frontier",
     # r61: 1-row n_hold scalar crossed into the |sources| attribution dim
     "dq_contamination_by_source",
     # r61: 1-row budget + 1-row kstat aggregates crossed into the
@@ -396,9 +402,10 @@ GLOBAL_WINDOW_OK = {
     # feature dims (~50 quantities / ~11 discount ticks), the
     # ml_best_split shape twice
     "ml_boost_2rounds",
-    # the fit-half quartile ranking — the seeded-split class
-    # (p2_split_test et al.): at production scale it swaps to the
-    # distributed zipWithIndex arm like samples._ranked
+    # r12 (verdict r11 #2): the fit-half quartile rank is now BANDED —
+    # the only unpartitioned window left is the exclusive prefix over
+    # the <=256-row md5-hex-prefix band dim (uniform by construction);
+    # the per-row rank window partitions BY band
     "ml_learning_curve",
     # lag/lead anchors over the 50-bucket stats dim
     "ts_lttb_fixed",

@@ -425,6 +425,14 @@ PROBES = [
     # r11 batch 8: keeper components + gate rollup; 3-arm moment agg
     "dq_dedup_bias",
     "dq_split_smd",
+    # r12 batch 1: banded pair membership semi-joins + 4-row grid;
+    # (doc, gram) distinct relation serving semi-join + df hash-agg;
+    # shared IVF candidate join x2 codecs x3 nprobes; (type, second)
+    # gap dim rollups
+    "dedup_cross_modal",
+    "dq_split_repair",
+    "ann_pareto_frontier",
+    "stream_watermark_advisor",
 ]
 
 TABLES = [
