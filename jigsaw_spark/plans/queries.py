@@ -1603,6 +1603,7 @@ from jigsaw_spark.plans import queries_r64  # noqa: E402,F401
 # r65 was the round-12 queue; its 2 queries now head the r12 window.
 from jigsaw_spark.plans import queries_r65  # noqa: E402,F401
 from jigsaw_spark.plans import queries_r66  # noqa: E402,F401
+from jigsaw_spark.plans import queries_r67  # noqa: E402,F401
 
 
 # ---------------------------------------------------------------------------
@@ -1657,6 +1658,10 @@ _R12_NEW: list[str] = [
     "dq_split_repair",
     "ann_pareto_frontier",
     "stream_watermark_advisor",
+    "graph_bridge_fragmentation",
+    "emb_label_coherence",
+    "p_dedup_aware_mix",
+    "ts_fano_grain_curve",
 ]
 
 # Changed-code re-certs (advisor r10 #2, now standing policy): certified

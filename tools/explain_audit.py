@@ -40,6 +40,14 @@ ALL_PAIRS_OK = {
     # r66: per-arm 1-row (hits x n_scored) aggregate crosses + the
     # 6-row arm union crossed with the 1-row n_brute scalar
     "ann_pareto_frontier",
+    # r67: corpus crossed with the |labels|x64 centroid dim (10 rows —
+    # the ann_ivf_balance centroid-cross class)
+    "emb_label_coherence",
+    # r67: |sources| dim crossed with the 1-row budget scalar
+    "p_dedup_aware_mix",
+    # r67: one events scan crossed with the 3-row grain dim (the
+    # deliberate x3 fan-out that shares one scan across grains)
+    "ts_fano_grain_curve",
     # r61: 1-row n_hold scalar crossed into the |sources| attribution dim
     "dq_contamination_by_source",
     # r61: 1-row budget + 1-row kstat aggregates crossed into the

@@ -433,6 +433,13 @@ PROBES = [
     "dq_split_repair",
     "ann_pareto_frontier",
     "stream_watermark_advisor",
+    # r12 batch 2: keeper graph + components x2 arms; |labels|x64
+    # centroid cross; one-pass 2-arm seat solver; (type, grain,
+    # bucket) hash-agg
+    "graph_bridge_fragmentation",
+    "emb_label_coherence",
+    "p_dedup_aware_mix",
+    "ts_fano_grain_curve",
 ]
 
 TABLES = [
