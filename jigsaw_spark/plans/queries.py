@@ -1604,6 +1604,7 @@ from jigsaw_spark.plans import queries_r64  # noqa: E402,F401
 from jigsaw_spark.plans import queries_r65  # noqa: E402,F401
 from jigsaw_spark.plans import queries_r66  # noqa: E402,F401
 from jigsaw_spark.plans import queries_r67  # noqa: E402,F401
+from jigsaw_spark.plans import queries_r68  # noqa: E402,F401
 
 
 # ---------------------------------------------------------------------------
@@ -1662,6 +1663,9 @@ _R12_NEW: list[str] = [
     "emb_label_coherence",
     "p_dedup_aware_mix",
     "ts_fano_grain_curve",
+    "dq_repair_residual",
+    "graph_edge_support",
+    "dedup_pooled_components",
 ]
 
 # Changed-code re-certs (advisor r10 #2, now standing policy): certified

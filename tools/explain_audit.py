@@ -48,6 +48,8 @@ ALL_PAIRS_OK = {
     # r67: one events scan crossed with the 3-row grain dim (the
     # deliberate x3 fan-out that shares one scan across grains)
     "ts_fano_grain_curve",
+    # r68: support histogram crossed with the 1-row n_edges total
+    "graph_edge_support",
     # r61: 1-row n_hold scalar crossed into the |sources| attribution dim
     "dq_contamination_by_source",
     # r61: 1-row budget + 1-row kstat aggregates crossed into the

@@ -440,6 +440,11 @@ PROBES = [
     "emb_label_coherence",
     "p_dedup_aware_mix",
     "ts_fano_grain_curve",
+    # r12 batch 3: gram relation x2 contamination counts + banded
+    # promotion rank; per-edge support hash-agg; components x3 arms
+    "dq_repair_residual",
+    "graph_edge_support",
+    "dedup_pooled_components",
 ]
 
 TABLES = [
