@@ -1605,6 +1605,7 @@ from jigsaw_spark.plans import queries_r65  # noqa: E402,F401
 from jigsaw_spark.plans import queries_r66  # noqa: E402,F401
 from jigsaw_spark.plans import queries_r67  # noqa: E402,F401
 from jigsaw_spark.plans import queries_r68  # noqa: E402,F401
+from jigsaw_spark.plans import queries_r69  # noqa: E402,F401
 
 
 # ---------------------------------------------------------------------------
@@ -1666,6 +1667,8 @@ _R12_NEW: list[str] = [
     "dq_repair_residual",
     "graph_edge_support",
     "dedup_pooled_components",
+    "curation_cluster_extinction",
+    "p_epoch_schedule",
 ]
 
 # Changed-code re-certs (advisor r10 #2, now standing policy): certified

@@ -1,0 +1,345 @@
+"""Round-12 batch 4: cluster-level curation loss and the epoch
+schedule —
+
+- ``curation_cluster_extinction``: dedup clusters are CONTENT groups;
+  a quality gate that drops every member of a cluster erases that
+  content from the corpus entirely (extinction), while dropping some
+  members of a surviving cluster only removes redundancy. Per
+  near-dup cluster size: cluster count, extinct count (no member
+  passes the v1 gate battery), the extinction rate, and the docs
+  erased with them — the content-loss audit that doc-level keep
+  rates (curation_gate_attribution) cannot see.
+- ``p_epoch_schedule``: the data-constrained-scaling table — under a
+  temperature-scaled mixture (alpha=0.7, the mT5/data-mixing
+  standard), rare sources are upweighted until their target EXCEEDS
+  their cap, i.e. they repeat for multiple epochs. Per source: the
+  temperature weight (integer micro, one exp/ln libm pair), the
+  largest-remainder target, the implied epochs (milli), the 4-epoch
+  repetition ceiling flag (returns diminish sharply past ~4 epochs
+  of repeated data), the clipped target and the surplus the ceiling
+  frees for redistribution.
+
+Scale notes (100 TB): extinction reuses the shared keeper graph +
+size-adaptive components with a map-only 4-gate projection and two
+hash-agg rollups (cluster, then size histogram); the epoch schedule
+is a |sources|-row dim computation over broadcast scalars — the
+p_token_budget_mix shape with a temperature base.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from jigsaw_spark.plans.queries import _t, register
+
+# ---------------------------------------------------------------------------
+# curation_cluster_extinction
+# ---------------------------------------------------------------------------
+
+
+def _cluster_extinction_sql() -> str:
+    from jigsaw_spark.operators.text import (
+        alnum_ratio_sql,
+        lang_hits_sql,
+        lang_predict_sql,
+        shingles_sql,
+    )
+    from jigsaw_spark.plans.queries_llm import _KEEPER_EDGES_CTE
+
+    return f"""
+    WITH RECURSIVE {_KEEPER_EDGES_CTE},
+    reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+      WHERE e.v <> r.u),
+    comp AS (
+      SELECT u AS doc_id, least(u, min(v)) AS component
+      FROM reach GROUP BY u),
+    gate AS MATERIALIZED (
+      SELECT k.doc_id,
+             (NOT (len(k.t) < 20)
+              AND NOT ({alnum_ratio_sql('d.text')} < 0.5)
+              AND NOT ({lang_predict_sql(
+                  f"CAST({lang_hits_sql('k.t', 'en')} AS INT)",
+                  f"CAST({lang_hits_sql('k.t', 'es')} AS INT)",
+                  f"CAST({lang_hits_sql('k.t', 'fr')} AS INT)",
+              )} <> 'en')
+              AND NOT (len(k.t) >= 3 AND
+                2 * (len({shingles_sql('k.t', 3)})
+                     - len(list_distinct({shingles_sql('k.t', 3)})))
+                > len({shingles_sql('k.t', 3)}))) AS pass
+      FROM ktoks k JOIN documents d ON k.doc_id = d.doc_id),
+    lab AS (
+      SELECT g.doc_id, coalesce(c.component, g.doc_id) AS component,
+             g.pass
+      FROM gate g LEFT JOIN comp c ON g.doc_id = c.doc_id),
+    cl AS MATERIALIZED (
+      SELECT component, CAST(count(*) AS BIGINT) AS sz,
+             CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pass
+      FROM lab GROUP BY 1)
+    SELECT CAST(sz AS BIGINT) AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(CASE WHEN n_pass = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_extinct,
+           CAST(sum(CASE WHEN n_pass = 0 THEN 1 ELSE 0 END) * 1000
+             // count(*) AS BIGINT) AS extinct_milli,
+           CAST(sz * sum(CASE WHEN n_pass = 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS docs_erased
+    FROM cl GROUP BY sz
+"""
+
+
+@register(
+    "curation_cluster_extinction",
+    _cluster_extinction_sql(),
+    "cluster-level content loss of the v1 curation battery (min 20 "
+    "tokens, alnum >= 0.5, lang = 'en', Gopher repetition — the exact "
+    "curation_gate_attribution predicates): dedup clusters are "
+    "CONTENT groups, so a gate that fails every member of a cluster "
+    "erases that content entirely (extinction) while partial drops "
+    "only remove redundancy. Per cluster size over the exact-keeper "
+    "universe (near-dup components, unpaired keepers singleton): "
+    "cluster count, extinct count, extinction rate, docs erased. "
+    "Doc-level keep rates cannot distinguish trimming a cluster from "
+    "erasing it — this can. Shape: shared keeper graph + "
+    "size-adaptive components, map-only 4-gate projection, two "
+    "hash-agg rollups (cluster then size histogram)",
+)
+def curation_cluster_extinction(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from jigsaw_spark.operators.dedup import (
+        connected_components,
+        exact_dedup,
+        keeper_pairs,
+    )
+    from jigsaw_spark.operators.text import (
+        alnum_ratio_expr,
+        lang_hits_expr,
+        lang_predict_expr,
+        shingles_expr,
+        tokens_expr,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    keepers = (
+        exact_dedup(docs, "doc_id")
+        .filter(~F.col("is_dup"))
+        .select("doc_id", "text")
+        .withColumn("t", tokens_expr("text"))
+    )
+    grams = shingles_expr("t", 3)
+    gate = keepers.select(
+        "doc_id",
+        (
+            ~(F.size("t") < 20)
+            & ~(alnum_ratio_expr("text") < 0.5)
+            & ~(
+                lang_predict_expr(
+                    lang_hits_expr("t", "en"),
+                    lang_hits_expr("t", "es"),
+                    lang_hits_expr("t", "fr"),
+                )
+                != "en"
+            )
+            & ~(
+                (F.size("t") >= 3)
+                & (
+                    2
+                    * (F.size(grams) - F.size(F.array_distinct(grams)))
+                    > F.size(grams)
+                )
+            )
+        ).alias("pass"),
+    )
+    comp = connected_components(
+        keeper_pairs(docs, "doc_id").localCheckpoint()
+    ).select("doc_id", F.col("component").alias("c0"))
+    lab = gate.join(comp, "doc_id", "left").select(
+        F.coalesce("c0", F.col("doc_id")).alias("component"),
+        "pass",
+    )
+    cl = lab.groupBy("component").agg(
+        F.count(F.lit(1)).cast("bigint").alias("sz"),
+        F.sum(F.when(F.col("pass"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_pass"),
+    )
+    return cl.groupBy("sz").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        F.sum(F.when(F.col("n_pass") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_extinct"),
+    ).select(
+        F.col("sz").cast("bigint").alias("cluster_size"),
+        "n_clusters",
+        "n_extinct",
+        F.expr(
+            "CAST(n_extinct * 1000 div n_clusters AS BIGINT)"
+        ).alias("extinct_milli"),
+        (F.col("sz") * F.col("n_extinct"))
+        .cast("bigint")
+        .alias("docs_erased"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# p_epoch_schedule
+# ---------------------------------------------------------------------------
+
+
+def _epoch_schedule_sql() -> str:
+    from jigsaw_spark.operators.text import tokens_sql
+
+    return f"""
+    WITH src AS MATERIALIZED (
+      SELECT source,
+             CAST(sum(len({tokens_sql('text')})) AS BIGINT) AS cap
+      FROM documents GROUP BY 1),
+    wt AS MATERIALIZED (
+      SELECT source, cap,
+             CAST(CASE WHEN cap = 0 THEN 0
+               ELSE round(exp(0.7 * ln(cap)) * 1000000, 0)
+               END AS BIGINT) AS w
+      FROM src),
+    tot AS (
+      SELECT CAST(sum(cap) AS BIGINT) AS total,
+             CAST(sum(w) AS BIGINT) AS tw
+      FROM wt),
+    b AS (SELECT CAST(total * 9 // 10 AS BIGINT) AS budget FROM tot),
+    base AS MATERIALIZED (
+      SELECT s.source, s.cap, s.w,
+             CAST(CASE WHEN t.tw = 0 THEN 0
+               ELSE b.budget * s.w // t.tw END AS BIGINT) AS base,
+             CAST(CASE WHEN t.tw = 0 THEN 0
+               ELSE b.budget * s.w % t.tw END AS BIGINT) AS rem
+      FROM wt s CROSS JOIN tot t CROSS JOIN b),
+    lo AS (
+      SELECT CAST(max(b.budget) - sum(base) AS BIGINT) AS leftover
+      FROM base CROSS JOIN b),
+    tgt AS (
+      SELECT source, cap, w,
+             CAST(base + CASE WHEN row_number() OVER
+               (ORDER BY rem DESC, source) <= (SELECT leftover FROM lo)
+               THEN 1 ELSE 0 END AS BIGINT) AS target
+      FROM base)
+    SELECT source,
+           CAST(cap AS BIGINT) AS cap_tokens,
+           CAST(w AS BIGINT) AS weight_micro,
+           target AS target_tokens,
+           CAST(CASE WHEN cap = 0 THEN 0
+             ELSE target * 1000 // cap END AS BIGINT) AS epochs_milli,
+           CASE WHEN cap = 0 THEN FALSE
+             ELSE target * 1000 // cap > 4000 END AS over_limit,
+           CAST(least(target, 4 * cap) AS BIGINT) AS clipped_tokens,
+           CAST(target - least(target, 4 * cap) AS BIGINT)
+             AS surplus_tokens
+    FROM tgt
+"""
+
+
+@register(
+    "p_epoch_schedule",
+    _epoch_schedule_sql(),
+    "the data-constrained-scaling table: a temperature-scaled mixture "
+    "(alpha=0.7 — weight = cap^0.7, integer micro via ONE exp/ln "
+    "libm pair per source row, the NB/DSIR float discipline) "
+    "upweights rare sources until their largest-remainder target "
+    "EXCEEDS their cap, i.e. they repeat for multiple epochs. Per "
+    "source: cap, weight, target, implied epochs (milli), the "
+    "4-epoch repetition ceiling flag (returns from repeated data "
+    "diminish sharply past ~4 epochs), the clipped target, and the "
+    "surplus the ceiling frees. p_temperature_mixture draws a "
+    "temperature SAMPLE; p_token_budget_mix water-fills raw caps; "
+    "this prices the REPETITION a temperature mix implies — the "
+    "table read before committing a mixture to a training run. "
+    "Shape: one tokenize hash-agg to the |sources| dim, seat "
+    "arithmetic over broadcast scalars, one rank window over the "
+    "bounded dim",
+)
+def p_epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jigsaw_spark.operators.text import tokens_expr
+    from jigsaw_spark.session import widen
+
+    docs = widen(_t(spark, sf_dir, "documents"))
+    src = (
+        docs.select(
+            "source", F.size(tokens_expr("text")).alias("ntok")
+        )
+        .groupBy("source")
+        .agg(F.sum("ntok").cast("bigint").alias("cap"))
+    )
+    wt = src.select(
+        "source",
+        "cap",
+        F.expr(
+            "CAST(CASE WHEN cap = 0 THEN 0"
+            " ELSE round(exp(0.7 * ln(cap)) * 1000000, 0)"
+            " END AS BIGINT)"
+        ).alias("w"),
+    ).localCheckpoint()
+    tot = wt.agg(
+        F.sum("cap").cast("bigint").alias("total"),
+        F.sum("w").cast("bigint").alias("tw"),
+    )
+    b = tot.select(
+        F.expr("CAST(total * 9 div 10 AS BIGINT)").alias("budget"),
+        "tw",
+    )
+    base = wt.crossJoin(F.broadcast(b)).select(
+        "source",
+        "cap",
+        "w",
+        F.expr(
+            "CAST(CASE WHEN tw = 0 THEN 0"
+            " ELSE budget * w div tw END AS BIGINT)"
+        ).alias("base"),
+        F.expr(
+            "CAST(CASE WHEN tw = 0 THEN 0"
+            " ELSE budget * w % tw END AS BIGINT)"
+        ).alias("rem"),
+        "budget",
+    )
+    lo = base.agg(
+        (F.max("budget") - F.sum("base")).cast("bigint").alias("lo")
+    )
+    w = Window.orderBy(F.desc("rem"), F.col("source"))
+    tgt = (
+        base.withColumn("rk", F.row_number().over(w))
+        .crossJoin(F.broadcast(lo))
+        .select(
+            "source",
+            "cap",
+            "w",
+            (
+                F.col("base")
+                + F.when(F.col("rk") <= F.col("lo"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("target"),
+        )
+    )
+    return tgt.select(
+        "source",
+        F.col("cap").cast("bigint").alias("cap_tokens"),
+        F.col("w").cast("bigint").alias("weight_micro"),
+        F.col("target").alias("target_tokens"),
+        F.expr(
+            "CAST(CASE WHEN cap = 0 THEN 0"
+            " ELSE target * 1000 div cap END AS BIGINT)"
+        ).alias("epochs_milli"),
+        F.expr(
+            "CASE WHEN cap = 0 THEN FALSE"
+            " ELSE target * 1000 div cap > 4000 END"
+        ).alias("over_limit"),
+        F.expr("CAST(least(target, 4 * cap) AS BIGINT)").alias(
+            "clipped_tokens"
+        ),
+        F.expr(
+            "CAST(target - least(target, 4 * cap) AS BIGINT)"
+        ).alias("surplus_tokens"),
+    )

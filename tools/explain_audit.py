@@ -55,6 +55,8 @@ ALL_PAIRS_OK = {
     # r61: 1-row budget + 1-row kstat aggregates crossed into the
     # |sources|-row water-filling dim — degenerate O(|sources|) NLJs
     "p_token_budget_mix",
+    # r69: 1-row budget/leftover scalars crossed into the |sources| dim
+    "p_epoch_schedule",
     # r61: 3-row k dim x 2-row codec dim crossed into k-bounded rank
     # tables (<= 10 rows per query per arm) — the ann_recall_curve shape
     "ann_codec_recall",
@@ -361,6 +363,9 @@ GLOBAL_WINDOW_OK = {
     # AGGREGATE (|sources| rows, never the corpus) — the bounded-dim
     # class like agg_gini / w10_share_of_total
     "p_token_budget_mix",
+    # r69: remainder-rank window over the |sources| aggregate (the
+    # p_token_budget_mix class)
+    "p_epoch_schedule",
     # r63: prefix window over the DISTINCT-DEGREE histogram
     # (value-domain bounded, the ml_auc_exact class) — explicitly NOT
     # a per-node rank

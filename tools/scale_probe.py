@@ -445,6 +445,10 @@ PROBES = [
     "dq_repair_residual",
     "graph_edge_support",
     "dedup_pooled_components",
+    # r12 batch 4: keeper components + map-only gate projection;
+    # |sources| dim seat arithmetic
+    "curation_cluster_extinction",
+    "p_epoch_schedule",
 ]
 
 TABLES = [
