@@ -1606,6 +1606,10 @@ from jigsaw_spark.plans import queries_r66  # noqa: E402,F401
 from jigsaw_spark.plans import queries_r67  # noqa: E402,F401
 from jigsaw_spark.plans import queries_r68  # noqa: E402,F401
 from jigsaw_spark.plans import queries_r69  # noqa: E402,F401
+# r70 is the ROUND-13 QUEUE (overflow module at _OVERFLOW_BOUNDARY,
+# behind the 50-slot window by policy — the r40/r55/r60/r65 pattern):
+# replica-verified this round, first driver row next round.
+from jigsaw_spark.plans import queries_r70  # noqa: E402,F401
 
 
 # ---------------------------------------------------------------------------

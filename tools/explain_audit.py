@@ -50,6 +50,11 @@ ALL_PAIRS_OK = {
     "ts_fano_grain_curve",
     # r68: support histogram crossed with the 1-row n_edges total
     "graph_edge_support",
+    # r70 queue: 4-row threshold dim non-equi-joined against the banded
+    # hamming list + 1-row universe cross — the dedup_band_sweep class
+    "mm_phash_threshold_sweep",
+    # r70 queue: cluster rollup crossed with the 1-row totals dim
+    "dq_split_cluster_leakage",
     # r61: 1-row n_hold scalar crossed into the |sources| attribution dim
     "dq_contamination_by_source",
     # r61: 1-row budget + 1-row kstat aggregates crossed into the

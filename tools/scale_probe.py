@@ -449,6 +449,10 @@ PROBES = [
     # |sources| dim seat arithmetic
     "curation_cluster_extinction",
     "p_epoch_schedule",
+    # r70 (round-13 queue): banded hamming list x 4-row threshold dim;
+    # doc->keeper->component map + cluster hash-aggs
+    "mm_phash_threshold_sweep",
+    "dq_split_cluster_leakage",
 ]
 
 TABLES = [
