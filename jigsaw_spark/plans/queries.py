@@ -1673,6 +1673,7 @@ _R12_NEW: list[str] = [
     "dedup_pooled_components",
     "curation_cluster_extinction",
     "p_epoch_schedule",
+    "curation_gate_by_source",
 ]
 
 # Changed-code re-certs (advisor r10 #2, now standing policy): certified

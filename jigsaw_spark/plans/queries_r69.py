@@ -343,3 +343,126 @@ def p_epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(target - least(target, 4 * cap) AS BIGINT)"
         ).alias("surplus_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# curation_gate_by_source (batch 5 — appended to the in-window module;
+# window membership is governed by _R12_NEW in plans/queries)
+# ---------------------------------------------------------------------------
+
+
+def _gate_by_source_sql() -> str:
+    from jigsaw_spark.operators.text import (
+        alnum_ratio_sql,
+        lang_hits_sql,
+        lang_predict_sql,
+        shingles_sql,
+        tokens_sql,
+    )
+
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, source, {tokens_sql('text')} AS t,
+             {alnum_ratio_sql('text')} AS alnum
+      FROM documents),
+    flags AS MATERIALIZED (
+      SELECT source,
+             len(t) < 20 AS f_len,
+             alnum < 0.5 AS f_alnum,
+             {lang_predict_sql(
+                 f"CAST({lang_hits_sql('t', 'en')} AS INT)",
+                 f"CAST({lang_hits_sql('t', 'es')} AS INT)",
+                 f"CAST({lang_hits_sql('t', 'fr')} AS INT)",
+             )} <> 'en' AS f_lang,
+             len(t) >= 3 AND
+               2 * (len({shingles_sql('t', 3)})
+                    - len(list_distinct({shingles_sql('t', 3)})))
+               > len({shingles_sql('t', 3)}) AS f_rep
+      FROM toks)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN NOT f_len AND NOT f_alnum AND NOT f_lang
+             AND NOT f_rep THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+           CAST(sum(CASE WHEN f_len THEN 1 ELSE 0 END) AS BIGINT)
+             AS fail_len,
+           CAST(sum(CASE WHEN f_alnum THEN 1 ELSE 0 END) AS BIGINT)
+             AS fail_alnum,
+           CAST(sum(CASE WHEN f_lang THEN 1 ELSE 0 END) AS BIGINT)
+             AS fail_lang,
+           CAST(sum(CASE WHEN f_rep THEN 1 ELSE 0 END) AS BIGINT)
+             AS fail_rep,
+           CAST(sum(CASE WHEN NOT f_len AND NOT f_alnum AND NOT f_lang
+             AND NOT f_rep THEN 1 ELSE 0 END) * 1000 // count(*)
+             AS BIGINT) AS pass_milli
+    FROM flags GROUP BY source
+"""
+
+
+@register(
+    "curation_gate_by_source",
+    _gate_by_source_sql(),
+    "per-source quality-gate attribution — the 'drop this source?' "
+    "table: for each source, docs, battery passes, per-rule fail "
+    "counts (the exact curation_gate_attribution predicates: min 20 "
+    "tokens, alnum >= 0.5, lang-predict == 'en', Gopher repetition) "
+    "and the milli pass rate. curation_gate_attribution says which "
+    "RULE does the work corpus-wide; this says which SOURCE supplies "
+    "the junk each rule removes — the two axes of the same ledger. "
+    "Shape: one map-only 4-boolean projection, ONE (source) hash-agg "
+    "— zero joins, zero windows",
+)
+def curation_gate_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from jigsaw_spark.operators.text import (
+        alnum_ratio_expr,
+        lang_hits_expr,
+        lang_predict_expr,
+        shingles_expr,
+        tokens_expr,
+    )
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "t", tokens_expr("text")
+    )
+    grams = shingles_expr("t", 3)
+    flags = docs.select(
+        "source",
+        (F.size("t") < 20).alias("f_len"),
+        (alnum_ratio_expr("text") < 0.5).alias("f_alnum"),
+        (
+            lang_predict_expr(
+                lang_hits_expr("t", "en"),
+                lang_hits_expr("t", "es"),
+                lang_hits_expr("t", "fr"),
+            )
+            != "en"
+        ).alias("f_lang"),
+        (
+            (F.size("t") >= 3)
+            & (
+                2 * (F.size(grams) - F.size(F.array_distinct(grams)))
+                > F.size(grams)
+            )
+        ).alias("f_rep"),
+    )
+
+    def cnt(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")
+
+    f_len, f_alnum = F.col("f_len"), F.col("f_alnum")
+    f_lang, f_rep = F.col("f_lang"), F.col("f_rep")
+    ok = ~f_len & ~f_alnum & ~f_lang & ~f_rep
+    return flags.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        cnt(ok).alias("n_pass"),
+        cnt(f_len).alias("fail_len"),
+        cnt(f_alnum).alias("fail_alnum"),
+        cnt(f_lang).alias("fail_lang"),
+        cnt(f_rep).alias("fail_rep"),
+        F.expr(
+            "CAST(sum(CASE WHEN NOT f_len AND NOT f_alnum AND NOT"
+            " f_lang AND NOT f_rep THEN 1 ELSE 0 END) * 1000"
+            " div count(1) AS BIGINT)"
+        ).alias("pass_milli"),
+    )

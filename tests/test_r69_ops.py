@@ -165,3 +165,71 @@ def test_epoch_schedule_replays(spark):
 
 def _round_half_away(v: float) -> float:
     return math.floor(v + 0.5) if v >= 0 else math.ceil(v - 0.5)
+
+
+def test_gate_by_source_replays(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    per = defaultdict(lambda: [0, 0, 0, 0, 0, 0])
+    for r in docs:
+        toks = _tokens(r["text"])
+        s = r["source"]
+        per[s][0] += 1
+        # individual rules (the curation_gate_attribution predicates)
+        f_len = len(toks) < 20
+        lowered = (r["text"] or "").lower()
+        f_alnum = bool(lowered) and (
+            len(re.sub("[^a-z0-9 ]", "", lowered)) / len(lowered) < 0.5
+        )
+        from jigsaw_spark.operators.text import LANG_MARKERS
+
+        hits = {
+            lang: sum(1 for x in toks if x in set(ms))
+            for lang, ms in LANG_MARKERS.items()
+        }
+        f_lang = not (
+            hits["en"] >= hits["es"] and hits["en"] >= hits["fr"]
+        )
+        f_rep = False
+        if len(toks) >= 3:
+            grams = [
+                " ".join(toks[i : i + 3])
+                for i in range(len(toks) - 2)
+            ]
+            f_rep = 2 * (len(grams) - len(set(grams))) > len(grams)
+        if not (f_len or f_alnum or f_lang or f_rep):
+            per[s][1] += 1
+        per[s][2] += f_len
+        per[s][3] += f_alnum
+        per[s][4] += f_lang
+        per[s][5] += f_rep
+    got = {
+        r["source"]: r
+        for r in entrymod.queries()["curation_gate_by_source"](
+            spark, SF
+        ).collect()
+    }
+    assert set(got) == set(per)
+    for s, (n, np_, fl, fa, fg, fr) in per.items():
+        g = got[s]
+        assert g["n_docs"] == n
+        assert g["n_pass"] == np_
+        assert g["fail_len"] == fl
+        assert g["fail_alnum"] == fa
+        assert g["fail_lang"] == fg
+        assert g["fail_rep"] == fr
+        assert g["pass_milli"] == np_ * 1000 // n
+    # cross-check against the corpus-wide attribution ledger
+    attr = {
+        r["rule"]: r
+        for r in entrymod.queries()["curation_gate_attribution"](
+            spark, SF
+        ).collect()
+    }
+    assert (
+        sum(r["fail_len"] for r in got.values())
+        == attr["min_tokens"]["n_fail"]
+    )
+    assert (
+        sum(r["fail_lang"] for r in got.values())
+        == attr["lang_en"]["n_fail"]
+    )

@@ -453,6 +453,8 @@ PROBES = [
     # doc->keeper->component map + cluster hash-aggs
     "mm_phash_threshold_sweep",
     "dq_split_cluster_leakage",
+    # r12 batch 5: map-only gate projection + one |sources| hash-agg
+    "curation_gate_by_source",
 ]
 
 TABLES = [
