@@ -1674,6 +1674,8 @@ _R12_NEW: list[str] = [
     "curation_cluster_extinction",
     "p_epoch_schedule",
     "curation_gate_by_source",
+    "dedup_detector_agreement",
+    "mm_phash_cluster_sources",
 ]
 
 # Changed-code re-certs (advisor r10 #2, now standing policy): certified

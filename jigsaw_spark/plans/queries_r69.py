@@ -466,3 +466,268 @@ def curation_gate_by_source(
             " div count(1) AS BIGINT)"
         ).alias("pass_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_detector_agreement (batch 6)
+# ---------------------------------------------------------------------------
+
+
+def _detector_agreement_sql() -> str:
+    from jigsaw_spark.plans.queries_llm import (
+        _SHINGLES_CTE,
+        _SIMHASH_CTE,
+    )
+
+    return f"""
+    WITH {_SIMHASH_CTE},
+    {_SHINGLES_CTE},
+    mh AS (
+      SELECT doc_id, seed,
+             min(md5(CAST(seed AS VARCHAR) || '|' || shingle)) AS mh
+      FROM sh CROSS JOIN (SELECT unnest(range(16)) AS seed) seeds
+      GROUP BY doc_id, seed),
+    bands AS (
+      SELECT doc_id, seed // 4 AS band,
+             string_agg(mh, ',' ORDER BY seed) AS sig
+      FROM mh GROUP BY doc_id, band),
+    mhp AS MATERIALIZED (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.sig = b.sig
+                  AND a.doc_id < b.doc_id),
+    shp AS MATERIALIZED (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 2),
+    u AS (
+      SELECT coalesce(m.doc_a, s.doc_a) AS doc_a,
+             coalesce(m.doc_b, s.doc_b) AS doc_b,
+             m.doc_a IS NOT NULL AS in_mh,
+             s.doc_a IS NOT NULL AS in_sh
+      FROM mhp m
+      FULL OUTER JOIN shp s
+        ON m.doc_a = s.doc_a AND m.doc_b = s.doc_b)
+    SELECT CAST(sum(CASE WHEN in_mh THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_minhash,
+           CAST(sum(CASE WHEN in_sh THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_simhash,
+           CAST(sum(CASE WHEN in_mh AND in_sh THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_both,
+           CAST(sum(CASE WHEN in_mh AND NOT in_sh THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_only_minhash,
+           CAST(sum(CASE WHEN in_sh AND NOT in_mh THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_only_simhash,
+           CAST(CASE WHEN count(*) = 0 THEN 0
+             ELSE sum(CASE WHEN in_mh AND in_sh THEN 1 ELSE 0 END)
+                  * 1000 // count(*) END AS BIGINT) AS jaccard_milli
+    FROM u
+"""
+
+
+@register(
+    "dedup_detector_agreement",
+    _detector_agreement_sql(),
+    "near-dup detector agreement audit: the MinHash-LSH candidate "
+    "pair set (16 md5 minhashes, 4x4 banding, 3-shingles) vs the "
+    "SimHash banded pair set (32-bit, Hamming <= 2) over the SAME "
+    "corpus — intersection, each side's exclusive pairs, and the "
+    "Jaccard of the two pair sets. Low agreement means the two "
+    "detectors see DIFFERENT duplicate populations (shingle-level vs "
+    "token-frequency-level similarity) and a production pipeline "
+    "should pool them (dedup_pooled_components' argument, here "
+    "measured on the text arm's two detectors). Shape: both pair "
+    "generators are banded (never all-pairs); agreement is ONE "
+    "full-outer join on the pair key + a 1-row rollup",
+)
+def dedup_detector_agreement(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from jigsaw_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        simhash_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    mhp = (
+        minhash_lsh_pairs(docs, "doc_id")
+        .select("doc_a", "doc_b")
+        .withColumn("in_mh", F.lit(True))
+    )
+    shp = (
+        simhash_pairs(docs, "doc_id", max_hamming=2)
+        .select("doc_a", "doc_b")
+        .withColumn("in_sh", F.lit(True))
+    )
+    u = mhp.join(shp, ["doc_a", "doc_b"], "full_outer").select(
+        F.coalesce("in_mh", F.lit(False)).alias("in_mh"),
+        F.coalesce("in_sh", F.lit(False)).alias("in_sh"),
+    )
+    return u.agg(
+        F.sum(F.when(F.col("in_mh"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_minhash"),
+        F.sum(F.when(F.col("in_sh"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_simhash"),
+        F.sum(F.when(F.col("in_mh") & F.col("in_sh"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_both"),
+        F.sum(
+            F.when(F.col("in_mh") & ~F.col("in_sh"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_only_minhash"),
+        F.sum(
+            F.when(F.col("in_sh") & ~F.col("in_mh"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_only_simhash"),
+        F.expr(
+            "CAST(CASE WHEN count(1) = 0 THEN 0"
+            " ELSE sum(CASE WHEN in_mh AND in_sh THEN 1 ELSE 0 END)"
+            " * 1000 div count(1) END AS BIGINT)"
+        ).alias("jaccard_milli"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# mm_phash_cluster_sources (batch 6)
+# ---------------------------------------------------------------------------
+
+
+def _phash_cluster_sources_sql() -> str:
+    from jigsaw_spark.plans.queries_r6 import _PHASH_BYTES_CTE
+
+    return f"""
+    WITH RECURSIVE {_PHASH_BYTES_CTE.strip()},
+    mcand AS (
+      SELECT DISTINCT x.i AS ia, y.i AS ib
+      FROM ph_bytes x
+      JOIN ph_bytes y ON x.byte_idx = y.byte_idx
+                     AND x.byte_val = y.byte_val AND x.i < y.i),
+    mpairs AS MATERIALIZED (
+      SELECT ia AS doc_a, ib AS doc_b FROM (
+        SELECT c.ia, c.ib,
+               CAST(sum(bit_count(xor(x.byte_val, y.byte_val)))
+                 AS BIGINT) AS hamming
+        FROM mcand c
+        JOIN ph_bytes x ON x.i = c.ia
+        JOIN ph_bytes y ON y.i = c.ib AND y.byte_idx = x.byte_idx
+        GROUP BY 1, 2) h
+      WHERE h.hamming <= 6),
+    iedges AS (
+      SELECT doc_a AS u, doc_b AS v FROM mpairs
+      UNION SELECT doc_b AS u, doc_a AS v FROM mpairs),
+    reach(u, v) AS (
+      SELECT u, v FROM iedges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN iedges e ON r.v = e.u
+      WHERE e.v <> r.u),
+    comp AS (
+      SELECT u AS img, least(u, min(v)) AS component
+      FROM reach GROUP BY u),
+    universe AS (SELECT DISTINCT i AS img FROM ph_bytes),
+    lab AS (
+      SELECT un.img, coalesce(c.component, un.img) AS component,
+             d.source
+      FROM universe un
+      LEFT JOIN comp c ON un.img = c.img
+      JOIN documents d ON un.img = d.doc_id),
+    per_cs AS (
+      SELECT component, source, CAST(count(*) AS BIGINT) AS c
+      FROM lab GROUP BY 1, 2),
+    cl AS MATERIALIZED (
+      SELECT component,
+             CAST(sum(c) AS BIGINT) AS sz,
+             CAST(count(*) AS BIGINT) AS n_sources,
+             CAST(max(c) AS BIGINT) AS maj
+      FROM per_cs GROUP BY 1)
+    SELECT CAST(sz AS BIGINT) AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(CASE WHEN n_sources > 1 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_multi_source,
+           CAST(sum(CASE WHEN n_sources > 1 THEN 1 ELSE 0 END) * 1000
+             // count(*) AS BIGINT) AS multi_milli,
+           CAST(sum(maj) * 1000 // sum(sz) AS BIGINT)
+             AS majority_mass_milli
+    FROM cl GROUP BY sz
+"""
+
+
+@register(
+    "mm_phash_cluster_sources",
+    _phash_cluster_sources_sql(),
+    "source purity of image near-dup clusters — the image twin of "
+    "dedup_cluster_purity's language view: per cluster size over the "
+    "image universe (dHash components at Hamming <= 6, singletons "
+    "kept), how many clusters span MULTIPLE sources (syndicated "
+    "imagery — the same picture served by different sources, the "
+    "cross-source dedup case) and the majority-source mass share. "
+    "Shape: the certified banded dHash pairs + size-adaptive "
+    "components, one source join against the documents dim, two "
+    "hash-agg rollups (cluster then size histogram)",
+)
+def mm_phash_cluster_sources(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from jigsaw_spark.multimodal.binary_ops import phash_dhash
+    from jigsaw_spark.operators.dedup import connected_components
+    from jigsaw_spark.plans.queries_r6 import (
+        _phash_images,
+        mm_phash_near_dup,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = (
+        mm_phash_near_dup(spark, sf_dir)
+        .select(
+            F.col("img_a").cast("bigint").alias("doc_a"),
+            F.col("img_b").cast("bigint").alias("doc_b"),
+        )
+        .localCheckpoint()
+    )
+    comp = connected_components(pairs).select(
+        F.col("doc_id").alias("img"), F.col("component").alias("c0")
+    )
+    universe = (
+        phash_dhash(_phash_images(spark, sf_dir))
+        .select(F.col("image_id").cast("bigint").alias("img"))
+        .distinct()
+    )
+    lab = (
+        universe.join(comp, "img", "left")
+        .join(
+            docs.select(F.col("doc_id").alias("img"), "source"), "img"
+        )
+        .select(
+            F.coalesce("c0", F.col("img")).alias("component"),
+            "source",
+        )
+    )
+    per_cs = lab.groupBy("component", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    cl = per_cs.groupBy("component").agg(
+        F.sum("c").cast("bigint").alias("sz"),
+        F.count(F.lit(1)).cast("bigint").alias("n_sources"),
+        F.max("c").cast("bigint").alias("maj"),
+    )
+    return cl.groupBy("sz").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        F.sum(F.when(F.col("n_sources") > 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_multi_source"),
+        F.sum("maj").cast("bigint").alias("maj_mass"),
+        F.sum("sz").cast("bigint").alias("tot_mass"),
+    ).select(
+        F.col("sz").cast("bigint").alias("cluster_size"),
+        "n_clusters",
+        "n_multi_source",
+        F.expr(
+            "CAST(n_multi_source * 1000 div n_clusters AS BIGINT)"
+        ).alias("multi_milli"),
+        F.expr(
+            "CAST(maj_mass * 1000 div tot_mass AS BIGINT)"
+        ).alias("majority_mass_milli"),
+    )

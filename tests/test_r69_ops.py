@@ -233,3 +233,88 @@ def test_gate_by_source_replays(spark):
         sum(r["fail_lang"] for r in got.values())
         == attr["lang_en"]["n_fail"]
     )
+
+
+def test_detector_agreement_replays(spark):
+    from jigsaw_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        simhash_pairs,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    mhp = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(docs, "doc_id")
+        .select("doc_a", "doc_b")
+        .collect()
+    }
+    shp = {
+        (r["doc_a"], r["doc_b"])
+        for r in simhash_pairs(docs, "doc_id", max_hamming=2)
+        .select("doc_a", "doc_b")
+        .collect()
+    }
+    [g] = entrymod.queries()["dedup_detector_agreement"](
+        spark, SF
+    ).collect()
+    assert g["n_minhash"] == len(mhp)
+    assert g["n_simhash"] == len(shp)
+    assert g["n_both"] == len(mhp & shp)
+    assert g["n_only_minhash"] == len(mhp - shp)
+    assert g["n_only_simhash"] == len(shp - mhp)
+    union = len(mhp | shp)
+    assert g["jaccard_milli"] == (
+        0 if union == 0 else len(mhp & shp) * 1000 // union
+    )
+    # the fixture exercises both detectors
+    assert len(mhp) > 0 and len(shp) > 0
+
+
+def test_phash_cluster_sources_replays(spark):
+    docs = {
+        r["doc_id"]: r["source"]
+        for r in spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "source")
+        .collect()
+    }
+    ipairs = {
+        (int(r["img_a"]), int(r["img_b"]))
+        for r in entrymod.queries()["mm_phash_near_dup"](
+            spark, SF
+        ).collect()
+    }
+    universe = {
+        int(r["image_id"])
+        for r in entrymod.queries()["mm_image_phash"](
+            spark, SF
+        ).collect()
+    }
+    nodes = sorted({d for p in ipairs for d in p})
+    comp = _uf_components(nodes, ipairs)
+    clusters = defaultdict(lambda: defaultdict(int))
+    for img in universe:
+        clusters[comp.get(img, img)][docs[img]] += 1
+    hist = defaultdict(lambda: [0, 0, 0, 0])  # n, multi, maj, tot
+    for srcs in clusters.values():
+        sz = sum(srcs.values())
+        h = hist[sz]
+        h[0] += 1
+        h[1] += 1 if len(srcs) > 1 else 0
+        h[2] += max(srcs.values())
+        h[3] += sz
+    got = {
+        r["cluster_size"]: r
+        for r in entrymod.queries()["mm_phash_cluster_sources"](
+            spark, SF
+        ).collect()
+    }
+    assert set(got) == set(hist)
+    for sz, (nc, nm, maj, tot) in hist.items():
+        g = got[sz]
+        assert g["n_clusters"] == nc
+        assert g["n_multi_source"] == nm
+        assert g["multi_milli"] == nm * 1000 // nc
+        assert g["majority_mass_milli"] == maj * 1000 // tot
+    assert sum(
+        r["cluster_size"] * r["n_clusters"] for r in got.values()
+    ) == len(universe)

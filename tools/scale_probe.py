@@ -455,6 +455,10 @@ PROBES = [
     "dq_split_cluster_leakage",
     # r12 batch 5: map-only gate projection + one |sources| hash-agg
     "curation_gate_by_source",
+    # r12 batch 6: two banded pair sets full-outer joined; phash
+    # components + source dim join
+    "dedup_detector_agreement",
+    "mm_phash_cluster_sources",
 ]
 
 TABLES = [
