@@ -1606,37 +1606,38 @@ from jigsaw_spark.plans import queries_r66  # noqa: E402,F401
 from jigsaw_spark.plans import queries_r67  # noqa: E402,F401
 from jigsaw_spark.plans import queries_r68  # noqa: E402,F401
 from jigsaw_spark.plans import queries_r69  # noqa: E402,F401
-# r70 is the ROUND-13 QUEUE (overflow module at _OVERFLOW_BOUNDARY,
-# behind the 50-slot window by policy — the r40/r55/r60/r65 pattern):
-# replica-verified this round, first driver row next round.
+# r70 was the round-13 queue; its 2 queries now head the r13 window.
 from jigsaw_spark.plans import queries_r70  # noqa: E402,F401
+from jigsaw_spark.plans import queries_r71  # noqa: E402,F401
 
 
 # ---------------------------------------------------------------------------
 # Registration order == driver certification order. The driver's correctness
 # gate walks QUERIES in insertion order with a bounded window (exactly the
-# first 50 names every round so far). Round-12 rotation (verdict r11
-# directive #1) — CORRECTNESS_r11 came back 50/50 green, so the only
-# remaining debt is the 2-query r65 queue registered behind the r11 window
-# (the documented round-12 queue):
-#   slots 1-2   — graph_local_bridges + ts_fano_factor (first driver
-#                 rows for the r65 queue pair).
-#   slots 3+    — round-12-new queries (modules queries_r66+) inserted
+# first 50 names every round so far). Round-13 rotation (verdict r12
+# directive #1) — CORRECTNESS_r12 came back 50/50 green, so the only
+# remaining debt is the 2-query r70 queue registered behind the r12 window
+# (the documented round-13 queue):
+#   slots 1-2   — mm_phash_threshold_sweep + dq_split_cluster_leakage
+#                 (first driver rows for the r70 queue pair).
+#   slots 3+    — round-13-new queries (modules queries_r71+) inserted
 #                 here as they are built.
 #   next        — changed-code re-certs: certified queries whose EXECUTING
-#                 code changes this round (the ml_learning_curve banded
-#                 quartile window, verdict r11 #2; the ab_power_mde empty-
-#                 arm guard, advisor r11 #2) get fresh driver rows ahead
-#                 of stalest-first padding (the advisor-r10 rule, now
-#                 precedent).
-#   tail to 50  — padding: stalest-first re-certs — the 40 oracle-backed
-#                 queries whose latest driver row is r02, then the stalest
-#                 of the r03 rows. (The pool is longer than the window on
+#                 code changes this round (the three advisor-r12 items:
+#                 ann_pareto_frontier truth-counted recall denominator,
+#                 stream_watermark_advisor event-time lag order,
+#                 p_epoch_schedule unit-snapped temperature weight) get
+#                 fresh driver rows ahead of stalest-first padding (the
+#                 advisor-r10 rule, standing precedent).
+#   tail to 50  — padding: stalest-first re-certs — the 11 remaining
+#                 oracle-backed queries whose latest driver row is r02,
+#                 then the stalest of the r03 rows (alphabetical within
+#                 round). (The pool is longer than the window on
 #                 purpose; only the first 50 registry slots form the
 #                 window, the rest keep their certified rows.)
 # Overflow boundary: modules queries_r{_OVERFLOW_BOUNDARY}+ queue behind
-# slot 50 for the next round (the r40/r55/r60/r65 pattern). The window is
-# EXACTLY 50 slots; if _R12_NEW outgrows the space, move whole batch
+# slot 50 for the next round (the r40/r55/r60/r65/r70 pattern). The window
+# is EXACTLY 50 slots; if _R13_NEW outgrows the space, move whole batch
 # modules past the boundary instead of widening the window.
 # The 6 clean rows-only entries (text_bpe_encode, mm_decode_meta, ...)
 # each have their one driver row and are NOT re-rotated (they can never be
@@ -1650,76 +1651,37 @@ from jigsaw_spark.plans import queries_r70  # noqa: E402,F401
 # First queries_r{N} module that queues BEHIND the 50-slot window for the
 # NEXT round's certification. tests/test_entry.py imports this so the
 # policy test and the registry cannot drift (advisor r9 #5).
-_OVERFLOW_BOUNDARY = 70
+_OVERFLOW_BOUNDARY = 75
 
-_R12_QUEUE = [
-    "graph_local_bridges",
-    "ts_fano_factor",
+_R13_QUEUE = [
+    "mm_phash_threshold_sweep",
+    "dq_split_cluster_leakage",
 ]
 
-_R12_NEW: list[str] = [
-    # round-12-new queries are appended here by their batch modules' order
-    # as they are built (queries_r66+)
-    "dedup_cross_modal",
-    "dq_split_repair",
+_R13_NEW: list[str] = [
+    # round-13-new queries are appended here by their batch modules' order
+    # as they are built (queries_r71+)
+    "dq_pooled_cluster_leakage",
+    "dq_repair_fixpoint",
+    "mm_phash_threshold_purity",
+    "ann_recall_under_dedup",
+]
+
+# Changed-code re-certs (advisor r10 #2, standing policy): certified
+# names whose executing code changes this round — the three advisor-r12
+# items: ann_pareto_frontier's truth-counted recall denominator,
+# stream_watermark_advisor's (ts, event_id) lag order, and
+# p_epoch_schedule's unit-snapped temperature weight. A green old row
+# certifies the OLD code; these get fresh rows this round.
+_R13_CHANGED_RECERT = [
     "ann_pareto_frontier",
     "stream_watermark_advisor",
-    "graph_bridge_fragmentation",
-    "emb_label_coherence",
-    "p_dedup_aware_mix",
-    "ts_fano_grain_curve",
-    "dq_repair_residual",
-    "graph_edge_support",
-    "dedup_pooled_components",
-    "curation_cluster_extinction",
     "p_epoch_schedule",
-    "curation_gate_by_source",
-    "dedup_detector_agreement",
-    "mm_phash_cluster_sources",
-]
-
-# Changed-code re-certs (advisor r10 #2, now standing policy): certified
-# names whose executing code changes this round — the ml_learning_curve
-# banded quartile window (verdict r11 #2) and the ab_power_mde empty-arm
-# guard (advisor r11 #2). A green old row certifies the OLD code; these
-# get fresh rows this round.
-_R12_CHANGED_RECERT = [
-    "ml_learning_curve",
-    "ab_power_mde",
 ]
 
 _STALE_PADDING = [
-    # latest driver row r02 (stalest-first pool, alphabetical within round)
-    "agg_bootstrap_means",
-    "agg_countmin_hh",
-    "agg_equidepth",
-    "agg_gini",
-    "agg_mode",
-    "agg_moments_34",
-    "agg_weighted_percentile",
-    "curation_pipeline_v2",
-    "dedup_incremental",
-    "dedup_lines",
-    "dedup_lsh_capped",
-    "dedup_lsh_recall",
-    "dedup_semantic",
-    "dq_expectations",
-    "dq_psi_drift",
-    "fn_collation",
-    "fn_hashes",
-    "fn_udtf_lateral",
-    "fn_variant",
-    "j5_asof_forward_tol",
-    "k6_bbox_norm",
-    "k6_feature_points",
-    "merge_upsert",
-    "mine_assoc_pairs",
-    "mm_png_instance_bboxes",
-    "mm_png_mask_bboxes",
-    "p_group_split",
-    "profile_table",
-    "rel_recursive_rollup",
-    "rel_scd2_intervals",
+    # latest driver row r02 (stalest-first pool, alphabetical within
+    # round; the 11 r02 rows that fell outside the r12 window)
     "rel_snapshot_diff",
     "sql_scripting_threshold",
     "stream_static_join",
@@ -1739,10 +1701,28 @@ _STALE_PADDING = [
     "ann_srp_buckets",
     "curation_pipeline",
     "dedup_components",
+    "dedup_end_to_end",
+    "dedup_exact",
+    "dedup_exact_keep_best",
+    "dedup_minhash_jaccard_est",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dedup_url_canon",
+    "emb_cosine_near_dup",
+    "fn_url_suite",
+    "ml_hash_features",
+    "q10_returned_items",
+    "q11_important_value",
+    "q15_top_supplier",
+    "q16_supplier_cnt",
+    "q17_small_quantity",
+    "q18_large_orders",
 ]
 
 _CERTIFICATION_PRIORITY = (
-    _R12_QUEUE + _R12_NEW + _R12_CHANGED_RECERT + _STALE_PADDING
+    _R13_QUEUE + _R13_NEW + _R13_CHANGED_RECERT + _STALE_PADDING
 )
 
 

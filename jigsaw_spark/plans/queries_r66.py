@@ -462,17 +462,19 @@ def _pareto_frontier_sql() -> str:
     brute AS (
       SELECT CAST(5 * (count(*) - 1) AS BIGINT) AS n_brute
       FROM embeddings),
+    trc AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_truth FROM truth),
     {','.join(arms)}
     SELECT r.codec, CAST(r.nprobe AS INT) AS nprobe,
            r.n_scored, r.hits,
-           CAST(r.hits * 1000 // 50 AS BIGINT) AS recall_milli,
+           CAST(r.hits * 1000 // t.n_truth AS BIGINT) AS recall_milli,
            CAST(r.n_scored * 1000 // b.n_brute AS BIGINT)
              AS scan_share_milli,
            CAST(CASE WHEN r.n_scored = 0 THEN 0
-             ELSE (r.hits * 1000 // 50) * 1000
+             ELSE (r.hits * 1000 // t.n_truth) * 1000
                   // (r.n_scored * 1000 // b.n_brute) END AS BIGINT)
              AS recall_per_scan_milli
-    FROM ({unions}) r CROSS JOIN brute b
+    FROM ({unions}) r CROSS JOIN brute b CROSS JOIN trc t
 """
 
 
@@ -516,6 +518,12 @@ def ann_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(5) * (F.count(F.lit(1)) - 1))
         .cast("bigint")
         .alias("n_brute")
+    )
+    # recall denominator derived from the truth relation itself, not a
+    # hardcoded 5x10 (advisor r12 #3): if the panel or corpus ever
+    # shrinks below k+1 vectors, recall stays exact on both engines
+    n_truth = truth.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_truth")
     )
 
     # SQ8 reconstruction (the ann_codec_recall recipe: 64-row stats
@@ -582,22 +590,26 @@ def ann_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = rows[0]
     for r in rows[1:]:
         out = out.unionByName(r)
-    return out.crossJoin(F.broadcast(n_brute)).select(
-        "codec",
-        "nprobe",
-        "n_scored",
-        "hits",
-        F.expr("CAST(hits * 1000 div 50 AS BIGINT)").alias(
-            "recall_milli"
-        ),
-        F.expr(
-            "CAST(n_scored * 1000 div n_brute AS BIGINT)"
-        ).alias("scan_share_milli"),
-        F.expr(
-            "CAST(CASE WHEN n_scored = 0 THEN 0"
-            " ELSE (hits * 1000 div 50) * 1000"
-            " div (n_scored * 1000 div n_brute) END AS BIGINT)"
-        ).alias("recall_per_scan_milli"),
+    return (
+        out.crossJoin(F.broadcast(n_brute))
+        .crossJoin(F.broadcast(n_truth))
+        .select(
+            "codec",
+            "nprobe",
+            "n_scored",
+            "hits",
+            F.expr("CAST(hits * 1000 div n_truth AS BIGINT)").alias(
+                "recall_milli"
+            ),
+            F.expr(
+                "CAST(n_scored * 1000 div n_brute AS BIGINT)"
+            ).alias("scan_share_milli"),
+            F.expr(
+                "CAST(CASE WHEN n_scored = 0 THEN 0"
+                " ELSE (hits * 1000 div n_truth) * 1000"
+                " div (n_scored * 1000 div n_brute) END AS BIGINT)"
+            ).alias("recall_per_scan_milli"),
+        )
     )
 
 
@@ -611,7 +623,7 @@ _WM_SQL = """
     gaps AS (
       SELECT event_type,
              x - lag(x) OVER (PARTITION BY event_type
-                              ORDER BY event_id) AS gap_us
+                              ORDER BY x, event_id) AS gap_us
       FROM e),
     gsec AS (
       SELECT event_type,
@@ -695,7 +707,11 @@ def stream_watermark_advisor(
     e = ev.select(
         "event_type", F.unix_micros("ts").alias("x"), "event_id"
     )
-    wlag = Window.partitionBy("event_type").orderBy("event_id")
+    # lag ordered by (ts, event_id), not event_id alone (advisor r12
+    # #2): the fixture is certified zero-lateness so the two orders
+    # coincide today, but event-time order is the semantic contract —
+    # on an out-of-order fixture gaps stay non-negative by construction
+    wlag = Window.partitionBy("event_type").orderBy("x", "event_id")
     gaps = e.select(
         "event_type",
         (F.col("x") - F.lag("x").over(wlag)).alias("gap_us"),

@@ -203,7 +203,7 @@ def _epoch_schedule_sql() -> str:
     wt AS MATERIALIZED (
       SELECT source, cap,
              CAST(CASE WHEN cap = 0 THEN 0
-               ELSE round(exp(0.7 * ln(cap)) * 1000000, 0)
+               ELSE round(exp(0.7 * ln(cap)), 0) * 1000000
                END AS BIGINT) AS w
       FROM src),
     tot AS (
@@ -276,9 +276,17 @@ def p_epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     wt = src.select(
         "source",
         "cap",
+        # weight snapped to INTEGER units of cap^0.7 BEFORE the micro
+        # scaling (advisor r12 #1): the raw exp(0.7*ln(cap)) differs
+        # between DuckDB's libm and the JVM's Math.exp by at most one
+        # ulp (~1e-12 relative); snapping on the unit grid leaves a
+        # ~1e-12 flip window instead of ~1e-6 on the micro grid, so a
+        # platform libm divergence cannot realistically flip the seat
+        # ranks. The libm-parity assumption is thereby bounded, not
+        # assumed.
         F.expr(
             "CAST(CASE WHEN cap = 0 THEN 0"
-            " ELSE round(exp(0.7 * ln(cap)) * 1000000, 0)"
+            " ELSE round(exp(0.7 * ln(cap)), 0) * 1000000"
             " END AS BIGINT)"
         ).alias("w"),
     ).localCheckpoint()

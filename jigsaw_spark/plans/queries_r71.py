@@ -1,0 +1,1079 @@
+"""Round-13 batch 1: second-order audits over the certified dedup /
+repair / phash machinery (verdict r12 #4's candidate list).
+
+- ``dq_pooled_cluster_leakage``: the r70 cluster-leakage audit re-run
+  over POOLED evidence (text keeper edges UNION banded dHash image
+  edges, endpoints folded to exact keepers) next to the text-only
+  arm — does pooling image evidence reveal train/holdout straddle the
+  text clusters miss? The leakage twin of ``dedup_pooled_components``.
+- ``dq_repair_fixpoint``: the convergence proof of the executed split
+  repair — run ``dq_split_repair``'s demote+promote a SECOND round on
+  the repaired split and report the contamination residual at
+  iterations 0/1/2 per source. The residual audit
+  (``dq_repair_residual``) showed round 1's sideways leak; this shows
+  whether iterating shrinks it monotonically or oscillates.
+- ``mm_phash_threshold_purity``: joins the r70 threshold sweep with
+  ``mm_phash_cluster_sources``'s purity view — per Hamming threshold
+  arm {0, 2, 4, 6}, the cluster count, multi-source cluster share and
+  majority-source mass over the image universe: at which threshold do
+  image clusters start fusing across sources?
+- ``ann_recall_under_dedup``: retrieval under keeper collapse — the
+  brute-force top-10 panel truth vs the top-10 over the SURVIVOR
+  corpus (docs equal to their near-dup cluster id): how much recall
+  dedup costs, and how much of the loss the cluster REPRESENTATIVE
+  recovers (a lost neighbor's keeper ranked in the collapsed top-10).
+
+Scale notes (100 TB): every pair source stays banded (keeper pairs,
+byte-banded dHash candidates) — no all-pairs anywhere; components run
+through the size-adaptive operator; the repair fixpoint reuses ONE
+distinct (doc, gram) relation for all six contamination/df consumers
+and promotes via the (source, md5-band) rank — no raw-fact global
+window; the ANN arms scan the corpus once per arm through the Arrow
+top-k kernel with a 5-row broadcast panel.
+
+Reference parity: extends jigsaw's dedup/split surface (reference
+`jigsaw/filters.py` dedup + split helpers) with the second-order
+audits a 100 TB curation run needs; no reference counterpart — the
+north-star extension surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jigsaw_spark.plans.queries import _t, register
+
+_PURITY_THRESHOLDS = (0, 2, 4, 6)
+
+
+def _holdout_col(doc_id="doc_id"):
+    """The 'contam|' md5 5% holdout flag shared by the contamination
+    family (doc-level md5 stream, 12 hex chars, mod 20)."""
+    return (
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws("|", F.lit("contam"), F.col(doc_id))
+                    ),
+                    1,
+                    12,
+                ),
+                16,
+                10,
+            ).cast("bigint"),
+            F.lit(20),
+        )
+        == 0
+    )
+
+
+_HOLDOUT_SQL = """CAST(CAST(('0x' || substr(md5('contam|'
+               || CAST({d} AS VARCHAR)), 1, 12)) AS UBIGINT)
+               % CAST(20 AS UBIGINT) AS BIGINT) = 0"""
+
+
+# ---------------------------------------------------------------------------
+# dq_pooled_cluster_leakage
+# ---------------------------------------------------------------------------
+
+
+def _pooled_leakage_sql() -> str:
+    from jigsaw_spark.plans.queries_llm import _KEEPER_EDGES_CTE
+    from jigsaw_spark.plans.queries_r6 import _PHASH_BYTES_CTE
+
+    hold = _HOLDOUT_SQL.format(d="k.doc_id")
+    return f"""
+    WITH RECURSIVE {_KEEPER_EDGES_CTE},
+    {_PHASH_BYTES_CTE.strip()},
+    mcand AS (
+      SELECT DISTINCT x.i AS ia, y.i AS ib
+      FROM ph_bytes x
+      JOIN ph_bytes y ON x.byte_idx = y.byte_idx
+                     AND x.byte_val = y.byte_val AND x.i < y.i),
+    mpairs AS MATERIALIZED (
+      SELECT ia AS doc_a, ib AS doc_b FROM (
+        SELECT c.ia, c.ib,
+               CAST(sum(bit_count(xor(x.byte_val, y.byte_val)))
+                 AS BIGINT) AS hamming
+        FROM mcand c
+        JOIN ph_bytes x ON x.i = c.ia
+        JOIN ph_bytes y ON y.i = c.ib AND y.byte_idx = x.byte_idx
+        GROUP BY 1, 2) h
+      WHERE h.hamming <= 6),
+    keeper_of AS (
+      SELECT doc_id, min(doc_id) OVER (PARTITION BY fp) AS keeper
+      FROM fpt),
+    -- image edge endpoints folded to their exact keepers so both arms
+    -- pool evidence on the SAME node set (the keeper graph)
+    ikedges AS MATERIALIZED (
+      SELECT ka.keeper AS u, kb.keeper AS v
+      FROM mpairs m
+      JOIN keeper_of ka ON m.doc_a = ka.doc_id
+      JOIN keeper_of kb ON m.doc_b = kb.doc_id
+      WHERE ka.keeper <> kb.keeper
+      UNION
+      SELECT kb.keeper, ka.keeper
+      FROM mpairs m
+      JOIN keeper_of ka ON m.doc_a = ka.doc_id
+      JOIN keeper_of kb ON m.doc_b = kb.doc_id
+      WHERE ka.keeper <> kb.keeper),
+    uedges AS MATERIALIZED (
+      SELECT u, v FROM edges UNION SELECT u, v FROM ikedges),
+    reach_t(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach_t r JOIN edges e ON r.v = e.u
+      WHERE e.v <> r.u),
+    reach_u(u, v) AS (
+      SELECT u, v FROM uedges
+      UNION
+      SELECT r.u, e.v FROM reach_u r JOIN uedges e ON r.v = e.u
+      WHERE e.v <> r.u),
+    comp_t AS (
+      SELECT u AS doc_id, least(u, min(v)) AS component
+      FROM reach_t GROUP BY u),
+    comp_u AS (
+      SELECT u AS doc_id, least(u, min(v)) AS component
+      FROM reach_u GROUP BY u),
+    lab AS MATERIALIZED (
+      SELECT 'text' AS arm, k.doc_id,
+             coalesce(c.component, k.keeper) AS cluster,
+             {hold} AS is_holdout
+      FROM keeper_of k LEFT JOIN comp_t c ON k.keeper = c.doc_id
+      UNION ALL
+      SELECT 'pooled' AS arm, k.doc_id,
+             coalesce(c.component, k.keeper) AS cluster,
+             {hold} AS is_holdout
+      FROM keeper_of k LEFT JOIN comp_u c ON k.keeper = c.doc_id),
+    cl AS MATERIALIZED (
+      SELECT arm, cluster,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN is_holdout THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_hold,
+             CAST(sum(CASE WHEN is_holdout THEN 0 ELSE 1 END)
+               AS BIGINT) AS n_train
+      FROM lab GROUP BY 1, 2),
+    tot AS (
+      SELECT arm, CAST(count(*) AS BIGINT) AS n_clusters,
+             CAST(sum(n_hold) AS BIGINT) AS n_holdout_docs
+      FROM cl GROUP BY 1)
+    SELECT c.arm, t.n_clusters,
+           CAST(sum(CASE WHEN c.n_hold > 0 AND c.n_train > 0
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_straddling,
+           CAST(sum(CASE WHEN c.n_hold > 0 AND c.n_train > 0
+             THEN c.n_docs ELSE 0 END) AS BIGINT) AS n_docs_straddling,
+           CAST(sum(CASE WHEN c.n_hold > 0 AND c.n_train > 0
+             THEN c.n_hold ELSE 0 END) AS BIGINT)
+             AS n_holdout_in_straddling,
+           t.n_holdout_docs,
+           CAST(CASE WHEN t.n_holdout_docs = 0 THEN 0
+             ELSE sum(CASE WHEN c.n_hold > 0 AND c.n_train > 0
+               THEN c.n_hold ELSE 0 END) * 1000 // t.n_holdout_docs
+             END AS BIGINT) AS leak_milli
+    FROM cl c JOIN tot t ON c.arm = t.arm
+    GROUP BY c.arm, t.n_clusters, t.n_holdout_docs
+"""
+
+
+def _straddle_ledger(lab: DataFrame) -> DataFrame:
+    """(arm, doc_id, cluster, is_holdout) -> per-arm straddle ledger;
+    the r70 accounting generalized to a bounded arm dim."""
+    cl = lab.groupBy("arm", "cluster").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("is_holdout"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_hold"),
+        F.sum(F.when(F.col("is_holdout"), 0).otherwise(1))
+        .cast("bigint")
+        .alias("n_train"),
+    )
+    tot = cl.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        F.sum("n_hold").cast("bigint").alias("n_holdout_docs"),
+    )
+    s = (F.col("n_hold") > 0) & (F.col("n_train") > 0)
+    return (
+        cl.withColumn("s", s)
+        .join(F.broadcast(tot), "arm")
+        .groupBy("arm", "n_clusters", "n_holdout_docs")
+        .agg(
+            F.sum(F.when(F.col("s"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_straddling"),
+            F.sum(F.when(F.col("s"), F.col("n_docs")).otherwise(0))
+            .cast("bigint")
+            .alias("n_docs_straddling"),
+            F.sum(F.when(F.col("s"), F.col("n_hold")).otherwise(0))
+            .cast("bigint")
+            .alias("n_holdout_in_straddling"),
+        )
+        .select(
+            "arm",
+            "n_clusters",
+            "n_straddling",
+            "n_docs_straddling",
+            "n_holdout_in_straddling",
+            "n_holdout_docs",
+            F.expr(
+                "CAST(CASE WHEN n_holdout_docs = 0 THEN 0"
+                " ELSE n_holdout_in_straddling * 1000"
+                " div n_holdout_docs END AS BIGINT)"
+            ).alias("leak_milli"),
+        )
+    )
+
+
+@register(
+    "dq_pooled_cluster_leakage",
+    _pooled_leakage_sql(),
+    "cluster-level split leakage under POOLED dedup evidence: the r70 "
+    "straddle audit (dq_split_cluster_leakage) run per arm — text "
+    "keeper clusters vs clusters over text UNION banded dHash image "
+    "edges (endpoints folded to exact keepers, so both arms pool on "
+    "the keeper graph). A pooled leak_milli above the text arm is "
+    "holdout content reachable from train through IMAGE near-dups "
+    "alone — leakage no text detector can see, the audit twin of "
+    "dedup_pooled_components' recall argument. Shape: two certified "
+    "banded pair lists, keeper fold joins, size-adaptive components "
+    "per arm, cluster-keyed hash-aggs over a 2-arm dim — no "
+    "all-pairs, no raw-fact windows",
+)
+def dq_pooled_cluster_leakage(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from jigsaw_spark.operators.dedup import (
+        connected_components,
+        exact_dedup,
+        keeper_pairs,
+    )
+    from jigsaw_spark.plans.queries_r6 import mm_phash_near_dup
+
+    docs = _t(spark, sf_dir, "documents")
+    keeper_of = exact_dedup(docs, "doc_id").select(
+        "doc_id", "keeper"
+    ).localCheckpoint()
+    tpairs = keeper_pairs(docs, "doc_id").localCheckpoint()
+    ka = keeper_of.select(
+        F.col("doc_id").alias("doc_a"), F.col("keeper").alias("ku")
+    )
+    kb = keeper_of.select(
+        F.col("doc_id").alias("doc_b"), F.col("keeper").alias("kv")
+    )
+    ipairs = (
+        mm_phash_near_dup(spark, sf_dir)
+        .select(
+            F.col("img_a").cast("bigint").alias("doc_a"),
+            F.col("img_b").cast("bigint").alias("doc_b"),
+        )
+        .join(ka, "doc_a")
+        .join(kb, "doc_b")
+        .filter(F.col("ku") != F.col("kv"))
+        .select(
+            F.least("ku", "kv").alias("doc_a"),
+            F.greatest("ku", "kv").alias("doc_b"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    upairs = (
+        tpairs.select("doc_a", "doc_b")
+        .unionByName(ipairs)
+        .distinct()
+    )
+
+    def _lab(pairs: DataFrame, arm: str) -> DataFrame:
+        comp = connected_components(pairs).select(
+            F.col("doc_id").alias("keeper"),
+            F.col("component").alias("c0"),
+        )
+        return keeper_of.join(comp, "keeper", "left").select(
+            F.lit(arm).alias("arm"),
+            "doc_id",
+            F.coalesce("c0", F.col("keeper")).alias("cluster"),
+            _holdout_col().alias("is_holdout"),
+        )
+
+    lab = _lab(tpairs, "text").unionByName(_lab(upairs, "pooled"))
+    return _straddle_ledger(lab)
+
+
+# ---------------------------------------------------------------------------
+# dq_repair_fixpoint
+# ---------------------------------------------------------------------------
+
+
+def _repair_fixpoint_sql() -> str:
+    from jigsaw_spark.operators.text import shingles_sql, tokens_sql
+
+    hold = _HOLDOUT_SQL.format(d="doc_id")
+    return f"""
+    WITH split0 AS MATERIALIZED (
+      SELECT doc_id, source, {hold} AS is_holdout,
+             {tokens_sql('text')} AS t
+      FROM documents),
+    dg AS MATERIALIZED (
+      SELECT DISTINCT doc_id, unnest({shingles_sql('t', 8)}) AS sh
+      FROM split0),
+    gdf AS (
+      SELECT sh, CAST(count(*) AS BIGINT) AS df FROM dg GROUP BY sh),
+    safe AS MATERIALIZED (
+      SELECT s.doc_id, s.source
+      FROM split0 s LEFT JOIN (
+        SELECT g.doc_id, max(d.df) AS mx
+        FROM dg g JOIN gdf d ON g.sh = d.sh GROUP BY g.doc_id) m
+        ON s.doc_id = m.doc_id
+      WHERE coalesce(m.mx, 1) <= 1),
+    -- iteration 1
+    tsh0 AS (
+      SELECT DISTINCT g.sh FROM dg g
+      JOIN split0 s ON g.doc_id = s.doc_id WHERE NOT s.is_holdout),
+    c0 AS MATERIALIZED (
+      SELECT DISTINCT g.doc_id FROM dg g
+      JOIN split0 s ON g.doc_id = s.doc_id
+      JOIN tsh0 h ON g.sh = h.sh WHERE s.is_holdout),
+    pool1 AS (
+      SELECT f.doc_id, f.source FROM safe f
+      JOIN split0 s ON f.doc_id = s.doc_id WHERE NOT s.is_holdout),
+    quota1 AS (
+      SELECT s.source,
+             CAST(sum(CASE WHEN s.is_holdout AND c.doc_id IS NOT NULL
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_demote,
+             CAST(sum(CASE WHEN p.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_pool
+      FROM split0 s
+      LEFT JOIN c0 c ON s.doc_id = c.doc_id
+      LEFT JOIN pool1 p ON s.doc_id = p.doc_id
+      GROUP BY s.source),
+    prom1 AS MATERIALIZED (
+      SELECT r.doc_id, r.source FROM (
+        SELECT p.doc_id, p.source,
+               row_number() OVER (PARTITION BY p.source
+                 ORDER BY md5('repair|' || CAST(p.doc_id AS VARCHAR)),
+                          p.doc_id) AS rk
+        FROM pool1 p) r
+      JOIN quota1 q ON r.source = q.source
+      WHERE r.rk <= least(q.n_demote, q.n_pool)),
+    split1 AS MATERIALIZED (
+      SELECT s.doc_id, s.source,
+             CASE WHEN c.doc_id IS NOT NULL THEN FALSE
+                  WHEN p.doc_id IS NOT NULL THEN TRUE
+                  ELSE s.is_holdout END AS is_holdout
+      FROM split0 s
+      LEFT JOIN c0 c ON s.doc_id = c.doc_id
+      LEFT JOIN prom1 p ON s.doc_id = p.doc_id),
+    -- iteration 2 (same operator applied to split1)
+    tsh1 AS (
+      SELECT DISTINCT g.sh FROM dg g
+      JOIN split1 s ON g.doc_id = s.doc_id WHERE NOT s.is_holdout),
+    c1 AS MATERIALIZED (
+      SELECT DISTINCT g.doc_id FROM dg g
+      JOIN split1 s ON g.doc_id = s.doc_id
+      JOIN tsh1 h ON g.sh = h.sh WHERE s.is_holdout),
+    pool2 AS (
+      SELECT f.doc_id, f.source FROM safe f
+      JOIN split1 s ON f.doc_id = s.doc_id WHERE NOT s.is_holdout),
+    quota2 AS (
+      SELECT s.source,
+             CAST(sum(CASE WHEN s.is_holdout AND c.doc_id IS NOT NULL
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_demote,
+             CAST(sum(CASE WHEN p.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_pool
+      FROM split1 s
+      LEFT JOIN c1 c ON s.doc_id = c.doc_id
+      LEFT JOIN pool2 p ON s.doc_id = p.doc_id
+      GROUP BY s.source),
+    prom2 AS MATERIALIZED (
+      SELECT r.doc_id, r.source FROM (
+        SELECT p.doc_id, p.source,
+               row_number() OVER (PARTITION BY p.source
+                 ORDER BY md5('repair2|' || CAST(p.doc_id AS VARCHAR)),
+                          p.doc_id) AS rk
+        FROM pool2 p) r
+      JOIN quota2 q ON r.source = q.source
+      WHERE r.rk <= least(q.n_demote, q.n_pool)),
+    split2 AS MATERIALIZED (
+      SELECT s.doc_id, s.source,
+             CASE WHEN c.doc_id IS NOT NULL THEN FALSE
+                  WHEN p.doc_id IS NOT NULL THEN TRUE
+                  ELSE s.is_holdout END AS is_holdout
+      FROM split1 s
+      LEFT JOIN c1 c ON s.doc_id = c.doc_id
+      LEFT JOIN prom2 p ON s.doc_id = p.doc_id),
+    tsh2 AS (
+      SELECT DISTINCT g.sh FROM dg g
+      JOIN split2 s ON g.doc_id = s.doc_id WHERE NOT s.is_holdout),
+    c2 AS MATERIALIZED (
+      SELECT DISTINCT g.doc_id FROM dg g
+      JOIN split2 s ON g.doc_id = s.doc_id
+      JOIN tsh2 h ON g.sh = h.sh WHERE s.is_holdout)
+    SELECT s.source,
+           CAST(sum(CASE WHEN s.is_holdout AND a.doc_id IS NOT NULL
+             THEN 1 ELSE 0 END) AS BIGINT) AS contam_r0,
+           CAST(sum(CASE WHEN s1.is_holdout AND b.doc_id IS NOT NULL
+             THEN 1 ELSE 0 END) AS BIGINT) AS contam_r1,
+           CAST(sum(CASE WHEN s2.is_holdout AND c.doc_id IS NOT NULL
+             THEN 1 ELSE 0 END) AS BIGINT) AS contam_r2,
+           CAST(sum(CASE WHEN p1.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS promoted_r1,
+           CAST(sum(CASE WHEN p2.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS promoted_r2,
+           (sum(CASE WHEN s.is_holdout AND a.doc_id IS NOT NULL
+             THEN 1 ELSE 0 END)
+            >= sum(CASE WHEN s1.is_holdout AND b.doc_id IS NOT NULL
+             THEN 1 ELSE 0 END))
+           AND (sum(CASE WHEN s1.is_holdout AND b.doc_id IS NOT NULL
+             THEN 1 ELSE 0 END)
+            >= sum(CASE WHEN s2.is_holdout AND c.doc_id IS NOT NULL
+             THEN 1 ELSE 0 END)) AS monotone
+    FROM split0 s
+    JOIN split1 s1 ON s.doc_id = s1.doc_id
+    JOIN split2 s2 ON s.doc_id = s2.doc_id
+    LEFT JOIN c0 a ON s.doc_id = a.doc_id
+    LEFT JOIN c1 b ON s.doc_id = b.doc_id
+    LEFT JOIN c2 c ON s.doc_id = c.doc_id
+    LEFT JOIN prom1 p1 ON s.doc_id = p1.doc_id
+    LEFT JOIN prom2 p2 ON s.doc_id = p2.doc_id
+    GROUP BY s.source
+"""
+
+
+@register(
+    "dq_repair_fixpoint",
+    _repair_fixpoint_sql(),
+    "convergence proof of the executed split repair: apply "
+    "dq_split_repair's demote-contaminated + promote-provably-safe "
+    "operator TWICE and report the 8-gram contamination residual at "
+    "iterations 0/1/2 per source, the promotion volumes, and a "
+    "monotone flag (r0 >= r1 >= r2). dq_repair_residual showed round "
+    "1's sideways leak (demoted grams newly contaminate other holdout "
+    "docs); this answers whether the repair loop CONVERGES — the "
+    "residual shrinking monotonically is the termination argument for "
+    "running repair-until-clean on a real corpus. Shape: ONE distinct "
+    "(doc, gram) relation serves all six contamination/df consumers; "
+    "promotions rank inside (source, md5-band) partitions on the "
+    "Spark side (oracle uses the plain per-source row_number — ranks "
+    "identical by the queries_r20 banding proof); each iteration is "
+    "two semi-joins + one hash-agg over the gram relation",
+)
+def dq_repair_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from jigsaw_spark.operators.text import shingles_expr, tokens_expr
+    from jigsaw_spark.session import widen
+
+    docs = widen(_t(spark, sf_dir, "documents"))
+    split0 = docs.select(
+        "doc_id",
+        "source",
+        _holdout_col().alias("is_holdout"),
+        tokens_expr("text").alias("t"),
+    ).localCheckpoint()
+    dg = (
+        split0.select(
+            "doc_id", F.explode(shingles_expr("t", 8)).alias("sh")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    gdf = dg.groupBy("sh").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
+    doc_max = (
+        dg.join(gdf, "sh")
+        .groupBy("doc_id")
+        .agg(F.max("df").alias("mx"))
+    )
+    base = split0.select("doc_id", "source", "is_holdout")
+    safe = (
+        base.select("doc_id", "source")
+        .join(doc_max, "doc_id", "left")
+        .filter(F.coalesce("mx", F.lit(1)) <= 1)
+        .select("doc_id", "source")
+        .localCheckpoint()
+    )
+
+    def _contam(split: DataFrame) -> DataFrame:
+        """Distinct contaminated holdout doc_ids under ``split``."""
+        flagged = dg.join(split, "doc_id")
+        train_sh = (
+            flagged.filter(~F.col("is_holdout"))
+            .select("sh")
+            .distinct()
+        )
+        return (
+            flagged.filter(F.col("is_holdout"))
+            .join(train_sh, "sh", "left_semi")
+            .select("doc_id")
+            .distinct()
+            .localCheckpoint()
+        )
+
+    def _promote(
+        split: DataFrame, contam: DataFrame, salt: str
+    ) -> DataFrame:
+        """md5-first promotion of least(demote, pool) safe train docs
+        per source — banded rank, bit-identical to the oracle's plain
+        per-source row_number (queries_r20 proof)."""
+        from pyspark.sql import Window
+
+        from jigsaw_spark.functions.hashing import md5_key
+
+        pool = safe.join(
+            split.filter(~F.col("is_holdout")).select("doc_id"),
+            "doc_id",
+            "left_semi",
+        )
+        quota = (
+            split.join(
+                contam.withColumn("c", F.lit(1)), "doc_id", "left"
+            )
+            .join(
+                pool.withColumn("p", F.lit(1)).select("doc_id", "p"),
+                "doc_id",
+                "left",
+            )
+            .groupBy("source")
+            .agg(
+                F.sum(
+                    F.when(
+                        F.col("is_holdout") & F.col("c").isNotNull(),
+                        1,
+                    ).otherwise(0)
+                )
+                .cast("bigint")
+                .alias("n_demote"),
+                F.sum(F.when(F.col("p").isNotNull(), 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_pool"),
+            )
+        )
+        keyed = pool.withColumn(
+            "_h", md5_key(F.col("doc_id"), seed=salt)
+        ).withColumn("_band", F.substring("_h", 1, 2))
+        bcounts = keyed.groupBy("source", "_band").agg(
+            F.count(F.lit(1)).alias("_c")
+        )
+        wb = (
+            Window.partitionBy("source")
+            .orderBy("_band")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        offsets = bcounts.withColumn(
+            "_off", F.coalesce(F.sum("_c").over(wb), F.lit(0))
+        ).select("source", "_band", "_off")
+        win = Window.partitionBy("source", "_band").orderBy(
+            "_h", "doc_id"
+        )
+        ranked = (
+            keyed.withColumn("_rk", F.row_number().over(win))
+            .join(F.broadcast(offsets), ["source", "_band"])
+            .select(
+                "doc_id",
+                "source",
+                (F.col("_rk") + F.col("_off")).alias("rk"),
+            )
+        )
+        return (
+            ranked.join(F.broadcast(quota), "source")
+            .filter(
+                F.col("rk") <= F.least(F.col("n_demote"), F.col("n_pool"))
+            )
+            .select("doc_id", "source")
+            .localCheckpoint()
+        )
+
+    def _apply(
+        split: DataFrame, contam: DataFrame, prom: DataFrame
+    ) -> DataFrame:
+        return (
+            split.join(
+                contam.withColumn("c", F.lit(1)), "doc_id", "left"
+            )
+            .join(
+                prom.withColumn("p", F.lit(1)).select("doc_id", "p"),
+                "doc_id",
+                "left",
+            )
+            .select(
+                "doc_id",
+                "source",
+                F.when(F.col("c").isNotNull(), F.lit(False))
+                .when(F.col("p").isNotNull(), F.lit(True))
+                .otherwise(F.col("is_holdout"))
+                .alias("is_holdout"),
+            )
+            .localCheckpoint()
+        )
+
+    c0 = _contam(base)
+    prom1 = _promote(base, c0, "repair")
+    split1 = _apply(base, c0, prom1)
+    c1 = _contam(split1)
+    prom2 = _promote(split1, c1, "repair2")
+    split2 = _apply(split1, c1, prom2)
+    c2 = _contam(split2)
+
+    j = (
+        base.withColumnRenamed("is_holdout", "h0")
+        .join(
+            split1.select(
+                "doc_id", F.col("is_holdout").alias("h1")
+            ),
+            "doc_id",
+        )
+        .join(
+            split2.select(
+                "doc_id", F.col("is_holdout").alias("h2")
+            ),
+            "doc_id",
+        )
+        .join(c0.withColumn("a", F.lit(1)), "doc_id", "left")
+        .join(c1.withColumn("b", F.lit(1)), "doc_id", "left")
+        .join(c2.withColumn("cc", F.lit(1)), "doc_id", "left")
+        .join(
+            prom1.withColumn("p1", F.lit(1)).select("doc_id", "p1"),
+            "doc_id",
+            "left",
+        )
+        .join(
+            prom2.withColumn("p2", F.lit(1)).select("doc_id", "p2"),
+            "doc_id",
+            "left",
+        )
+    )
+    agg = j.groupBy("source").agg(
+        F.sum(
+            F.when(F.col("h0") & F.col("a").isNotNull(), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("contam_r0"),
+        F.sum(
+            F.when(F.col("h1") & F.col("b").isNotNull(), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("contam_r1"),
+        F.sum(
+            F.when(F.col("h2") & F.col("cc").isNotNull(), 1).otherwise(
+                0
+            )
+        )
+        .cast("bigint")
+        .alias("contam_r2"),
+        F.sum(F.when(F.col("p1").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("promoted_r1"),
+        F.sum(F.when(F.col("p2").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("promoted_r2"),
+    )
+    return agg.select(
+        "source",
+        "contam_r0",
+        "contam_r1",
+        "contam_r2",
+        "promoted_r1",
+        "promoted_r2",
+        (
+            (F.col("contam_r0") >= F.col("contam_r1"))
+            & (F.col("contam_r1") >= F.col("contam_r2"))
+        ).alias("monotone"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# mm_phash_threshold_purity
+# ---------------------------------------------------------------------------
+
+
+def _threshold_purity_sql() -> str:
+    from jigsaw_spark.plans.queries_r6 import _PHASH_BYTES_CTE
+
+    arms = []
+    labs = []
+    for t in _PURITY_THRESHOLDS:
+        arms.append(f"""
+    edges_{t} AS (
+      SELECT ia AS u, ib AS v FROM ham WHERE hamming <= {t}
+      UNION SELECT ib, ia FROM ham WHERE hamming <= {t}),
+    reach_{t}(u, v) AS (
+      SELECT u, v FROM edges_{t}
+      UNION
+      SELECT r.u, e.v FROM reach_{t} r JOIN edges_{t} e ON r.v = e.u
+      WHERE e.v <> r.u),
+    comp_{t} AS (
+      SELECT u AS img, least(u, min(v)) AS component
+      FROM reach_{t} GROUP BY u)""")
+        labs.append(f"""
+      SELECT {t} AS threshold,
+             coalesce(c.component, un.img) AS component, d.source
+      FROM universe un
+      LEFT JOIN comp_{t} c ON un.img = c.img
+      JOIN documents d ON un.img = d.doc_id""")
+    return f"""
+    WITH RECURSIVE {_PHASH_BYTES_CTE.strip()},
+    mcand AS (
+      SELECT DISTINCT x.i AS ia, y.i AS ib
+      FROM ph_bytes x
+      JOIN ph_bytes y ON x.byte_idx = y.byte_idx
+                     AND x.byte_val = y.byte_val AND x.i < y.i),
+    ham AS MATERIALIZED (
+      SELECT c.ia, c.ib,
+             CAST(sum(bit_count(xor(x.byte_val, y.byte_val)))
+               AS BIGINT) AS hamming
+      FROM mcand c
+      JOIN ph_bytes x ON x.i = c.ia
+      JOIN ph_bytes y ON y.i = c.ib AND y.byte_idx = x.byte_idx
+      GROUP BY 1, 2),
+    universe AS (SELECT DISTINCT i AS img FROM ph_bytes),
+    {','.join(arms)},
+    lab AS MATERIALIZED ({' UNION ALL '.join(labs)}),
+    per_cs AS (
+      SELECT threshold, component, source,
+             CAST(count(*) AS BIGINT) AS c
+      FROM lab GROUP BY 1, 2, 3),
+    cl AS (
+      SELECT threshold, component,
+             CAST(sum(c) AS BIGINT) AS sz,
+             CAST(count(*) AS BIGINT) AS n_sources,
+             CAST(max(c) AS BIGINT) AS maj
+      FROM per_cs GROUP BY 1, 2)
+    SELECT CAST(threshold AS INT) AS threshold,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(CASE WHEN n_sources > 1 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_multi_source,
+           CAST(sum(CASE WHEN n_sources > 1 THEN 1 ELSE 0 END) * 1000
+             // count(*) AS BIGINT) AS multi_milli,
+           CAST(sum(maj) * 1000 // sum(sz) AS BIGINT)
+             AS majority_mass_milli
+    FROM cl GROUP BY threshold
+"""
+
+
+@register(
+    "mm_phash_threshold_purity",
+    _threshold_purity_sql(),
+    "the r70 threshold sweep JOINED with mm_phash_cluster_sources' "
+    "purity view: per dHash Hamming threshold {0, 2, 4, 6}, the image "
+    "cluster count (singletons kept), multi-source cluster count and "
+    "share, and the majority-source mass — the table that prices a "
+    "threshold not by pair volume (the sweep) but by what it does to "
+    "cluster PURITY: the threshold where clusters start fusing across "
+    "sources is where image dedup stops removing syndication and "
+    "starts merging distinct assets. Shape: the banded candidate join "
+    "+ hamming agg computed ONCE, per-arm size-adaptive components "
+    "over the filtered pair list, one source join against the "
+    "documents dim, bounded 4-row output",
+)
+def mm_phash_threshold_purity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from jigsaw_spark.multimodal.binary_ops import phash_dhash
+    from jigsaw_spark.operators.dedup import connected_components
+    from jigsaw_spark.plans.queries_r6 import _phash_images
+
+    docs = _t(spark, sf_dir, "documents")
+    ph = phash_dhash(_phash_images(spark, sf_dir))
+    x = ph.select(
+        F.col("image_id").cast("bigint").alias("ia"),
+        F.col("byte_idx").alias("bxi"),
+        F.col("byte_val").alias("bxv"),
+    )
+    y = ph.select(
+        F.col("image_id").cast("bigint").alias("ib"),
+        F.col("byte_idx").alias("byi"),
+        F.col("byte_val").alias("byv"),
+    )
+    cand = (
+        x.join(
+            y,
+            (F.col("bxi") == F.col("byi"))
+            & (F.col("bxv") == F.col("byv"))
+            & (F.col("ia") < F.col("ib")),
+        )
+        .select("ia", "ib")
+        .distinct()
+    )
+    xa = ph.select(
+        F.col("image_id").cast("bigint").alias("ha"),
+        F.col("byte_idx").alias("hai"),
+        F.col("byte_val").alias("hav"),
+    )
+    ya = ph.select(
+        F.col("image_id").cast("bigint").alias("hb"),
+        F.col("byte_idx").alias("hbi"),
+        F.col("byte_val").alias("hbv"),
+    )
+    ham = (
+        cand.join(xa, cand["ia"] == xa["ha"])
+        .join(
+            ya,
+            (cand["ib"] == ya["hb"]) & (F.col("hai") == F.col("hbi")),
+        )
+        .groupBy("ia", "ib")
+        .agg(
+            F.sum(F.bit_count(F.col("hav").bitwiseXOR(F.col("hbv"))))
+            .cast("bigint")
+            .alias("hamming")
+        )
+        .localCheckpoint()
+    )
+    universe = (
+        ph.select(F.col("image_id").cast("bigint").alias("img"))
+        .distinct()
+        .join(
+            docs.select(F.col("doc_id").alias("img"), "source"), "img"
+        )
+        .localCheckpoint()
+    )
+    out = []
+    for t in _PURITY_THRESHOLDS:
+        pairs = ham.filter(F.col("hamming") <= t).select(
+            F.col("ia").alias("doc_a"), F.col("ib").alias("doc_b")
+        )
+        comp = connected_components(pairs).select(
+            F.col("doc_id").alias("img"),
+            F.col("component").alias("c0"),
+        )
+        lab = universe.join(comp, "img", "left").select(
+            F.coalesce("c0", F.col("img")).alias("component"),
+            "source",
+        )
+        per_cs = lab.groupBy("component", "source").agg(
+            F.count(F.lit(1)).cast("bigint").alias("c")
+        )
+        cl = per_cs.groupBy("component").agg(
+            F.sum("c").cast("bigint").alias("sz"),
+            F.count(F.lit(1)).cast("bigint").alias("n_sources"),
+            F.max("c").cast("bigint").alias("maj"),
+        )
+        out.append(
+            cl.agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+                F.sum(F.when(F.col("n_sources") > 1, 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_multi_source"),
+                F.sum("maj").cast("bigint").alias("maj_mass"),
+                F.sum("sz").cast("bigint").alias("tot_mass"),
+            ).select(
+                F.lit(t).cast("int").alias("threshold"),
+                "n_clusters",
+                "n_multi_source",
+                F.expr(
+                    "CAST(n_multi_source * 1000 div n_clusters"
+                    " AS BIGINT)"
+                ).alias("multi_milli"),
+                F.expr(
+                    "CAST(maj_mass * 1000 div tot_mass AS BIGINT)"
+                ).alias("majority_mass_milli"),
+            )
+        )
+    res = out[0]
+    for o in out[1:]:
+        res = res.unionByName(o)
+    return res
+
+
+# ---------------------------------------------------------------------------
+# ann_recall_under_dedup
+# ---------------------------------------------------------------------------
+
+
+def _recall_under_dedup_sql() -> str:
+    from jigsaw_spark.plans.queries_llm import _KEEPER_EDGES_CTE
+
+    return f"""
+    WITH RECURSIVE {_KEEPER_EDGES_CTE},
+    reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+      WHERE e.v <> r.u),
+    comp AS (
+      SELECT u AS doc_id, least(u, min(v)) AS component
+      FROM reach GROUP BY u),
+    keeper_of AS (
+      SELECT doc_id, min(doc_id) OVER (PARTITION BY fp) AS keeper
+      FROM fpt),
+    clust AS MATERIALIZED (
+      SELECT k.doc_id, coalesce(c.component, k.keeper) AS cluster
+      FROM keeper_of k LEFT JOIN comp c ON k.keeper = c.doc_id),
+    surv AS MATERIALIZED (
+      SELECT doc_id FROM clust WHERE doc_id = cluster),
+    q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id < 5),
+    truth AS MATERIALIZED (
+      SELECT query_id, vec_id FROM (
+        SELECT q.query_id, c.vec_id,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY round(list_cosine_similarity(
+                   q.qv, c.embedding::DOUBLE[]), 9) DESC, c.vec_id)
+                 AS rank
+        FROM q JOIN embeddings c ON c.vec_id <> q.query_id) t
+      WHERE rank <= 10),
+    after AS MATERIALIZED (
+      SELECT query_id, vec_id FROM (
+        SELECT q.query_id, c.vec_id,
+               row_number() OVER (PARTITION BY q.query_id
+                 ORDER BY round(list_cosine_similarity(
+                   q.qv, c.embedding::DOUBLE[]), 9) DESC, c.vec_id)
+                 AS rank
+        FROM q JOIN embeddings c ON c.vec_id <> q.query_id
+        JOIN surv s ON c.vec_id = s.doc_id) t
+      WHERE rank <= 10),
+    tl AS (
+      SELECT t.query_id, t.vec_id,
+             s.doc_id IS NOT NULL AS kept, cl.cluster AS rep
+      FROM truth t
+      LEFT JOIN surv s ON t.vec_id = s.doc_id
+      JOIN clust cl ON t.vec_id = cl.doc_id),
+    rh AS (
+      SELECT DISTINCT tl.query_id, tl.vec_id
+      FROM tl JOIN after a
+        ON a.query_id = tl.query_id AND a.vec_id = tl.rep
+      WHERE NOT tl.kept)
+    SELECT CAST(tl.query_id AS BIGINT) AS query_id,
+           CAST(count(*) AS BIGINT) AS n_truth,
+           CAST(sum(CASE WHEN tl.kept THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(sum(CASE WHEN tl.kept THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_lost,
+           CAST(sum(CASE WHEN NOT tl.kept AND r.vec_id IS NOT NULL
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_lost_rep,
+           CAST(sum(CASE WHEN tl.kept THEN 1 ELSE 0 END) * 1000
+             // count(*) AS BIGINT) AS recall_milli,
+           CAST((sum(CASE WHEN tl.kept THEN 1 ELSE 0 END)
+             + sum(CASE WHEN NOT tl.kept AND r.vec_id IS NOT NULL
+               THEN 1 ELSE 0 END)) * 1000 // count(*) AS BIGINT)
+             AS rep_recall_milli
+    FROM tl LEFT JOIN rh r
+      ON tl.query_id = r.query_id AND tl.vec_id = r.vec_id
+    GROUP BY tl.query_id
+"""
+
+
+@register(
+    "ann_recall_under_dedup",
+    _recall_under_dedup_sql(),
+    "retrieval under keeper collapse — does dedup hurt search: for "
+    "the 5-query eval panel, the brute-force cosine top-10 over the "
+    "FULL corpus (truth) vs the top-10 over the SURVIVOR corpus "
+    "(docs equal to their near-dup cluster id, the p_leakage_safe_"
+    "split keeper convention on the vec_id==doc_id identity). "
+    "Reports per query: truth neighbors kept, lost, and lost-but-"
+    "REPRESENTED (the lost neighbor's cluster keeper ranks in the "
+    "collapsed top-10) — rep_recall above recall is the cluster-"
+    "representative argument that keeper collapse preserves "
+    "retrieval semantics even as it drops vectors. Shape: the keeper "
+    "machinery's banded pairs + components, two Arrow top-k corpus "
+    "scans with the 5-row broadcast panel, hash joins on the "
+    "k-bounded rank tables",
+)
+def ann_recall_under_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from jigsaw_spark.operators.dedup import (
+        connected_components,
+        exact_dedup,
+        keeper_pairs,
+    )
+    from jigsaw_spark.operators.similarity import cosine_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    keeper_of = exact_dedup(docs, "doc_id").select(
+        "doc_id", "keeper"
+    )
+    comp = connected_components(
+        keeper_pairs(docs, "doc_id").localCheckpoint()
+    ).select(
+        F.col("doc_id").alias("keeper"),
+        F.col("component").alias("c0"),
+    )
+    clust = (
+        keeper_of.join(comp, "keeper", "left")
+        .select(
+            "doc_id",
+            F.coalesce("c0", F.col("keeper")).alias("cluster"),
+        )
+        .localCheckpoint()
+    )
+    surv = clust.filter(F.col("doc_id") == F.col("cluster")).select(
+        F.col("doc_id").alias("vec_id")
+    )
+    panel = emb.filter(F.col("vec_id") < 5)
+    truth = cosine_topk(emb, panel, k=10).select(
+        "query_id", "vec_id"
+    )
+    after = (
+        cosine_topk(emb.join(surv, "vec_id", "left_semi"), panel, k=10)
+        .select(
+            F.col("query_id").alias("aq"),
+            F.col("vec_id").alias("av"),
+        )
+        .localCheckpoint()
+    )
+    tl = (
+        truth.join(
+            surv.withColumn("s", F.lit(1)), "vec_id", "left"
+        )
+        .join(
+            clust.select(
+                F.col("doc_id").alias("vec_id"),
+                F.col("cluster").alias("rep"),
+            ),
+            "vec_id",
+        )
+        .select(
+            "query_id",
+            "vec_id",
+            F.col("s").isNotNull().alias("kept"),
+            "rep",
+        )
+    )
+    rh = (
+        tl.filter(~F.col("kept"))
+        .join(
+            after,
+            (tl["query_id"] == after["aq"])
+            & (tl["rep"] == after["av"]),
+            "left_semi",
+        )
+        .select("query_id", "vec_id")
+        .distinct()
+        .withColumn("rhit", F.lit(1))
+    )
+    return (
+        tl.join(rh, ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_truth"),
+            F.sum(F.when(F.col("kept"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
+            F.sum(F.when(F.col("kept"), 0).otherwise(1))
+            .cast("bigint")
+            .alias("n_lost"),
+            F.sum(
+                F.when(
+                    ~F.col("kept") & F.col("rhit").isNotNull(), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_lost_rep"),
+        )
+        .select(
+            F.col("query_id").cast("bigint").alias("query_id"),
+            "n_truth",
+            "n_kept",
+            "n_lost",
+            "n_lost_rep",
+            F.expr(
+                "CAST(n_kept * 1000 div n_truth AS BIGINT)"
+            ).alias("recall_milli"),
+            F.expr(
+                "CAST((n_kept + n_lost_rep) * 1000 div n_truth"
+                " AS BIGINT)"
+            ).alias("rep_recall_milli"),
+        )
+    )

@@ -233,13 +233,16 @@ def test_pareto_frontier_replays(spark):
             g = got[(codec, np_)]
             assert g["n_scored"] == n_scored, (codec, np_)
             assert g["hits"] == hits, (codec, np_)
-            assert g["recall_milli"] == hits * 1000 // 50
+            # denominator counted from the truth set, not hardcoded
+            # 5x10 (advisor r12 #3)
+            n_truth = len(truth_rank)
+            assert g["recall_milli"] == hits * 1000 // n_truth
             scan = n_scored * 1000 // n_brute
             assert g["scan_share_milli"] == scan
             expect_eff = (
                 0
                 if n_scored == 0
-                else (hits * 1000 // 50) * 1000 // scan
+                else (hits * 1000 // n_truth) * 1000 // scan
             )
             assert g["recall_per_scan_milli"] == expect_eff
     # monotonicity invariants of the frontier itself

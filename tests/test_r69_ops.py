@@ -123,7 +123,8 @@ def test_epoch_schedule_replays(spark):
         s: (
             0
             if c == 0
-            else int(_round_half_away(math.exp(0.7 * math.log(c)) * 1e6))
+            else int(_round_half_away(math.exp(0.7 * math.log(c))))
+            * 1_000_000
         )
         for s, c in cap.items()
     }

@@ -459,6 +459,13 @@ PROBES = [
     # components + source dim join
     "dedup_detector_agreement",
     "mm_phash_cluster_sources",
+    # r13 batch 1: pooled-evidence leakage (2-arm components), the
+    # twice-iterated repair (gram relation reused 6×), per-threshold
+    # phash components, and the 2-scan ANN recall audit
+    "dq_pooled_cluster_leakage",
+    "dq_repair_fixpoint",
+    "mm_phash_threshold_purity",
+    "ann_recall_under_dedup",
 ]
 
 TABLES = [
