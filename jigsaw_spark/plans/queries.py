@@ -1609,6 +1609,7 @@ from jigsaw_spark.plans import queries_r69  # noqa: E402,F401
 # r70 was the round-13 queue; its 2 queries now head the r13 window.
 from jigsaw_spark.plans import queries_r70  # noqa: E402,F401
 from jigsaw_spark.plans import queries_r71  # noqa: E402,F401
+from jigsaw_spark.plans import queries_r72  # noqa: E402,F401
 
 
 # ---------------------------------------------------------------------------
@@ -1665,6 +1666,10 @@ _R13_NEW: list[str] = [
     "dq_repair_fixpoint",
     "mm_phash_threshold_purity",
     "ann_recall_under_dedup",
+    "stream_phash_dedup",
+    "ts_session_timeout_sweep",
+    "agg_cms_width_curve",
+    "layout_partition_advisor",
 ]
 
 # Changed-code re-certs (advisor r10 #2, standing policy): certified

@@ -1099,16 +1099,12 @@ _PHASH_BYTES_CTE = """
 """
 
 
-def _phash_images(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic 16x16 gradient PNGs (real pure-Python encode) —
-    the python twin of _PHASH_BYTES_CTE's `par`/`pix` arithmetic."""
-    from jigsaw_spark.session import widen
-
-    docs = widen(
-        _t(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") % 10 == 0)
-        .select("doc_id")
-    )
+def _synth_images(docs: DataFrame) -> DataFrame:
+    """Apply the deterministic image-synthesis kernel to a frame of
+    doc_ids — extracted from ``_phash_images`` (r13) so the SAME
+    map-only Arrow kernel runs on batch AND streaming frames
+    (``stream_phash_dedup`` synthesizes its arriving images with this
+    exact function; semantics unchanged, pure code motion)."""
 
     def synth(batches):
         import numpy as np
@@ -1147,6 +1143,20 @@ def _phash_images(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame({"image_id": ids, "content": blobs})
 
     return docs.mapInPandas(synth, "image_id string, content binary")
+
+
+def _phash_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 16x16 gradient PNGs (real pure-Python encode) —
+    the python twin of _PHASH_BYTES_CTE's `par`/`pix` arithmetic."""
+    from jigsaw_spark.session import widen
+
+    return _synth_images(
+        widen(
+            _t(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 10 == 0)
+            .select("doc_id")
+        )
+    )
 
 
 @register(

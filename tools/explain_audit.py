@@ -50,6 +50,12 @@ ALL_PAIRS_OK = {
     "ts_fano_grain_curve",
     # r68: support histogram crossed with the 1-row n_edges total
     "graph_edge_support",
+    # r13 batch 2: the one lag-pass gap table crossed with the 4-row
+    # broadcast timeout-arm dim (the ts_fano_grain_curve class)
+    "ts_session_timeout_sweep",
+    # r13 batch 2: per-key hash-agg crossed with the 12-row broadcast
+    # (width, depth) dim — the sketch explode is |keys|-bounded
+    "agg_cms_width_curve",
     # r70 queue: 4-row threshold dim non-equi-joined against the banded
     # hamming list + 1-row universe cross — the dedup_band_sweep class
     "mm_phash_threshold_sweep",

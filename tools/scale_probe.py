@@ -466,6 +466,13 @@ PROBES = [
     "dq_repair_fixpoint",
     "mm_phash_threshold_purity",
     "ann_recall_under_dedup",
+    # r13 batch 2 (stream_phash_dedup's stream side is empty at the
+    # scaled dir — directory-per-table layout defeats the file glob;
+    # see SCALING.md — the probe covers the static index + verify)
+    "stream_phash_dedup",
+    "ts_session_timeout_sweep",
+    "agg_cms_width_curve",
+    "layout_partition_advisor",
 ]
 
 TABLES = [
