@@ -1610,6 +1610,7 @@ from jigsaw_spark.plans import queries_r69  # noqa: E402,F401
 from jigsaw_spark.plans import queries_r70  # noqa: E402,F401
 from jigsaw_spark.plans import queries_r71  # noqa: E402,F401
 from jigsaw_spark.plans import queries_r72  # noqa: E402,F401
+from jigsaw_spark.plans import queries_r73  # noqa: E402,F401
 
 
 # ---------------------------------------------------------------------------
@@ -1670,6 +1671,10 @@ _R13_NEW: list[str] = [
     "ts_session_timeout_sweep",
     "agg_cms_width_curve",
     "layout_partition_advisor",
+    "curation_gate_dup_overlap",
+    "dq_leak_detector_overlap",
+    "p_curated_budget_mix",
+    "dq_split_embedding_drift",
 ]
 
 # Changed-code re-certs (advisor r10 #2, standing policy): certified
@@ -1682,6 +1687,12 @@ _R13_CHANGED_RECERT = [
     "ann_pareto_frontier",
     "stream_watermark_advisor",
     "p_epoch_schedule",
+    # the _synth_images extraction (queries_r6, pure code motion so the
+    # streaming ingest can reuse the image-synthesis kernel) changed
+    # these two queries' executing code; both are also r5-stale, so the
+    # re-cert doubles as the stalest-first rotation
+    "mm_image_phash",
+    "mm_phash_near_dup",
 ]
 
 _STALE_PADDING = [

@@ -68,6 +68,9 @@ ALL_PAIRS_OK = {
     "p_token_budget_mix",
     # r69: 1-row budget/leftover scalars crossed into the |sources| dim
     "p_epoch_schedule",
+    # r13 batch 3: 1-row budget scalar crossed into the |sources| dim
+    # (the p_dedup_aware_mix class)
+    "p_curated_budget_mix",
     # r61: 3-row k dim x 2-row codec dim crossed into k-bounded rank
     # tables (<= 10 rows per query per arm) — the ann_recall_curve shape
     "ann_codec_recall",

@@ -473,6 +473,11 @@ PROBES = [
     "ts_session_timeout_sweep",
     "agg_cms_width_curve",
     "layout_partition_advisor",
+    # r13 batch 3
+    "curation_gate_dup_overlap",
+    "dq_leak_detector_overlap",
+    "p_curated_budget_mix",
+    "dq_split_embedding_drift",
 ]
 
 TABLES = [
