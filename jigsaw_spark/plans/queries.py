@@ -1611,6 +1611,7 @@ from jigsaw_spark.plans import queries_r70  # noqa: E402,F401
 from jigsaw_spark.plans import queries_r71  # noqa: E402,F401
 from jigsaw_spark.plans import queries_r72  # noqa: E402,F401
 from jigsaw_spark.plans import queries_r73  # noqa: E402,F401
+from jigsaw_spark.plans import queries_r74  # noqa: E402,F401
 
 
 # ---------------------------------------------------------------------------
@@ -1675,6 +1676,10 @@ _R13_NEW: list[str] = [
     "dq_leak_detector_overlap",
     "p_curated_budget_mix",
     "dq_split_embedding_drift",
+    "dedup_signature_size_sweep",
+    "mm_phash_band_sweep",
+    "agg_kmv_precision_curve",
+    "graph_component_depth",
 ]
 
 # Changed-code re-certs (advisor r10 #2, standing policy): certified

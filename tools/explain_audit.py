@@ -53,6 +53,11 @@ ALL_PAIRS_OK = {
     # r13 batch 2: the one lag-pass gap table crossed with the 4-row
     # broadcast timeout-arm dim (the ts_fano_grain_curve class)
     "ts_session_timeout_sweep",
+    # r13 batch 4: per-config 1-row (n_candidates x n_verified x
+    # n_true) aggregate crosses — all scalar dims
+    "mm_phash_band_sweep",
+    # r13 batch 4: |types| exact dim crossed with the 3-row k dim
+    "agg_kmv_precision_curve",
     # r13 batch 2: per-key hash-agg crossed with the 12-row broadcast
     # (width, depth) dim — the sketch explode is |keys|-bounded
     "agg_cms_width_curve",

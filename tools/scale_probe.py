@@ -478,6 +478,11 @@ PROBES = [
     "dq_leak_detector_overlap",
     "p_curated_budget_mix",
     "dq_split_embedding_drift",
+    # r13 batch 4
+    "dedup_signature_size_sweep",
+    "mm_phash_band_sweep",
+    "agg_kmv_precision_curve",
+    "graph_component_depth",
 ]
 
 TABLES = [
