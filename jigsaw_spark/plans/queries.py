@@ -1612,6 +1612,10 @@ from jigsaw_spark.plans import queries_r71  # noqa: E402,F401
 from jigsaw_spark.plans import queries_r72  # noqa: E402,F401
 from jigsaw_spark.plans import queries_r73  # noqa: E402,F401
 from jigsaw_spark.plans import queries_r74  # noqa: E402,F401
+# r75 is the ROUND-14 QUEUE (overflow module at _OVERFLOW_BOUNDARY,
+# behind the 50-slot window by policy — the r40/r55/r60/r65/r70
+# pattern): replica-verified this round, first driver row next round.
+from jigsaw_spark.plans import queries_r75  # noqa: E402,F401
 
 
 # ---------------------------------------------------------------------------

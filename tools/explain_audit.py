@@ -66,6 +66,9 @@ ALL_PAIRS_OK = {
     "mm_phash_threshold_sweep",
     # r70 queue: cluster rollup crossed with the 1-row totals dim
     "dq_split_cluster_leakage",
+    # r75 queue: per-source ledger crossed with the 1-row
+    # global-straddle verification aggregate
+    "dq_cluster_safe_repair",
     # r61: 1-row n_hold scalar crossed into the |sources| attribution dim
     "dq_contamination_by_source",
     # r61: 1-row budget + 1-row kstat aggregates crossed into the

@@ -483,6 +483,9 @@ PROBES = [
     "mm_phash_band_sweep",
     "agg_kmv_precision_curve",
     "graph_component_depth",
+    # r14 queue
+    "dq_cluster_safe_repair",
+    "dedup_pooled_text_detectors",
 ]
 
 TABLES = [
