@@ -1212,41 +1212,54 @@ def mm_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def mm_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jigsaw_spark.multimodal.binary_ops import phash_dhash
 
+    # Bucket form (the minhash_lsh_pairs shape, r13 optimization): the
+    # self-join formulation evaluated the synth+decode Python pipeline
+    # once per join side and twice more re-attaching bytes for the
+    # Hamming verify — Spark cannot dedupe identical PythonUDF subplans
+    # (measured ~4x the kernel cost). Here the kernel runs ONCE: hash
+    # bytes aggregate to one 8-byte array per image, each byte is an
+    # LSH band key, pairs explode bucket-locally and the exact Hamming
+    # distance folds over the carried arrays — no join back. Same pair
+    # set, same hamming, one kernel pass, two exchanges.
     ph = phash_dhash(_phash_images(spark, sf_dir))
-    x, y = ph.alias("x"), ph.alias("y")
-    cand = (
-        x.join(
-            y,
-            (F.col("x.byte_idx") == F.col("y.byte_idx"))
-            & (F.col("x.byte_val") == F.col("y.byte_val"))
-            & (
-                F.col("x.image_id").cast("long")
-                < F.col("y.image_id").cast("long")
-            ),
-        )
+    h64 = ph.groupBy("image_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("byte_idx", "byte_val"))),
+            lambda s: s["byte_val"],
+        ).alias("harr")
+    )
+    banded = h64.select(
+        "image_id",
+        F.col("image_id").cast("long").alias("_iid"),
+        "harr",
+        F.posexplode("harr").alias("byte_idx", "byte_val"),
+    )
+    buckets = (
+        banded.groupBy("byte_idx", "byte_val")
+        .agg(F.collect_list(F.struct("_iid", "image_id", "harr")).alias("ms"))
+        .filter(F.size("ms") >= 2)
+    )
+    hamming = F.aggregate(
+        F.zip_with(
+            F.col("a.harr"),
+            F.col("b.harr"),
+            lambda u, v: F.bit_count(u.bitwiseXOR(v)),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        buckets.select(F.explode("ms").alias("a"), "ms")
+        .select("a", F.explode("ms").alias("b"))
+        .filter(F.col("a._iid") < F.col("b._iid"))
         .select(
-            F.col("x.image_id").alias("img_a"),
-            F.col("y.image_id").alias("img_b"),
+            F.col("a.image_id").alias("img_a"),
+            F.col("b.image_id").alias("img_b"),
+            hamming.cast("bigint").alias("hamming"),
         )
         .distinct()
+        .filter(F.col("hamming") <= 6)
     )
-    ham = (
-        cand.join(x, F.col("x.image_id") == F.col("img_a"))
-        .join(
-            y,
-            (F.col("y.image_id") == F.col("img_b"))
-            & (F.col("y.byte_idx") == F.col("x.byte_idx")),
-        )
-        .groupBy("img_a", "img_b")
-        .agg(
-            F.sum(
-                F.bit_count(F.expr("x.byte_val ^ y.byte_val"))
-            )
-            .cast("bigint")
-            .alias("hamming")
-        )
-    )
-    return ham.filter(F.col("hamming") <= 6)
 
 
 @register(
