@@ -33,7 +33,6 @@ drift from the SQL tokenizer.
 from __future__ import annotations
 
 import hashlib
-from collections import Counter
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame
@@ -277,19 +276,34 @@ def minhash_band_sigs(
     def compute(batches: Iterator) -> Iterator:
         import pandas as pd
 
+        prefixes = [f"{seed}|".encode() for seed in range(num_hashes)]
+        md5 = hashlib.md5
+        # shingle -> per-seed digests, shared across docs in this task
+        # (near-dup corpora repeat shingles heavily; md5 is a pure
+        # function of its input, so this is per-task transient memo, not
+        # result caching). min over raw digests == min over hex strings
+        # (hex is monotone in the bytes), so hex-encode only the winners.
+        digests: dict = {}
         for pdf in batches:
             out_key, out_band, out_sig = [], [], []
-            prefixes = [f"{seed}|".encode() for seed in range(num_hashes)]
-            md5 = hashlib.md5
             for k_val, arr in zip(pdf[key], pdf["toks"]):
                 t = list(arr)
                 sh = {
                     " ".join(t[i : i + n]).encode()
                     for i in range(len(t) - n + 1)
                 }
+                per_doc = []
+                for s in sh:
+                    d = digests.get(s)
+                    if d is None:
+                        d = [md5(pre + s).digest() for pre in prefixes]
+                        if len(digests) > 1_000_000:
+                            digests.clear()
+                        digests[s] = d
+                    per_doc.append(d)
                 mhs = [
-                    min(md5(pre + s).hexdigest() for s in sh)
-                    for pre in prefixes
+                    min(d[i] for d in per_doc).hex()
+                    for i in range(num_hashes)
                 ]
                 for b in range(bands):
                     out_key.append(k_val)
@@ -391,16 +405,32 @@ def simhash(df: DataFrame, key: str, text: str = "text", num_bits: int = 32) -> 
     def compute(batches: Iterator) -> Iterator:
         import pandas as pd
 
+        # token -> ±1 bit row, shared across every doc this task sees:
+        # md5 is a pure function of the token text, so memoizing it is
+        # per-task transient state (guide-§4.5 class), not result caching;
+        # the cap bounds worker memory on adversarial vocabularies.
+        bit_rows: dict = {}
+
+        def token_bits(tok) -> np.ndarray:
+            b = bit_rows.get(tok)
+            if b is None:
+                x = np.uint64(
+                    int(hashlib.md5(tok.encode()).hexdigest()[:hex_chars], 16)
+                )
+                b = ((x >> down_shifts) & np.uint64(1)).astype(np.int64) * 2 - 1
+                if len(bit_rows) > 2_000_000:
+                    bit_rows.clear()
+                bit_rows[tok] = b
+            return b
+
         for pdf in batches:
             keys, sigs = [], []
             for k_val, arr in zip(pdf[key], pdf["toks"]):
-                score = np.zeros(num_bits, dtype=np.int64)
-                for tok, cnt in Counter(arr).items():
-                    x = np.uint64(
-                        int(hashlib.md5(tok.encode()).hexdigest()[:hex_chars], 16)
-                    )
-                    bits = ((x >> down_shifts) & np.uint64(1)).astype(np.int64)
-                    score += cnt * (2 * bits - 1)
+                uniq, cnts = np.unique(
+                    np.asarray(arr, dtype=object), return_counts=True
+                )
+                mat = np.stack([token_bits(t) for t in uniq])
+                score = cnts.astype(np.int64) @ mat
                 keys.append(k_val)
                 sigs.append(int(((score > 0).astype(np.uint64) * weights).sum()))
             yield pd.DataFrame({key: keys, "simhash": sigs})

@@ -130,6 +130,33 @@ def test_simhash_pairs_hamming(docs):
     assert pairs.get((1, 3)) == 0
 
 
+def test_signature_kernels_batch_position_invariant(spark):
+    """The per-task digest/bit-row memo inside the signature kernels must
+    never change a doc's signature: a doc coalesced into one batch with
+    heavily-overlapping neighbours (memo hits) gets the same output as
+    the same doc alone (cold memo)."""
+    from jigsaw_spark.operators.dedup import minhash_band_sigs, simhash
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, base + f" suffix {i % 3}") for i in range(1, 30)]
+    corpus = spark.createDataFrame(rows, "doc_id int, text string").coalesce(1)
+    solo = spark.createDataFrame(rows[:1], "doc_id int, text string")
+
+    together = {
+        (r.doc_id, r.band): r.sig
+        for r in minhash_band_sigs(corpus, "doc_id").collect()
+    }
+    alone = {
+        (r.doc_id, r.band): r.sig
+        for r in minhash_band_sigs(solo, "doc_id").collect()
+    }
+    assert alone == {k: v for k, v in together.items() if k[0] == 1}
+
+    sig_together = {r.doc_id: r.simhash for r in simhash(corpus, "doc_id").collect()}
+    sig_alone = {r.doc_id: r.simhash for r in simhash(solo, "doc_id").collect()}
+    assert sig_alone[1] == sig_together[1]
+
+
 @pytest.fixture(scope="module")
 def vecs(spark):
     rows = [
