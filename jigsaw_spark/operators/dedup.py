@@ -250,22 +250,22 @@ def minhash_signatures(
     )
 
 
-def minhash_band_sigs(
+def minhash_vector(
     df: DataFrame,
     key: str,
     text: str = "text",
     num_hashes: int = 16,
-    bands: int = 4,
     n: int = 3,
 ) -> DataFrame:
-    """(key, band, sig): per-doc LSH band signatures, computed row-locally.
+    """(key, mhs): the full ordered minhash signature as ONE array row —
+    mhs[s] = min over shingles of md5(s|shingle), computed row-locally.
 
-    One Arrow batch in, band rows out — no explode, no shuffle. Identical
-    output to the relational form (minhash_signatures → groupBy band →
-    string_agg ORDER BY seed): band b's sig is mh[b·r..(b+1)·r) joined with
-    ','. hashlib.md5 == Spark md5 == DuckDB md5 byte-for-byte, and min()
-    over hex strings is the same lexicographic min in all three."""
-    rows_per_band = num_hashes // bands
+    One Arrow batch in, one row per doc out — no explode, no shuffle.
+    hashlib.md5 == Spark md5 == DuckDB md5 byte-for-byte, and min() over
+    hex strings is the same lexicographic min in all three. Banding /
+    prefix-slicing happens downstream as JVM expressions, so one kernel
+    pass can serve several signature lengths (any num_hashes' signature
+    is a prefix of a longer one over the same seed family)."""
     key_type = df.schema[key].dataType.simpleString()
     toks = _spread(
         df.select(F.col(key), tokens_expr(text).alias("toks")).filter(
@@ -285,7 +285,7 @@ def minhash_band_sigs(
         # (hex is monotone in the bytes), so hex-encode only the winners.
         digests: dict = {}
         for pdf in batches:
-            out_key, out_band, out_sig = [], [], []
+            out_key, out_mhs = [], []
             for k_val, arr in zip(pdf[key], pdf["toks"]):
                 t = list(arr)
                 sh = {
@@ -301,19 +301,51 @@ def minhash_band_sigs(
                             digests.clear()
                         digests[s] = d
                     per_doc.append(d)
-                mhs = [
-                    min(d[i] for d in per_doc).hex()
-                    for i in range(num_hashes)
-                ]
-                for b in range(bands):
-                    out_key.append(k_val)
-                    out_band.append(b)
-                    out_sig.append(
-                        ",".join(mhs[b * rows_per_band : (b + 1) * rows_per_band])
-                    )
-            yield pd.DataFrame({key: out_key, "band": out_band, "sig": out_sig})
+                out_key.append(k_val)
+                out_mhs.append(
+                    [
+                        min(d[i] for d in per_doc).hex()
+                        for i in range(num_hashes)
+                    ]
+                )
+            yield pd.DataFrame({key: out_key, "mhs": out_mhs})
 
-    return toks.mapInPandas(compute, f"{key} {key_type}, band int, sig string")
+    return toks.mapInPandas(
+        compute, f"{key} {key_type}, mhs array<string>"
+    )
+
+
+def minhash_band_sigs(
+    df: DataFrame,
+    key: str,
+    text: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+) -> DataFrame:
+    """(key, band, sig): per-doc LSH band signatures — the
+    :func:`minhash_vector` kernel plus a JVM-side band slicing, so the
+    Python boundary carries ONE row per doc and the band fan-out happens
+    as an expression. Band b's sig is mh[b·r..(b+1)·r) joined with ','
+    — identical to the relational form (minhash_signatures → groupBy
+    band → string_agg ORDER BY seed)."""
+    rows_per_band = num_hashes // bands
+    vec = minhash_vector(df, key, text, num_hashes, n)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.array_join(
+                    F.slice("mhs", b * rows_per_band + 1, rows_per_band),
+                    ",",
+                ).alias("sig"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return vec.select(F.col(key), F.explode(band_structs).alias("bs")).select(
+        F.col(key), F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
+    )
 
 
 def minhash_lsh_pairs(

@@ -143,94 +143,75 @@ def _sig_size_sql() -> str:
 def dedup_signature_size_sweep(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from jigsaw_spark.operators.dedup import doc_shingles
+    """Every config's minhash signature is a PREFIX of the 32-seed one
+    (mh[s] depends only on seed s), and config np's band b is the 4-seed
+    slice [4b, 4b+4) — i.e. band b of the 8-band split of the 32-vector.
+    So ONE kernel pass + ONE (band, sig) bucket shuffle serves all three
+    configs: pair p is a config-np candidate iff its minimal shared band
+    index < np/4 (cand_8 ⊆ cand_16 ⊆ cand_32 = the union the exact-
+    jaccard join needs), and the per-config Jaccard estimate is an
+    equality fold over the carried signature prefixes — no per-config
+    explode/agg relations, no seed-level joins."""
+    from jigsaw_spark.operators.dedup import doc_shingles, minhash_vector
 
     docs = _t(spark, sf_dir, "documents")
     sh = doc_shingles(docs, "doc_id").localCheckpoint()
     ssz = sh.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("sz")
     )
-    per_cfg = {}
-    cands = []
-    for np_ in _SIG_SIZES:
-        seeds = F.explode(
-            F.array(*[F.lit(i) for i in range(np_)])
-        ).alias("seed")
-        mh = (
-            sh.select("doc_id", "shingle", seeds)
-            .groupBy("doc_id", "seed")
-            .agg(
-                F.min(
-                    F.md5(
-                        F.concat(
-                            F.col("seed").cast("string"),
-                            F.lit("|"),
-                            F.col("shingle"),
-                        )
-                    )
-                ).alias("mh")
+    max_perm = max(_SIG_SIZES)
+    vec = minhash_vector(docs, "doc_id", num_hashes=max_perm).localCheckpoint()
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.array_join(F.slice("mhs", b * 4 + 1, 4), ",").alias("sig"),
             )
-            .localCheckpoint()
+            for b in range(max_perm // 4)
+        ]
+    )
+    banded = vec.select(
+        F.col("doc_id"), F.explode(band_structs).alias("bs")
+    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    buckets = (
+        banded.groupBy("band", "sig")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    # (doc_a, doc_b, mb): candidate pairs with their minimal shared band
+    minband = (
+        buckets.select(F.col("band"), F.explode("ids").alias("doc_a"), "ids")
+        .select("band", "doc_a", F.explode("ids").alias("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.min("band").alias("mb"))
+        .localCheckpoint()
+    )
+    ests = (
+        minband.join(
+            vec.select(F.col("doc_id").alias("doc_a"), F.col("mhs").alias("va")),
+            "doc_a",
         )
-        bands = mh.groupBy(
-            "doc_id", (F.col("seed") / 4).cast("int").alias("band")
-        ).agg(
-            F.concat_ws(",", F.array_sort(F.collect_list(
-                F.concat_ws(":", F.lpad(F.col("seed").cast("string"), 2, "0"), "mh")
-            ))).alias("sig")
+        .join(
+            vec.select(F.col("doc_id").alias("doc_b"), F.col("mhs").alias("vb")),
+            "doc_b",
         )
-        ba = bands.select(
-            F.col("doc_id").alias("doc_a"),
-            F.col("band").alias("b1"),
-            F.col("sig").alias("s1"),
-        )
-        bb = bands.select(
-            F.col("doc_id").alias("doc_b"),
-            F.col("band").alias("b2"),
-            F.col("sig").alias("s2"),
-        )
-        cand = (
-            ba.join(
-                bb,
-                (F.col("b1") == F.col("b2"))
-                & (F.col("s1") == F.col("s2"))
-                & (F.col("doc_a") < F.col("doc_b")),
-            )
-            .select("doc_a", "doc_b")
-            .distinct()
-            .localCheckpoint()
-        )
-        xa = mh.select(
-            F.col("doc_id").alias("doc_a"),
-            F.col("seed").alias("sa"),
-            F.col("mh").alias("ma"),
-        )
-        xb = mh.select(
-            F.col("doc_id").alias("doc_b"),
-            F.col("seed").alias("sb"),
-            F.col("mh").alias("mb"),
-        )
-        est = (
-            cand.join(xa, "doc_a")
-            .join(
-                xb,
-                (cand["doc_b"] == xb["doc_b"])
-                & (F.col("sa") == F.col("sb")),
-            )
-            .groupBy("doc_a", cand["doc_b"])
-            .agg(
+        .select(
+            "doc_a",
+            "doc_b",
+            "mb",
+            *[
                 F.expr(
-                    f"CAST(sum(CASE WHEN ma = mb THEN 1 ELSE 0 END)"
+                    f"CAST(size(filter(zip_with(slice(va, 1, {np_}),"
+                    f" slice(vb, 1, {np_}), (x, y) -> x = y), v -> v))"
                     f" * 1000 div {np_} AS BIGINT)"
-                ).alias("est_milli")
-            )
+                ).alias(f"est_{np_}")
+                for np_ in _SIG_SIZES
+            ],
         )
-        per_cfg[np_] = (cand, est)
-        cands.append(cand)
-    allc = cands[0]
-    for c in cands[1:]:
-        allc = allc.unionByName(c)
-    allc = allc.distinct().localCheckpoint()
+        .localCheckpoint()
+    )
+    allc = ests.select("doc_a", "doc_b")
     sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     sb = sh.select(
         F.col("doc_id").alias("doc_b"),
@@ -266,18 +247,19 @@ def dedup_signature_size_sweep(
         )
         .localCheckpoint()
     )
+    scored = ests.join(jac, ["doc_a", "doc_b"])
     out = []
-    for np_, (cand, est) in per_cfg.items():
-        joined = est.join(jac, ["doc_a", "doc_b"])
+    for np_ in _SIG_SIZES:
+        joined = scored.filter(F.col("mb") < np_ // 4)
         out.append(
             joined.agg(
                 F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
                 F.expr(
-                    "CAST(coalesce(sum(abs(est_milli - jac_milli)), 0)"
+                    f"CAST(coalesce(sum(abs(est_{np_} - jac_milli)), 0)"
                     " div greatest(count(1), 1) AS BIGINT)"
                 ).alias("mean_abs_err_milli"),
                 F.expr(
-                    "CAST(coalesce(max(abs(est_milli - jac_milli)), 0)"
+                    f"CAST(coalesce(max(abs(est_{np_} - jac_milli)), 0)"
                     " AS BIGINT)"
                 ).alias("max_abs_err_milli"),
             ).select(
