@@ -664,6 +664,127 @@ def connected_components(
     return labels.select(F.col("u").alias("doc_id"), F.col("comp").alias("component"))
 
 
+def _bfs_depth_local(edges: DataFrame, cap: int) -> DataFrame:
+    """Single-task multi-source BFS depth over a coalesced symmetric edge
+    list — the small-graph physical strategy of :func:`component_depths`.
+    Union-find (min-root union, identical to `_union_find_local`) finds
+    each component's min member; one level-synchronous BFS from all mins
+    at once yields every node's hop distance (mins live in distinct
+    components, so frontiers never cross). Nodes further than ``cap``
+    hops report ``cap + 1`` — exactly the fixpoint of the distributed
+    ``cap``-round relaxation."""
+    typ = edges.schema["u"].dataType.simpleString()
+
+    def compute(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        adj: dict = {}
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:
+                parent[x], x = root, parent[x]
+            return root
+
+        for pdf in batches:
+            for u, v in zip(pdf["u"], pdf["v"]):
+                adj.setdefault(u, []).append(v)
+                if u not in parent:
+                    parent[u] = u
+                if v not in parent:
+                    parent[v] = v
+                ru, rv = find(u), find(v)
+                if ru != rv:
+                    parent[max(ru, rv)] = min(ru, rv)
+        # min-root union ⇒ every set's root IS its min member
+        mins = {n for n in parent if find(n) == n}
+        depth = {m: 0 for m in mins}
+        cur = mins
+        d = 0
+        while cur and d < cap:
+            d += 1
+            nxt = set()
+            for u in cur:
+                for v in adj.get(u, ()):
+                    if v not in depth:
+                        depth[v] = d
+                        nxt.add(v)
+            cur = nxt
+        nodes = list(parent)
+        yield pd.DataFrame(
+            {
+                "doc_id": nodes,
+                "depth": [depth.get(n, cap + 1) for n in nodes],
+            }
+        )
+
+    return edges.coalesce(1).mapInPandas(compute, f"doc_id {typ}, depth int")
+
+
+def component_depths(
+    pairs: DataFrame,
+    a: str = "doc_a",
+    b: str = "doc_b",
+    cap: int = 8,
+    strategy: str = "auto",
+    local_edge_threshold: int = 2_000_000,
+) -> DataFrame:
+    """(doc_id, depth): every graph node's hop distance to its component
+    min (the component id), capped — depth ``cap + 1`` means beyond-cap.
+    The convergence-profile primitive of the components machinery: max
+    depth bounds the pointer-jumping / label-propagation supersteps a
+    distributed components job pays.
+
+    Same two physical strategies as :func:`connected_components`, picked
+    by the same edge-count probe: a single-task multi-source BFS kernel
+    below ``local_edge_threshold`` (one linear pass, no per-round
+    scheduling — near-dup edge sets are tiny relative to the corpus even
+    at 100 TB), or ``cap`` rounds of src-keyed edge-join relaxation
+    (each round one shuffle join + min-agg, frontier never collected)
+    above it."""
+    edges = (
+        pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
+        .unionByName(pairs.select(F.col(b).alias("u"), F.col(a).alias("v")))
+        .localCheckpoint(eager=False)
+    )
+    if strategy == "auto":
+        strategy = (
+            "local"
+            if edges.limit(local_edge_threshold + 1).count()
+            <= local_edge_threshold
+            else "distributed"
+        )
+    if strategy == "local":
+        return _bfs_depth_local(edges, cap)
+    comp = connected_components(pairs, a, b, strategy="distributed")
+    dist = (
+        comp.select(F.col("component").alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0))
+    )
+    for _ in range(cap):
+        hop = dist.join(edges, dist["node"] == edges["u"]).select(
+            F.col("v").alias("node"), (F.col("dist") + 1).alias("dist")
+        )
+        dist = (
+            dist.unionByName(hop)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=False)
+        )
+    return (
+        comp.select(F.col("doc_id").alias("node"))
+        .join(dist, "node", "left")
+        .select(
+            F.col("node").alias("doc_id"),
+            F.coalesce("dist", F.lit(cap + 1)).cast("int").alias("depth"),
+        )
+    )
+
+
 def semantic_dedup(
     df: DataFrame,
     centroids: list[tuple[int, list[float]]],

@@ -712,11 +712,7 @@ def _component_depth_sql() -> str:
 def graph_component_depth(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from jigsaw_spark.operators.dedup import (
-        connected_components,
-        keeper_pairs,
-        symmetric_edges,
-    )
+    from jigsaw_spark.operators.dedup import component_depths, keeper_pairs
     from jigsaw_spark.plans.queries_r6 import mm_phash_near_dup
 
     docs = _t(spark, sf_dir, "documents")
@@ -740,35 +736,7 @@ def graph_component_depth(
         ("image", ipairs),
         ("pooled", upairs),
     ):
-        edges = symmetric_edges(pairs).localCheckpoint(eager=False)
-        comp = connected_components(pairs)
-        dist = (
-            comp.select(F.col("component").alias("node"))
-            .distinct()
-            .withColumn("dist", F.lit(0))
-        )
-        for _ in range(_DEPTH_CAP):
-            hop = dist.join(
-                edges, dist["node"] == edges["u"]
-            ).select(
-                F.col("v").alias("node"),
-                (F.col("dist") + 1).alias("dist"),
-            )
-            dist = (
-                dist.unionByName(hop)
-                .groupBy("node")
-                .agg(F.min("dist").alias("dist"))
-                .localCheckpoint(eager=False)
-            )
-        lab = (
-            comp.select(F.col("doc_id").alias("node"))
-            .join(dist, "node", "left")
-            .select(
-                F.coalesce("dist", F.lit(_DEPTH_CAP + 1)).alias(
-                    "depth"
-                )
-            )
-        )
+        lab = component_depths(pairs, cap=_DEPTH_CAP)
         out.append(
             lab.groupBy("depth").agg(
                 F.count(F.lit(1)).cast("bigint").alias("n_nodes")

@@ -370,6 +370,35 @@ def test_connected_components_clusters_and_keepers(spark):
         assert got == expect, strategy
 
 
+def test_component_depths_strategies_agree(spark):
+    """component_depths: both physical strategies (single-task BFS,
+    cap-round relaxation) must agree with the hand-computed hop
+    distances, including the beyond-cap bucket."""
+    from jigsaw_spark.operators.dedup import component_depths
+
+    # chain 1-2-3-4-5 (depths 0..4), triangle 20-21-22 (0,1,1),
+    # pair 10-11 (0,1)
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "doc_a bigint, doc_b bigint",
+    )
+    expect = {1: 0, 2: 1, 3: 2, 4: 3, 5: 4, 10: 0, 11: 1, 20: 0, 21: 1, 22: 1}
+    for strategy in ("local", "distributed", "auto"):
+        got = {
+            r["doc_id"]: r["depth"]
+            for r in component_depths(pairs, strategy=strategy).collect()
+        }
+        assert got == expect, strategy
+    # cap: nodes past `cap` hops land in the cap+1 bucket, both paths
+    expect_cap = {1: 0, 2: 1, 3: 2, 4: 3, 5: 3, 10: 0, 11: 1, 20: 0, 21: 1, 22: 1}
+    for strategy in ("local", "distributed"):
+        got = {
+            r["doc_id"]: r["depth"]
+            for r in component_depths(pairs, cap=2, strategy=strategy).collect()
+        }
+        assert got == expect_cap, strategy
+
+
 def test_kmeans_lloyd_matches_numpy(spark):
     """kmeans_lloyd == a straight numpy Lloyd run with the same seeds,
     same cosine assignment, same round-9/lowest-id tie-break."""
