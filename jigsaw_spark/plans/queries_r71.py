@@ -468,18 +468,27 @@ def dq_repair_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         _holdout_col().alias("is_holdout"),
         tokens_expr("text").alias("t"),
     ).localCheckpoint()
+    # raw (doc, gram) instances, NOT distinct-ed: every consumer below
+    # is set-semantics (collect_set / distinct-doc df via set size), so
+    # the per-(doc, gram) distinct shuffle is subsumed by the (sh)
+    # hash-aggs — one fewer full pass over the gram relation
     dg = (
         split0.select(
             "doc_id", F.explode(shingles_expr("t", 8)).alias("sh")
         )
-        .distinct()
         .localCheckpoint()
     )
-    gdf = dg.groupBy("sh").agg(
-        F.count(F.lit(1)).cast("bigint").alias("df")
+    # one (sh) hash-agg yields the distinct-doc posting df AND the
+    # per-doc max-df in a single dg pass (explode back is map-side) —
+    # replaces the distinct + dg ⨝ gdf shingle join + per-doc agg
+    postings = dg.groupBy("sh").agg(
+        F.collect_set("doc_id").alias("_ds")
     )
     doc_max = (
-        dg.join(gdf, "sh")
+        postings.select(
+            F.size("_ds").cast("bigint").alias("df"),
+            F.explode("_ds").alias("doc_id"),
+        )
         .groupBy("doc_id")
         .agg(F.max("df").alias("mx"))
     )
@@ -493,17 +502,23 @@ def dq_repair_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def _contam(split: DataFrame) -> DataFrame:
-        """Distinct contaminated holdout doc_ids under ``split``."""
-        flagged = dg.join(split, "doc_id")
-        train_sh = (
-            flagged.filter(~F.col("is_holdout"))
-            .select("sh")
-            .distinct()
-        )
+        """Distinct contaminated holdout doc_ids under ``split`` — ONE
+        (sh) hash-agg per round (train-presence flag + holdout-doc set
+        per gram) instead of a distinct + semi-join + distinct chain:
+        three shuffles of the gram relation become one (guide §2.4)."""
+        flagged = dg.join(split.select("doc_id", "is_holdout"), "doc_id")
         return (
-            flagged.filter(F.col("is_holdout"))
-            .join(train_sh, "sh", "left_semi")
-            .select("doc_id")
+            flagged.groupBy("sh")
+            .agg(
+                F.max(
+                    F.when(~F.col("is_holdout"), 1).otherwise(0)
+                ).alias("_ht"),
+                F.collect_set(
+                    F.when(F.col("is_holdout"), F.col("doc_id"))
+                ).alias("_hd"),
+            )
+            .filter(F.col("_ht") == 1)
+            .select(F.explode("_hd").alias("doc_id"))
             .distinct()
             .localCheckpoint()
         )

@@ -354,25 +354,28 @@ def dq_leak_detector_overlap(
     from jigsaw_spark.session import widen
 
     docs = widen(_t(spark, sf_dir, "documents"))
-    split = docs.select(
-        "doc_id", _holdout_col().alias("is_holdout")
-    ).localCheckpoint()
-    dg = (
-        docs.select(
-            "doc_id",
-            F.explode(
-                shingles_expr(tokens_expr("text"), 8)
-            ).alias("sh"),
-        )
-        .distinct()
-        .localCheckpoint()
+    # the holdout flag is a pure md5 expression of doc_id, so it rides
+    # the gram explode inline — no split join; and the downstream
+    # consumers are all set-semantics, so the per-(doc, gram) distinct
+    # shuffle is subsumed by the single (sh) hash-agg below (guide
+    # §2.3/§2.4: one exchange where there were four)
+    grams = docs.select(
+        "doc_id",
+        _holdout_col().alias("is_holdout"),
+        F.explode(shingles_expr(tokens_expr("text"), 8)).alias("sh"),
     )
-    flagged = dg.join(split, "doc_id")
-    tsh = flagged.filter(~F.col("is_holdout")).select("sh").distinct()
     gramc = (
-        flagged.filter(F.col("is_holdout"))
-        .join(tsh, "sh", "left_semi")
-        .select("doc_id")
+        grams.groupBy("sh")
+        .agg(
+            F.max(F.when(~F.col("is_holdout"), 1).otherwise(0)).alias(
+                "has_train"
+            ),
+            F.collect_set(
+                F.when(F.col("is_holdout"), F.col("doc_id"))
+            ).alias("hdocs"),
+        )
+        .filter(F.col("has_train") == 1)
+        .select(F.explode("hdocs").alias("doc_id"))
         .distinct()
         .withColumn("g", F.lit(1))
     )
@@ -385,13 +388,10 @@ def dq_leak_detector_overlap(
         F.col("doc_id").alias("keeper"),
         F.col("component").alias("c0"),
     )
-    lab = (
-        keeper_of.join(comp, "keeper", "left")
-        .select(
-            "doc_id",
-            F.coalesce("c0", F.col("keeper")).alias("cluster"),
-        )
-        .join(split, "doc_id")
+    lab = keeper_of.join(comp, "keeper", "left").select(
+        "doc_id",
+        F.coalesce("c0", F.col("keeper")).alias("cluster"),
+        _holdout_col().alias("is_holdout"),
     )
     strad = (
         lab.groupBy("cluster")
