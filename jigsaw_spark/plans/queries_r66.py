@@ -297,34 +297,43 @@ def dq_split_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("is_holdout"),
         tokens_expr("text").alias("t"),
     ).localCheckpoint()
-    dg = split.select(
-        "doc_id",
-        "is_holdout",
-        F.explode(shingles_expr("t", 8)).alias("sh"),
-    ).distinct()
-    train_sh = (
-        dg.filter(~F.col("is_holdout")).select("sh").distinct()
+    # one (sh) hash-agg over raw gram instances (set semantics subsume
+    # the distinct), train-presence via the pure-expression holdout
+    # flag on the doc array, then one (doc) agg carrying BOTH the
+    # contamination flag and the max posting df — no split joins, no
+    # semi-join chain, no gram-keyed self-join (guide §2.3/§2.4)
+    holdout_of = lambda d: (  # noqa: E731 — the certified flag, per element
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("|", F.lit("contam"), d)), 1, 12
+                ),
+                16,
+                10,
+            ).cast("bigint"),
+            F.lit(20),
+        )
+        == 0
     )
-    contam = (
-        dg.filter(F.col("is_holdout"))
-        .join(train_sh, "sh", "left_semi")
-        .select("doc_id")
-        .distinct()
-        .withColumn("c", F.lit(1))
-    )
-    gdf = dg.groupBy("sh").agg(
-        F.count(F.lit(1)).cast("bigint").alias("df")
-    )
-    doc_max = (
-        dg.select("doc_id", "sh")
-        .join(gdf, "sh")
+    per_doc = (
+        split.select(
+            "doc_id", F.explode(shingles_expr("t", 8)).alias("sh")
+        )
+        .groupBy("sh")
+        .agg(F.collect_set("doc_id").alias("_ds"))
+        .select(
+            F.size("_ds").cast("bigint").alias("df"),
+            F.exists("_ds", lambda d: ~holdout_of(d)).alias("_ht"),
+            F.explode("_ds").alias("doc_id"),
+        )
         .groupBy("doc_id")
-        .agg(F.max("df").alias("mx"))
+        .agg(
+            F.max("df").alias("mx"),
+            F.max(F.when(F.col("_ht"), 1).otherwise(0)).alias("_anyt"),
+        )
     )
-    flags = (
-        split.select("doc_id", "source", "is_holdout")
-        .join(contam, "doc_id", "left")
-        .join(doc_max, "doc_id", "left")
+    flags = split.select("doc_id", "source", "is_holdout").join(
+        per_doc, "doc_id", "left"
     )
     return flags.groupBy("source").agg(
         F.sum(F.when(F.col("is_holdout"), 1).otherwise(0))
@@ -332,7 +341,7 @@ def dq_split_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_holdout"),
         F.sum(
             F.when(
-                F.col("is_holdout") & F.col("c").isNotNull(), 1
+                F.col("is_holdout") & (F.col("_anyt") == 1), 1
             ).otherwise(0)
         )
         .cast("bigint")

@@ -188,35 +188,51 @@ def dq_repair_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("is_holdout"),
         tokens_expr("text").alias("t"),
     ).localCheckpoint()
-    dg = (
-        split.select(
-            "doc_id", F.explode(shingles_expr("t", 8)).alias("sh")
+    # raw (doc, gram) instances — consumers are set-semantics, so the
+    # distinct shuffle is subsumed by the (sh) hash-aggs (guide §2.4)
+    dg = split.select(
+        "doc_id", F.explode(shingles_expr("t", 8)).alias("sh")
+    ).localCheckpoint()
+    # ONE (sh) hash-agg: distinct docs per gram; the round-0 holdout
+    # flag is a pure md5 expression of doc_id, so train-presence and
+    # the contaminated holdout set derive from the doc array inline —
+    # no split join, no semi-join chain
+    holdout_of = lambda d: (  # noqa: E731 — the certified flag, per element
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("|", F.lit("contam"), d)), 1, 12
+                ),
+                16,
+                10,
+            ).cast("bigint"),
+            F.lit(20),
         )
-        .distinct()
+        == 0
+    )
+    postings = (
+        dg.groupBy("sh")
+        .agg(F.collect_set("doc_id").alias("_ds"))
+        .select(
+            F.size("_ds").cast("bigint").alias("df"),
+            F.exists("_ds", lambda d: ~holdout_of(d)).alias("_ht"),
+            F.explode("_ds").alias("doc_id"),
+        )
         .localCheckpoint()
     )
-    sh_flag = dg.join(
-        split.select("doc_id", "source", "is_holdout"), "doc_id"
-    )
-    train_sh = (
-        sh_flag.filter(~F.col("is_holdout")).select("sh").distinct()
+    per_doc = postings.groupBy("doc_id").agg(
+        F.max("df").alias("mx"),
+        F.max(F.when(F.col("_ht"), 1).otherwise(0)).alias("_anyt"),
     )
     contam = (
-        sh_flag.filter(F.col("is_holdout"))
-        .join(train_sh, "sh", "left_semi")
+        per_doc.filter(
+            (F.col("_anyt") == 1) & holdout_of(F.col("doc_id"))
+        )
         .select("doc_id")
-        .distinct()
         .withColumn("c", F.lit(1))
         .localCheckpoint()
     )
-    gdf = dg.groupBy("sh").agg(
-        F.count(F.lit(1)).cast("bigint").alias("df")
-    )
-    doc_max = (
-        dg.join(gdf, "sh")
-        .groupBy("doc_id")
-        .agg(F.max("df").alias("mx"))
-    )
+    doc_max = per_doc.select("doc_id", "mx")
     pool = (
         split.select("doc_id", "source", "is_holdout")
         .join(doc_max, "doc_id", "left")
@@ -293,16 +309,21 @@ def dq_repair_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint()
     )
-    nsh = dg.join(
-        nsplit.select("doc_id", "n_holdout"), "doc_id"
-    )
-    ntrain_sh = (
-        nsh.filter(~F.col("n_holdout")).select("sh").distinct()
-    )
+    # repaired-split flags are data-dependent — keep the doc_id join,
+    # but one (sh) hash-agg replaces the distinct + semi-join chain
+    nsh = dg.join(nsplit.select("doc_id", "n_holdout"), "doc_id")
     ncontam = (
-        nsh.filter(F.col("n_holdout"))
-        .join(ntrain_sh, "sh", "left_semi")
-        .select("doc_id")
+        nsh.groupBy("sh")
+        .agg(
+            F.max(F.when(~F.col("n_holdout"), 1).otherwise(0)).alias(
+                "_nt"
+            ),
+            F.collect_set(
+                F.when(F.col("n_holdout"), F.col("doc_id"))
+            ).alias("_nd"),
+        )
+        .filter(F.col("_nt") == 1)
+        .select(F.explode("_nd").alias("doc_id"))
         .distinct()
         .withColumn("nc", F.lit(1))
     )
