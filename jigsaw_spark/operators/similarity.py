@@ -336,6 +336,7 @@ def _ivf_scored_candidates(
     nprobe: int,
     id_col: str,
     vec_col: str,
+    keep_probe_rank: bool = False,
 ) -> DataFrame:
     """Shared IVF prelude of :func:`ivf_topk` and :func:`ivf_range_search`
     (advisor r9 #2): corpus→cell assignment (map-only matmul kernel),
@@ -358,12 +359,13 @@ def _ivf_scored_candidates(
     probe_w = Window.partitionBy("query_id").orderBy(
         F.round("qc_cos", 9).desc(), F.col("cid")
     )
+    extra = ["probe_rank"] if keep_probe_rank else []
     probes = (
         q.crossJoin(F.broadcast(cent_df))
         .withColumn("qc_cos", cosine_similarity("qv", "cvec"))
         .withColumn("probe_rank", F.row_number().over(probe_w))
         .filter(F.col("probe_rank") <= nprobe)
-        .select("query_id", "qv", F.col("cid").alias("cell"))
+        .select("query_id", "qv", F.col("cid").alias("cell"), *extra)
     )
     return (
         F.broadcast(probes)

@@ -854,20 +854,30 @@ def ann_nprobe_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_brute")
     )
+    from pyspark.sql.window import Window
+
     from jigsaw_spark.operators.similarity import _ivf_scored_candidates
 
+    # probe lists nest: ONE prelude at max nprobe with probe_rank
+    # carried; each arm is a filter (guide §2.4 — one corpus assignment
+    # kernel + cell join instead of one per arm)
+    scored_all = _ivf_scored_candidates(
+        emb,
+        panel,
+        centroids,
+        max(_NPROBES),
+        "vec_id",
+        "embedding",
+        keep_probe_rank=True,
+    ).localCheckpoint()
+    w = Window.partitionBy("query_id").orderBy(
+        F.round("cos", 9).desc(), F.col("vec_id")
+    )
     arms = []
     for np_ in _NPROBES:
-        scored = _ivf_scored_candidates(
-            emb, panel, centroids, np_, "vec_id", "embedding"
-        ).localCheckpoint()
+        scored = scored_all.filter(F.col("probe_rank") <= np_)
         n_scored = scored.agg(
             F.count(F.lit(1)).cast("bigint").alias("n_scored")
-        )
-        from pyspark.sql.window import Window
-
-        w = Window.partitionBy("query_id").orderBy(
-            F.round("cos", 9).desc(), F.col("vec_id")
         )
         top = (
             scored.withColumn("rn", F.row_number().over(w))

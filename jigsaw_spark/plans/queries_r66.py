@@ -563,22 +563,40 @@ def ann_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("query_id").orderBy(
         F.round("cos", 9).desc(), F.col("vec_id")
     )
+    # probe lists nest (nprobe n = probe_rank <= n of ONE ranking), so
+    # the corpus-side assignment kernel and the cell join run ONCE at
+    # max nprobe with probe_rank carried; per-nprobe candidate sets are
+    # filters, and each codec rescoring joins the corpus once instead
+    # of once per nprobe (guide §2.4: 3 preludes + 6 joins → 1 + 2)
+    scored_all = _ivf_scored_candidates(
+        emb,
+        panel,
+        centroids,
+        max(_FRONTIER_NPROBES),
+        "vec_id",
+        "embedding",
+        keep_probe_rank=True,
+    ).localCheckpoint()
+    rescored_by_codec = {
+        codec: (
+            scored_all.select("query_id", "qv", "vec_id", "probe_rank")
+            .join(corpus, "vec_id")
+            .withColumn("cos", cosine_similarity("qv", "rv"))
+            .select("query_id", "vec_id", "probe_rank", "cos")
+            .localCheckpoint()
+        )
+        for codec, corpus in (("raw", rawr), ("sq8", sq8r))
+    }
     rows = []
     for np_ in _FRONTIER_NPROBES:
-        scored = _ivf_scored_candidates(
-            emb, panel, centroids, np_, "vec_id", "embedding"
-        ).localCheckpoint()
-        n_scored = scored.agg(
+        n_scored = scored_all.filter(F.col("probe_rank") <= np_).agg(
             F.count(F.lit(1)).cast("bigint").alias("n_scored")
         )
-        for codec, corpus in (("raw", rawr), ("sq8", sq8r)):
-            rescored = (
-                scored.select("query_id", "qv", "vec_id")
-                .join(corpus, "vec_id")
-                .withColumn("cos", cosine_similarity("qv", "rv"))
-            )
+        for codec in ("raw", "sq8"):
             top = (
-                rescored.withColumn("rn", F.row_number().over(w))
+                rescored_by_codec[codec]
+                .filter(F.col("probe_rank") <= np_)
+                .withColumn("rn", F.row_number().over(w))
                 .filter(F.col("rn") <= 10)
                 .select("query_id", "vec_id")
             )
