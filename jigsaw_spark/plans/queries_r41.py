@@ -352,25 +352,30 @@ def dq_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             == 0
         ).alias("is_holdout"),
     )
+    # ONE (sh) hash-agg (holdout-doc set + train-presence per distinct
+    # gram), exploded back and re-aggregated per doc — replaces the two
+    # distinct shuffles and the gram-keyed join (guide §2.4); the
+    # explode enumerates exactly the distinct (holdout doc, gram) pairs
     sh = split.select(
         "doc_id",
         "is_holdout",
         F.explode(shingles_expr(tokens_expr("text"), 8)).alias("sh"),
     )
-    train_sh = sh.filter(~F.col("is_holdout")).select("sh").distinct()
-    hold_sh = (
-        sh.filter(F.col("is_holdout")).select("doc_id", "sh").distinct()
-    )
     hits = (
-        hold_sh.join(
-            train_sh.select(F.col("sh").alias("tsh")),
-            hold_sh["sh"] == F.col("tsh"),
-            "left",
+        sh.groupBy("sh")
+        .agg(
+            F.collect_set(
+                F.when(F.col("is_holdout"), F.col("doc_id"))
+            ).alias("hd"),
+            F.max(F.when(~F.col("is_holdout"), 1).otherwise(0)).alias(
+                "ht"
+            ),
         )
+        .select("ht", F.explode("hd").alias("doc_id"))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
-            F.count("tsh").cast("bigint").alias("n_contaminated"),
+            F.sum("ht").cast("bigint").alias("n_contaminated"),
         )
     )
     return (

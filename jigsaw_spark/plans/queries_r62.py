@@ -155,38 +155,52 @@ def dq_contamination_ngram_curve(
 
     arms = []
     for n in _NS:
-        sh = toks.select(
-            "doc_id",
-            "is_holdout",
-            F.explode(shingles_expr("t", n)).alias("sh"),
+        # ONE (sh) hash-agg per arm (holdout-doc set + train-presence
+        # flag per distinct gram) replaces the two distinct shuffles,
+        # the join and the triple count_distinct expand (guide §2.4)
+        g = (
+            toks.select(
+                "doc_id",
+                "is_holdout",
+                F.explode(shingles_expr("t", n)).alias("sh"),
+            )
+            .groupBy("sh")
+            .agg(
+                F.collect_set(
+                    F.when(F.col("is_holdout"), F.col("doc_id"))
+                ).alias("hd"),
+                F.max(
+                    F.when(~F.col("is_holdout"), 1).otherwise(0)
+                ).alias("ht"),
+            )
+            .localCheckpoint(eager=False)
         )
-        hold = (
-            sh.filter(F.col("is_holdout"))
-            .select("doc_id", "sh")
-            .distinct()
+        grams = g.agg(
+            F.sum(F.when(F.size("hd") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_holdout_grams"),
+            F.sum(
+                F.when((F.size("hd") > 0) & (F.col("ht") == 1), 1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_contaminated_grams"),
         )
-        train = (
-            sh.filter(~F.col("is_holdout"))
-            .select(F.col("sh").alias("tsh"))
-            .distinct()
+        docs_c = (
+            g.filter(F.col("ht") == 1)
+            .select(F.explode("hd").alias("d"))
+            .agg(
+                F.count_distinct("d")
+                .cast("bigint")
+                .alias("n_contaminated_docs")
+            )
         )
-        hit = hold.join(train, hold["sh"] == F.col("tsh"), "left")
         arms.append(
-            hit.agg(
+            grams.crossJoin(F.broadcast(docs_c)).select(
                 F.lit(n).cast("int").alias("n"),
-                F.count_distinct("sh").cast("bigint").alias(
-                    "n_holdout_grams"
-                ),
-                F.count_distinct(
-                    F.when(F.col("tsh").isNotNull(), F.col("sh"))
-                )
-                .cast("bigint")
-                .alias("n_contaminated_grams"),
-                F.count_distinct(
-                    F.when(F.col("tsh").isNotNull(), F.col("doc_id"))
-                )
-                .cast("bigint")
-                .alias("n_contaminated_docs"),
+                "n_holdout_grams",
+                "n_contaminated_grams",
+                "n_contaminated_docs",
             )
         )
     out = arms[0]

@@ -83,8 +83,10 @@ def _gate_flags_sql() -> str:
       FROM gtoks)"""
 
 
-def _gate_ok_col(docs: DataFrame) -> DataFrame:
-    """(doc_id, ok): the Spark twin of ``_gate_flags_sql``."""
+def _gate_ok_col(docs: DataFrame, *extra: str) -> DataFrame:
+    """(doc_id, *extra, ok): the Spark twin of ``_gate_flags_sql``.
+    ``extra`` columns ride the same projection so callers don't pay a
+    doc_id self-join just to re-attach source columns."""
     from jigsaw_spark.operators.text import (
         alnum_ratio_expr,
         lang_hits_expr,
@@ -95,11 +97,15 @@ def _gate_ok_col(docs: DataFrame) -> DataFrame:
 
     t = tokens_expr("text")
     d = docs.select(
-        "doc_id", t.alias("gt"), alnum_ratio_expr("text").alias("alnum")
+        "doc_id",
+        *extra,
+        t.alias("gt"),
+        alnum_ratio_expr("text").alias("alnum"),
     )
     grams = shingles_expr("gt", 3)
     return d.select(
         "doc_id",
+        *extra,
         (
             ~(F.size("gt") < 20)
             & ~(F.col("alnum") < 0.5)
@@ -216,18 +222,15 @@ def curation_gate_dup_overlap(
         "doc_id",
         F.coalesce("c0", F.col("keeper")).alias("cluster"),
     )
-    csz = clust.groupBy("cluster").agg(
-        F.count(F.lit(1)).cast("bigint").alias("sz")
+    # cluster-partitioned window count instead of groupBy + join-back:
+    # `clust` (whose lineage holds the fp window AND the union-find
+    # kernel) is evaluated ONCE, not once per reference (guide §2.4);
+    # `source` rides the gate projection instead of a doc_id self-join
+    wc = Window.partitionBy("cluster")
+    dupf = clust.select(
+        "doc_id", (F.count(F.lit(1)).over(wc) >= 2).alias("is_dup_member")
     )
-    dupf = clust.join(csz, "cluster").select(
-        "doc_id", (F.col("sz") >= 2).alias("is_dup_member")
-    )
-    gate = _gate_ok_col(docs)
-    j = (
-        docs.select("doc_id", "source")
-        .join(gate, "doc_id")
-        .join(dupf, "doc_id")
-    )
+    j = _gate_ok_col(docs, "source").join(dupf, "doc_id")
 
     def cnt(cond):
         return F.sum(F.when(cond, 1).otherwise(0)).cast("bigint")
@@ -393,28 +396,32 @@ def dq_leak_detector_overlap(
         F.coalesce("c0", F.col("keeper")).alias("cluster"),
         _holdout_col().alias("is_holdout"),
     )
-    strad = (
-        lab.groupBy("cluster")
-        .agg(
-            F.sum(F.when(F.col("is_holdout"), 1).otherwise(0)).alias(
-                "h"
-            ),
-            F.sum(F.when(F.col("is_holdout"), 0).otherwise(1)).alias(
-                "t"
-            ),
-        )
-        .filter((F.col("h") > 0) & (F.col("t") > 0))
-        .select("cluster")
-        .withColumn("s", F.lit(1))
-    )
+    # straddling-cluster membership via a cluster-partitioned window
+    # instead of groupBy + join-back: `lab` (fp window + union-find
+    # kernel in its lineage) is evaluated ONCE, not once per reference
+    wcl = Window.partitionBy("cluster")
     flags = (
-        lab.filter(F.col("is_holdout"))
-        .join(gramc, "doc_id", "left")
-        .join(strad, "cluster", "left")
-        .select(
-            F.col("g").isNotNull().alias("by_gram"),
-            F.col("s").isNotNull().alias("by_cluster"),
+        lab.select(
+            "doc_id",
+            "is_holdout",
+            (
+                (
+                    F.sum(
+                        F.when(F.col("is_holdout"), 1).otherwise(0)
+                    ).over(wcl)
+                    > 0
+                )
+                & (
+                    F.sum(
+                        F.when(F.col("is_holdout"), 0).otherwise(1)
+                    ).over(wcl)
+                    > 0
+                )
+            ).alias("by_cluster"),
         )
+        .filter(F.col("is_holdout"))
+        .join(gramc, "doc_id", "left")
+        .select(F.col("g").isNotNull().alias("by_gram"), "by_cluster")
     )
 
     def cnt(cond):
