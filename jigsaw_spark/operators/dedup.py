@@ -785,6 +785,102 @@ def component_depths(
     )
 
 
+def _hop_counts_local(edges: DataFrame, max_hops: int) -> DataFrame:
+    """Single-task per-node BFS hop counts over a coalesced symmetric
+    edge list — the small-graph strategy of :func:`hop_counts`. For
+    every node, n_k = number of nodes at hop distance exactly k
+    (k = 1..max_hops)."""
+    typ = edges.schema["u"].dataType.simpleString()
+    cols = ", ".join(f"n{k} bigint" for k in range(1, max_hops + 1))
+
+    def compute(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        adj: dict = {}
+        for pdf in batches:
+            for u, v in zip(pdf["u"], pdf["v"]):
+                adj.setdefault(u, set()).add(v)
+        out: dict = {f"n{k}": [] for k in range(1, max_hops + 1)}
+        nodes = list(adj)
+        for src in nodes:
+            seen = {src}
+            cur = {src}
+            for k in range(1, max_hops + 1):
+                nxt = set()
+                for u in cur:
+                    nxt |= adj.get(u, set())
+                nxt -= seen
+                out[f"n{k}"].append(len(nxt))
+                seen |= nxt
+                cur = nxt
+        yield pd.DataFrame({"u": nodes, **out})
+
+    return edges.coalesce(1).mapInPandas(compute, f"u {typ}, {cols}")
+
+
+def hop_counts(
+    edges: DataFrame,
+    max_hops: int = 3,
+    strategy: str = "auto",
+    local_edge_threshold: int = 2_000_000,
+) -> DataFrame:
+    """(u, n1..n_max_hops): per-node counts of nodes at hop distance
+    exactly k over a SYMMETRIC edge list — the truncated-centrality
+    primitive (harmonic/closeness at bounded radius).
+
+    Same two physical strategies as :func:`connected_components`, picked
+    by the same edge-count probe: a single-task BFS kernel below
+    ``local_edge_threshold``, or the frontier-join chain (distinct new
+    frontier per hop, anti-joined against every earlier ring) above it."""
+    if strategy == "auto":
+        strategy = (
+            "local"
+            if edges.limit(local_edge_threshold + 1).count()
+            <= local_edge_threshold
+            else "distributed"
+        )
+    if strategy == "local":
+        return _hop_counts_local(edges, max_hops)
+    rings = [edges.select("u", "v").distinct().localCheckpoint(eager=False)]
+    for _ in range(1, max_hops):
+        prev = rings[-1]
+        nxt = (
+            prev.join(
+                edges.select(
+                    F.col("u").alias("_m"), F.col("v").alias("_w")
+                ),
+                prev["v"] == F.col("_m"),
+            )
+            .filter(F.col("u") != F.col("_w"))
+            .select("u", F.col("_w").alias("v"))
+            .distinct()
+        )
+        for ring in rings:
+            nxt = nxt.join(
+                ring.select(
+                    F.col("u").alias("_au"), F.col("v").alias("_av")
+                ),
+                (F.col("u") == F.col("_au")) & (F.col("v") == F.col("_av")),
+                "left_anti",
+            )
+        rings.append(nxt.localCheckpoint(eager=False))
+    out = None
+    for k, ring in enumerate(rings, start=1):
+        cnt = ring.groupBy("u").agg(
+            F.count(F.lit(1)).cast("bigint").alias(f"n{k}")
+        )
+        out = cnt if out is None else out.join(cnt, "u", "left")
+    return out.select(
+        "u",
+        *[
+            F.coalesce(F.col(f"n{k}"), F.lit(0))
+            .cast("bigint")
+            .alias(f"n{k}")
+            for k in range(1, max_hops + 1)
+        ],
+    )
+
+
 def semantic_dedup(
     df: DataFrame,
     centroids: list[tuple[int, list[float]]],

@@ -115,57 +115,22 @@ def _harmonic_sql() -> str:
     "endorsement weight instead. EXACT: distances in {1,2,3} put 1/d "
     "over the common denominator 6, so h6 = 6*n1 + 3*n2 + 2*n3 is an "
     "integer (ties: doc_id). Shape: the keeper edge list is "
-    "localCheckpoint'ed once; the d2/d3 frontier joins are "
-    "keeper-graph-sized with anti-join distance filtering (bounded by "
+    "localCheckpoint'ed once; hop counts come from the size-adaptive "
+    "hop_counts operator (single-task BFS kernel below the components "
+    "edge threshold, anti-join frontier chain above it — bounded by "
     "near-dup density, never corpus all-pairs); the top-10 window "
     "runs over the node dim",
 )
 def graph_harmonic_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from jigsaw_spark.operators.dedup import keeper_edges
+    from jigsaw_spark.operators.dedup import hop_counts, keeper_edges
 
     docs = _t(spark, sf_dir, "documents")
     edges = keeper_edges(docs, "doc_id")
-    d1 = edges
-    e2 = edges.select(F.col("u").alias("m"), F.col("v").alias("v2"))
-    d2 = (
-        d1.join(e2, d1["v"] == e2["m"])
-        .filter(F.col("u") != F.col("v2"))
-        .select("u", F.col("v2").alias("v"))
-        .distinct()
-        .join(d1.select(
-            F.col("u").alias("au"), F.col("v").alias("av")
-        ), (F.col("u") == F.col("au")) & (F.col("v") == F.col("av")),
-            "left_anti")
-        .localCheckpoint()
-    )
-    e3 = edges.select(F.col("u").alias("m3"), F.col("v").alias("v3"))
-    d3 = (
-        d2.join(e3, d2["v"] == e3["m3"])
-        .filter(F.col("u") != F.col("v3"))
-        .select("u", F.col("v3").alias("v"))
-        .distinct()
-        .join(d1.select(
-            F.col("u").alias("au"), F.col("v").alias("av")
-        ), (F.col("u") == F.col("au")) & (F.col("v") == F.col("av")),
-            "left_anti")
-        .join(d2.select(
-            F.col("u").alias("bu"), F.col("v").alias("bv")
-        ), (F.col("u") == F.col("bu")) & (F.col("v") == F.col("bv")),
-            "left_anti")
-    )
-    n1 = d1.groupBy("u").agg(F.count(F.lit(1)).cast("bigint").alias("n1"))
-    n2 = d2.groupBy("u").agg(F.count(F.lit(1)).cast("bigint").alias("n2"))
-    n3 = d3.groupBy("u").agg(F.count(F.lit(1)).cast("bigint").alias("n3"))
-    counts = (
-        n1.join(n2, "u", "left")
-        .join(n3, "u", "left")
-        .select(
-            "u",
-            "n1",
-            F.coalesce(F.col("n2"), F.lit(0)).cast("bigint").alias("n2"),
-            F.coalesce(F.col("n3"), F.lit(0)).cast("bigint").alias("n3"),
-        )
-    )
+    # n_k = nodes at hop distance exactly k; the edge list is distinct
+    # (simhash_pairs dedups), so the old per-u edge-row counts equal the
+    # operator's distinct-neighbor counts. Size-adaptive: single-task BFS
+    # below the components threshold, frontier-join chain above it.
+    counts = hop_counts(edges, max_hops=3)
     nn = counts.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
     scored = counts.crossJoin(F.broadcast(nn)).withColumn(
         "h6",

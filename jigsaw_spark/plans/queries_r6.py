@@ -1159,6 +1159,64 @@ def _phash_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _phash_ham_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every banded dHash candidate pair (shares ≥1 full hash byte of 8)
+    with its EXACT Hamming distance: (ia bigint, ib bigint, hamming
+    bigint), ia < ib, distinct — the shared prelude of the phash family
+    (near-dup ≤6 filter, threshold sweep/purity arms). ONE kernel pass."""
+    from jigsaw_spark.multimodal.binary_ops import phash_dhash
+
+    return _ham_pairs_from_bytes(
+        phash_dhash(_phash_images(spark, sf_dir)), "image_id"
+    )
+
+
+def _ham_pairs_from_bytes(ph: DataFrame, id_col: str) -> DataFrame:
+    """Bucket form over a long-form ``(id, byte_idx, byte_val)`` hash
+    relation: the 8 hash bytes pack into one array per image, each byte
+    is an LSH band key, candidate pairs explode bucket-locally and the
+    Hamming distance folds over the carried arrays (no join back to the
+    hashes). Multi-bucket duplicates are identical rows, removed by the
+    distinct. Exact for any Hamming threshold ≤7 (pigeonhole). Pair
+    order is by the LONG cast of ``id_col``."""
+    h64 = ph.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("byte_idx", "byte_val"))),
+            lambda s: s["byte_val"],
+        ).alias("harr")
+    )
+    banded = h64.select(
+        F.col(id_col).cast("long").alias("_iid"),
+        "harr",
+        F.posexplode("harr").alias("byte_idx", "byte_val"),
+    )
+    buckets = (
+        banded.groupBy("byte_idx", "byte_val")
+        .agg(F.collect_list(F.struct("_iid", "harr")).alias("ms"))
+        .filter(F.size("ms") >= 2)
+    )
+    hamming = F.aggregate(
+        F.zip_with(
+            F.col("a.harr"),
+            F.col("b.harr"),
+            lambda u, v: F.bit_count(u.bitwiseXOR(v)),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        buckets.select(F.explode("ms").alias("a"), "ms")
+        .select("a", F.explode("ms").alias("b"))
+        .filter(F.col("a._iid") < F.col("b._iid"))
+        .select(
+            F.col("a._iid").alias("ia"),
+            F.col("b._iid").alias("ib"),
+            hamming.cast("bigint").alias("hamming"),
+        )
+        .distinct()
+    )
+
+
 @register(
     "mm_image_phash",
     f"""
@@ -1210,55 +1268,21 @@ def mm_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "+ per-candidate verify, no quadratic surface at any corpus size",
 )
 def mm_phash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from jigsaw_spark.multimodal.binary_ops import phash_dhash
-
     # Bucket form (the minhash_lsh_pairs shape, r13 optimization): the
     # self-join formulation evaluated the synth+decode Python pipeline
     # once per join side and twice more re-attaching bytes for the
     # Hamming verify — Spark cannot dedupe identical PythonUDF subplans
-    # (measured ~4x the kernel cost). Here the kernel runs ONCE: hash
-    # bytes aggregate to one 8-byte array per image, each byte is an
-    # LSH band key, pairs explode bucket-locally and the exact Hamming
-    # distance folds over the carried arrays — no join back. Same pair
-    # set, same hamming, one kernel pass, two exchanges.
-    ph = phash_dhash(_phash_images(spark, sf_dir))
-    h64 = ph.groupBy("image_id").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("byte_idx", "byte_val"))),
-            lambda s: s["byte_val"],
-        ).alias("harr")
-    )
-    banded = h64.select(
-        "image_id",
-        F.col("image_id").cast("long").alias("_iid"),
-        "harr",
-        F.posexplode("harr").alias("byte_idx", "byte_val"),
-    )
-    buckets = (
-        banded.groupBy("byte_idx", "byte_val")
-        .agg(F.collect_list(F.struct("_iid", "image_id", "harr")).alias("ms"))
-        .filter(F.size("ms") >= 2)
-    )
-    hamming = F.aggregate(
-        F.zip_with(
-            F.col("a.harr"),
-            F.col("b.harr"),
-            lambda u, v: F.bit_count(u.bitwiseXOR(v)),
-        ),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    )
+    # (measured ~4x the kernel cost). _phash_ham_pairs runs the kernel
+    # ONCE; image_id strings are str(doc_id), so the bigint→string cast
+    # reproduces them exactly.
     return (
-        buckets.select(F.explode("ms").alias("a"), "ms")
-        .select("a", F.explode("ms").alias("b"))
-        .filter(F.col("a._iid") < F.col("b._iid"))
-        .select(
-            F.col("a.image_id").alias("img_a"),
-            F.col("b.image_id").alias("img_b"),
-            hamming.cast("bigint").alias("hamming"),
-        )
-        .distinct()
+        _phash_ham_pairs(spark, sf_dir)
         .filter(F.col("hamming") <= 6)
+        .select(
+            F.col("ia").cast("string").alias("img_a"),
+            F.col("ib").cast("string").alias("img_b"),
+            "hamming",
+        )
     )
 
 

@@ -530,22 +530,23 @@ def _phash_components_sql() -> str:
     "above) -> two tiny hash-aggs",
 )
 def mm_phash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from jigsaw_spark.multimodal.binary_ops import phash_dhash
     from jigsaw_spark.operators.dedup import connected_components
-    from jigsaw_spark.plans.queries_r6 import (
-        _phash_images,
-        mm_phash_near_dup,
-    )
+    from jigsaw_spark.plans.queries_r6 import mm_phash_near_dup
 
     pairs = mm_phash_near_dup(spark, sf_dir).select(
         F.col("img_a").cast("bigint").alias("doc_a"),
         F.col("img_b").cast("bigint").alias("doc_b"),
     )
     comp = connected_components(pairs)
+    # the id universe IS the synth filter: _synth_images emits exactly
+    # one image per filtered doc row (image_id = str(doc_id)) and
+    # phash_dhash never drops a row, so re-running the
+    # synth→encode→decode→dHash kernel just to enumerate ids is a full
+    # second pass over the image corpus for a projection of its input
     universe = (
-        phash_dhash(_phash_images(spark, sf_dir))
-        .select(F.col("image_id").cast("bigint").alias("img"))
-        .distinct()
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 10 == 0)
+        .select(F.col("doc_id").cast("bigint").alias("img"))
     )
     labeled = (
         universe.join(

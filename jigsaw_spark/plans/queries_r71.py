@@ -782,62 +782,18 @@ def _threshold_purity_sql() -> str:
 def mm_phash_threshold_purity(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from jigsaw_spark.multimodal.binary_ops import phash_dhash
     from jigsaw_spark.operators.dedup import connected_components
-    from jigsaw_spark.plans.queries_r6 import _phash_images
+    from jigsaw_spark.plans.queries_r6 import _phash_ham_pairs
 
     docs = _t(spark, sf_dir, "documents")
-    ph = phash_dhash(_phash_images(spark, sf_dir))
-    x = ph.select(
-        F.col("image_id").cast("bigint").alias("ia"),
-        F.col("byte_idx").alias("bxi"),
-        F.col("byte_val").alias("bxv"),
-    )
-    y = ph.select(
-        F.col("image_id").cast("bigint").alias("ib"),
-        F.col("byte_idx").alias("byi"),
-        F.col("byte_val").alias("byv"),
-    )
-    cand = (
-        x.join(
-            y,
-            (F.col("bxi") == F.col("byi"))
-            & (F.col("bxv") == F.col("byv"))
-            & (F.col("ia") < F.col("ib")),
-        )
-        .select("ia", "ib")
-        .distinct()
-    )
-    xa = ph.select(
-        F.col("image_id").cast("bigint").alias("ha"),
-        F.col("byte_idx").alias("hai"),
-        F.col("byte_val").alias("hav"),
-    )
-    ya = ph.select(
-        F.col("image_id").cast("bigint").alias("hb"),
-        F.col("byte_idx").alias("hbi"),
-        F.col("byte_val").alias("hbv"),
-    )
-    ham = (
-        cand.join(xa, cand["ia"] == xa["ha"])
-        .join(
-            ya,
-            (cand["ib"] == ya["hb"]) & (F.col("hai") == F.col("hbi")),
-        )
-        .groupBy("ia", "ib")
-        .agg(
-            F.sum(F.bit_count(F.col("hav").bitwiseXOR(F.col("hbv"))))
-            .cast("bigint")
-            .alias("hamming")
-        )
-        .localCheckpoint()
-    )
+    # shared bucket-form prelude (ONE kernel pass — the old self-join
+    # formulation ran the synth+decode kernel 4x; see mm_phash_near_dup)
+    ham = _phash_ham_pairs(spark, sf_dir).localCheckpoint()
+    # the id universe IS the synth filter (one image per doc_id % 10 ==
+    # 0 row; phash_dhash never drops a row) — no kernel pass to list it
     universe = (
-        ph.select(F.col("image_id").cast("bigint").alias("img"))
-        .distinct()
-        .join(
-            docs.select(F.col("doc_id").alias("img"), "source"), "img"
-        )
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .select(F.col("doc_id").alias("img"), "source")
         .localCheckpoint()
     )
     out = []

@@ -123,11 +123,14 @@ def stream_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jigsaw_spark.streaming.ingest import read_document_stream
 
     docs = _t(spark, sf_dir, "documents")
+    # checkpoint ONCE: corp (the stream-static index), both verify
+    # projections and the streamed universe all reference this relation
+    # — uncheckpointed, each re-ran the synth+dHash kernel (4 passes)
     all_ph = phash_dhash(_phash_images(spark, sf_dir)).select(
         F.col("image_id").cast("bigint").alias("i"),
         "byte_idx",
         "byte_val",
-    )
+    ).localCheckpoint()
     corp = all_ph.filter(F.col("i") % 40 == 0).select(
         F.col("i").alias("cid"),
         F.col("byte_idx").alias("cbi"),
@@ -194,10 +197,13 @@ def stream_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("hamming")
         )
     )
+    # the streamed-id universe IS the synth filter (one image per
+    # doc_id % 10 == 0 row; phash_dhash never drops a row)
     per = (
-        all_ph.filter(F.col("i") % 40 != 0)
-        .select(F.col("i").alias("sid"))
-        .distinct()
+        docs.filter(
+            (F.col("doc_id") % 10 == 0) & (F.col("doc_id") % 40 != 0)
+        )
+        .select(F.col("doc_id").alias("sid"))
         .join(
             ham.groupBy("sid").agg(
                 F.lit(1).alias("has_cand"),

@@ -361,7 +361,10 @@ def mm_phash_band_sweep(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     from jigsaw_spark.multimodal.binary_ops import phash_dhash
-    from jigsaw_spark.plans.queries_r6 import _phash_images
+    from jigsaw_spark.plans.queries_r6 import (
+        _ham_pairs_from_bytes,
+        _phash_images,
+    )
 
     ph = phash_dhash(_phash_images(spark, sf_dir)).select(
         F.col("image_id").cast("bigint").alias("i"),
@@ -369,50 +372,9 @@ def mm_phash_band_sweep(
         "byte_val",
     ).localCheckpoint()
     # the complete (8-band) candidate set + exact hamming, computed once
-    x = ph.select(
-        F.col("i").alias("ia"),
-        F.col("byte_idx").alias("bxi"),
-        F.col("byte_val").alias("bxv"),
-    )
-    y = ph.select(
-        F.col("i").alias("ib"),
-        F.col("byte_idx").alias("byi"),
-        F.col("byte_val").alias("byv"),
-    )
-    mcand = (
-        x.join(
-            y,
-            (F.col("bxi") == F.col("byi"))
-            & (F.col("bxv") == F.col("byv"))
-            & (F.col("ia") < F.col("ib")),
-        )
-        .select("ia", "ib")
-        .distinct()
-    )
-    xa = ph.select(
-        F.col("i").alias("ha"),
-        F.col("byte_idx").alias("hai"),
-        F.col("byte_val").alias("hav"),
-    )
-    ya = ph.select(
-        F.col("i").alias("hb"),
-        F.col("byte_idx").alias("hbi"),
-        F.col("byte_val").alias("hbv"),
-    )
-    ham = (
-        mcand.join(xa, mcand["ia"] == xa["ha"])
-        .join(
-            ya,
-            (mcand["ib"] == ya["hb"]) & (F.col("hai") == F.col("hbi")),
-        )
-        .groupBy("ia", "ib")
-        .agg(
-            F.sum(F.bit_count(F.col("hav").bitwiseXOR(F.col("hbv"))))
-            .cast("bigint")
-            .alias("hamming")
-        )
-        .localCheckpoint()
-    )
+    # from the checkpointed bytes in bucket form (the mm_phash_near_dup
+    # r13 shape — the old mcand/ham chain was a 4-join re-attachment)
+    ham = _ham_pairs_from_bytes(ph, "i").localCheckpoint()
     true_pairs = ham.filter(F.col("hamming") <= 6).select("ia", "ib")
     n_true = true_pairs.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_true")
@@ -432,24 +394,17 @@ def mm_phash_band_sweep(
             .cast("bigint")
             .alias("bval")
         )
-        sa = sig.select(
-            F.col("i").alias("ia"),
-            F.col("band").alias("c1"),
-            F.col("bval").alias("v1"),
-        )
-        sb = sig.select(
-            F.col("i").alias("ib"),
-            F.col("band").alias("c2"),
-            F.col("bval").alias("v2"),
+        # bucket form: one (band, bval) hash-agg instead of the
+        # two-sided self-join shuffle of sig
+        sbuckets = (
+            sig.groupBy("band", "bval")
+            .agg(F.collect_list("i").alias("ms"))
+            .filter(F.size("ms") >= 2)
         )
         cand = (
-            sa.join(
-                sb,
-                (F.col("c1") == F.col("c2"))
-                & (F.col("v1") == F.col("v2"))
-                & (F.col("ia") < F.col("ib")),
-            )
-            .select("ia", "ib")
+            sbuckets.select(F.explode("ms").alias("ia"), "ms")
+            .select("ia", F.explode("ms").alias("ib"))
+            .filter(F.col("ia") < F.col("ib"))
             .distinct()
             .localCheckpoint()
         )

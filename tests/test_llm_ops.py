@@ -399,6 +399,41 @@ def test_component_depths_strategies_agree(spark):
         assert got == expect_cap, strategy
 
 
+def test_hop_counts_strategies_agree(spark):
+    """hop_counts: both physical strategies (single-task BFS, frontier
+    join chain) must agree with the hand-computed exact-hop counts over
+    a symmetric edge list."""
+    from jigsaw_spark.operators.dedup import hop_counts, symmetric_edges
+
+    # chain 1-2-3-4-5, triangle 20-21-22, pair 10-11
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "doc_a bigint, doc_b bigint",
+    )
+    edges = symmetric_edges(pairs)
+    # (n1, n2, n3) per node: chain ends see 1,1,1; chain node 2 sees
+    # 2,1,1 (1+3 at hop1, 4 at hop2, 5 at hop3); centre 3 sees 2,2,0;
+    # triangle nodes see both others at hop 1; the pair sees each other
+    expect = {
+        1: (1, 1, 1),
+        2: (2, 1, 1),
+        3: (2, 2, 0),
+        4: (2, 1, 1),
+        5: (1, 1, 1),
+        10: (1, 0, 0),
+        11: (1, 0, 0),
+        20: (2, 0, 0),
+        21: (2, 0, 0),
+        22: (2, 0, 0),
+    }
+    for strategy in ("local", "distributed", "auto"):
+        got = {
+            r["u"]: (r["n1"], r["n2"], r["n3"])
+            for r in hop_counts(edges, max_hops=3, strategy=strategy).collect()
+        }
+        assert got == expect, strategy
+
+
 def test_kmeans_lloyd_matches_numpy(spark):
     """kmeans_lloyd == a straight numpy Lloyd run with the same seeds,
     same cosine assignment, same round-9/lowest-id tie-break."""
