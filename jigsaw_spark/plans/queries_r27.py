@@ -342,10 +342,26 @@ def ml_lift_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
         F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("pos"),
     )
-    tot = s.agg(
-        F.count(F.lit(1)).alias("n"), F.sum("pos").alias("npos")
+    # inlined _exact_rank with a pos-aware dim: the totals (n, npos)
+    # come from the SAME per-cents hash-agg the rank needs, so events is
+    # scanned twice (dim + join-back) instead of three times — the old
+    # separate s.agg() was a third full pass over the fact table
+    dim = s.groupBy("cents").agg(
+        F.count(F.lit(1)).alias("_c"), F.sum("pos").alias("_p")
     )
-    ranked = _exact_rank(s, "cents", "event_id", desc=True)
+    wdim = Window.orderBy(F.col("cents").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    off = dim.select(
+        "cents", F.coalesce(F.sum("_c").over(wdim), F.lit(0)).alias("_off")
+    )
+    tot = dim.agg(
+        F.sum("_c").alias("n"), F.sum("_p").alias("npos")
+    )
+    win = Window.partitionBy("cents").orderBy("event_id")
+    ranked = s.join(off, "cents").withColumn(
+        "_rn", F.col("_off") + F.row_number().over(win)
+    )
     r = ranked.crossJoin(F.broadcast(tot)).select(
         "pos",
         "n",
@@ -449,26 +465,45 @@ def rel_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = ag.agg(
         F.max("last_day").alias("md"), F.count(F.lit(1)).alias("n")
     )
-    base = ag.crossJoin(F.broadcast(tot)).select(
-        "o_custkey",
-        (F.col("md") - F.col("last_day")).alias("rec"),
-        "freq",
-        "money",
-        "n",
+    # checkpoint the customer dim ONCE: the old chained form
+    # (_exact_rank(_exact_rank(_exact_rank_banded(base)))) referenced
+    # its input 2-3x per rank (dim agg + join-back), re-evaluating the
+    # orders scan+agg lineage ~8x through the tree. Each axis rank only
+    # depends on (val, tie), so the three scores compute independently
+    # from the checkpoint and join back on the customer key —
+    # bit-identical ranks, one orders pass.
+    base = (
+        ag.crossJoin(F.broadcast(tot))
+        .select(
+            "o_custkey",
+            (F.col("md") - F.col("last_day")).alias("rec"),
+            "freq",
+            "money",
+            "n",
+        )
+        .localCheckpoint()
     )
-    r = _exact_rank(base, "rec", "o_custkey").withColumn(
-        "r_score", F.expr("5 - (_rn - 1) * 5 div n")
-    ).drop("_rn")
-    f = _exact_rank(r, "freq", "o_custkey").withColumn(
-        "f_score", F.expr("(_rn - 1) * 5 div n + 1")
-    ).drop("_rn")
+    r = _exact_rank(
+        base.select("o_custkey", "rec", "n"), "rec", "o_custkey"
+    ).select(
+        "o_custkey", F.expr("5 - (_rn - 1) * 5 div n").alias("r_score")
+    )
+    f = _exact_rank(
+        base.select("o_custkey", "freq", "n"), "freq", "o_custkey"
+    ).select(
+        "o_custkey", F.expr("(_rn - 1) * 5 div n + 1").alias("f_score")
+    )
     # monetary sums are near-unique (dim ~ |customers|) — use the banded
     # rank so no window grows with customer count (verdict r7 #4); rec
     # and freq have small bounded dims, the plain dim form stays optimal
-    m = _exact_rank_banded(f, "money", "o_custkey").withColumn(
-        "m_score", F.expr("(_rn - 1) * 5 div n + 1")
-    ).drop("_rn")
-    return m.groupBy(
+    m = _exact_rank_banded(
+        base.select("o_custkey", "money", "n"), "money", "o_custkey"
+    ).select(
+        "o_custkey",
+        "money",
+        F.expr("(_rn - 1) * 5 div n + 1").alias("m_score"),
+    )
+    return m.join(r, "o_custkey").join(f, "o_custkey").groupBy(
         (
             F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")
         )
