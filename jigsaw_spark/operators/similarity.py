@@ -778,7 +778,10 @@ def ivfpq_topk(
 
 
 def sq8_quantize(
-    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    stats: list | None = None,
 ) -> DataFrame:
     """SQ8 scalar quantization: per-dimension [min,max] over the corpus →
     each component linearly mapped to an 8-bit code (the FAISS
@@ -795,15 +798,21 @@ def sq8_quantize(
     Cross-engine determinism: the ratio is rounded to 9 digits before the
     *255 scaling (codebase convention, see functions/hashing.py), and
     round-half-up on positive doubles agrees between Spark and DuckDB.
+
+    ``stats``: optional pre-collected per-dimension rows with ``mn``/``mx``
+    fields in dimension order (exactly what the internal collect yields) —
+    callers that already ran the stats pass for their own reconstruction
+    (ann_codec_recall) pass it in so the corpus is scanned once, not twice.
     """
     v = F.col(vec_col)
-    stats = (
-        df.select(F.posexplode(v.cast("array<double>")).alias("d", "x"))
-        .groupBy("d")
-        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
-        .orderBy("d")
-        .collect()
-    )
+    if stats is None:
+        stats = (
+            df.select(F.posexplode(v.cast("array<double>")).alias("d", "x"))
+            .groupBy("d")
+            .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+            .orderBy("d")
+            .collect()
+        )
     mns = F.array(*[F.lit(r["mn"]) for r in stats])
     mxs = F.array(*[F.lit(r["mx"]) for r in stats])
 

@@ -244,12 +244,18 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(~F.col("is_dup"))
         .select("doc_id", "text")
     )
-    pairs = simhash_pairs(keepers, "doc_id", max_hamming=2).select(
-        "doc_a", "doc_b"
+    # the pair relation feeds comp, both edge directions, mm and intra —
+    # uncheckpointed, the exact-dedup + simhash kernel lineage evaluated
+    # 6x (the _before plan shows 14 Python kernel nodes); materialize the
+    # candidate pairs once, and comp once (it feeds intra AND degs)
+    pairs = (
+        simhash_pairs(keepers, "doc_id", max_hamming=2)
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
     )
     comp = connected_components(pairs).select(
         F.col("doc_id"), F.col("component")
-    )
+    ).localCheckpoint()
     edges = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")).union(
         pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
     )

@@ -163,10 +163,14 @@ _FUNNEL_SQL = """
 )
 def rel_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
+    # each stage dim feeds the next stage's join AND its own count —
+    # uncheckpointed, v's events scan+agg ran 3x (via c's two uses) and
+    # c's twice; materialize the per-user stage dims once each
     v = (
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t1"))
+        .localCheckpoint()
     )
     c = (
         ev.filter(F.col("event_type") == "click")
@@ -174,6 +178,7 @@ def rel_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("ts") >= F.col("t1"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t2"))
+        .localCheckpoint()
     )
     p = (
         ev.filter(F.col("event_type") == "purchase")

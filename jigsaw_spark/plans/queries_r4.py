@@ -2064,7 +2064,7 @@ def text_jsd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     "all-pairs); the truth side is the bounded inverted-index join",
 )
 def dedup_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from jigsaw_spark.operators.dedup import minhash_signatures, ngram_jaccard_pairs
+    from jigsaw_spark.operators.dedup import minhash_vector, ngram_jaccard_pairs
 
     docs = _t(spark, sf_dir, "documents")
     # capped truth side (see dedup_lsh_recall): never binds at sf0.01 so
@@ -2077,29 +2077,43 @@ def dedup_minhash_jaccard_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth = ngram_jaccard_pairs(
         docs, "doc_id", threshold=0.3, max_posting=1000
     ).select("doc_a", "doc_b", (F.col("jaccard")).alias("j_exact"))
-    sigs = minhash_signatures(docs, "doc_id", num_hashes=16)
-    a = sigs.select(
-        F.col("doc_id").alias("doc_a"), F.col("seed"), F.col("mh").alias("mh_a")
+    # signature as ONE array row per doc (the map-only minhash_vector
+    # kernel; mhs[s] == the relational minhash_signatures' per-seed min
+    # by construction): the seed-explode form shuffled |docs| x 16 rows
+    # into a (doc, seed) hash-agg and the estimate needed a 16x-row
+    # double join + pair hash-agg — here each pair joins two array rows
+    # and the agreement count folds inline
+    vec = minhash_vector(docs, "doc_id", num_hashes=16)
+    agree = F.aggregate(
+        F.zip_with(
+            F.col("mh_a"),
+            F.col("mh_b"),
+            lambda u, v: (u == v).cast("int"),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
     )
-    b = sigs.select(
-        F.col("doc_id").alias("doc_b"), F.col("seed"), F.col("mh").alias("mh_b")
-    )
-    # estimate ONLY on the candidate pairs: a bare seed-keyed self-join
-    # of signatures is all-pairs (measured 47s at sf0.1, quadratic at
-    # scale) — anchoring on the truth pair list bounds the work to
-    # |pairs| x 16 rows
+    # estimate ONLY on the candidate pairs: a bare signature self-join
+    # is all-pairs (measured 47s at sf0.1, quadratic at scale) —
+    # anchoring on the truth pair list bounds the work to |pairs| rows
     est = (
         truth.select("doc_a", "doc_b")
-        .join(a, "doc_a")
-        .join(b, ["doc_b", "seed"])
-        .groupBy("doc_a", "doc_b")
-        .agg(
-            (
-                F.sum((F.col("mh_a") == F.col("mh_b")).cast("int")).cast(
-                    "double"
-                )
-                / 16
-            ).alias("j_est")
+        .join(
+            vec.select(
+                F.col("doc_id").alias("doc_a"), F.col("mhs").alias("mh_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            vec.select(
+                F.col("doc_id").alias("doc_b"), F.col("mhs").alias("mh_b")
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            (agree.cast("double") / 16).alias("j_est"),
         )
     )
     return truth.join(est, ["doc_a", "doc_b"]).select(

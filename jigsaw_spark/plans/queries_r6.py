@@ -1017,10 +1017,15 @@ def agg_kmv_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     w = Window.partitionBy("source").orderBy("h")
+    # the sketch is KB-scale (<= 64 rows x |sources|) but its lineage is
+    # the full tokenize + double-distinct + window chain; uncheckpointed
+    # it re-ran for kstat (whose self-join doubles it again) AND the uni
+    # join — 4 corpus passes for one sketch. Materialize it once.
     kmv = (
         hashed.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= _KMV_K)
         .select("source", "h")
+        .localCheckpoint()
     )
     kstat = kmv.groupBy("source").agg(F.max("h").alias("kth"))
     a, b = kstat.alias("a"), kstat.alias("b")

@@ -506,7 +506,9 @@ def ann_codec_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    panel = emb.filter(F.col("vec_id") < 5)
+    # 5-row panel: materialize once — each cosine_topk call collects its
+    # panel eagerly, so an uncheckpointed filter re-scans the parquet 3x
+    panel = emb.filter(F.col("vec_id") < 5).localCheckpoint()
     truth = cosine_topk(emb, panel, k=10).select(
         "query_id",
         F.col("vec_id").alias("tvec"),
@@ -532,7 +534,9 @@ def ann_codec_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         mn, mx = F.element_at(mns, i + 1), F.element_at(mxs, i + 1)
         return mn + c.cast("double") / 255 * (mx - mn)
 
-    sq8_corpus = sq8_quantize(emb).select(
+    # pass the stats rows through: sq8_quantize would otherwise re-run
+    # the identical posexplode + (d) agg + collect over the full corpus
+    sq8_corpus = sq8_quantize(emb, stats=stats).select(
         "vec_id", F.transform(F.col("codes"), _recon).alias("embedding")
     )
 
