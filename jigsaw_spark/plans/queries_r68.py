@@ -164,44 +164,15 @@ def dq_repair_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jigsaw_spark.session import widen
 
     docs = widen(_t(spark, sf_dir, "documents"))
-    split = docs.select(
-        "doc_id",
-        "source",
-        (
-            F.pmod(
-                F.conv(
-                    F.substring(
-                        F.md5(
-                            F.concat_ws(
-                                "|", F.lit("contam"), F.col("doc_id")
-                            )
-                        ),
-                        1,
-                        12,
-                    ),
-                    16,
-                    10,
-                ).cast("bigint"),
-                F.lit(20),
-            )
-            == 0
-        ).alias("is_holdout"),
-        tokens_expr("text").alias("t"),
-    ).localCheckpoint()
-    # raw (doc, gram) instances — consumers are set-semantics, so the
-    # distinct shuffle is subsumed by the (sh) hash-aggs (guide §2.4)
-    dg = split.select(
-        "doc_id", F.explode(shingles_expr("t", 8)).alias("sh")
-    ).localCheckpoint()
-    # ONE (sh) hash-agg: distinct docs per gram; the round-0 holdout
-    # flag is a pure md5 expression of doc_id, so train-presence and
-    # the contaminated holdout set derive from the doc array inline —
-    # no split join, no semi-join chain
-    holdout_of = lambda d: (  # noqa: E731 — the certified flag, per element
+    hold = (
         F.pmod(
             F.conv(
                 F.substring(
-                    F.md5(F.concat_ws("|", F.lit("contam"), d)), 1, 12
+                    F.md5(
+                        F.concat_ws("|", F.lit("contam"), F.col("doc_id"))
+                    ),
+                    1,
+                    12,
                 ),
                 16,
                 10,
@@ -210,32 +181,56 @@ def dq_repair_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         == 0
     )
-    postings = (
-        dg.groupBy("sh")
-        .agg(F.collect_set("doc_id").alias("_ds"))
-        .select(
-            F.size("_ds").cast("bigint").alias("df"),
-            F.exists("_ds", lambda d: ~holdout_of(d)).alias("_ht"),
-            F.explode("_ds").alias("doc_id"),
+    split = docs.select("doc_id", "source", hold.alias("is_holdout"))
+
+    def _grams(frame: DataFrame, *extra: str) -> DataFrame:
+        return frame.select(
+            "doc_id",
+            hold.alias("h0"),
+            *extra,
+            F.explode(
+                shingles_expr(tokens_expr("text"), 8)
+            ).alias("sh"),
         )
+
+    # ONE full corpus pass for the whole audit: the gram explode feeds
+    # the (sh) hash-agg's map side directly (no intermediate
+    # materialization of the exploded relation). Per gram: the distinct
+    # doc posting (for df/safe), the round-0 train count and holdout
+    # docs. The REPAIRED split's contamination is then derived
+    # INCREMENTALLY — only grams containing a demoted/promoted doc can
+    # change, and those sets are bounded by the repair volume, so the
+    # second round is a broadcast-delta map-pass over g0, never a
+    # second full aggregation (guide §2.4).
+    g0 = (
+        _grams(docs)
+        .groupBy("sh")
+        .agg(
+            F.collect_set("doc_id").alias("_ds"),
+            F.collect_set(
+                F.when(F.col("h0"), F.col("doc_id"))
+            ).alias("hd0"),
+        )
+        .withColumn("nt0", F.size("_ds") - F.size("hd0"))
         .localCheckpoint()
     )
-    per_doc = postings.groupBy("doc_id").agg(
-        F.max("df").alias("mx"),
-        F.max(F.when(F.col("_ht"), 1).otherwise(0)).alias("_anyt"),
+    doc_max = (
+        g0.select(
+            F.size("_ds").cast("bigint").alias("df"),
+            F.explode("_ds").alias("doc_id"),
+        )
+        .groupBy("doc_id")
+        .agg(F.max("df").alias("mx"))
     )
     contam = (
-        per_doc.filter(
-            (F.col("_anyt") == 1) & holdout_of(F.col("doc_id"))
-        )
-        .select("doc_id")
+        g0.filter(F.col("nt0") > 0)
+        .select(F.explode("hd0").alias("doc_id"))
+        .distinct()
         .withColumn("c", F.lit(1))
         .localCheckpoint()
     )
-    doc_max = per_doc.select("doc_id", "mx")
     pool = (
-        split.select("doc_id", "source", "is_holdout")
-        .join(doc_max, "doc_id", "left")
+        split.join(doc_max, "doc_id", "left")
         .filter(
             ~F.col("is_holdout")
             & (F.coalesce("mx", F.lit(1)) <= 1)
@@ -293,8 +288,7 @@ def dq_repair_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     nsplit = (
-        split.select("doc_id", "source", "is_holdout")
-        .join(contam, "doc_id", "left")
+        split.join(contam, "doc_id", "left")
         .join(promoted, "doc_id", "left")
         .select(
             "doc_id",
@@ -309,21 +303,44 @@ def dq_repair_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint()
     )
-    # repaired-split flags are data-dependent — keep the doc_id join,
-    # but one (sh) hash-agg replaces the distinct + semi-join chain
-    nsh = dg.join(nsplit.select("doc_id", "n_holdout"), "doc_id")
-    ncontam = (
-        nsh.groupBy("sh")
+    # repaired-split contamination derived incrementally from g0: the
+    # flags differ from round 0 only on the demoted (contam, holdout →
+    # train) and promoted (safe train → holdout) docs, which are
+    # disjoint by construction (promoted docs have every gram df ≤ 1 so
+    # they can never be contaminated; demoted docs share a gram with
+    # train so they can never be safe). ONE broadcast inner join of the
+    # change sets into a re-scan, a tiny delta agg, then a map-pass
+    # over g0 — never a second full gram aggregation.
+    changed = contam.select(
+        "doc_id", F.lit(True).alias("_isd")
+    ).unionByName(
+        promoted.select("doc_id", F.lit(False).alias("_isd"))
+    )
+    delta = (
+        _grams(docs.join(F.broadcast(changed), "doc_id"), "_isd")
+        .groupBy("sh")
         .agg(
-            F.max(F.when(~F.col("n_holdout"), 1).otherwise(0)).alias(
-                "_nt"
-            ),
             F.collect_set(
-                F.when(F.col("n_holdout"), F.col("doc_id"))
-            ).alias("_nd"),
+                F.when(F.col("_isd"), F.col("doc_id"))
+            ).alias("dd"),
+            F.collect_set(
+                F.when(~F.col("_isd"), F.col("doc_id"))
+            ).alias("pd"),
         )
-        .filter(F.col("_nt") == 1)
-        .select(F.explode("_nd").alias("doc_id"))
+    )
+    upd = g0.join(F.broadcast(delta), "sh", "left").select(
+        (
+            F.col("nt0")
+            + F.coalesce(F.size("dd"), F.lit(0))
+            - F.coalesce(F.size("pd"), F.lit(0))
+        ).alias("nt"),
+        F.when(F.col("dd").isNull(), F.col("hd0"))
+        .otherwise(F.concat(F.array_except("hd0", "dd"), F.col("pd")))
+        .alias("hd"),
+    )
+    ncontam = (
+        upd.filter((F.col("nt") > 0) & (F.size("hd") > 0))
+        .select(F.explode("hd").alias("doc_id"))
         .distinct()
         .withColumn("nc", F.lit(1))
     )

@@ -246,15 +246,28 @@ def dq_pooled_cluster_leakage(
     from jigsaw_spark.operators.dedup import (
         connected_components,
         exact_dedup,
-        keeper_pairs,
+        simhash_pairs,
     )
     from jigsaw_spark.plans.queries_r6 import mm_phash_near_dup
 
     docs = _t(spark, sf_dir, "documents")
-    keeper_of = exact_dedup(docs, "doc_id").select(
-        "doc_id", "keeper"
+    # ONE exact-dedup pass (fp window) serves the keeper fold AND the
+    # simhash arm's keepers — keeper_pairs(docs) would re-run it
+    ded = exact_dedup(docs, "doc_id").select(
+        "doc_id", "keeper", "is_dup", "text"
     ).localCheckpoint()
-    tpairs = keeper_pairs(docs, "doc_id").localCheckpoint()
+    # narrow re-checkpoint: keeper_of is read 4+ times downstream and
+    # must not drag the text payload out of the wide checkpoint each time
+    keeper_of = ded.select("doc_id", "keeper").localCheckpoint()
+    tpairs = (
+        simhash_pairs(
+            ded.filter(~F.col("is_dup")).select("doc_id", "text"),
+            "doc_id",
+            max_hamming=2,
+        )
+        .select("doc_a", "doc_b")
+        .localCheckpoint()
+    )
     ka = keeper_of.select(
         F.col("doc_id").alias("doc_a"), F.col("keeper").alias("ku")
     )
@@ -462,37 +475,60 @@ def dq_repair_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jigsaw_spark.session import widen
 
     docs = widen(_t(spark, sf_dir, "documents"))
-    split0 = docs.select(
-        "doc_id",
-        "source",
-        _holdout_col().alias("is_holdout"),
-        tokens_expr("text").alias("t"),
-    ).localCheckpoint()
-    # raw (doc, gram) instances, NOT distinct-ed: every consumer below
-    # is set-semantics (collect_set / distinct-doc df via set size), so
-    # the per-(doc, gram) distinct shuffle is subsumed by the (sh)
-    # hash-aggs — one fewer full pass over the gram relation
-    dg = (
-        split0.select(
-            "doc_id", F.explode(shingles_expr("t", 8)).alias("sh")
+    # The round-0 holdout flag is a pure md5 expression of doc_id, so it
+    # rides the gram explode inline (the dq_leak_detector_overlap form);
+    # later rounds' flags differ from round 0 only on the small
+    # demote/promote sets, which join as BROADCAST markers — the gram
+    # relation is never shuffled by doc_id (it used to be, once per
+    # round), and the doc-level split tables become expressions over
+    # base + markers instead of checkpointed join chains (guide §2.4,
+    # §3.1; marker volume is bounded by the contamination count, which
+    # is what makes the broadcast scale-safe at 100 TB).
+    def _grams(frame: DataFrame, *extra: str) -> DataFrame:
+        return frame.select(
+            "doc_id",
+            _holdout_col().alias("h0"),
+            *extra,
+            F.explode(
+                shingles_expr(tokens_expr("text"), 8)
+            ).alias("sh"),
         )
+
+    # ONE full pass over the corpus for the whole fixpoint: the gram
+    # explode feeds the (sh) hash-agg's map side directly (an
+    # intermediate localCheckpoint of the 2.5M-row exploded relation
+    # measured 3.4 s of pure serialization — fusing it away is the
+    # win). Per gram: the distinct doc posting (for df/safe), the
+    # round-0 train count and the round-0 holdout docs. Later rounds'
+    # per-gram state is derived INCREMENTALLY from this relation —
+    # only grams containing a changed (demoted/promoted) doc can
+    # change, and those deltas are bounded by the repair volume, so
+    # each round is a broadcast-delta map-pass over g0 instead of a
+    # full re-aggregation (guide §2.4).
+    g0 = (
+        _grams(docs)
+        .groupBy("sh")
+        .agg(
+            F.collect_set("doc_id").alias("_ds"),
+            F.collect_set(
+                F.when(F.col("h0"), F.col("doc_id"))
+            ).alias("hd0"),
+        )
+        # distinct train docs = distinct docs minus distinct holdout docs
+        .withColumn("nt0", F.size("_ds") - F.size("hd0"))
         .localCheckpoint()
     )
-    # one (sh) hash-agg yields the distinct-doc posting df AND the
-    # per-doc max-df in a single dg pass (explode back is map-side) —
-    # replaces the distinct + dg ⨝ gdf shingle join + per-doc agg
-    postings = dg.groupBy("sh").agg(
-        F.collect_set("doc_id").alias("_ds")
-    )
     doc_max = (
-        postings.select(
+        g0.select(
             F.size("_ds").cast("bigint").alias("df"),
             F.explode("_ds").alias("doc_id"),
         )
         .groupBy("doc_id")
         .agg(F.max("df").alias("mx"))
     )
-    base = split0.select("doc_id", "source", "is_holdout")
+    base = docs.select(
+        "doc_id", "source", _holdout_col().alias("h0")
+    )
     safe = (
         base.select("doc_id", "source")
         .join(doc_max, "doc_id", "left")
@@ -501,65 +537,111 @@ def dq_repair_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
 
-    def _contam(split: DataFrame) -> DataFrame:
-        """Distinct contaminated holdout doc_ids under ``split`` — ONE
-        (sh) hash-agg per round (train-presence flag + holdout-doc set
-        per gram) instead of a distinct + semi-join + distinct chain:
-        three shuffles of the gram relation become one (guide §2.4)."""
-        flagged = dg.join(split.select("doc_id", "is_holdout"), "doc_id")
-        return (
-            flagged.groupBy("sh")
-            .agg(
-                F.max(
-                    F.when(~F.col("is_holdout"), 1).otherwise(0)
-                ).alias("_ht"),
-                F.collect_set(
-                    F.when(F.col("is_holdout"), F.col("doc_id"))
-                ).alias("_hd"),
+    def _mark(df: DataFrame, sets: list[tuple[DataFrame, str]]) -> DataFrame:
+        """LEFT-join each small (doc_id) set as a broadcast 1-marker."""
+        for s, m in sets:
+            df = df.join(
+                F.broadcast(s.select("doc_id").withColumn(m, F.lit(1))),
+                "doc_id",
+                "left",
             )
-            .filter(F.col("_ht") == 1)
-            .select(F.explode("_hd").alias("doc_id"))
+        return df
+
+    def _contam(
+        demoted: DataFrame | None, promoted: DataFrame | None
+    ) -> DataFrame:
+        """Distinct contaminated holdout doc_ids under the round's
+        flags, derived incrementally from g0: per gram, the train
+        count moves by |demoted ∩ gram| − |promoted ∩ gram| and the
+        holdout set loses the demoted and gains the promoted members.
+        The delta relation only covers grams containing a changed doc
+        (broadcast semi-join of dg against the bounded change sets),
+        so each round is a map-pass over g0 plus a tiny explode —
+        never a second full (sh) aggregation."""
+        if demoted is None:
+            return (
+                g0.filter(F.col("nt0") > 0)
+                .select(F.explode("hd0").alias("doc_id"))
+                .distinct()
+                .localCheckpoint()
+            )
+        # grams of the changed docs only: ONE broadcast inner join of
+        # the bounded change sets into a re-scan BEFORE the explode —
+        # the join is also the filter, so the delta explode runs over
+        # dozens of docs, not the corpus
+        changed = demoted.select(
+            "doc_id", F.lit(True).alias("_isd")
+        ).unionByName(
+            promoted.select("doc_id", F.lit(False).alias("_isd"))
+        )
+        ch = _grams(
+            docs.join(F.broadcast(changed), "doc_id"), "_isd"
+        )
+        delta = ch.groupBy("sh").agg(
+            F.collect_set(
+                F.when(F.col("_isd"), F.col("doc_id"))
+            ).alias("dd"),
+            F.collect_set(
+                F.when(~F.col("_isd"), F.col("doc_id"))
+            ).alias("pd"),
+        )
+        upd = g0.join(F.broadcast(delta), "sh", "left").select(
+            (
+                F.col("nt0")
+                + F.coalesce(F.size("dd"), F.lit(0))
+                - F.coalesce(F.size("pd"), F.lit(0))
+            ).alias("nt"),
+            # dd/pd are NULL together exactly when the gram has no
+            # changed doc (left-join miss) — keep hd0 untouched then
+            F.when(F.col("dd").isNull(), F.col("hd0"))
+            .otherwise(
+                F.concat(F.array_except("hd0", "dd"), F.col("pd"))
+            )
+            .alias("hd"),
+        )
+        return (
+            upd.filter((F.col("nt") > 0) & (F.size("hd") > 0))
+            .select(F.explode("hd").alias("doc_id"))
             .distinct()
             .localCheckpoint()
         )
 
     def _promote(
-        split: DataFrame, contam: DataFrame, salt: str
+        flags: DataFrame, contam: DataFrame, salt: str
     ) -> DataFrame:
         """md5-first promotion of least(demote, pool) safe train docs
         per source — banded rank, bit-identical to the oracle's plain
-        per-source row_number (queries_r20 proof)."""
+        per-source row_number (queries_r20 proof). ``flags`` carries
+        (doc_id, source, h) for the round."""
         from pyspark.sql import Window
 
         from jigsaw_spark.functions.hashing import md5_key
 
         pool = safe.join(
-            split.filter(~F.col("is_holdout")).select("doc_id"),
+            flags.filter(~F.col("h")).select("doc_id"),
             "doc_id",
             "left_semi",
         )
-        quota = (
-            split.join(
-                contam.withColumn("c", F.lit(1)), "doc_id", "left"
-            )
-            .join(
-                pool.withColumn("p", F.lit(1)).select("doc_id", "p"),
-                "doc_id",
-                "left",
+        # quota from two tiny aggregates instead of a 3-way join over
+        # the full doc table: contaminated docs are holdout under the
+        # round's flags by construction, so n_demote is just their
+        # per-source count; sources absent from the pool produce no
+        # ranked rows, so pool-side grouping loses nothing
+        ndem = (
+            flags.join(
+                F.broadcast(contam.select("doc_id")), "doc_id", "left_semi"
             )
             .groupBy("source")
-            .agg(
-                F.sum(
-                    F.when(
-                        F.col("is_holdout") & F.col("c").isNotNull(),
-                        1,
-                    ).otherwise(0)
-                )
-                .cast("bigint")
-                .alias("n_demote"),
-                F.sum(F.when(F.col("p").isNotNull(), 1).otherwise(0))
-                .cast("bigint")
-                .alias("n_pool"),
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_demote"))
+        )
+        quota = (
+            pool.groupBy("source")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_pool"))
+            .join(F.broadcast(ndem), "source", "left")
+            .select(
+                "source",
+                F.coalesce("n_demote", F.lit(0)).alias("n_demote"),
+                "n_pool",
             )
         )
         keyed = pool.withColumn(
@@ -597,87 +679,73 @@ def dq_repair_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint()
         )
 
-    def _apply(
-        split: DataFrame, contam: DataFrame, prom: DataFrame
-    ) -> DataFrame:
-        return (
-            split.join(
-                contam.withColumn("c", F.lit(1)), "doc_id", "left"
-            )
-            .join(
-                prom.withColumn("p", F.lit(1)).select("doc_id", "p"),
-                "doc_id",
-                "left",
-            )
-            .select(
-                "doc_id",
-                "source",
-                F.when(F.col("c").isNotNull(), F.lit(False))
-                .when(F.col("p").isNotNull(), F.lit(True))
-                .otherwise(F.col("is_holdout"))
-                .alias("is_holdout"),
-            )
-            .localCheckpoint()
+    def _flags(sets: list[tuple[DataFrame, str]], h) -> DataFrame:
+        return _mark(base, sets).select(
+            "doc_id", "source", h.alias("h")
         )
 
-    c0 = _contam(base)
-    prom1 = _promote(base, c0, "repair")
-    split1 = _apply(base, c0, prom1)
-    c1 = _contam(split1)
-    prom2 = _promote(split1, c1, "repair2")
-    split2 = _apply(split1, c1, prom2)
-    c2 = _contam(split2)
+    # The demote/promote sets are pairwise DISJOINT and non-reverting
+    # by construction — promoted docs are safe (every gram df ≤ 1) and
+    # so can never be contaminated/demoted; demoted docs share a gram
+    # with train (df ≥ 2) and so can never be safe/promoted; demotes
+    # draw from round-0 holdout, promotes from round-0 train — so the
+    # cumulative change sets reproduce the sequential _apply chain.
+    c0 = _contam(None, None)
+    prom1 = _promote(
+        base.select("doc_id", "source", F.col("h0").alias("h")),
+        c0,
+        "repair",
+    )
+    h1x = (
+        F.when(F.col("_c0").isNotNull(), F.lit(False))
+        .when(F.col("_p1").isNotNull(), F.lit(True))
+        .otherwise(F.col("h0"))
+    )
+    c1 = _contam(c0, prom1)
+    prom2 = _promote(
+        _flags([(c0, "_c0"), (prom1, "_p1")], h1x), c1, "repair2"
+    )
+    c2 = _contam(
+        c0.select("doc_id").unionByName(c1.select("doc_id")),
+        prom1.select("doc_id").unionByName(prom2.select("doc_id")),
+    )
 
-    j = (
-        base.withColumnRenamed("is_holdout", "h0")
-        .join(
-            split1.select(
-                "doc_id", F.col("is_holdout").alias("h1")
-            ),
-            "doc_id",
-        )
-        .join(
-            split2.select(
-                "doc_id", F.col("is_holdout").alias("h2")
-            ),
-            "doc_id",
-        )
-        .join(c0.withColumn("a", F.lit(1)), "doc_id", "left")
-        .join(c1.withColumn("b", F.lit(1)), "doc_id", "left")
-        .join(c2.withColumn("cc", F.lit(1)), "doc_id", "left")
-        .join(
-            prom1.withColumn("p1", F.lit(1)).select("doc_id", "p1"),
-            "doc_id",
-            "left",
-        )
-        .join(
-            prom2.withColumn("p2", F.lit(1)).select("doc_id", "p2"),
-            "doc_id",
-            "left",
-        )
+    j = _mark(
+        base,
+        [
+            (c0, "_c0"),
+            (prom1, "_p1"),
+            (c1, "_c1"),
+            (prom2, "_p2"),
+            (c2, "_c2"),
+        ],
+    )
+    h1 = (
+        F.when(F.col("_c0").isNotNull(), F.lit(False))
+        .when(F.col("_p1").isNotNull(), F.lit(True))
+        .otherwise(F.col("h0"))
+    )
+    h2 = (
+        F.when(F.col("_c1").isNotNull(), F.lit(False))
+        .when(F.col("_p2").isNotNull(), F.lit(True))
+        .otherwise(h1)
     )
     agg = j.groupBy("source").agg(
         F.sum(
-            F.when(F.col("h0") & F.col("a").isNotNull(), 1).otherwise(0)
+            F.when(F.col("h0") & F.col("_c0").isNotNull(), 1).otherwise(0)
         )
         .cast("bigint")
         .alias("contam_r0"),
-        F.sum(
-            F.when(F.col("h1") & F.col("b").isNotNull(), 1).otherwise(0)
-        )
+        F.sum(F.when(h1 & F.col("_c1").isNotNull(), 1).otherwise(0))
         .cast("bigint")
         .alias("contam_r1"),
-        F.sum(
-            F.when(F.col("h2") & F.col("cc").isNotNull(), 1).otherwise(
-                0
-            )
-        )
+        F.sum(F.when(h2 & F.col("_c2").isNotNull(), 1).otherwise(0))
         .cast("bigint")
         .alias("contam_r2"),
-        F.sum(F.when(F.col("p1").isNotNull(), 1).otherwise(0))
+        F.sum(F.when(F.col("_p1").isNotNull(), 1).otherwise(0))
         .cast("bigint")
         .alias("promoted_r1"),
-        F.sum(F.when(F.col("p2").isNotNull(), 1).otherwise(0))
+        F.sum(F.when(F.col("_p2").isNotNull(), 1).otherwise(0))
         .cast("bigint")
         .alias("promoted_r2"),
     )

@@ -412,21 +412,27 @@ def dedup_pooled_text_detectors(
     from jigsaw_spark.operators.dedup import (
         connected_components,
         exact_dedup,
-        keeper_pairs,
         minhash_lsh_pairs,
+        simhash_pairs,
     )
 
     docs = _t(spark, sf_dir, "documents")
-    keepers = exact_dedup(docs, "doc_id").filter(
-        ~F.col("is_dup")
-    ).select("doc_id", "text")
+    # ONE exact-dedup pass shared by both detector arms (keeper_pairs
+    # would re-run the fp window for its own keepers — Spark cannot
+    # dedupe the two identical window subtrees across the arms)
+    keepers = (
+        exact_dedup(docs, "doc_id")
+        .filter(~F.col("is_dup"))
+        .select("doc_id", "text")
+        .localCheckpoint()
+    )
     mhp = (
         minhash_lsh_pairs(keepers, "doc_id")
         .select("doc_a", "doc_b")
         .localCheckpoint()
     )
-    # keeper_pairs IS the C4-ordered SimHash banding over exact keepers
-    shp = keeper_pairs(docs, "doc_id").select(
+    # simhash_pairs over exact keepers IS keeper_pairs' C4-ordered banding
+    shp = simhash_pairs(keepers, "doc_id", max_hamming=2).select(
         "doc_a", "doc_b"
     ).localCheckpoint()
     upairs = mhp.unionByName(shp).distinct()
