@@ -85,6 +85,31 @@ def keeper_pairs(df: DataFrame, key: str = "doc_id") -> DataFrame:
     )
 
 
+def keeper_frames(
+    df: DataFrame, key: str = "doc_id"
+) -> tuple[DataFrame, DataFrame]:
+    """(ded, pairs): ONE checkpointed exact-dedup pass shared by the
+    keeper fold and the pair graph. Queries that need both the
+    per-doc keeper map (or is_dup flags) AND :func:`keeper_pairs`
+    were paying the fp window twice — Spark cannot dedupe the two
+    identical window subtrees — so this materializes the window once
+    (r13 optimization; one full-text shuffle instead of two at any
+    scale). ``ded`` carries (key, keeper, is_dup, text); ``pairs`` is
+    exactly ``keeper_pairs(df)`` (doc_a, doc_b), un-checkpointed so
+    callers keep their own materialization policy."""
+    ded = (
+        exact_dedup(df, key)
+        .select(key, "keeper", "is_dup", "text")
+        .localCheckpoint()
+    )
+    pairs = simhash_pairs(
+        ded.filter(~F.col("is_dup")).select(key, "text"),
+        key,
+        max_hamming=2,
+    ).select("doc_a", "doc_b")
+    return ded, pairs
+
+
 def symmetric_edges(pairs: DataFrame) -> DataFrame:
     """Both orientations (u, v) of an undirected (doc_a, doc_b) pair
     list — the adjacency form the frontier joins consume."""

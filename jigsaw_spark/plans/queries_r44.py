@@ -122,6 +122,13 @@ def stream_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     # widened BEFORE the 8-gram explode (the single-dense-file
     # one-partition trap; the stream side only carries the 5% holdout
     # and stays cheap without it)
+    # materialized BEFORE the stream starts: inside the drain the plan
+    # would execute under the streaming confs (AQE off, state-sized
+    # shuffle partitions — 8-way on a 32-core box), so the full-corpus
+    # explode+distinct ran 4× underparallelized; batch-side it runs at
+    # session parallelism with AQE and the drain joins materialized
+    # blocks (guide §2.4; static side of a stream-static join is
+    # re-planned per micro-batch, so this also pins it to one execution)
     train_sh = (
         widen(_t(spark, sf_dir, "documents"))
         .filter(~is_holdout)
@@ -129,6 +136,7 @@ def stream_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(shingles_expr(tokens_expr("text"), 8)).alias("tsh")
         )
         .distinct()
+        .localCheckpoint()
     )
 
     stream = read_document_stream(spark, sf_dir)

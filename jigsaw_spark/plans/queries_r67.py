@@ -423,8 +423,7 @@ def _dedup_mix_sql() -> str:
 def p_dedup_aware_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jigsaw_spark.operators.dedup import (
         connected_components,
-        exact_dedup,
-        keeper_pairs,
+        keeper_frames,
     )
     from jigsaw_spark.operators.text import tokens_expr
     from jigsaw_spark.session import widen
@@ -434,10 +433,12 @@ def p_dedup_aware_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", F.size(tokens_expr("text")).alias("ntok")
     )
     # C4-ordered survivors: exact keepers first, then the min id of
-    # each near-dup component over the shared keeper graph
-    exact = exact_dedup(docs, "doc_id").select("doc_id", "is_dup")
+    # each near-dup component over the shared keeper graph — ONE
+    # exact-dedup pass shared by the flags and the pair graph
+    ded, kpairs = keeper_frames(docs, "doc_id")
+    exact = ded.select("doc_id", "is_dup")
     comp = connected_components(
-        keeper_pairs(docs, "doc_id").localCheckpoint()
+        kpairs.localCheckpoint()
     ).select("doc_id", F.col("component").alias("c0"))
     keep = (
         exact.join(comp, "doc_id", "left")

@@ -114,8 +114,7 @@ def curation_cluster_extinction(
 ) -> DataFrame:
     from jigsaw_spark.operators.dedup import (
         connected_components,
-        exact_dedup,
-        keeper_pairs,
+        keeper_frames,
     )
     from jigsaw_spark.operators.text import (
         alnum_ratio_expr,
@@ -126,9 +125,10 @@ def curation_cluster_extinction(
     )
 
     docs = _t(spark, sf_dir, "documents")
+    # one exact-dedup pass shared by the gate universe and the pair graph
+    ded, kpairs = keeper_frames(docs, "doc_id")
     keepers = (
-        exact_dedup(docs, "doc_id")
-        .filter(~F.col("is_dup"))
+        ded.filter(~F.col("is_dup"))
         .select("doc_id", "text")
         .withColumn("t", tokens_expr("text"))
     )
@@ -157,7 +157,7 @@ def curation_cluster_extinction(
         ).alias("pass"),
     )
     comp = connected_components(
-        keeper_pairs(docs, "doc_id").localCheckpoint()
+        kpairs.localCheckpoint()
     ).select("doc_id", F.col("component").alias("c0"))
     lab = gate.join(comp, "doc_id", "left").select(
         F.coalesce("c0", F.col("doc_id")).alias("component"),

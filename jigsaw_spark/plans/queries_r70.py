@@ -235,16 +235,15 @@ def dq_split_cluster_leakage(
 ) -> DataFrame:
     from jigsaw_spark.operators.dedup import (
         connected_components,
-        exact_dedup,
-        keeper_pairs,
+        keeper_frames,
     )
 
     docs = _t(spark, sf_dir, "documents")
-    keeper_of = exact_dedup(docs, "doc_id").select(
-        "doc_id", "keeper"
-    )
+    # one exact-dedup pass shared by the keeper fold and the pair graph
+    ded, kpairs = keeper_frames(docs, "doc_id")
+    keeper_of = ded.select("doc_id", "keeper")
     comp = connected_components(
-        keeper_pairs(docs, "doc_id").localCheckpoint()
+        kpairs.localCheckpoint()
     ).select(
         F.col("doc_id").alias("keeper"),
         F.col("component").alias("c0"),

@@ -245,29 +245,17 @@ def dq_pooled_cluster_leakage(
 ) -> DataFrame:
     from jigsaw_spark.operators.dedup import (
         connected_components,
-        exact_dedup,
-        simhash_pairs,
+        keeper_frames,
     )
     from jigsaw_spark.plans.queries_r6 import mm_phash_near_dup
 
     docs = _t(spark, sf_dir, "documents")
-    # ONE exact-dedup pass (fp window) serves the keeper fold AND the
-    # simhash arm's keepers — keeper_pairs(docs) would re-run it
-    ded = exact_dedup(docs, "doc_id").select(
-        "doc_id", "keeper", "is_dup", "text"
-    ).localCheckpoint()
+    # one exact-dedup pass shared by the keeper fold and the pair graph
+    ded, kpairs = keeper_frames(docs, "doc_id")
     # narrow re-checkpoint: keeper_of is read 4+ times downstream and
     # must not drag the text payload out of the wide checkpoint each time
     keeper_of = ded.select("doc_id", "keeper").localCheckpoint()
-    tpairs = (
-        simhash_pairs(
-            ded.filter(~F.col("is_dup")).select("doc_id", "text"),
-            "doc_id",
-            max_hamming=2,
-        )
-        .select("doc_a", "doc_b")
-        .localCheckpoint()
-    )
+    tpairs = kpairs.localCheckpoint()
     ka = keeper_of.select(
         F.col("doc_id").alias("doc_a"), F.col("keeper").alias("ku")
     )
@@ -1013,18 +1001,17 @@ def ann_recall_under_dedup(
 ) -> DataFrame:
     from jigsaw_spark.operators.dedup import (
         connected_components,
-        exact_dedup,
-        keeper_pairs,
+        keeper_frames,
     )
     from jigsaw_spark.operators.similarity import cosine_topk
 
     docs = _t(spark, sf_dir, "documents")
     emb = _t(spark, sf_dir, "embeddings")
-    keeper_of = exact_dedup(docs, "doc_id").select(
-        "doc_id", "keeper"
-    )
+    # one exact-dedup pass shared by the keeper fold and the pair graph
+    ded, kpairs = keeper_frames(docs, "doc_id")
+    keeper_of = ded.select("doc_id", "keeper")
     comp = connected_components(
-        keeper_pairs(docs, "doc_id").localCheckpoint()
+        kpairs.localCheckpoint()
     ).select(
         F.col("doc_id").alias("keeper"),
         F.col("component").alias("c0"),

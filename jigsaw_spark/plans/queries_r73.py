@@ -203,17 +203,16 @@ def curation_gate_dup_overlap(
 ) -> DataFrame:
     from jigsaw_spark.operators.dedup import (
         connected_components,
-        exact_dedup,
-        keeper_pairs,
+        keeper_frames,
     )
     from jigsaw_spark.session import widen
 
     docs = widen(_t(spark, sf_dir, "documents"))
-    keeper_of = exact_dedup(docs, "doc_id").select(
-        "doc_id", "keeper"
-    )
+    # one exact-dedup pass shared by the keeper fold and the pair graph
+    ded, kpairs = keeper_frames(docs, "doc_id")
+    keeper_of = ded.select("doc_id", "keeper")
     comp = connected_components(
-        keeper_pairs(docs, "doc_id").localCheckpoint()
+        kpairs.localCheckpoint()
     ).select(
         F.col("doc_id").alias("keeper"),
         F.col("component").alias("c0"),
@@ -350,8 +349,7 @@ def dq_leak_detector_overlap(
 ) -> DataFrame:
     from jigsaw_spark.operators.dedup import (
         connected_components,
-        exact_dedup,
-        keeper_pairs,
+        keeper_frames,
     )
     from jigsaw_spark.operators.text import shingles_expr, tokens_expr
     from jigsaw_spark.session import widen
@@ -382,11 +380,11 @@ def dq_leak_detector_overlap(
         .distinct()
         .withColumn("g", F.lit(1))
     )
-    keeper_of = exact_dedup(docs, "doc_id").select(
-        "doc_id", "keeper"
-    )
+    # one exact-dedup pass shared by the keeper fold and the pair graph
+    ded, kpairs = keeper_frames(docs, "doc_id")
+    keeper_of = ded.select("doc_id", "keeper")
     comp = connected_components(
-        keeper_pairs(docs, "doc_id").localCheckpoint()
+        kpairs.localCheckpoint()
     ).select(
         F.col("doc_id").alias("keeper"),
         F.col("component").alias("c0"),
@@ -543,8 +541,7 @@ def p_curated_budget_mix(
 ) -> DataFrame:
     from jigsaw_spark.operators.dedup import (
         connected_components,
-        exact_dedup,
-        keeper_pairs,
+        keeper_frames,
     )
     from jigsaw_spark.operators.text import tokens_expr
     from jigsaw_spark.session import widen
@@ -553,9 +550,11 @@ def p_curated_budget_mix(
     ntok = docs.select(
         "doc_id", "source", F.size(tokens_expr("text")).alias("ntok")
     )
-    exact = exact_dedup(docs, "doc_id").select("doc_id", "is_dup")
+    # one exact-dedup pass shared by the flags and the pair graph
+    ded, kpairs = keeper_frames(docs, "doc_id")
+    exact = ded.select("doc_id", "is_dup")
     comp = connected_components(
-        keeper_pairs(docs, "doc_id").localCheckpoint()
+        kpairs.localCheckpoint()
     ).select("doc_id", F.col("component").alias("c0"))
     keep = exact.join(comp, "doc_id", "left").select(
         "doc_id",

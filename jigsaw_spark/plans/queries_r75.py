@@ -162,16 +162,15 @@ def dq_cluster_safe_repair(
     from jigsaw_spark.functions.hashing import md5_key
     from jigsaw_spark.operators.dedup import (
         connected_components,
-        exact_dedup,
-        keeper_pairs,
+        keeper_frames,
     )
 
     docs = _t(spark, sf_dir, "documents")
-    keeper_of = exact_dedup(docs, "doc_id").select(
-        "doc_id", "keeper"
-    )
+    # one exact-dedup pass shared by the keeper fold and the pair graph
+    ded, kpairs = keeper_frames(docs, "doc_id")
+    keeper_of = ded.select("doc_id", "keeper")
     comp = connected_components(
-        keeper_pairs(docs, "doc_id").localCheckpoint()
+        kpairs.localCheckpoint()
     ).select(
         F.col("doc_id").alias("keeper"),
         F.col("component").alias("c0"),
@@ -411,30 +410,23 @@ def dedup_pooled_text_detectors(
 ) -> DataFrame:
     from jigsaw_spark.operators.dedup import (
         connected_components,
-        exact_dedup,
+        keeper_frames,
         minhash_lsh_pairs,
-        simhash_pairs,
     )
 
     docs = _t(spark, sf_dir, "documents")
     # ONE exact-dedup pass shared by both detector arms (keeper_pairs
     # would re-run the fp window for its own keepers — Spark cannot
     # dedupe the two identical window subtrees across the arms)
-    keepers = (
-        exact_dedup(docs, "doc_id")
-        .filter(~F.col("is_dup"))
-        .select("doc_id", "text")
-        .localCheckpoint()
-    )
+    ded, kpairs = keeper_frames(docs, "doc_id")
+    keepers = ded.filter(~F.col("is_dup")).select("doc_id", "text")
     mhp = (
         minhash_lsh_pairs(keepers, "doc_id")
         .select("doc_a", "doc_b")
         .localCheckpoint()
     )
-    # simhash_pairs over exact keepers IS keeper_pairs' C4-ordered banding
-    shp = simhash_pairs(keepers, "doc_id", max_hamming=2).select(
-        "doc_a", "doc_b"
-    ).localCheckpoint()
+    # kpairs IS keeper_pairs' C4-ordered SimHash banding over keepers
+    shp = kpairs.localCheckpoint()
     upairs = mhp.unionByName(shp).distinct()
 
     def _arm(pairs: DataFrame, arm: str) -> DataFrame:

@@ -130,6 +130,32 @@ def test_simhash_pairs_hamming(docs):
     assert pairs.get((1, 3)) == 0
 
 
+def test_keeper_frames_matches_separate_derivations(docs):
+    """keeper_frames must be a pure fusion: ded carries exact_dedup's
+    flags unchanged and pairs is exactly keeper_pairs(df) — the r13
+    one-window optimization cannot drift either output."""
+    from jigsaw_spark.operators.dedup import keeper_frames, keeper_pairs
+
+    ded, kpairs = keeper_frames(docs, "doc_id")
+    want_flags = {
+        (r.doc_id, r.keeper, r.is_dup)
+        for r in exact_dedup(docs, "doc_id")
+        .select("doc_id", "keeper", "is_dup")
+        .collect()
+    }
+    got_flags = {
+        (r.doc_id, r.keeper, r.is_dup)
+        for r in ded.select("doc_id", "keeper", "is_dup").collect()
+    }
+    assert got_flags == want_flags
+    want_pairs = {
+        (r.doc_a, r.doc_b)
+        for r in keeper_pairs(docs, "doc_id").collect()
+    }
+    got_pairs = {(r.doc_a, r.doc_b) for r in kpairs.collect()}
+    assert got_pairs == want_pairs
+
+
 def test_signature_kernels_batch_position_invariant(spark):
     """The per-task digest/bit-row memo inside the signature kernels must
     never change a doc's signature: a doc coalesced into one batch with
