@@ -416,10 +416,15 @@ def stream_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jigsaw_spark.streaming.ingest import read_document_stream
 
     docs = _t(spark, sf_dir, "documents")
+    # materialized BEFORE the stream starts: the historical index (a
+    # Python minhash kernel pass over half the corpus) would otherwise
+    # execute inside the drain under the streaming confs (AQE off,
+    # state-sized shuffle partitions) and be re-planned per micro-batch
     index = (
         minhash_band_sigs(docs.filter(F.col("doc_id") % 2 == 0), "doc_id")
         .select("band", "sig")
         .distinct()
+        .localCheckpoint()
     )
     stream = read_document_stream(spark, sf_dir).filter(
         F.col("doc_id") % 2 == 1
@@ -1382,7 +1387,12 @@ def stream_dsir_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("tgt"),
         F.sum("c").alias("raw"),
     )
-    ratio = dsir_ratio_from_dist(dist, _DSIR_B)
+    # materialized BEFORE the stream starts: inside the drain the fit
+    # pipeline would execute under the streaming confs (AQE off,
+    # state-sized shuffle partitions), underparallelizing the full
+    # historical gram pass; batch-side it runs at session parallelism
+    # and the drain broadcast-joins a materialized 4096-row dim
+    ratio = dsir_ratio_from_dist(dist, _DSIR_B).localCheckpoint()
 
     # SCORE (stream): the SAME bucket pipeline on the arriving docs,
     # broadcast-joined to the static dim, per-doc agg drained
