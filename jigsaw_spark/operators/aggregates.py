@@ -194,6 +194,7 @@ def countmin_table(
     depth: int = 4,
     width: int = 256,
     seed: str = "cms",
+    weight: str | None = None,
 ):
     """Count-Min sketch as a relation: the (d, cell) count table — a
     FIXED-SIZE corpus summary (depth x width rows regardless of
@@ -204,13 +205,20 @@ def countmin_table(
     counts, here for frequencies).
 
     ``toks`` is a DataFrame with a ``term`` column (pre-exploded).
+    ``weight``: optional count column — pass a PRE-AGGREGATED (term,
+    count) relation instead of raw instances and the sketch sums the
+    counts, which is identical by construction (a cell's count is the
+    sum of its terms' instance counts) but hashes each distinct term
+    once instead of once per instance (r13: the instance form computed
+    depth × |instances| md5s; the aggregated form depth × |vocab|).
     """
     from pyspark.sql import functions as F
 
     from jigsaw_spark.functions.hashing import md5_key
 
     d = F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("d")
-    cells = toks.select(F.col("term"), d).select(
+    cols = [F.col("term"), d] + ([F.col(weight)] if weight else [])
+    cells = toks.select(*cols).select(
         "d",
         F.pmod(
             F.conv(
@@ -224,8 +232,12 @@ def countmin_table(
             ).cast("bigint"),
             F.lit(width),
         ).alias("cell"),
+        *([F.col(weight)] if weight else []),
     )
-    return cells.groupBy("d", "cell").agg(F.count(F.lit(1)).alias("n"))
+    agg = (
+        F.sum(weight).alias("n") if weight else F.count(F.lit(1)).alias("n")
+    )
+    return cells.groupBy("d", "cell").agg(agg)
 
 
 def countmin_estimate(candidates, cms, depth: int = 4, width: int = 256, seed: str = "cms"):

@@ -516,9 +516,15 @@ def agg_countmin_hh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select(F.explode(tokens_expr("text")).alias("term"))
-    exact = toks.groupBy("term").agg(F.count(F.lit(1)).alias("exact_n"))
+    # ONE corpus explode: the sketch is built from the per-term exact
+    # counts (cell count = Σ term counts — identical by construction),
+    # so the md5 cell hash runs once per distinct term instead of once
+    # per instance, and the corpus is never exploded a second time
+    exact = toks.groupBy("term").agg(
+        F.count(F.lit(1)).alias("exact_n")
+    ).localCheckpoint()
     top = exact.orderBy(F.desc("exact_n"), "term").limit(10)
-    cms = countmin_table(toks)
+    cms = countmin_table(exact, weight="exact_n")
     est = countmin_estimate(top.select("term"), cms)
     return top.join(est, "term").select(
         "term",

@@ -468,19 +468,15 @@ def j8_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation = _t(spark, sf_dir, "nation")
 
     def positions(key):
-        # ONE md5 sliced into k independent 40-bit windows (instead of k
-        # seeded md5 calls): whole-stage codegen CSEs the shared digest,
-        # so the per-row hash cost is 1/k of the seeded form. The hash
-        # family is Spark-internal — the exact semi-join below kills
-        # false positives, so results are unchanged by construction
-        h = F.md5(F.concat(F.lit("bf|"), key.cast("string")))
+        # k seeded xxhash64 positions: the hash family is Spark-internal
+        # — the exact join below kills false positives, so results are
+        # unchanged by construction for ANY family — and xxhash64 is a
+        # codegen'd long-to-long hash, ~10× cheaper per probe-side row
+        # than the md5+hex-conv form it replaces (r13; guide §4.1
+        # "built-ins first"). Probe cost is what matters: this runs on
+        # every fact row BEFORE the exchange.
         return [
-            F.pmod(
-                F.conv(F.substring(h, 1 + 10 * i, 10), 16, 10).cast(
-                    "bigint"
-                ),
-                F.lit(_BLOOM_M),
-            )
+            F.pmod(F.xxhash64(F.lit(i), key), F.lit(_BLOOM_M))
             for i in range(_BLOOM_K)
         ]
 
