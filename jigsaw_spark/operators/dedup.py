@@ -462,35 +462,64 @@ def simhash(df: DataFrame, key: str, text: str = "text", num_bits: int = 32) -> 
     def compute(batches: Iterator) -> Iterator:
         import pandas as pd
 
-        # token -> ±1 bit row, shared across every doc this task sees:
-        # md5 is a pure function of the token text, so memoizing it is
-        # per-task transient state (guide-§4.5 class), not result caching;
-        # the cap bounds worker memory on adversarial vocabularies.
-        bit_rows: dict = {}
+        # token -> md5-derived uint value, shared across every doc this
+        # task sees: md5 is a pure function of the token text, so
+        # memoizing it is per-task transient state (guide-§4.5 class),
+        # not result caching; the cap bounds worker memory on
+        # adversarial vocabularies.
+        hash_vals: dict = {}
 
-        def token_bits(tok) -> np.ndarray:
-            b = bit_rows.get(tok)
-            if b is None:
-                x = np.uint64(
-                    int(hashlib.md5(tok.encode()).hexdigest()[:hex_chars], 16)
+        def token_val(tok) -> int:
+            v = hash_vals.get(tok)
+            if v is None:
+                v = int(
+                    hashlib.md5(tok.encode()).hexdigest()[:hex_chars], 16
                 )
-                b = ((x >> down_shifts) & np.uint64(1)).astype(np.int64) * 2 - 1
-                if len(bit_rows) > 2_000_000:
-                    bit_rows.clear()
-                bit_rows[tok] = b
-            return b
+                if len(hash_vals) > 2_000_000:
+                    hash_vals.clear()
+                hash_vals[tok] = v
+            return v
 
         for pdf in batches:
-            keys, sigs = [], []
-            for k_val, arr in zip(pdf[key], pdf["toks"]):
-                uniq, cnts = np.unique(
-                    np.asarray(arr, dtype=object), return_counts=True
-                )
-                mat = np.stack([token_bits(t) for t in uniq])
-                score = cnts.astype(np.int64) @ mat
-                keys.append(k_val)
-                sigs.append(int(((score > 0).astype(np.uint64) * weights).sum()))
-            yield pd.DataFrame({key: keys, "simhash": sigs})
+            # batch-vectorized (r13): ONE np.unique over the batch's
+            # flattened tokens (instead of one per doc), bit rows
+            # gathered for batch-distinct tokens only, and the per-doc
+            # ±1 sums computed with a single segment-sum
+            # (np.add.reduceat at doc offsets) — per-instance summing
+            # is identical to the count-weighted per-unique sum.
+            if len(pdf) == 0:
+                yield pd.DataFrame({key: pdf[key], "simhash": pd.Series([], dtype="int64")})
+                continue
+            tok_lists = [list(arr) for arr in pdf["toks"]]
+            lens = np.fromiter(
+                (len(t) for t in tok_lists), dtype=np.int64
+            )
+            flat = np.concatenate(
+                [np.asarray(t, dtype=object) for t in tok_lists]
+            )
+            uniq, inv = np.unique(flat, return_inverse=True)
+            vals = np.fromiter(
+                (token_val(t) for t in uniq),
+                dtype=np.uint64,
+                count=len(uniq),
+            )
+            # bits[u, j] = ±1 for unique token u, signature bit j
+            bits = (
+                ((vals[:, None] >> down_shifts[None, :]) & np.uint64(1))
+                .astype(np.int64)
+                * 2
+                - 1
+            )
+            per_tok = bits[inv]
+            offsets = np.zeros(len(lens), dtype=np.int64)
+            np.cumsum(lens[:-1], out=offsets[1:])
+            scores = np.add.reduceat(per_tok, offsets, axis=0)
+            sigs = ((scores > 0).astype(np.uint64) * weights[None, :]).sum(
+                axis=1
+            )
+            yield pd.DataFrame(
+                {key: pdf[key].values, "simhash": sigs.astype(np.int64)}
+            )
 
     return toks.mapInPandas(compute, f"{key} {key_type}, simhash bigint")
 
