@@ -1206,7 +1206,14 @@ def near_dup_keepers(
     (like the certified SQL oracles) drops them — no edges, so each is
     its own singleton keeper, not one arbitrary-min cluster (r6
     advisor)."""
-    ded = exact_dedup(df, key, text)
+    # ONE materialized exact-dedup pass: ek and keep both reference it,
+    # and Spark cannot dedupe the two identical fp-window subtrees
+    # (r13, the keeper_frames class)
+    ded = (
+        exact_dedup(df, key, text)
+        .select(key, "keeper", "is_dup", text)
+        .localCheckpoint()
+    )
     ek = ded.select(
         key,
         F.when(F.size(tokens_expr(text)) == 0, F.col(key))
