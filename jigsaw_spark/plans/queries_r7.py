@@ -1040,12 +1040,17 @@ def ml_nbayes_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jigsaw_spark.operators.samples import dsir_gram_buckets
 
     docs = _t(spark, sf_dir, "documents")
+    # materialized ONCE: the fit half and the scoring half both consume
+    # the gram-bucket explode, and their different downstream keys mean
+    # no exchange is shared — uncheckpointed, the full explode ran twice
+    # (r13; the rows are narrow (doc_id, bucket, is_en) ints, so the
+    # checkpoint is cheap relative to a second corpus tokenize+explode)
     buckets = dsir_gram_buckets(docs, "doc_id", buckets=_NB_B).join(
         docs.select(
             "doc_id", (F.col("lang") == "en").cast("int").alias("is_en")
         ),
         "doc_id",
-    )
+    ).localCheckpoint()
     fit = buckets.filter(F.col("doc_id") % 2 == 0).groupBy("bucket").agg(
         F.sum(F.when(F.col("is_en") == 1, 1).otherwise(0)).alias("ce"),
         F.sum(F.when(F.col("is_en") == 1, 0).otherwise(1)).alias("co"),
