@@ -111,6 +111,10 @@ ALL_PAIRS_OK = {
     # r62b: per-arm 1-row n_scored x 1-row hits crosses + the 1-row
     # brute-denominator dim — all scalar aggregates
     "ann_nprobe_tradeoff",
+    # r13 one-agg form: per shingle arm a 1-row gram-totals aggregate
+    # crossed with a 1-row contaminated-docs aggregate — five degenerate
+    # 1x1 BroadcastNestedLoopJoins
+    "dq_contamination_ngram_curve",
     # RAG retrieval stage IS cosine_topk: broadcast query side crossed
     # against the corpus — the documented brute-force baseline shape
     "rag_pipeline",
