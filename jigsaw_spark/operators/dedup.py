@@ -77,16 +77,87 @@ def keeper_pairs(df: DataFrame, key: str = "doc_id") -> DataFrame:
     then SimHash banding at Hamming <= 2). Single definition (advisor
     r9 #1) for queries_r48/r50/r51/r53's graph family; the DuckDB twin
     is ``_KEEPER_EDGES_CTE`` in plans/queries_llm."""
-    keepers = (
-        exact_dedup(df, key).filter(~F.col("is_dup")).select(key, "text")
+    frame = _keeper_sig_frame(df, key)
+    return _pairs_from_sigs(
+        frame.filter(
+            ~F.col("is_dup") & F.col("simhash").isNotNull()
+        ).select(key, "simhash"),
+        key,
+        max_hamming=2,
+    ).select("doc_a", "doc_b")
+
+
+def _keeper_sig_frame(
+    df: DataFrame, key: str, text: str = "text", num_bits: int = 32
+) -> DataFrame:
+    """(key, keeper, is_dup, simhash): the exact-dedup keeper map AND
+    the SimHash signature from ONE map-side pass over the corpus —
+    tokens, fingerprint and signature are all computed before any
+    shuffle, and the keeper window then partitions by fp over (key,
+    fp, simhash) rows. The guide-§8 shape: the text payload NEVER
+    crosses an exchange (the old form shuffled full text through the
+    fp window and stored it in the checkpoint; r13 verdict #3).
+
+    Signature arithmetic is identical to :func:`simhash` (same
+    tokens, same md5 bit rows); token-less docs carry NULL (the
+    explode semantics of :func:`simhash` drops empty docs from pairs
+    the same way) but keep their keeper/is_dup exactly as
+    :func:`exact_dedup` assigns them. Signatures are computed for dup
+    rows too — dup-ness is unknowable before the fp window, and
+    hashing every doc map-side is the price of never moving text."""
+    import numpy as np
+
+    from pyspark.sql.window import Window
+
+    key_type = df.schema[key].dataType.simpleString()
+    src = _spread(
+        df.select(F.col(key), tokens_expr(text).alias("toks"))
+    ).withColumn("fp", fingerprint_expr(F.col("toks")))
+    hex_chars = num_bits // 4
+    down_shifts = np.arange(num_bits - 1, -1, -1, dtype=np.uint64)
+    weights = 1 << np.arange(num_bits, dtype=np.uint64)
+
+    def compute(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        token_val = _md5_val_factory(hex_chars)
+        for pdf in batches:
+            toks_np = pdf["toks"].to_numpy()
+            n = len(toks_np)
+            sel: list = []
+            tok_lists: list = []
+            for i, t in enumerate(toks_np):
+                if t is not None and len(t) > 0:
+                    sel.append(i)
+                    tok_lists.append(list(t))
+            vals = np.zeros(n, dtype=np.int64)
+            mask = np.ones(n, dtype=bool)
+            if sel:
+                sigs = _simhash_batch(
+                    tok_lists, token_val, down_shifts, weights
+                )
+                idx = np.asarray(sel, dtype=np.int64)
+                vals[idx] = sigs
+                mask[idx] = False
+            out = pd.DataFrame(
+                {key: pdf[key].values, "fp": pdf["fp"].values}
+            )
+            out["simhash"] = pd.arrays.IntegerArray(vals, mask)
+            yield out
+
+    sigged = src.mapInPandas(
+        compute, f"{key} {key_type}, fp string, simhash bigint"
     )
-    return simhash_pairs(keepers, key, max_hamming=2).select(
-        "doc_a", "doc_b"
+    w = Window.partitionBy("fp")
+    return (
+        sigged.withColumn("keeper", F.min(key).over(w))
+        .withColumn("is_dup", F.col(key) != F.col("keeper"))
+        .select(key, "keeper", "is_dup", "simhash")
     )
 
 
 def keeper_frames(
-    df: DataFrame, key: str = "doc_id"
+    df: DataFrame, key: str = "doc_id", with_text: bool = False
 ) -> tuple[DataFrame, DataFrame]:
     """(ded, pairs): ONE checkpointed exact-dedup pass shared by the
     keeper fold and the pair graph. Queries that need both the
@@ -94,16 +165,39 @@ def keeper_frames(
     were paying the fp window twice — Spark cannot dedupe the two
     identical window subtrees — so this materializes the window once
     (r13 optimization; one full-text shuffle instead of two at any
-    scale). ``ded`` carries (key, keeper, is_dup, text); ``pairs`` is
-    exactly ``keeper_pairs(df)`` (doc_a, doc_b), un-checkpointed so
-    callers keep their own materialization policy."""
-    ded = (
-        exact_dedup(df, key)
-        .select(key, "keeper", "is_dup", "text")
-        .localCheckpoint()
-    )
-    pairs = simhash_pairs(
-        ded.filter(~F.col("is_dup")).select(key, "text"),
+    scale).
+
+    Default (r14): tokens, fingerprint and SimHash signature are all
+    computed MAP-SIDE in one kernel pass and the fp window runs over
+    (key, fp, simhash) rows, so text never crosses an exchange and
+    the checkpoint is the narrow (key, keeper, is_dup, simhash)
+    frame — no text payload in executor storage — and ``pairs``
+    re-derives from it with JVM banding only (no Python kernel on
+    re-reference). ``ded`` carries (key, keeper, is_dup).
+
+    ``with_text=True`` keeps the previous wide form for the consumers
+    that read keeper text downstream: ``ded`` then carries (key,
+    keeper, is_dup, text) and pairs run the kernel off the checkpoint.
+    Pair sets are identical between the two forms (same tokens → same
+    signatures → same banding)."""
+    if with_text:
+        ded = (
+            exact_dedup(df, key)
+            .select(key, "keeper", "is_dup", "text")
+            .localCheckpoint()
+        )
+        pairs = simhash_pairs(
+            ded.filter(~F.col("is_dup")).select(key, "text"),
+            key,
+            max_hamming=2,
+        ).select("doc_a", "doc_b")
+        return ded, pairs
+    frame = _keeper_sig_frame(df, key).localCheckpoint()
+    ded = frame.select(key, "keeper", "is_dup")
+    pairs = _pairs_from_sigs(
+        frame.filter(
+            ~F.col("is_dup") & F.col("simhash").isNotNull()
+        ).select(key, "simhash"),
         key,
         max_hamming=2,
     ).select("doc_a", "doc_b")
@@ -436,6 +530,82 @@ def minhash_lsh_pairs(
     return small.unionByName(chained).distinct()
 
 
+def _md5_val_factory(hex_chars: int):
+    """Per-task memoized token → md5-derived uint mapper (guide §4.5:
+    md5 is a pure function of the token text, so the memo is transient
+    worker state, not result caching; the cap bounds worker memory on
+    adversarial vocabularies)."""
+    hash_vals: dict = {}
+
+    def token_val(tok) -> int:
+        v = hash_vals.get(tok)
+        if v is None:
+            v = int(hashlib.md5(tok.encode()).hexdigest()[:hex_chars], 16)
+            if len(hash_vals) > 2_000_000:
+                hash_vals.clear()
+            hash_vals[tok] = v
+        return v
+
+    return token_val
+
+
+def _simhash_batch(tok_lists, token_val, down_shifts, weights):
+    """SimHash signatures (np.int64 array) for a batch of NON-EMPTY token
+    lists: ONE np.unique over the batch's flattened tokens, bit rows
+    gathered for batch-distinct tokens only, per-doc ±1 sums via a
+    segment-sum (np.add.reduceat at doc offsets) — per-instance summing
+    is identical to the count-weighted per-unique sum. The gather is
+    processed in bounded-token chunks (and a count-weighted matmul for
+    any single doc past the chunk size) so peak memory never reaches
+    (batch tokens) × num_bits — the full per-instance bit matrix of the
+    unchunked form (advisor r13)."""
+    import numpy as np
+
+    n = len(tok_lists)
+    lens = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=n)
+    flat = np.concatenate([np.asarray(t, dtype=object) for t in tok_lists])
+    uniq, inv = np.unique(flat, return_inverse=True)
+    vals = np.fromiter(
+        (token_val(t) for t in uniq), dtype=np.uint64, count=len(uniq)
+    )
+    # bits[u, j] = ±1 for unique token u, signature bit j — bounded by
+    # batch-DISTINCT tokens, not instances
+    bits = (
+        ((vals[:, None] >> down_shifts[None, :]) & np.uint64(1)).astype(
+            np.int64
+        )
+        * 2
+        - 1
+    )
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    sigs = np.empty(n, dtype=np.uint64)
+    chunk_tokens = 1 << 18
+    d = 0
+    while d < n:
+        if lens[d] > chunk_tokens:
+            # single oversized doc: count-weighted unique-token matmul
+            uu, cnt = np.unique(
+                inv[offsets[d] : offsets[d + 1]], return_counts=True
+            )
+            sc = cnt @ bits[uu]
+            sigs[d] = ((sc > 0).astype(np.uint64) * weights).sum()
+            d += 1
+            continue
+        e = d
+        while e < n and offsets[e + 1] - offsets[d] <= chunk_tokens:
+            e += 1
+        e = max(e, d + 1)
+        lo = offsets[d]
+        per_tok = bits[inv[lo : offsets[e]]]
+        sc = np.add.reduceat(per_tok, offsets[d:e] - lo, axis=0)
+        sigs[d:e] = ((sc > 0).astype(np.uint64) * weights[None, :]).sum(
+            axis=1
+        )
+        d = e
+    return sigs.astype(np.int64)
+
+
 def simhash(df: DataFrame, key: str, text: str = "text", num_bits: int = 32) -> DataFrame:
     """(key, simhash): token-frequency-weighted bit-majority signature.
 
@@ -462,64 +632,14 @@ def simhash(df: DataFrame, key: str, text: str = "text", num_bits: int = 32) -> 
     def compute(batches: Iterator) -> Iterator:
         import pandas as pd
 
-        # token -> md5-derived uint value, shared across every doc this
-        # task sees: md5 is a pure function of the token text, so
-        # memoizing it is per-task transient state (guide-§4.5 class),
-        # not result caching; the cap bounds worker memory on
-        # adversarial vocabularies.
-        hash_vals: dict = {}
-
-        def token_val(tok) -> int:
-            v = hash_vals.get(tok)
-            if v is None:
-                v = int(
-                    hashlib.md5(tok.encode()).hexdigest()[:hex_chars], 16
-                )
-                if len(hash_vals) > 2_000_000:
-                    hash_vals.clear()
-                hash_vals[tok] = v
-            return v
-
+        token_val = _md5_val_factory(hex_chars)
         for pdf in batches:
-            # batch-vectorized (r13): ONE np.unique over the batch's
-            # flattened tokens (instead of one per doc), bit rows
-            # gathered for batch-distinct tokens only, and the per-doc
-            # ±1 sums computed with a single segment-sum
-            # (np.add.reduceat at doc offsets) — per-instance summing
-            # is identical to the count-weighted per-unique sum.
             if len(pdf) == 0:
                 yield pd.DataFrame({key: pdf[key], "simhash": pd.Series([], dtype="int64")})
                 continue
             tok_lists = [list(arr) for arr in pdf["toks"]]
-            lens = np.fromiter(
-                (len(t) for t in tok_lists), dtype=np.int64
-            )
-            flat = np.concatenate(
-                [np.asarray(t, dtype=object) for t in tok_lists]
-            )
-            uniq, inv = np.unique(flat, return_inverse=True)
-            vals = np.fromiter(
-                (token_val(t) for t in uniq),
-                dtype=np.uint64,
-                count=len(uniq),
-            )
-            # bits[u, j] = ±1 for unique token u, signature bit j
-            bits = (
-                ((vals[:, None] >> down_shifts[None, :]) & np.uint64(1))
-                .astype(np.int64)
-                * 2
-                - 1
-            )
-            per_tok = bits[inv]
-            offsets = np.zeros(len(lens), dtype=np.int64)
-            np.cumsum(lens[:-1], out=offsets[1:])
-            scores = np.add.reduceat(per_tok, offsets, axis=0)
-            sigs = ((scores > 0).astype(np.uint64) * weights[None, :]).sum(
-                axis=1
-            )
-            yield pd.DataFrame(
-                {key: pdf[key].values, "simhash": sigs.astype(np.int64)}
-            )
+            sigs = _simhash_batch(tok_lists, token_val, down_shifts, weights)
+            yield pd.DataFrame({key: pdf[key].values, "simhash": sigs})
 
     return toks.mapInPandas(compute, f"{key} {key_type}, simhash bigint")
 
@@ -539,9 +659,22 @@ def simhash_pairs(
     then verify the true Hamming distance. Output identical to all-pairs
     (and to the oracle's), but the join key prunes the quadratic space to
     hash-bucket collisions."""
+    sigs = simhash(df, key, text, num_bits)
+    return _pairs_from_sigs(sigs, key, max_hamming, num_bits)
+
+
+def _pairs_from_sigs(
+    sigs: DataFrame,
+    key: str,
+    max_hamming: int = 2,
+    num_bits: int = 32,
+) -> DataFrame:
+    """Banding + bucket join + Hamming verify over an existing (key,
+    simhash) relation — the JVM-only tail of :func:`simhash_pairs`,
+    shared by :func:`keeper_frames` so a checkpointed signature frame
+    can re-derive pairs without re-running the Python kernel."""
     n_bands = max_hamming + 1
     width = num_bits // n_bands
-    sigs = simhash(df, key, text, num_bits)
     band_structs = F.array(
         *[
             F.struct(
@@ -1206,24 +1339,27 @@ def near_dup_keepers(
     (like the certified SQL oracles) drops them — no edges, so each is
     its own singleton keeper, not one arbitrary-min cluster (r6
     advisor)."""
-    # ONE materialized exact-dedup pass: ek and keep both reference it,
-    # and Spark cannot dedupe the two identical fp-window subtrees
-    # (r13, the keeper_frames class)
-    ded = (
-        exact_dedup(df, key, text)
-        .select(key, "keeper", "is_dup", text)
-        .localCheckpoint()
-    )
-    ek = ded.select(
+    # ONE materialized pass: ek and the pair banding both reference the
+    # narrow (key, keeper, is_dup, simhash) frame — Spark cannot dedupe
+    # the two identical fp-window subtrees (r13, the keeper_frames
+    # class), and the r14 frame keeps text out of the checkpoint
+    # entirely. simhash IS NULL ⟺ token-empty (the kernel computes a
+    # signature for every tokenful row), so the empty-doc carve-out
+    # needs no second tokenization.
+    frame = _keeper_sig_frame(df, key, text).localCheckpoint()
+    ek = frame.select(
         key,
-        F.when(F.size(tokens_expr(text)) == 0, F.col(key))
+        F.when(F.col("simhash").isNull(), F.col(key))
         .otherwise(F.col("keeper"))
         .alias("_ek"),
     )
-    keep = ded.filter(~F.col("is_dup")).select(key, text)
-    pairs = simhash_pairs(keep, key, text, max_hamming).select(
-        "doc_a", "doc_b"
-    )
+    pairs = _pairs_from_sigs(
+        frame.filter(
+            ~F.col("is_dup") & F.col("simhash").isNotNull()
+        ).select(key, "simhash"),
+        key,
+        max_hamming,
+    ).select("doc_a", "doc_b")
     comp = connected_components(pairs).select(
         F.col("doc_id").alias("_ek"), F.col("component")
     )

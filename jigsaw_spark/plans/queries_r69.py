@@ -126,7 +126,8 @@ def curation_cluster_extinction(
 
     docs = _t(spark, sf_dir, "documents")
     # one exact-dedup pass shared by the gate universe and the pair graph
-    ded, kpairs = keeper_frames(docs, "doc_id")
+    # (with_text: the gate reads keeper text downstream)
+    ded, kpairs = keeper_frames(docs, "doc_id", with_text=True)
     keepers = (
         ded.filter(~F.col("is_dup"))
         .select("doc_id", "text")

@@ -252,9 +252,9 @@ def dq_pooled_cluster_leakage(
     docs = _t(spark, sf_dir, "documents")
     # one exact-dedup pass shared by the keeper fold and the pair graph
     ded, kpairs = keeper_frames(docs, "doc_id")
-    # narrow re-checkpoint: keeper_of is read 4+ times downstream and
-    # must not drag the text payload out of the wide checkpoint each time
-    keeper_of = ded.select("doc_id", "keeper").localCheckpoint()
+    # ded is already the narrow checkpointed frame (r14) — no private
+    # re-checkpoint needed to keep text out of the downstream reads
+    keeper_of = ded.select("doc_id", "keeper")
     tpairs = kpairs.localCheckpoint()
     ka = keeper_of.select(
         F.col("doc_id").alias("doc_a"), F.col("keeper").alias("ku")

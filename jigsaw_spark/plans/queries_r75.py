@@ -418,7 +418,7 @@ def dedup_pooled_text_detectors(
     # ONE exact-dedup pass shared by both detector arms (keeper_pairs
     # would re-run the fp window for its own keepers — Spark cannot
     # dedupe the two identical window subtrees across the arms)
-    ded, kpairs = keeper_frames(docs, "doc_id")
+    ded, kpairs = keeper_frames(docs, "doc_id", with_text=True)
     keepers = ded.filter(~F.col("is_dup")).select("doc_id", "text")
     mhp = (
         minhash_lsh_pairs(keepers, "doc_id")
