@@ -488,6 +488,21 @@ _RIDGE_SQL = f"""{_RIDGE_WITH}
     "degenerate branch. ONE moment agg per group after one fact scan",
 )
 def ml_ridge_2feature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    f = _ridge_fit(spark, sf_dir)
+    return f.select(
+        F.col("grp").alias("l_linestatus"),
+        "n",
+        "b1_micro",
+        "b2_micro",
+        "b0_micro",
+    )
+
+
+def _ridge_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ml_ridge_2feature's fitted-model frame with the anchor means
+    kept: (grp, n, m1, m2, b1_micro, b2_micro, b0_micro). Shared with
+    ml_linear_shap (r14) so the SHAP query reuses the fit's anchors
+    instead of re-scanning lineitem for an identical moment agg."""
     li = _t(spark, sf_dir, "lineitem")
     pts = li.select(
         F.col("l_linestatus").alias("grp"),
@@ -544,8 +559,10 @@ def ml_ridge_2feature(spark: SparkSession, sf_dir: str) -> DataFrame:
     b1 = F.expr("n1 div det")
     b2 = F.expr("n2 div det")
     return sol.select(
-        F.col("grp").alias("l_linestatus"),
+        "grp",
         F.col("n").cast("bigint").alias("n"),
+        "m1",
+        "m2",
         b1.cast("bigint").alias("b1_micro"),
         b2.cast("bigint").alias("b2_micro"),
         (

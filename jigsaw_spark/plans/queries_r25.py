@@ -149,25 +149,43 @@ def _source_overlap_sql() -> str:
 def dedup_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from jigsaw_spark.operators.text import shingles_expr, tokens_expr
 
-    # spread before the explode (single-file read = one partition) and
-    # localCheckpoint: three consumers (sizes + both join sides) read
-    # one materialized pass instead of re-exploding each
+    # spread before the explode (single-file read = one partition)
     docs = _t(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    ssh = (
-        docs.select(
-            "source", F.explode(shingles_expr(tokens_expr("text"))).alias("shingle")
-        )
-        .distinct()
-        .localCheckpoint()
+    # bucket form (r14, guide §2.3/§2.4): ONE (shingle) hash-agg with a
+    # per-shingle source SET replaces the old distinct shuffle +
+    # checkpoint + two join-side shuffles of the full (source, shingle)
+    # relation — collect_set dedups (source, shingle) exactly like the
+    # old .distinct(), pair enumeration is bucket-local over the
+    # bounded |sources| set, and sizes explode the same buckets
+    ssh = docs.select(
+        "source",
+        F.explode(shingles_expr(tokens_expr("text"))).alias("shingle"),
     )
-    sizes = ssh.groupBy("source").agg(F.count(F.lit(1)).alias("sz"))
-    a = ssh.select(F.col("source").alias("src_a"), "shingle")
-    b = ssh.select(F.col("source").alias("src_b"), "shingle")
+    buckets = ssh.groupBy("shingle").agg(
+        F.array_sort(F.collect_set("source")).alias("ss")
+    )
+    sizes = (
+        buckets.select(F.explode("ss").alias("source"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("sz"))
+    )
+    combos = F.flatten(
+        F.transform(
+            F.col("ss"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ss"), i + F.lit(2), F.size(F.col("ss"))),
+                lambda y: F.struct(
+                    x.alias("src_a"), y.alias("src_b")
+                ),
+            ),
+        )
+    )
     inter = (
-        a.join(b, "shingle")
-        .filter(F.col("src_a") < F.col("src_b"))
+        buckets.filter(F.size("ss") >= 2)
+        .select(F.explode(combos).alias("p"))
+        .select(F.col("p.src_a").alias("src_a"), F.col("p.src_b").alias("src_b"))
         .groupBy("src_a", "src_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )

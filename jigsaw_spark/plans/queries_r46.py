@@ -104,7 +104,7 @@ def _linear_shap_sql() -> str:
     "join; per-row phi is map-only; output is 2 features x |groups|",
 )
 def ml_linear_shap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from jigsaw_spark.plans.queries_r24 import ml_ridge_2feature
+    from jigsaw_spark.plans.queries_r24 import _ridge_fit
 
     li = _t(spark, sf_dir, "lineitem")
     pts = li.select(
@@ -112,15 +112,14 @@ def ml_linear_shap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("l_quantity", 0).cast("bigint").alias("x1"),
         F.round(F.col("l_tax") * 100, 0).cast("bigint").alias("x2"),
     )
-    anchors = pts.groupBy("grp").agg(
-        F.expr("CAST(sum(x1) AS BIGINT) div count(*)").alias("m1"),
-        F.expr("CAST(sum(x2) AS BIGINT) div count(*)").alias("m2"),
-    )
-    weights = ml_ridge_2feature(spark, sf_dir).select(
-        F.col("l_linestatus").alias("grp"),
-        "b1_micro",
-        "b2_micro",
-    )
+    # the fit frame carries the SAME anchor means the ridge trainer
+    # used (identical agg over identical projections), so the SHAP
+    # side reuses them instead of re-scanning lineitem for its own
+    # moment agg; checkpointed lazily — the two broadcast projections
+    # below would otherwise each re-run the 2-scan fit lineage (r14)
+    fit = _ridge_fit(spark, sf_dir).localCheckpoint(eager=False)
+    anchors = fit.select("grp", "m1", "m2")
+    weights = fit.select("grp", "b1_micro", "b2_micro")
     phi = (
         pts.join(F.broadcast(anchors), "grp")
         .join(F.broadcast(weights), "grp")

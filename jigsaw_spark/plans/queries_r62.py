@@ -276,20 +276,25 @@ def text_dup_gram_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.explode(shingles_expr(tokens_expr("text"), 8)).alias("g"),
     )
+    # the distinct-doc count is only ever tested against >= 2, and
+    # d >= 2 ⟺ min(doc_id) != max(doc_id) — min/max are plain partial
+    # aggregates, so this drops the count_distinct Expand machinery
+    # (2x the rows through the (lang, g) exchange) outright (r14,
+    # guide §2.3)
     per_gram = grams.groupBy("lang", "g").agg(
         F.count(F.lit(1)).cast("bigint").alias("c"),
-        F.count_distinct("doc_id").cast("bigint").alias("d"),
+        (F.min("doc_id") != F.max("doc_id")).alias("x"),
     )
     return per_gram.groupBy("lang").agg(
         F.sum("c").cast("bigint").alias("total_gram_occ"),
-        F.coalesce(F.sum(F.when(F.col("d") >= 2, F.col("c"))), F.lit(0))
+        F.coalesce(F.sum(F.when(F.col("x"), F.col("c"))), F.lit(0))
         .cast("bigint")
         .alias("crossdoc_mass"),
         F.coalesce(F.sum(F.when(F.col("c") >= 2, F.col("c"))), F.lit(0))
         .cast("bigint")
         .alias("repeated_mass"),
         F.expr(
-            "CAST(coalesce(sum(CASE WHEN d >= 2 THEN c END), 0) * 1000"
+            "CAST(coalesce(sum(CASE WHEN x THEN c END), 0) * 1000"
             " div sum(c) AS BIGINT)"
         ).alias("crossdoc_milli"),
         F.expr(
@@ -885,35 +890,70 @@ def ann_nprobe_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         keep_probe_rank=True,
     ).localCheckpoint()
-    w = Window.partitionBy("query_id").orderBy(
-        F.round("cos", 9).desc(), F.col("vec_id")
+    # single-window form (r14, guide §2.4): per-arm top-10 rank = a
+    # running count of arm members over the ONE total order
+    # (round(cos,9) desc, vec_id) — identical to row_number over the
+    # filtered arm because candidates are unique per (query, vec) —
+    # so one window pass + one aggregate replace the 3 per-arm
+    # windows, 3 truth joins and 6 count jobs
+    wopen = (
+        Window.partitionBy("query_id")
+        .orderBy(F.round("cos", 9).desc(), F.col("vec_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
-    arms = []
-    for np_ in _NPROBES:
-        scored = scored_all.filter(F.col("probe_rank") <= np_)
-        n_scored = scored.agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_scored")
+    tmark = F.broadcast(
+        truth.select(
+            "query_id",
+            F.col("tvec").alias("vec_id"),
+            F.lit(1).alias("_t"),
         )
-        top = (
-            scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= 10)
-            .select("query_id", "vec_id")
-        )
-        hits = truth.join(
-            top,
-            (truth["query_id"] == top["query_id"])
-            & (truth["tvec"] == top["vec_id"]),
-        ).agg(F.count(F.lit(1)).cast("bigint").alias("hits"))
-        arms.append(
-            n_scored.crossJoin(F.broadcast(hits)).select(
-                F.lit(np_).cast("int").alias("nprobe"),
-                "n_scored",
-                "hits",
+    )
+    ranked = scored_all.select(
+        "query_id",
+        "vec_id",
+        "probe_rank",
+        *[
+            F.sum(F.when(F.col("probe_rank") <= np_, 1).otherwise(0))
+            .over(wopen)
+            .alias(f"rn{np_}")
+            for np_ in _NPROBES
+        ],
+    )
+    row = ranked.join(tmark, ["query_id", "vec_id"], "left").agg(
+        *[
+            F.sum(F.when(F.col("probe_rank") <= np_, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"ns{np_}")
+            for np_ in _NPROBES
+        ],
+        *[
+            F.sum(
+                F.when(
+                    (F.col("probe_rank") <= np_)
+                    & (F.col(f"rn{np_}") <= 10)
+                    & F.col("_t").isNotNull(),
+                    1,
+                ).otherwise(0)
             )
-        )
-    out = arms[0]
-    for a in arms[1:]:
-        out = out.unionByName(a)
+            .cast("bigint")
+            .alias(f"h{np_}")
+            for np_ in _NPROBES
+        ],
+    )
+    out = row.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(np_).cast("int").alias("nprobe"),
+                        F.col(f"ns{np_}").alias("n_scored"),
+                        F.col(f"h{np_}").alias("hits"),
+                    )
+                    for np_ in _NPROBES
+                ]
+            )
+        ).alias("r")
+    ).select("r.nprobe", "r.n_scored", "r.hits")
     return out.crossJoin(F.broadcast(n_brute)).select(
         "nprobe",
         "n_scored",

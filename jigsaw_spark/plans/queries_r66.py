@@ -557,9 +557,6 @@ def ann_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rawr = emb.select("vec_id", _to_double("embedding").alias("rv"))
 
-    w = Window.partitionBy("query_id").orderBy(
-        F.round("cos", 9).desc(), F.col("vec_id")
-    )
     # probe lists nest (nprobe n = probe_rank <= n of ONE ranking), so
     # the corpus-side assignment kernel and the cell join run ONCE at
     # max nprobe with probe_rank carried; per-nprobe candidate sets are
@@ -574,46 +571,90 @@ def ann_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         keep_probe_rank=True,
     ).localCheckpoint()
-    rescored_by_codec = {
-        codec: (
+    # single-window form (r14, guide §2.4): the per-arm top-10 rank is
+    # a RUNNING COUNT of arm members over the one total order
+    # (round(cos,9) desc, vec_id) — identical to row_number over the
+    # filtered arm because candidate rows are unique per (query, vec)
+    # — so ONE window pass per codec replaces the 3 per-arm windows,
+    # the truth membership rides as a broadcast-join marker instead of
+    # 3 semi-join count jobs, and the 6 hit counts + 3 n_scored counts
+    # fold into one aggregate per codec + one over the candidate list
+    wopen = (
+        Window.partitionBy("query_id")
+        .orderBy(F.round("cos", 9).desc(), F.col("vec_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tmark = F.broadcast(
+        truth.select(
+            "query_id",
+            F.col("tvec").alias("vec_id"),
+            F.lit(1).alias("_t"),
+        )
+    )
+    n_scored_row = scored_all.agg(
+        *[
+            F.sum(
+                F.when(F.col("probe_rank") <= np_, 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias(f"ns{np_}")
+            for np_ in _FRONTIER_NPROBES
+        ]
+    )
+    per_codec = []
+    for codec, corpus in (("raw", rawr), ("sq8", sq8r)):
+        rescored = (
             scored_all.select("query_id", "qv", "vec_id", "probe_rank")
             .join(corpus, "vec_id")
             .withColumn("cos", cosine_similarity("qv", "rv"))
             .select("query_id", "vec_id", "probe_rank", "cos")
-            .localCheckpoint()
         )
-        for codec, corpus in (("raw", rawr), ("sq8", sq8r))
-    }
-    rows = []
-    for np_ in _FRONTIER_NPROBES:
-        n_scored = scored_all.filter(F.col("probe_rank") <= np_).agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_scored")
-        )
-        for codec in ("raw", "sq8"):
-            top = (
-                rescored_by_codec[codec]
-                .filter(F.col("probe_rank") <= np_)
-                .withColumn("rn", F.row_number().over(w))
-                .filter(F.col("rn") <= 10)
-                .select("query_id", "vec_id")
-            )
-            hits = truth.join(
-                top,
-                (truth["query_id"] == top["query_id"])
-                & (truth["tvec"] == top["vec_id"]),
-                "left_semi",
-            ).agg(F.count(F.lit(1)).cast("bigint").alias("hits"))
-            rows.append(
-                hits.crossJoin(F.broadcast(n_scored)).select(
-                    F.lit(codec).alias("codec"),
-                    F.lit(np_).cast("int").alias("nprobe"),
-                    "n_scored",
-                    "hits",
+        ranked = rescored.select(
+            "query_id",
+            "vec_id",
+            "probe_rank",
+            *[
+                F.sum(
+                    F.when(F.col("probe_rank") <= np_, 1).otherwise(0)
                 )
-            )
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
+                .over(wopen)
+                .alias(f"rn{np_}")
+                for np_ in _FRONTIER_NPROBES
+            ],
+        )
+        hits_row = ranked.join(tmark, ["query_id", "vec_id"], "left").agg(
+            *[
+                F.sum(
+                    F.when(
+                        (F.col("probe_rank") <= np_)
+                        & (F.col(f"rn{np_}") <= 10)
+                        & F.col("_t").isNotNull(),
+                        1,
+                    ).otherwise(0)
+                )
+                .cast("bigint")
+                .alias(f"h{np_}")
+                for np_ in _FRONTIER_NPROBES
+            ]
+        )
+        per_codec.append(
+            hits_row.crossJoin(F.broadcast(n_scored_row)).select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(codec).alias("codec"),
+                                F.lit(np_).cast("int").alias("nprobe"),
+                                F.col(f"ns{np_}").alias("n_scored"),
+                                F.col(f"h{np_}").alias("hits"),
+                            )
+                            for np_ in _FRONTIER_NPROBES
+                        ]
+                    )
+                ).alias("r")
+            ).select("r.codec", "r.nprobe", "r.n_scored", "r.hits")
+        )
+    out = per_codec[0].unionByName(per_codec[1])
     return (
         out.crossJoin(F.broadcast(n_brute))
         .crossJoin(F.broadcast(n_truth))

@@ -222,12 +222,17 @@ def dq_repair_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.max("df").alias("mx"))
     )
+    # lazy checkpoints (r14, guide §2.4): the repair chain is
+    # sequential (contam → promoted → nsplit → final agg), so each
+    # EAGER barrier was a separately scheduled near-idle job; with
+    # eager=False the materialization folds into the first job that
+    # needs it and later references still reuse the stored partitions
     contam = (
         g0.filter(F.col("nt0") > 0)
         .select(F.explode("hd0").alias("doc_id"))
         .distinct()
         .withColumn("c", F.lit(1))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     pool = (
         split.join(doc_max, "doc_id", "left")
@@ -236,23 +241,28 @@ def dq_repair_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.coalesce("mx", F.lit(1)) <= 1)
         )
         .select("doc_id", "source")
+        .localCheckpoint(eager=False)
+    )
+    # quota from two tiny aggregates instead of a 3-way join over the
+    # full doc table (the dq_repair_fixpoint _promote form): contam
+    # docs are holdout by construction, so n_demote is just their
+    # per-source count; sources absent from the pool produce no ranked
+    # rows, so pool-side grouping loses nothing
+    ndem = (
+        split.join(
+            F.broadcast(contam.select("doc_id")), "doc_id", "left_semi"
+        )
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_demote"))
     )
     quota = (
-        split.select("doc_id", "source", "is_holdout")
-        .join(contam, "doc_id", "left")
-        .join(pool.withColumn("p", F.lit(1)), ["doc_id", "source"], "left")
-        .groupBy("source")
-        .agg(
-            F.sum(
-                F.when(
-                    F.col("is_holdout") & F.col("c").isNotNull(), 1
-                ).otherwise(0)
-            )
-            .cast("bigint")
-            .alias("n_demote"),
-            F.sum(F.when(F.col("p").isNotNull(), 1).otherwise(0))
-            .cast("bigint")
-            .alias("n_pool"),
+        pool.groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pool"))
+        .join(F.broadcast(ndem), "source", "left")
+        .select(
+            "source",
+            F.coalesce("n_demote", F.lit(0)).alias("n_demote"),
+            "n_pool",
         )
     )
     # banded promotion rank: md5 hex prefix -> 256 uniform bands per
@@ -285,7 +295,7 @@ def dq_repair_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= F.least("n_demote", "n_pool"))
         .select("doc_id")
         .withColumn("pr", F.lit(1))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     nsplit = (
         split.join(contam, "doc_id", "left")
@@ -301,7 +311,8 @@ def dq_repair_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c").isNotNull().alias("was_contam"),
             F.col("pr").isNotNull().alias("was_promoted"),
         )
-        .localCheckpoint()
+        # single downstream consumer (the final agg) — no checkpoint;
+        # its inputs are all checkpointed so the lineage stays shallow
     )
     # repaired-split contamination derived incrementally from g0: the
     # flags differ from round 0 only on the demoted (contam, holdout →
@@ -450,7 +461,11 @@ def graph_edge_support(spark: SparkSession, sf_dir: str) -> DataFrame:
             (pairs["doc_b"] == e2["b2"]) & (e1["c1"] == e2["c2"]),
         )
         .groupBy("doc_a", "doc_b")
-        .agg(F.countDistinct("c1").cast("bigint").alias("support"))
+        # edges are distinct (pairs are distinct and a < b, so the two
+        # orientations cannot collide), hence each common neighbor
+        # produces exactly one (doc_a, doc_b, c1) row — a plain count
+        # equals the distinct count without the Expand machinery (r14)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
     )
     allsup = pairs.join(sup, ["doc_a", "doc_b"], "left").select(
         F.coalesce("support", F.lit(0)).alias("support")

@@ -22,11 +22,12 @@ production curation/analytics deployment reaches for next —
 - ``j8_bloom_prune``: explicit Bloom-filter semi-join pruning — the
   runtime-filter pattern Spark's InjectRuntimeFilter applies to
   shuffle joins, built by hand because ``bloom_filter_agg`` is not in
-  the public function registry: k md5 hash positions per build key, a
-  KB bitmap collected once and shipped as a literal array, a MAP-ONLY
-  bit-test prune on the probe side, then the exact semi-join (false
-  positives die there, so results are exact and the oracle is the
-  plain semi-join).
+  the public function registry: k seeded xxhash64 positions per build
+  key (engine-internal by construction — the exact semi-join after the
+  prune kills false positives for ANY hash family), a KB bitmap
+  collected once and shipped as a literal array, a MAP-ONLY bit-test
+  prune on the probe side, then the exact semi-join (so results are
+  exact and the oracle is the plain semi-join).
 
 Float discipline: every statistic derives from exact integer counts or
 exact decimal sums through one shared expression shape, rounded once on
@@ -453,8 +454,10 @@ _BLOOM_SQL = """
     _BLOOM_SQL,
     "Bloom-filter semi-join pruning (the runtime-filter pattern "
     "InjectRuntimeFilter applies to shuffle joins, built explicitly "
-    "because bloom_filter_agg is not in the public registry): k=3 md5 "
-    "hash positions per build-side key (suppliers with acctbal>9000), "
+    "because bloom_filter_agg is not in the public registry): k=3 "
+    "seeded xxhash64 positions per build-side key (suppliers with "
+    "acctbal>9000; the hash family is engine-internal — the exact "
+    "semi-join after the prune kills false positives), "
     "the m=8192-bit bitmap collected ONCE as KB driver metadata and "
     "shipped as a literal long[128] array, probe side pruned by a "
     "MAP-ONLY 3-bit test BEFORE the shuffle, then the exact semi-join "

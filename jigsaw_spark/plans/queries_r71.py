@@ -522,7 +522,7 @@ def dq_repair_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(doc_max, "doc_id", "left")
         .filter(F.coalesce("mx", F.lit(1)) <= 1)
         .select("doc_id", "source")
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
 
     def _mark(df: DataFrame, sets: list[tuple[DataFrame, str]]) -> DataFrame:
@@ -551,7 +551,7 @@ def dq_repair_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
                 g0.filter(F.col("nt0") > 0)
                 .select(F.explode("hd0").alias("doc_id"))
                 .distinct()
-                .localCheckpoint()
+                .localCheckpoint(eager=False)
             )
         # grams of the changed docs only: ONE broadcast inner join of
         # the bounded change sets into a re-scan BEFORE the explode —
@@ -591,7 +591,7 @@ def dq_repair_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             upd.filter((F.col("nt") > 0) & (F.size("hd") > 0))
             .select(F.explode("hd").alias("doc_id"))
             .distinct()
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
 
     def _promote(
@@ -664,7 +664,7 @@ def dq_repair_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("rk") <= F.least(F.col("n_demote"), F.col("n_pool"))
             )
             .select("doc_id", "source")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
 
     def _flags(sets: list[tuple[DataFrame, str]], h) -> DataFrame:
