@@ -1181,14 +1181,22 @@ def _phash_ham_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ham_pairs_from_bytes(ph: DataFrame, id_col: str) -> DataFrame:
+def _ham_pairs_from_bytes(
+    ph: DataFrame, id_col: str, with_byte_match: bool = False
+) -> DataFrame:
     """Bucket form over a long-form ``(id, byte_idx, byte_val)`` hash
     relation: the 8 hash bytes pack into one array per image, each byte
     is an LSH band key, candidate pairs explode bucket-locally and the
     Hamming distance folds over the carried arrays (no join back to the
     hashes). Multi-bucket duplicates are identical rows, removed by the
     distinct. Exact for any Hamming threshold ≤7 (pigeonhole). Pair
-    order is by the LONG cast of ``id_col``."""
+    order is by the LONG cast of ``id_col``.
+
+    ``with_byte_match=True`` additionally emits ``meq`` — the per-pair
+    byte-equality mask (array<boolean>, one per hash byte) — from which
+    ANY coarser banding's candidate membership derives as a pure
+    expression (a pair collides on a w-byte band iff all w of that
+    band's bytes are equal), the mm_phash_band_sweep r14 shape."""
     h64 = ph.groupBy(id_col).agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("byte_idx", "byte_val"))),
@@ -1214,15 +1222,24 @@ def _ham_pairs_from_bytes(ph: DataFrame, id_col: str) -> DataFrame:
         F.lit(0),
         lambda acc, x: acc + x,
     )
+    cols = [
+        F.col("a._iid").alias("ia"),
+        F.col("b._iid").alias("ib"),
+        hamming.cast("bigint").alias("hamming"),
+    ]
+    if with_byte_match:
+        cols.append(
+            F.zip_with(
+                F.col("a.harr"),
+                F.col("b.harr"),
+                lambda u, v: u == v,
+            ).alias("meq")
+        )
     return (
         buckets.select(F.explode("ms").alias("a"), "ms")
         .select("a", F.explode("ms").alias("b"))
         .filter(F.col("a._iid") < F.col("b._iid"))
-        .select(
-            F.col("a._iid").alias("ia"),
-            F.col("b._iid").alias("ib"),
-            hamming.cast("bigint").alias("hamming"),
-        )
+        .select(*cols)
         .distinct()
     )
 

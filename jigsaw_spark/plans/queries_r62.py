@@ -118,9 +118,9 @@ def _contam_curve_sql() -> str:
     "docs, and the milli collision rate. Small n over-flags common "
     "phrases, large n under-flags; the knee is the defensible "
     "decontamination setting (dedup_shingle_sweep's economics applied "
-    "to the contamination rule). Shape: ONE tokenize, five shingle "
-    "explodes each feeding a distinct-gram hash-agg + one gram-keyed "
-    "join — no pair enumeration, arm count fixed at 5",
+    "to the contamination rule). Shape: ONE tokenize, ONE fused "
+    "(n, gram) explode feeding a single (n, sh) hash-agg — no pair "
+    "enumeration, arm count fixed at 5",
 )
 def dq_contamination_ngram_curve(
     spark: SparkSession, sf_dir: str
@@ -153,59 +153,85 @@ def dq_contamination_ngram_curve(
         tokens_expr("text").alias("t"),
     ).localCheckpoint()
 
-    arms = []
-    for n in _NS:
-        # ONE (sh) hash-agg per arm (holdout-doc set + train-presence
-        # flag per distinct gram) replaces the two distinct shuffles,
-        # the join and the triple count_distinct expand (guide §2.4)
-        g = (
-            toks.select(
-                "doc_id",
-                "is_holdout",
-                F.explode(shingles_expr("t", n)).alias("sh"),
-            )
-            .groupBy("sh")
-            .agg(
-                F.collect_set(
-                    F.when(F.col("is_holdout"), F.col("doc_id"))
-                ).alias("hd"),
-                F.max(
-                    F.when(~F.col("is_holdout"), 1).otherwise(0)
-                ).alias("ht"),
-            )
-            .localCheckpoint(eager=False)
+    # ONE fused explode for all five arms (r14, guide §2.3/§2.4): each
+    # doc emits (n, gram) pairs for every arm in a single generator, so
+    # the checkpointed token relation is scanned once instead of five
+    # times and ONE (n, sh) hash-agg replaces the five per-arm aggs —
+    # an n-gram string determines its own n (n space-joined tokens), so
+    # keying by (n, sh) is exactly the per-arm distinct-gram space
+    def _arm_structs(n: int):
+        # single-arg lambda: a two-arg lambda would receive the array
+        # INDEX as its second argument (pyspark transform arity rule)
+        return F.transform(
+            shingles_expr("t", n),
+            lambda s: F.struct(
+                F.lit(n).cast("int").alias("n"), s.alias("sh")
+            ),
         )
-        grams = g.agg(
-            F.sum(F.when(F.size("hd") > 0, 1).otherwise(0))
+
+    gram_structs = F.flatten(
+        F.array(*[_arm_structs(n) for n in _NS])
+    )
+    g = (
+        toks.select(
+            "doc_id",
+            "is_holdout",
+            F.explode(gram_structs).alias("g"),
+        )
+        .select("doc_id", "is_holdout", "g.n", "g.sh")
+        .groupBy("n", "sh")
+        .agg(
+            F.collect_set(
+                F.when(F.col("is_holdout"), F.col("doc_id"))
+            ).alias("hd"),
+            F.max(
+                F.when(~F.col("is_holdout"), 1).otherwise(0)
+            ).alias("ht"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    grams = g.groupBy("n").agg(
+        F.sum(F.when(F.size("hd") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_holdout_grams"),
+        F.sum(
+            F.when((F.size("hd") > 0) & (F.col("ht") == 1), 1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_contaminated_grams"),
+    )
+    docs_c = (
+        g.filter(F.col("ht") == 1)
+        .select("n", F.explode("hd").alias("d"))
+        .groupBy("n")
+        .agg(
+            F.count_distinct("d")
+            .cast("bigint")
+            .alias("n_contaminated_docs")
+        )
+    )
+    # literal arm dim so an arm with zero grams still reports a zero
+    # row (the old per-arm global aggregates always emitted one row)
+    ndim = spark.createDataFrame(
+        [(int(n),) for n in _NS], "n int"
+    )
+    out = (
+        ndim.join(F.broadcast(grams), "n", "left")
+        .join(F.broadcast(docs_c), "n", "left")
+        .select(
+            "n",
+            F.coalesce("n_holdout_grams", F.lit(0))
             .cast("bigint")
             .alias("n_holdout_grams"),
-            F.sum(
-                F.when((F.size("hd") > 0) & (F.col("ht") == 1), 1)
-                .otherwise(0)
-            )
+            F.coalesce("n_contaminated_grams", F.lit(0))
             .cast("bigint")
             .alias("n_contaminated_grams"),
+            F.coalesce("n_contaminated_docs", F.lit(0))
+            .cast("bigint")
+            .alias("n_contaminated_docs"),
         )
-        docs_c = (
-            g.filter(F.col("ht") == 1)
-            .select(F.explode("hd").alias("d"))
-            .agg(
-                F.count_distinct("d")
-                .cast("bigint")
-                .alias("n_contaminated_docs")
-            )
-        )
-        arms.append(
-            grams.crossJoin(F.broadcast(docs_c)).select(
-                F.lit(n).cast("int").alias("n"),
-                "n_holdout_grams",
-                "n_contaminated_grams",
-                "n_contaminated_docs",
-            )
-        )
-    out = arms[0]
-    for a in arms[1:]:
-        out = out.unionByName(a)
+    )
     return out.select(
         "n",
         "n_holdout_grams",

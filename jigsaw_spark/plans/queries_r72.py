@@ -292,10 +292,10 @@ def _timeout_sweep_sql() -> str:
     "30-min convention; this is the table you read BEFORE committing "
     "— where the session count stops collapsing is the corpus's "
     "natural idle timescale (and the stream_watermark_advisor's "
-    "state-size knob priced end-to-end). Shape: ONE lag pass per "
-    "user, a 4-row broadcast arm dim, islands per (arm, user) "
-    "partition — the arm dim multiplies the exchange, never "
-    "serializes it",
+    "state-size knob priced end-to-end). Shape: ONE (user, time) "
+    "window pass computing every arm's running session id at once, "
+    "arm fan-out AFTER the window into a map-side-combinable "
+    "hash-agg — the arm dim never multiplies the sort",
 )
 def ts_session_timeout_sweep(
     spark: SparkSession, sf_dir: str
@@ -306,38 +306,48 @@ def ts_session_timeout_sweep(
         F.unix_micros("ts").alias("us"),
         "event_id",
     )
+    # ONE window pass for all four arms (r14, guide §2.4): per-arm
+    # session ids are running counts of that arm's session-start flags
+    # over the SAME (user, time) order, so four running sums over one
+    # sorted pass replace the 4x-row crossJoin + 4x-data window sort;
+    # the 4x fan-out happens AFTER the window, into a hash-agg whose
+    # map side compresses it
     wlag = Window.partitionBy("user_id").orderBy("us", "event_id")
+    wrun = wlag.rowsBetween(Window.unboundedPreceding, 0)
     g = e.withColumn(
         "gap_us", F.col("us") - F.lag("us").over(wlag)
-    ).localCheckpoint()
-    arms = F.broadcast(
-        spark.createDataFrame(
-            [(t,) for t in _TIMEOUTS_S], "timeout_s int"
-        )
     )
-    flagged = g.crossJoin(arms).select(
-        "timeout_s",
+    sids = g.select(
         "user_id",
-        "us",
-        "event_id",
-        F.when(
-            F.col("gap_us").isNull()
-            | (
-                F.col("gap_us")
-                > F.col("timeout_s").cast("bigint") * 1000000
-            ),
-            1,
-        )
-        .otherwise(0)
-        .alias("new_s"),
-    )
-    wses = (
-        Window.partitionBy("timeout_s", "user_id")
-        .orderBy("us", "event_id")
-        .rowsBetween(Window.unboundedPreceding, 0)
+        *[
+            F.sum(
+                F.when(
+                    F.col("gap_us").isNull()
+                    | (F.col("gap_us") > t * 1_000_000),
+                    1,
+                ).otherwise(0)
+            )
+            .over(wrun)
+            .alias(f"_sid{t}")
+            for t in _TIMEOUTS_S
+        ],
     )
     per = (
-        flagged.withColumn("sid", F.sum("new_s").over(wses))
+        sids.select(
+            "user_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).cast("int").alias("timeout_s"),
+                            F.col(f"_sid{t}").alias("sid"),
+                        )
+                        for t in _TIMEOUTS_S
+                    ]
+                )
+            ).alias("a"),
+        )
+        .select("a.timeout_s", "user_id", "a.sid")
         .groupBy("timeout_s", "user_id", "sid")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_ev"))
     )

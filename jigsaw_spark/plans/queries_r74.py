@@ -352,9 +352,10 @@ def _phash_band_sweep_sql() -> str:
     "bands shrink the candidate shuffle (the 100 TB cost) but the "
     "pigeonhole guarantee decays — 4 bands only guarantee Hamming "
     "<= 3, 2 bands <= 1 — and the measured recall column prices "
-    "exactly that. Shape: hash bytes computed ONCE, per-config "
-    "band signatures by integer packing, band-equality joins, the "
-    "certified hamming list reused for verification; bounded 3-row "
+    "exactly that. Shape: hash bytes computed ONCE, one bucket "
+    "shuffle for the complete 8-band pair set, every coarser arm's "
+    "membership a pure expression over the per-pair byte-equality "
+    "mask (nested candidate sets), ONE aggregate; bounded 3-row "
     "output",
 )
 def mm_phash_band_sweep(
@@ -370,72 +371,80 @@ def mm_phash_band_sweep(
         F.col("image_id").cast("bigint").alias("i"),
         "byte_idx",
         "byte_val",
-    ).localCheckpoint()
-    # the complete (8-band) candidate set + exact hamming, computed once
-    # from the checkpointed bytes in bucket form (the mm_phash_near_dup
-    # r13 shape — the old mcand/ham chain was a 4-join re-attachment)
-    ham = _ham_pairs_from_bytes(ph, "i").localCheckpoint()
-    true_pairs = ham.filter(F.col("hamming") <= 6).select("ia", "ib")
-    n_true = true_pairs.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_true")
     )
-    out = []
-    for nb in _PHASH_BANDS:
+    # ONE relation serves every arm (r14): coarser bandings' candidate
+    # sets NEST inside the 8-band set (a pair agreeing on a w-byte band
+    # agrees on each of its bytes), so per-arm membership is a pure
+    # expression over the per-pair byte-equality mask — no per-arm sig
+    # agg, bucket shuffle, candidate checkpoint or semi-join. The whole
+    # sweep is one kernel pass + one bucket shuffle + ONE aggregate.
+    ham = _ham_pairs_from_bytes(ph, "i", with_byte_match=True)
+
+    def _in_band(nb: int):
         w = 8 // nb
-        sig = ph.groupBy(
-            "i", (F.col("byte_idx") / w).cast("int").alias("band")
-        ).agg(
-            F.sum(
-                F.col("byte_val").cast("bigint")
-                * F.pow(
-                    F.lit(256), F.lit(w - 1) - F.col("byte_idx") % w
-                ).cast("bigint")
+        m = None
+        for g in range(nb):
+            band_ok = F.forall(
+                F.slice(F.col("meq"), g * w + 1, w), lambda x: x
             )
-            .cast("bigint")
-            .alias("bval")
-        )
-        # bucket form: one (band, bval) hash-agg instead of the
-        # two-sided self-join shuffle of sig
-        sbuckets = (
-            sig.groupBy("band", "bval")
-            .agg(F.collect_list("i").alias("ms"))
-            .filter(F.size("ms") >= 2)
-        )
-        cand = (
-            sbuckets.select(F.explode("ms").alias("ia"), "ms")
-            .select("ia", F.explode("ms").alias("ib"))
-            .filter(F.col("ia") < F.col("ib"))
-            .distinct()
-            .localCheckpoint()
-        )
-        n_cand = cand.agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_candidates")
-        )
-        n_ver = cand.join(true_pairs, ["ia", "ib"], "left_semi").agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_verified")
-        )
-        out.append(
-            n_cand.crossJoin(F.broadcast(n_ver))
-            .crossJoin(F.broadcast(n_true))
-            .select(
-                F.lit(nb).cast("int").alias("n_bands"),
-                "n_candidates",
-                "n_verified",
-                F.expr(
-                    "CAST(CASE WHEN n_true = 0 THEN 0"
-                    " ELSE n_verified * 1000 div n_true END AS BIGINT)"
-                ).alias("recall_milli"),
-                F.expr(
-                    "CAST(CASE WHEN n_candidates = 0 THEN 0"
-                    " ELSE n_verified * 1000 div n_candidates END"
-                    " AS BIGINT)"
-                ).alias("precision_milli"),
+            m = band_ok if m is None else (m | band_ok)
+        return m
+
+    row = ham.agg(
+        F.sum(F.when(F.col("hamming") <= 6, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_true"),
+        *[
+            agg
+            for nb in _PHASH_BANDS
+            for agg in (
+                F.sum(F.when(_in_band(nb), 1).otherwise(0))
+                .cast("bigint")
+                .alias(f"c{nb}"),
+                F.sum(
+                    F.when(
+                        _in_band(nb) & (F.col("hamming") <= 6), 1
+                    ).otherwise(0)
+                )
+                .cast("bigint")
+                .alias(f"v{nb}"),
             )
-        )
-    res = out[0]
-    for o in out[1:]:
-        res = res.unionByName(o)
-    return res
+        ],
+    )
+    return row.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(nb).cast("int").alias("n_bands"),
+                        F.col(f"c{nb}").alias("n_candidates"),
+                        F.col(f"v{nb}").alias("n_verified"),
+                        F.when(
+                            F.col("n_true") == 0, F.lit(0).cast("bigint")
+                        )
+                        .otherwise(
+                            F.expr(f"v{nb} * 1000 div n_true")
+                        )
+                        .alias("recall_milli"),
+                        F.when(
+                            F.col(f"c{nb}") == 0, F.lit(0).cast("bigint")
+                        )
+                        .otherwise(
+                            F.expr(f"v{nb} * 1000 div c{nb}")
+                        )
+                        .alias("precision_milli"),
+                    )
+                    for nb in _PHASH_BANDS
+                ]
+            )
+        ).alias("r")
+    ).select(
+        "r.n_bands",
+        "r.n_candidates",
+        "r.n_verified",
+        "r.recall_milli",
+        "r.precision_milli",
+    )
 
 
 # ---------------------------------------------------------------------------
