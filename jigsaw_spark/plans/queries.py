@@ -1621,31 +1621,33 @@ from jigsaw_spark.plans import queries_r75  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 # Registration order == driver certification order. The driver's correctness
 # gate walks QUERIES in insertion order with a bounded window (exactly the
-# first 50 names every round so far). Round-13 rotation (verdict r12
-# directive #1) — CORRECTNESS_r12 came back 50/50 green, so the only
-# remaining debt is the 2-query r70 queue registered behind the r12 window
-# (the documented round-13 queue):
-#   slots 1-2   — mm_phash_threshold_sweep + dq_split_cluster_leakage
-#                 (first driver rows for the r70 queue pair).
-#   slots 3+    — round-13-new queries (modules queries_r71+) inserted
-#                 here as they are built.
-#   next        — changed-code re-certs: certified queries whose EXECUTING
-#                 code changes this round (the three advisor-r12 items:
-#                 ann_pareto_frontier truth-counted recall denominator,
-#                 stream_watermark_advisor event-time lag order,
-#                 p_epoch_schedule unit-snapped temperature weight) get
-#                 fresh driver rows ahead of stalest-first padding (the
-#                 advisor-r10 rule, standing precedent).
-#   tail to 50  — padding: stalest-first re-certs — the 11 remaining
-#                 oracle-backed queries whose latest driver row is r02,
-#                 then the stalest of the r03 rows (alphabetical within
-#                 round). (The pool is longer than the window on
-#                 purpose; only the first 50 registry slots form the
-#                 window, the rest keep their certified rows.)
+# first 50 names every round so far). Round-14 rotation (verdict r13 #1):
+#   slots 1-2   — the r75 queue pair (dedup_pooled_text_detectors +
+#                 dq_cluster_safe_repair): first driver rows for the only
+#                 2 never-certified registry queries.
+#   slots 3-15  — changed-code re-certs, direct rewrites this round
+#                 (advisor-r10 rule, standing policy): the repair-family
+#                 barrier cuts, the ANN single-window forms, the JVM-form
+#                 aggregate rewrites, and the fused sweeps.
+#   slots 16-50 — changed-code re-certs, operator-inheritance: consumers
+#                 of the r14 narrow keeper frame / simhash kernel
+#                 (keeper_frames, keeper_pairs, near_dup_keepers,
+#                 simhash_pairs rewrites — results pinned identical by
+#                 equivalence tests + the full oracle gate, re-certified
+#                 by the driver here).
+#   behind 50   — three changed-but-deferred names that did not fit the
+#                 window (dedup_components, dedup_simhash,
+#                 mm_phash_near_dup — all r13-certified, all touched only
+#                 through kernel-internal refactors pinned by
+#                 position-invariance tests), then the verdict-r13 stale
+#                 rotation pool (dq_split_repair, rel_rfm_segments,
+#                 agg_countmin_hh, j8_bloom_prune). The pool is longer
+#                 than the window on purpose; names past slot 50 keep
+#                 their certified rows and rotate next round.
 # Overflow boundary: modules queries_r{_OVERFLOW_BOUNDARY}+ queue behind
-# slot 50 for the next round (the r40/r55/r60/r65/r70 pattern). The window
-# is EXACTLY 50 slots; if _R13_NEW outgrows the space, move whole batch
-# modules past the boundary instead of widening the window.
+# slot 50 for the next round (the r40/.../r70/r75 pattern). r75 entered
+# the window this round, so the boundary advances to 76 (no overflow
+# modules exist — optimization rounds add no queries).
 # The 6 clean rows-only entries (text_bpe_encode, mm_decode_meta, ...)
 # each have their one driver row and are NOT re-rotated (they can never be
 # hash-certified). Everything already certified falls to the back in
@@ -1658,96 +1660,84 @@ from jigsaw_spark.plans import queries_r75  # noqa: E402,F401
 # First queries_r{N} module that queues BEHIND the 50-slot window for the
 # NEXT round's certification. tests/test_entry.py imports this so the
 # policy test and the registry cannot drift (advisor r9 #5).
-_OVERFLOW_BOUNDARY = 75
+_OVERFLOW_BOUNDARY = 76
 
-_R13_QUEUE = [
-    "mm_phash_threshold_sweep",
-    "dq_split_cluster_leakage",
+_R14_QUEUE = [
+    "dedup_pooled_text_detectors",
+    "dq_cluster_safe_repair",
 ]
 
-_R13_NEW: list[str] = [
-    # round-13-new queries are appended here by their batch modules' order
-    # as they are built (queries_r71+)
-    "dq_pooled_cluster_leakage",
+# direct rewrites this round (OPTIMIZATION_r14.md changes 2-5)
+_R14_REWRITES = [
     "dq_repair_fixpoint",
-    "mm_phash_threshold_purity",
-    "ann_recall_under_dedup",
-    "stream_phash_dedup",
-    "ts_session_timeout_sweep",
-    "agg_cms_width_curve",
-    "layout_partition_advisor",
-    "curation_gate_dup_overlap",
-    "dq_leak_detector_overlap",
-    "p_curated_budget_mix",
-    "dq_split_embedding_drift",
-    "dedup_signature_size_sweep",
-    "mm_phash_band_sweep",
-    "agg_kmv_precision_curve",
-    "graph_component_depth",
-]
-
-# Changed-code re-certs (advisor r10 #2, standing policy): certified
-# names whose executing code changes this round — the three advisor-r12
-# items: ann_pareto_frontier's truth-counted recall denominator,
-# stream_watermark_advisor's (ts, event_id) lag order, and
-# p_epoch_schedule's unit-snapped temperature weight. A green old row
-# certifies the OLD code; these get fresh rows this round.
-_R13_CHANGED_RECERT = [
+    "dq_repair_residual",
+    "ann_nprobe_tradeoff",
     "ann_pareto_frontier",
-    "stream_watermark_advisor",
-    "p_epoch_schedule",
-    # the _synth_images extraction (queries_r6, pure code motion so the
-    # streaming ingest can reuse the image-synthesis kernel) changed
-    # these two queries' executing code; both are also r5-stale, so the
-    # re-cert doubles as the stalest-first rotation
-    "mm_image_phash",
-    "mm_phash_near_dup",
+    "text_dup_gram_mass",
+    "dedup_source_overlap",
+    "graph_edge_support",
+    "ml_linear_shap",
+    "ml_ridge_2feature",
+    "dq_contamination_ngram_curve",
+    "ts_session_timeout_sweep",
+    "mm_phash_band_sweep",
+    "dedup_signature_size_sweep",
 ]
 
-_STALE_PADDING = [
-    # latest driver row r02 (stalest-first pool, alphabetical within
-    # round; the 11 r02 rows that fell outside the r12 window)
-    "rel_snapshot_diff",
-    "sql_scripting_threshold",
-    "stream_static_join",
-    "text_bigram_logprob",
-    "text_boilerplate",
-    "text_rake_keyphrase",
-    "text_topgram_coverage",
-    "ts_ewma",
-    "ts_interval_union",
-    "ts_ohlc",
-    "w9_distinct_window",
-    # latest driver row r03 (next-stalest continuation)
-    "ab_cuped_adjust",
-    "ann_ivf_assign",
-    "ann_ivf_topk",
-    "ann_sq8",
-    "ann_srp_buckets",
-    "curation_pipeline",
-    "dedup_components",
-    "dedup_end_to_end",
-    "dedup_exact",
-    "dedup_exact_keep_best",
-    "dedup_minhash_jaccard_est",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
+# operator-inheritance re-certs: consumers of the narrow keeper frame /
+# refactored simhash kernel (OPTIMIZATION_r14.md change 1)
+_R14_INHERITED = [
+    "ann_recall_under_dedup",
+    "curation_cluster_extinction",
+    "curation_gate_dup_overlap",
+    "curation_soft_dedup_weights",
+    "dedup_cluster_purity",
+    "dedup_cross_modal",
+    "dedup_detector_agreement",
+    "dedup_edge_source_mix",
+    "dedup_pooled_components",
     "dedup_simhash_pairs",
-    "dedup_url_canon",
-    "emb_cosine_near_dup",
-    "fn_url_suite",
-    "ml_hash_features",
-    "q10_returned_items",
-    "q11_important_value",
-    "q15_top_supplier",
-    "q16_supplier_cnt",
-    "q17_small_quantity",
-    "q18_large_orders",
+    "dq_dedup_bias",
+    "dq_leak_detector_overlap",
+    "dq_pooled_cluster_leakage",
+    "dq_split_cluster_leakage",
+    "graph_adamic_adar",
+    "graph_bridge_fragmentation",
+    "graph_community_conductance",
+    "graph_component_depth",
+    "graph_component_size_hist",
+    "graph_degree_assortativity",
+    "graph_degree_gini",
+    "graph_harmonic_centrality",
+    "graph_hub_removal_impact",
+    "graph_label_propagation",
+    "graph_lang_assortativity",
+    "graph_local_bridges",
+    "graph_modularity",
+    "graph_node2vec_walk",
+    "graph_random_walk",
+    "graph_rich_club",
+    "graph_transitivity",
+    "p_curated_budget_mix",
+    "p_dedup_aware_mix",
+    "p_group_kfold",
+    "p_leakage_safe_split",
+]
+
+# changed-but-deferred past the window (r13-certified, kernel-internal
+# refactors only, pinned by tests) + the verdict-r13 stale rotation pool
+_R14_BEHIND_WINDOW = [
+    "dedup_components",
+    "dedup_simhash",
+    "mm_phash_near_dup",
+    "dq_split_repair",
+    "rel_rfm_segments",
+    "agg_countmin_hh",
+    "j8_bloom_prune",
 ]
 
 _CERTIFICATION_PRIORITY = (
-    _R13_QUEUE + _R13_NEW + _R13_CHANGED_RECERT + _STALE_PADDING
+    _R14_QUEUE + _R14_REWRITES + _R14_INHERITED + _R14_BEHIND_WINDOW
 )
 
 

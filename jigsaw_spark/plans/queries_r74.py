@@ -185,7 +185,7 @@ def dedup_signature_size_sweep(
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.min("band").alias("mb"))
-        .localCheckpoint()
+        # single consumer (ests) — no barrier needed (r14)
     )
     ests = (
         minband.join(
@@ -209,7 +209,9 @@ def dedup_signature_size_sweep(
                 for np_ in _SIG_SIZES
             ],
         )
-        .localCheckpoint()
+        # lazy: materializes inside the first consuming job, reused by
+        # the final scored join (r14, guide §2.4)
+        .localCheckpoint(eager=False)
     )
     allc = ests.select("doc_a", "doc_b")
     sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
@@ -245,7 +247,7 @@ def dedup_signature_size_sweep(
                 " div (za + zb - coalesce(i, 0)) AS BIGINT)"
             ).alias("jac_milli"),
         )
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     scored = ests.join(jac, ["doc_a", "doc_b"])
     out = []

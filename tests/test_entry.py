@@ -29,20 +29,19 @@ def test_every_query_runs_at_smoke_sf(spark):
 
 def test_certification_window_covers_never_certified():
     """The driver's correctness gate walks the registry in order with a
-    bounded window of exactly 50 slots. Round-13 policy (verdict r12 #1):
-    CORRECTNESS_r12 came back green across the whole r12 window, so the
-    debt is exactly the 2-query r70 queue (mm_phash_threshold_sweep +
-    dq_split_cluster_leakage) registered behind the r12 window. Slots
-    1-2 carry that debt; round-13-new queries (modules queries_r71+) are
-    inserted after it as they are built; then the changed-code re-certs
-    (the advisor-r10 rule, standing policy — this round the three
-    advisor-r12 fixes); the remaining slots are stalest-first padding
-    re-certs (the 11 remaining r02 rows then r03 rows). Overflow modules
-    (queries_r{_OVERFLOW_BOUNDARY}+) queue behind slot 50 for the next
-    round — the boundary is a single shared constant in plans/queries.py
-    so this test and the registry cannot drift (advisor r9 #5). Clean
-    rows-only entries (text_bpe_encode, ...) keep their one driver row
-    and are never re-rotated."""
+    bounded window of exactly 50 slots. Round-14 policy (verdict r13 #1):
+    slots 1-2 carry the r75 queue pair — the only 2 never-certified
+    registry queries; the rest of the window is changed-code re-certs
+    (the advisor-r10 rule): the round's direct rewrites first, then the
+    narrow-keeper-frame / simhash-kernel inheritance consumers. Three
+    changed-but-deferred names (r13-certified, kernel-internal refactors
+    pinned by tests) plus the verdict-r13 stale pool queue directly
+    behind slot 50. Overflow modules (queries_r{_OVERFLOW_BOUNDARY}+)
+    queue behind slot 50 for the next round — the boundary is a single
+    shared constant in plans/queries.py so this test and the registry
+    cannot drift (advisor r9 #5). Clean rows-only entries
+    (text_bpe_encode, ...) keep their one driver row and are never
+    re-rotated."""
     import json
     import pathlib
     import re
@@ -53,7 +52,7 @@ def test_certification_window_covers_never_certified():
     certified: set[str] = set()
     for r in (
         "01", "02", "03", "04", "05", "06", "07", "08", "09", "10",
-        "11", "12",
+        "11", "12", "13",
     ):
         path = root / f"CORRECTNESS_r{r}.json"
         if path.exists():
@@ -66,11 +65,11 @@ def test_certification_window_covers_never_certified():
         if q not in certified and QUERIES[q].oracle is not None
     ]
 
-    assert names[0] == "mm_phash_threshold_sweep", (
-        "slot 1 must start the r70-queue debt block (verdict r12 #1)"
+    assert names[0] == "dedup_pooled_text_detectors", (
+        "slot 1 must start the r75-queue debt block (verdict r13 #1)"
     )
-    assert names[1] == "dq_split_cluster_leakage", (
-        "slot 2 must be the r70 queue's second query (verdict r12 #1)"
+    assert names[1] == "dq_cluster_safe_repair", (
+        "slot 2 must be the r75 queue's second query (verdict r13 #1)"
     )
 
     # all debt (never-certified oracle-backed) sits inside slots 1-50;
