@@ -205,11 +205,30 @@ def dq_repair_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
     g0 = (
         _grams(docs)
         .groupBy("sh")
-        .agg(
-            F.collect_set("doc_id").alias("_ds"),
-            F.collect_set(
-                F.when(F.col("h0"), F.col("doc_id"))
-            ).alias("hd0"),
+        # ONE collect_set: the holdout flag is a pure md5 expression of
+        # doc_id, so the per-gram holdout subset derives by FILTERING
+        # the doc array post-agg (r14, the dq_repair_fixpoint form)
+        .agg(F.collect_set("doc_id").alias("_ds"))
+        .withColumn(
+            "hd0",
+            F.filter(
+                F.col("_ds"),
+                lambda d: F.pmod(
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat_ws("|", F.lit("contam"), d)
+                            ),
+                            1,
+                            12,
+                        ),
+                        16,
+                        10,
+                    ).cast("bigint"),
+                    F.lit(20),
+                )
+                == 0,
+            ),
         )
         .withColumn("nt0", F.size("_ds") - F.size("hd0"))
         .localCheckpoint()

@@ -49,14 +49,15 @@ _PURITY_THRESHOLDS = (0, 2, 4, 6)
 
 def _holdout_col(doc_id="doc_id"):
     """The 'contam|' md5 5% holdout flag shared by the contamination
-    family (doc-level md5 stream, 12 hex chars, mod 20)."""
+    family (doc-level md5 stream, 12 hex chars, mod 20). ``doc_id``
+    may be a column name or a Column (e.g. a lambda element var, so
+    the flag can evaluate inside array expressions)."""
+    c = F.col(doc_id) if isinstance(doc_id, str) else doc_id
     return (
         F.pmod(
             F.conv(
                 F.substring(
-                    F.md5(
-                        F.concat_ws("|", F.lit("contam"), F.col(doc_id))
-                    ),
+                    F.md5(F.concat_ws("|", F.lit("contam"), c)),
                     1,
                     12,
                 ),
@@ -496,11 +497,13 @@ def dq_repair_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     g0 = (
         _grams(docs)
         .groupBy("sh")
-        .agg(
-            F.collect_set("doc_id").alias("_ds"),
-            F.collect_set(
-                F.when(F.col("h0"), F.col("doc_id"))
-            ).alias("hd0"),
+        # ONE collect_set: the holdout flag is a pure md5 expression of
+        # doc_id, so the per-gram holdout subset derives by FILTERING
+        # the doc array post-agg — the agg buffer and its shuffle
+        # partials carry one set instead of two overlapping ones (r14)
+        .agg(F.collect_set("doc_id").alias("_ds"))
+        .withColumn(
+            "hd0", F.filter(F.col("_ds"), lambda d: _holdout_col(d))
         )
         # distinct train docs = distinct docs minus distinct holdout docs
         .withColumn("nt0", F.size("_ds") - F.size("hd0"))
